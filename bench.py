@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver runs this per-round (BENCH_r{N}.json) against BASELINE.md.
+Timing = full query wall-clock including result collection, median of
+``BENCH_REPS`` runs after one warm-up of the session (JVM + parquet footer
+caches warm, as a resident engine would be).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lambda_arc_events_filter_spark.registry import specs
+from lambda_arc_events_filter_spark.session import get_spark
+
+#: Headline set — one per major operator family (extended as families land).
+HEADLINE = [
+    "q01_pricing_summary",
+    "join_multiway_star",
+    "join_inner_orders_customer",
+    "join_range_theta",
+    "agg_count_distinct",
+    "agg_stats",
+    "topk_orders",
+    "dedup_keep_first_per_key",
+    "window_topk_per_group",
+    "fn_string_suite",
+    "text_token_stats",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "embedding_topk_cosine",
+    "stream_tumbling_counts",
+]
+
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    all_specs = specs()
+    names = [n for n in HEADLINE if n in all_specs]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = all_specs[name].fn
+        reps = []
+        fn(spark, sf_dir).collect()  # warm-up (plan + code cache)
+        for _ in range(REPS):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            reps.append(time.time() - t0)
+        timings[name] = round(statistics.median(reps), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

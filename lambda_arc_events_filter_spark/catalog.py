@@ -1,0 +1,155 @@
+"""Fixture catalog: explicit schemas + loaders for the ten driver tables.
+
+Explicit ``StructType`` schemas (never inferred — SURVEY.md §1.2): at 100 TB
+an inference scan is a full extra read, and explicit schemas guarantee the
+DuckDB-oracle sees identical types.  Schemas transcribed from FIXTURES.md
+(parquet footers of /root/testdata/sf0.001, 2026-08-13).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _s(*fields: tuple) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+SCHEMAS: dict[str, StructType] = {
+    "region": _s(("r_regionkey", IntegerType()), ("r_name", StringType())),
+    "nation": _s(
+        ("n_nationkey", IntegerType()),
+        ("n_name", StringType()),
+        ("n_regionkey", IntegerType()),
+    ),
+    "customer": _s(
+        ("c_custkey", LongType()),
+        ("c_name", StringType()),
+        ("c_nationkey", IntegerType()),
+        ("c_acctbal", DoubleType()),
+        ("c_mktsegment", StringType()),
+    ),
+    "supplier": _s(
+        ("s_suppkey", LongType()),
+        ("s_name", StringType()),
+        ("s_nationkey", IntegerType()),
+        ("s_acctbal", DoubleType()),
+    ),
+    "part": _s(
+        ("p_partkey", LongType()),
+        ("p_name", StringType()),
+        ("p_brand", StringType()),
+        ("p_type", StringType()),
+        ("p_size", IntegerType()),
+        ("p_retailprice", DoubleType()),
+    ),
+    "orders": _s(
+        ("o_orderkey", LongType()),
+        ("o_custkey", LongType()),
+        ("o_orderstatus", StringType()),
+        ("o_totalprice", DoubleType()),
+        ("o_orderdate", TimestampType()),
+        ("o_orderpriority", StringType()),
+    ),
+    "lineitem": _s(
+        ("l_orderkey", LongType()),
+        ("l_partkey", LongType()),
+        ("l_suppkey", LongType()),
+        ("l_linenumber", IntegerType()),
+        ("l_quantity", DoubleType()),
+        ("l_extendedprice", DoubleType()),
+        ("l_discount", DoubleType()),
+        ("l_tax", DoubleType()),
+        ("l_returnflag", StringType()),
+        ("l_linestatus", StringType()),
+        ("l_shipdate", TimestampType()),
+    ),
+    "events": _s(
+        ("event_id", LongType()),
+        ("ts", TimestampType()),
+        ("user_id", LongType()),
+        ("event_type", StringType()),
+        ("value", DoubleType()),
+        ("props", StringType()),
+    ),
+    "documents": _s(
+        ("doc_id", LongType()),
+        ("text", StringType()),
+        ("lang", StringType()),
+        ("source", StringType()),
+        ("n_chars", LongType()),
+    ),
+    "embeddings": _s(
+        ("vec_id", LongType()),
+        ("embedding", ArrayType(FloatType())),
+        ("label", IntegerType()),
+    ),
+}
+
+TABLES = tuple(SCHEMAS)
+
+#: Dimension tables small enough to always broadcast, at any scale factor
+#: (region=5, nation=25 rows — and in any TPC-H-like deployment they stay
+#: tiny while facts grow).  SURVEY.md §4: "dims always broadcast".
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+EMBEDDING_DIM = 64  # FIXTURES.md: embeddings.embedding is list<float>[64]
+
+
+def table_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one fixture table with its explicit schema.
+
+    ``spark.read.schema(...)`` (not inference) keeps the scan single-pass and
+    the types bit-stable across engines.  Catalyst still gets full predicate
+    pushdown / column pruning on top of this scan.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects outright ([PARQUET_TYPE_ILLEGAL]).  We read it as raw nanosecond
+    longs (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+    TimestampType in the plan — lossless here (fixture values are µs-grain;
+    FIXTURES.md) and still a single vectorized columnar scan.
+    """
+    if table not in SCHEMAS:
+        raise KeyError(f"unknown table {table!r}; known: {sorted(SCHEMAS)}")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        read_schema = StructType(
+            [
+                StructField("ts", LongType(), True)
+                if f.name == "ts"
+                else f
+                for f in SCHEMAS[table].fields
+            ]
+        )
+        import pyspark.sql.functions as F
+
+        return (
+            spark.read.schema(read_schema)
+            .parquet(table_path(sf_dir, table))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .select([f.name for f in SCHEMAS[table].fields])
+        )
+    return spark.read.schema(SCHEMAS[table]).parquet(table_path(sf_dir, table))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

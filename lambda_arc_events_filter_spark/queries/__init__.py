@@ -1,0 +1,10 @@
+"""Query registry modules — importing this package registers every query.
+
+Each module covers one slice of SURVEY.md §2's operator inventory; every
+query lands with a DuckDB oracle unless its semantics are genuinely not
+SQL-expressible (noted per-query).
+"""
+
+from lambda_arc_events_filter_spark.queries import (  # noqa: F401
+    relational,
+)

@@ -1,0 +1,800 @@
+"""Relational core queries — SURVEY.md §2 B1-B2, B7-B30, B35-B41.
+
+Each query pairs an idiomatic-DataFrame implementation with a DuckDB oracle.
+Scale notes are inline: dims broadcast, aggregations are partial+final
+(map-side combine) by construction, filters/projections reach the parquet
+scan via Catalyst pushdown.
+
+Float parity: any float produced by an aggregation is wrapped in
+``round(x, k)`` on BOTH sides — Spark and DuckDB may sum doubles in
+different orders, and rounding collapses the ulp drift the driver's exact
+value-hash would otherwise see.  Sums of integer-valued doubles (quantities)
+are exact and left unrounded.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (B1 scan, B8 filter, B23 agg,
+# B35 sort in one query).  At 100 TB: single scan, partial aggregation on
+# (returnflag, linestatus) — 6 groups — so the shuffle is a few KB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                    AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                             AS sum_charge,
+           round(avg(l_quantity), 6)                         AS avg_qty,
+           round(avg(l_extendedprice), 6)                    AS avg_price,
+           round(avg(l_discount), 6)                         AS avg_disc,
+           count(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: filtered scan → 6-group hash aggregate."""
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7-B13 — projections, filters, predicates.  All of these compile to
+# Catalyst predicates that push down into the parquet scan (verified via
+# .explain → PushedFilters in tests/test_plans.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_comparisons",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_tax <> 0.0
+      AND l_extendedprice < 80000
+    """,
+    tags=("filter",),
+)
+def filter_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison predicates (> >= <> <) + computed projection."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_tax") != 0.0)
+        & (F.col("l_extendedprice") < 80000)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    )
+
+
+@register(
+    "filter_boolean_membership",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus IN ('F', 'P') OR o_totalprice BETWEEN 1000 AND 5000)
+      AND NOT (o_orderpriority = '1-URGENT')
+    """,
+    tags=("filter",),
+)
+def filter_boolean_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT combinators + IN + BETWEEN."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        (
+            F.col("o_orderstatus").isin("F", "P")
+            | F.col("o_totalprice").between(1000, 5000)
+        )
+        & ~(F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "filter_patterns",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_type LIKE '%ECO%'
+       OR regexp_matches(p_name, '^(red|blue) (bolt|gear)')
+    """,
+    tags=("filter",),
+)
+def filter_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE and regexp predicates on part descriptors."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%ECO%")
+        | F.col("p_name").rlike("^(red|blue) (bolt|gear)")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@register(
+    "filter_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN o_orderpriority END AS high_prio,
+           coalesce(CASE WHEN o_totalprice > 100000 THEN o_orderpriority END,
+                    'none') AS high_prio_filled,
+           (CASE WHEN o_totalprice > 100000 THEN o_orderpriority END
+              IS NOT DISTINCT FROM o_orderpriority) AS prio_match
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL, null-safe equality, coalesce over an induced NULL."""
+    o = load(spark, sf_dir, "orders")
+    high = F.when(F.col("o_totalprice") > 100000, F.col("o_orderpriority"))
+    return o.filter(F.col("o_custkey").isNotNull()).select(
+        "o_orderkey",
+        high.alias("high_prio"),
+        F.coalesce(high, F.lit("none")).alias("high_prio_filled"),
+        high.eqNullSafe(F.col("o_orderpriority")).alias("prio_match"),
+    )
+
+
+@register(
+    "case_when_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*)                     AS n,
+           round(sum(o_totalprice), 2)  AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("filter", "agg"),
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding an aggregate."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14-B22 — joins.  Dim joins broadcast explicitly (SURVEY.md §4: at 100 TB
+# region/nation/supplier stay tiny while facts grow); fact-fact joins rely on
+# sort-merge + AQE.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                    AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders ⋈ customer, aggregated per market segment."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey)                       AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent order (NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n_customers,
+           round(avg(c.c_acctbal), 6) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim→dim chain with explicit broadcast of both dims.
+
+    At 100 TB the customer side is huge while nation(25)/region(5) are
+    constant-size: broadcasting both removes two shuffles entirely — the
+    whole join runs map-side inside one stage.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+    tags=("join", "flagship"),
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way star join: region→nation→customer→orders→lineitem.
+
+    Join order matters at scale: dims broadcast into customer first (map-side),
+    the filtered orders⋈customer result is the small side of the lineitem
+    join, and AQE re-picks broadcast if it fits at runtime.
+    """
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE r.r_regionkey <> n.n_regionkey
+    """,
+    tags=("join",),
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded Cartesian product of the two constant-size dims (5×25)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).filter(F.col("r_regionkey") != F.col("n_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority, count(*) AS n_shipped_window
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-03-08 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+    tags=("join", "range"),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (theta) join: per order in a week slice, count ALL lineitems
+    shipped in the 7 days after its order date.
+
+    No equi key exists, so naively this is a BroadcastNestedLoopJoin.  We make
+    it scale by *banding* (SURVEY.md §4): both sides get a 7-day bucket key;
+    a date-range predicate of width w with band size w can only match in the
+    order's bucket or the next one, so each order probes ≤2 buckets.  That
+    turns O(N·M) into an equi-join on the band key — shuffle-partitionable at
+    100 TB — with the exact range predicate re-applied after.
+    """
+    band = 7 * 86400  # seconds per band = range width
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-08 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    # order contributes rows for its bucket and the next (range may span edge)
+    o_banded = o.withColumn(
+        "band",
+        F.explode(
+            F.array(
+                (F.unix_timestamp("o_orderdate") / band).cast("long"),
+                (F.unix_timestamp("o_orderdate") / band).cast("long") + 1,
+            )
+        ),
+    )
+    l_banded = l.withColumn("band", (F.unix_timestamp("l_shipdate") / band).cast("long"))
+    return (
+        o_banded.join(l_banded, "band")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
+            )
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_shipped_window"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B23-B30 — aggregations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price,
+           round(avg(l_discount), 6)      AS avg_disc,
+           min(l_shipdate)                AS first_ship,
+           max(l_shipdate)                AS last_ship
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate — partials from every partition, one row out."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group COUNT DISTINCT (expand+two-phase under the hood)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, sum(l_quantity) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: per-(flag,status), per-flag subtotals, grand total."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT l_suppkey, count(*) AS n, round(sum(l_extendedprice), 2) AS vol
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 500
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("vol"),
+        )
+        .filter(F.col("n") > 500)
+    )
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           count(*) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set array aggregate — array_sort-wrapped for deterministic
+    comparison (collect order is partition-dependent; SURVEY.md §7 pitfall e)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4)          AS sd_price,
+           round(var_samp(l_quantity), 4)                  AS var_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4)   AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4)  AS p95_price,
+           round(corr(l_quantity, l_extendedprice), 6)     AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev, variance, exact percentiles, corr."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketch — approximate by design, no exact SQL oracle
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type — the 100 TB
+    cardinality-estimation path (constant memory vs exact distinct's shuffle).
+    Rows-only driver check; tests/test_relational.py bounds its error vs exact."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B35-B37 — sort / limit / top-k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_multi_key",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 300000
+    ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey
+    """,
+    tags=("sort",),
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort (asc + desc-nulls-last + tiebreaker).
+
+    Range-partitioned sample sort in Spark — scales out; the filter keeps
+    the sorted set small, which is the right shape at 100 TB (sort AFTER
+    reduction, never the raw fact table).
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … LIMIT k — Spark plans TakeOrderedAndProject: each partition
+    keeps a k-heap, driver merges k·p rows; no global sort ever materializes.
+    Tiebreaker on o_orderkey makes the top-k set deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B38-B41 — set operations & keyed dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT k, src FROM (
+      SELECT o_custkey AS k, 'orders' AS src FROM orders WHERE o_totalprice > 250000
+      UNION ALL
+      SELECT c_custkey AS k, 'customer' AS src FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) via unionByName."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("k"), F.lit("orders").alias("src")
+    )
+    b = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("k"), F.lit("customer").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+    UNION
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+    """,
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics) = unionByName + distinct."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_totalprice") > 250000).select(F.col("o_custkey").alias("k"))
+    b = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("k"))
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both a finished and an open order."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customer keys that never appear in orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.select(F.col("c_custkey").alias("k"))
+        .exceptAll(o.select(F.col("o_custkey").alias("k")))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_keep_first_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+      FROM events e
+    ) WHERE rn = 1
+    """,
+    tags=("setop", "dedup"),
+)
+def dedup_keep_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with a DETERMINISTIC keep rule (earliest event per user).
+
+    ``dropDuplicates`` keeps an arbitrary row per key (partition-order
+    dependent) — fine for idempotent pipelines, wrong for reproducible ones.
+    The deterministic form is a row_number window over an explicit order,
+    which is also exactly how it stays correct under AQE re-partitioning.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
