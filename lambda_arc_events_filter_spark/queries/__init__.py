@@ -6,5 +6,7 @@ SQL-expressible (noted per-query).
 """
 
 from lambda_arc_events_filter_spark.queries import (  # noqa: F401
+    functions_q,
     relational,
+    windows,
 )

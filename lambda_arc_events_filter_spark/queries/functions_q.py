@@ -1,0 +1,270 @@
+"""Scalar-function family queries — SURVEY.md §2 B42-B48.
+
+One query per family, each touching every representative function from the
+inventory.  All functions here are Catalyst built-ins (JVM-side, inside
+whole-stage codegen) — no Python crosses the data path.
+
+Dialect notes live in the oracle SQL (DuckDB side), never in the Spark
+side: e.g. DuckDB ``dayofweek`` is 0-based (Sunday=0) vs Spark's 1-based;
+DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+replace-all; DuckDB casts double→int by rounding while Spark truncates
+(we use explicit trunc/floor to pin the semantics).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           p_brand || ':' || p_name                       AS tagged,
+           upper(p_name)                                  AS up,
+           lower(p_type)                                  AS lo,
+           substring(p_name, 2, 5)                        AS sub,
+           length(p_name)                                 AS len,
+           trim(' ' || p_name || ' ')                     AS trimmed,
+           lpad(p_brand, 12, '*')                         AS padded,
+           string_split(p_name, ' ')[1]                   AS first_word,
+           replace(p_type, 'E', '3')                      AS repl,
+           regexp_extract(p_name, '([a-z]+)', 1)          AS rex,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')    AS rrep,
+           strpos(p_name, 'e')                            AS pos,
+           reverse(p_brand)                               AS rev,
+           repeat(p_brand, 2)                             AS rep2
+    FROM part
+    """,
+    tags=("function", "string"),
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/case/substring/trim/pad/split/replace/regex/pos."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws(":", "p_brand", "p_name").alias("tagged"),
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.length("p_name").alias("len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("3")).alias("repl"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("rex"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("rrep"),
+        F.instr("p_name", "e").alias("pos"),
+        F.reverse("p_brand").alias("rev"),
+        F.repeat("p_brand", 2).alias("rep2"),
+    )
+
+
+@register(
+    "fn_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                              AS y,
+           month(o_orderdate)                             AS m,
+           day(o_orderdate)                               AS d,
+           quarter(o_orderdate)                           AS q,
+           dayofweek(o_orderdate) + 1                     AS dow,
+           dayofyear(o_orderdate)                         AS doy,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE)   AS plus30,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                                                          AS plus2mo,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                                                          AS days_to_eoy,
+           last_day(CAST(o_orderdate AS DATE))            AS month_end,
+           strftime(o_orderdate, '%Y-%m')                 AS ym
+    FROM orders
+    """,
+    tags=("function", "datetime"),
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract/trunc/add/diff/format.
+
+    DuckDB dialect handled in the oracle: its dayofweek is 0-based
+    (Sunday=0) so the oracle adds 1 to match Spark's 1-based dayofweek.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.add_months(d.cast("date"), 2).alias("plus2mo"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias(
+            "days_to_eoy"
+        ),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "fn_math_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)          AS abs_centered,
+           round(l_extendedprice / 7, 3)             AS div_rounded,
+           ceil(l_extendedprice / 1000)              AS price_ceil,
+           floor(l_extendedprice / 1000)             AS price_floor,
+           round(pow(l_quantity, 2), 4)              AS qty_sq,
+           round(sqrt(l_extendedprice), 8)           AS price_sqrt,
+           round(ln(l_extendedprice), 8)             AS price_ln,
+           round(log10(l_extendedprice), 8)          AS price_log10,
+           sign(l_discount - 0.05)                   AS disc_sign,
+           l_linenumber % 3                          AS ln_mod3,
+           greatest(l_tax, l_discount)               AS max_rate,
+           least(l_tax, l_discount)                  AS min_rate
+    FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/round/ceil/floor/pow/sqrt/ln/log10/sign/mod/gl."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_centered"),
+        F.round(F.col("l_extendedprice") / 7, 3).alias("div_rounded"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 8).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 8).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 8).alias("price_log10"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_linenumber") % 3).alias("ln_mod3"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "fn_array_suite",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                        AS dim,
+           round(embedding[1]::DOUBLE, 6)                        AS first_comp,
+           round(embedding[64]::DOUBLE, 6)                       AS last_comp,
+           round(list_sum(embedding::DOUBLE[]), 6)               AS comp_sum,
+           round(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+                             (a, b) -> a + b), 6)                AS sq_sum,
+           list_contains(list_transform(embedding, x -> x > 0), true)
+                                                                 AS any_positive,
+           len(list_filter(embedding, x -> x > 0))               AS n_positive,
+           round(list_sort(embedding::DOUBLE[])[64], 6)          AS max_comp
+    FROM embeddings
+    """,
+    tags=("function", "array", "llm"),
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order functions over the embedding column.
+
+    All vector math stays in Catalyst (transform/filter/aggregate HOFs) —
+    zero Python in the path; this is the foundation the similarity-search
+    operators build on (SURVEY.md B62-B63).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.expr("transform(embedding, x -> cast(x as double))")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_comp"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_comp"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double)),"
+                " 0D, (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("comp_sum"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double) *"
+                " cast(x as double)), 0D, (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("sq_sum"),
+        F.array_contains(F.expr("transform(embedding, x -> x > cast(0 as float))"),
+                         True).alias("any_positive"),
+        F.size(F.expr("filter(embedding, x -> x > cast(0 as float))")).alias(
+            "n_positive"
+        ),
+        F.round(F.element_at(F.array_sort(emb_d), 64), 6).alias("max_comp"),
+    )
+
+
+@register(
+    "fn_json_suite",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')        AS k_str,
+           CAST(props->>'k' AS INT)                 AS k_int,
+           CAST(props->>'k' AS INT) BETWEEN 0 AND 49 AS k_low_half,
+           length(props)                            AS raw_len
+    FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over the semi-structured ``events.props`` payload —
+    the Tier A decode path (get_json_object / from_json; SURVEY.md A2)."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        parsed.getField("k").between(0, 49).alias("k_low_half"),
+        F.length("props").alias("raw_len"),
+    )
+
+
+@register(
+    "fn_cast_coalesce",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                   AS key_str,
+           CAST(trunc(o_totalprice) AS BIGINT)           AS price_int,
+           CAST(o_custkey AS DOUBLE)                     AS cust_dbl,
+           CAST(o_orderdate AS DATE)                     AS order_date,
+           nullif(o_orderstatus, 'O')                    AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')  AS status_filled
+    FROM orders
+    """,
+    tags=("function", "cast"),
+)
+def fn_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast + null-function family.
+
+    double→int pinned via explicit trunc on both sides: Spark's cast
+    truncates toward zero while DuckDB's rounds — the explicit form is
+    also the engine's public recommendation for deterministic pipelines.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.expr("cast(o_totalprice as bigint)").alias("price_int"),
+        F.col("o_custkey").cast("double").alias("cust_dbl"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_filled"
+        ),
+    )
