@@ -1,0 +1,290 @@
+"""Streaming operator queries — SURVEY.md §2 B49-B59 (minus B55 stateful,
+which lives in streaming/stateful.py with its own rows-only query).
+
+Each query builds an UNBOUNDED DataFrame over the replayed events table,
+executes it to completion (availableNow trigger → memory sink) and returns
+the materialized result — so the driver can diff it against a batch SQL
+oracle.  That stream≡batch equivalence is itself the correctness argument
+(SURVEY.md §5.5): for append-mode queries over a finite replay, Structured
+Streaming's incremental execution must converge to the batch answer.
+
+Scale posture: watermarks bound state; windowed aggregations keep one
+state-store entry per (key, window); RocksDB state store configured in
+session.py for prod.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+from lambda_arc_events_filter_spark.sources.streams import events_stream, run_to_memory
+
+
+@register(
+    "stream_filter_project",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           round(value * 1.13, 4) AS value_taxed
+    FROM events
+    WHERE event_type IN ('purchase', 'signup') AND value > 50
+    """,
+    tags=("streaming", "tier-a"),
+)
+def stream_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier A spine on a live stream: source → filter → project → sink.
+
+    This is the reference's whole job ('Filters ARC kinesis feed events')
+    running incrementally; stateless, so append mode, zero state stores.
+    """
+    s = events_stream(spark, sf_dir)
+    out = s.filter(
+        F.col("event_type").isin("purchase", "signup") & (F.col("value") > 50)
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1.13, 4).alias("value_taxed"),
+    )
+    return run_to_memory(out, "tier_a")
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50+B51: watermarked tumbling-window aggregate per event type.
+
+    Watermark bounds state: windows more than 10 minutes behind the max
+    event time close and their state is evicted — the 100 TB/unbounded-
+    stream requirement.  Batch oracle: date_trunc to the hour.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "tumbling", mode="complete")
+
+
+@register(
+    "stream_sliding_avg",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS k)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             + INTERVAL 15 MINUTE * CAST(floor(minute(ts) / 15) AS INT)
+             - INTERVAL 15 MINUTE * k            AS window_start,
+           count(*)                              AS n_events,
+           round(avg(value), 6)                  AS avg_value
+    FROM events, offsets
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52: sliding window (1h length, 15m slide) — each event lands in 4
+    overlapping windows.  The oracle materializes the same 4-window
+    expansion with an unnest of slide offsets."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "n_events", "avg_value"
+        )
+    )
+    return run_to_memory(agg, "sliding", mode="complete")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           count(*)                       AS n_events,
+           round(sum(value), 4)           AS total_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: gap-based session windows (30 min inactivity closes a session).
+
+    The oracle reproduces session semantics in SQL via the classic
+    islands-and-gaps construction — session_end = last event + gap, exactly
+    Spark's session_window.end definition.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "sessions", mode="complete")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM (
+      SELECT user_id, event_type,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_ts,
+             row_number() OVER (PARTITION BY user_id, event_type,
+                                CAST(date_trunc('minute', ts) AS TIMESTAMP)
+                                ORDER BY ts) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54: streaming dedup — at most one (user, type, minute) event kept,
+    state bounded by the watermark (dropDuplicatesWithinWatermark).
+
+    Output aggregates to per-(user, type) counts so the oracle doesn't
+    depend on WHICH duplicate survived (first by event time, matching the
+    ordered single-file replay; the count is survivor-invariant anyway).
+    """
+    s = events_stream(spark, sf_dir)
+    deduped = (
+        s.withColumn("minute_ts", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_ts"])
+    )
+    counted = deduped.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return run_to_memory(counted, "dedup", mode="complete")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_events, round(sum(e.value), 4) AS total_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY n.n_name
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56: stream-static enrichment join — the streaming side joins a
+    broadcast dimension per micro-batch (no state store involved)."""
+    s = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    joined = (
+        s.join(n, s.user_id % 25 == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return run_to_memory(joined, "enrich", mode="complete")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.ts       AS purchase_ts,
+           v.ts       AS view_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57: stream-stream inner join with event-time bounds — every view
+    within the hour preceding a purchase by the same user.
+
+    Both sides watermarked; the time-range condition lets Spark evict
+    view-state older than (purchase watermark - 1h) — bounded state on an
+    unbounded feed.
+    """
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("user_id", "purchase_id", "view_id", "purchase_ts", "view_ts")
+    return run_to_memory(joined, "ss_join")

@@ -1,0 +1,147 @@
+"""Streaming sources and sinks.
+
+The engine's Tier A surface (the reference's entire capability: consume a
+Kinesis feed of events, filter, forward — /root/reference/README.md:2) is
+expressed as Structured Streaming over an abstract source:
+
+- **prod**: the Kinesis connector (``format("aws-kinesis")``) — configured
+  here but not installable in this container; raises a clear error.
+- **tests/backfill**: a file stream replaying ``events.parquet`` —
+  identical unbounded-DataFrame semantics, deterministic.
+
+Every downstream operator takes a DataFrame and doesn't know which source
+produced it — that batch/stream unification is the point of building on
+Spark rather than a Lambda handler.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
+
+from lambda_arc_events_filter_spark.catalog import SCHEMAS
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded DataFrame replaying the fixture ``events`` table.
+
+    Same ns-timestamp handling as the batch path (catalog.load): read ts as
+    nanosecond longs, convert in-plan.  ``pathGlobFilter`` scopes the
+    directory scan to the events file so the other nine tables in sf_dir
+    are not picked up.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read_schema = StructType(
+        [
+            StructField("ts", LongType(), True) if f.name == "ts" else f
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    reader = (
+        spark.readStream.schema(read_schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select([f.name for f in SCHEMAS["events"].fields])
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name_prefix: str = "q", mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow trigger,
+    memory sink) and return the materialized result as a batch DataFrame.
+
+    availableNow = process-everything-then-stop: the backfill trigger
+    (SURVEY.md B59).  The memory sink is the deterministic test sink; prod
+    sinks are parquet/kinesis via ``write_stream_parquet`` below.
+    Unique query name per call so repeated runs in one session don't
+    collide.
+
+    ``mode``: ``append`` for stateless/joined streams; ``complete`` for
+    aggregations being verified against a batch oracle — in append mode the
+    windows still open at end-of-replay are never emitted (the watermark
+    cannot pass them), so the tail of the result would be missing.  Prod
+    pipelines use append/update with the watermark doing eviction; the
+    B58 late-data unit tests exercise that path explicitly.
+    """
+    qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(qname)
+
+
+def write_stream_parquet(
+    df: DataFrame, path: str, checkpoint: str | None = None
+) -> None:
+    """Prod-shaped sink: parquet files + checkpoint WAL (exactly-once).
+
+    The checkpoint directory is the replacement for the Lambda/ESM implicit
+    shard-iterator checkpointing of the reference deployment (SURVEY §3.1):
+    restart resumes from the last committed batch.
+    """
+    checkpoint = checkpoint or os.path.join(
+        tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kinesis_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str = "us-east-1",
+    endpoint: str | None = None,
+    starting_position: str = "LATEST",
+) -> DataFrame:
+    """Prod source: AWS Kinesis Data Stream (the reference's input —
+    'Filters ARC kinesis feed events', README.md:2).
+
+    Uses the spark-sql-kinesis connector (``format("aws-kinesis")``), which
+    is not bundled in this container — tests use ``events_stream`` instead;
+    the decode path (``decode_kinesis_records``) is shared and unit-tested
+    against synthetic Lambda-envelope records.
+    """
+    reader = (
+        spark.readStream.format("aws-kinesis")
+        .option("kinesis.streamName", stream_name)
+        .option("kinesis.region", region)
+        .option("kinesis.consumerType", "GetRecords")
+        .option("kinesis.startingposition", starting_position)
+    )
+    if endpoint:
+        reader = reader.option("kinesis.endpointUrl", endpoint)
+    try:
+        return reader.load()
+    except Exception as ex:  # pragma: no cover - connector not in container
+        raise RuntimeError(
+            "Kinesis connector (spark-sql-kinesis / aws-kinesis format) is "
+            "not available in this environment; use "
+            "sources.streams.events_stream for a file-backed stream with "
+            "identical downstream semantics."
+        ) from ex
