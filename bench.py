@@ -28,6 +28,7 @@ HEADLINE = [
     "join_multiway_star",
     "join_inner_orders_customer",
     "join_range_theta",
+    "asof_join_events",
     "agg_count_distinct",
     "agg_stats",
     "topk_orders",
@@ -35,9 +36,13 @@ HEADLINE = [
     "window_topk_per_group",
     "fn_string_suite",
     "text_token_stats",
+    "text_tfidf_top_terms",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "embedding_topk_cosine",
+    "ann_ivf_topk",
+    "ts_user_similarity",
     "stream_tumbling_counts",
 ]
 

@@ -1,0 +1,638 @@
+"""LLM-data-pipeline queries — SURVEY.md §2 B60-B69 + driver mandate:
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + IVF), multimodal columns, text analysis (token stats,
+TF-IDF, quality, language-ID, fingerprints, sentiment, time-series
+profiles).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.operators import dedup as D
+from lambda_arc_events_filter_spark.operators import similarity as S
+from lambda_arc_events_filter_spark.operators import text as T
+from lambda_arc_events_filter_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Dedup family (B60, B61)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60 exact dedup: content-hash grouping with a deterministic keeper
+    (min doc_id).  One map-side-combinable aggregate — the 100 TB baseline
+    dedup pass."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') t FROM documents),
+    pos AS (SELECT doc_id, lang, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+    sh AS (SELECT DISTINCT a.doc_id, a.lang, a.w || ' ' || b.w || ' ' || c.w AS s
+           FROM pos a
+           JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+    n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pair AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+             FROM sh x JOIN sh y ON x.s = y.s AND x.lang = y.lang
+                                AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, round(c * 1.0 / (nx.n + ny.n - c), 6) AS jaccard
+    FROM pair
+    JOIN n nx ON id_a = nx.doc_id
+    JOIN n ny ON id_b = ny.doc_id
+    WHERE c * 1.0 / (nx.n + ny.n - c) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5), blocked
+    by lang.  Shingling is a per-row HOF (no explode); only the blocked
+    pair join shuffles.  The fixture corpus contains planted near-dups at
+    J≈0.98 — this finds exactly those."""
+    d = D.with_shingles(D.with_tokens(load(spark, sf_dir, "documents")))
+    return D.exact_jaccard_pairs(d, id_col="doc_id", block_col="lang", threshold=0.5)
+
+
+_JACCARD_ORACLE_UNBLOCKED = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+    pos AS (SELECT doc_id, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+    sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+           FROM pos a
+           JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+    n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pair AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, round(c * 1.0 / (nx.n + ny.n - c), 6) AS jaccard
+    FROM pair
+    JOIN n nx ON id_a = nx.doc_id
+    JOIN n ny ON id_b = ny.doc_id
+    WHERE c * 1.0 / (nx.n + ny.n - c) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh", oracle=_JACCARD_ORACLE_UNBLOCKED, tags=("llm", "dedup")
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B61 MinHash+LSH near-dup detection, exact-verified.
+
+    128 hash permutations → 16 bands × 8 rows → bucket equi-join candidates
+    → exact-Jaccard filter ≥ 0.5.  Oracle = UNBLOCKED exact all-pairs
+    Jaccard: unlike the exact variant no lang blocking is needed — LSH
+    buckets replace blocking, which is what scales to an unblocked 100 TB
+    corpus.  Sound because at the fixture's planted-dup similarity (J≥0.89)
+    b=16/r=8 recall is ≈1 (P[miss] = (1-J^8)^16 ≈ 3e-4 at J=0.89, <1e-12
+    at J=0.98) — verified exactly on both gate SFs by tests + tools/check.
+    """
+    d = D.with_shingles(D.with_tokens(load(spark, sf_dir, "documents")))
+    return D.minhash_lsh_pairs(d, id_col="doc_id", threshold=0.5)
+
+
+@register("dedup_simhash_pairs", oracle=None, tags=("llm", "dedup"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 6 of 64 bits), candidate-blocked
+    on 16-bit fingerprint quarters (pigeonhole: ≤6 differing bits leave ≥1
+    intact quarter).  Rows-only check: xxhash64 isn't reproducible in the
+    DuckDB oracle; tests/test_llm.py pins the planted near-dup pairs and
+    determinism instead."""
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    sh = D.with_simhash(d, id_col="doc_id")
+    return D.simhash_near_pairs(sh, id_col="doc_id", max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (B62, B63)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id nid, embedding::DOUBLE[] cv FROM embeddings),
+    s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                 round(list_cosine_similarity(qv, cv), 6) AS score
+          FROM q JOIN c ON nid <> qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62 exact ANN baseline: brute-force cosine top-5 for 5 query vectors.
+    Query side broadcast; corpus never shuffled; HOF dot products in
+    codegen."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+@register(
+    "vector_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+                 x -> x * x), (a, b) -> a + b)), 6)                AS l2_norm,
+           round(embedding[1]::DOUBLE
+                 / sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+                   x -> x * x), (a, b) -> a + b)), 6)              AS first_normed,
+           round(list_reduce(embedding::DOUBLE[], (a, b) -> a + b)
+                 / len(embedding), 6)                              AS mean_comp,
+           round(list_reduce(list_transform(embedding::DOUBLE[],
+                 x -> abs(x)), (a, b) -> a + b), 6)                AS l1_norm
+    FROM embeddings
+    """,
+    tags=("llm", "similarity"),
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B63 vector ops as columns: L2/L1 norms, normalization, mean — pure
+    Catalyst HOFs, the building blocks of the similarity operators."""
+    e = load(spark, sf_dir, "embeddings")
+    l2 = S.norm_expr("embedding")
+    return e.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / l2, 6).alias(
+            "first_normed"
+        ),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double)), 0D,"
+                " (a, b) -> a + b)"
+            )
+            / F.size("embedding"),
+            6,
+        ).alias("mean_comp"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+                " 0D, (a, b) -> a + b)"
+            ),
+            6,
+        ).alias("l1_norm"),
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+    ex AS (SELECT label, unnest(v) val, generate_subscripts(v, 1) pos FROM e),
+    cent AS (SELECT label AS cell, list(m ORDER BY pos) AS centroid
+             FROM (SELECT label, pos, round(avg(val), 6) AS m
+                   FROM ex GROUP BY 1, 2)
+             GROUP BY label),
+    q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+    probe AS (SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qv, centroid), 6) DESC,
+                          cell) AS pr
+        FROM q CROSS JOIN cent) WHERE pr <= 2),
+    cand AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                    round(list_cosine_similarity(q.qv, e.v), 6) AS score
+             FROM probe
+             JOIN e ON e.label = probe.cell
+             JOIN q ON q.qid = probe.qid
+             WHERE e.vec_id <> q.qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM cand)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62 scale path: IVF-style ANN — probe the 2 nearest of 10 centroid
+    cells, exact-score only within them (~5× less scoring than brute force
+    here; ncells/nprobe× in general).  Centroid components round to 6
+    decimals on both engines so cell ranking is drift-free."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (B64-B67)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (SELECT lang, unnest(string_split(text, ' ')) tok FROM documents),
+    c AS (SELECT lang, tok, count(*) cnt FROM t GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY cnt DESC, tok) rn FROM c)
+    SELECT lang, tok, cnt, rn FROM r WHERE rn <= 5
+    """,
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B64: tokenize → per-language token counts → top-5 tokens.  The
+    token count aggregate is map-side combinable; WindowGroupLimit caps the
+    per-lang sort."""
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    counts = (
+        d.select("lang", F.explode("tokens").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "tok", "cnt", "rn")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+    dfc AS (SELECT term, count(DISTINCT doc_id) df FROM tf GROUP BY 1),
+    tot AS (SELECT count(DISTINCT doc_id) n_total FROM documents),
+    s AS (SELECT doc_id, term, tf, df,
+                 round(tf * (ln((1 + n_total) * 1.0 / (1 + df)) + 1), 6) tfidf
+          FROM tf JOIN dfc USING (term) CROSS JOIN tot),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) rn
+          FROM s WHERE doc_id < 30)
+    SELECT doc_id, term, tf, df, tfidf, rn FROM r WHERE rn <= 3
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B65 TF-IDF via explicit DataFrame math (operators/text.py) — chosen
+    over HashingTF precisely so the result is oracle-able; top-3 terms for
+    the first 30 docs."""
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    scored = T.tfidf_terms(d)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.filter(F.col("doc_id") < 30)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') sp
+               FROM documents)
+    SELECT doc_id, lang,
+           len(sp)                                     AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+'))     AS n_regex_tokens,
+           round(len(list_distinct(sp)) * 1.0 / len(sp), 6)  AS type_token_ratio,
+           round(list_reduce(list_transform(sp, x -> length(x) * 1.0),
+                 (a, b) -> a + b) / len(sp), 6)        AS mean_token_len,
+           round(len(list_filter(sp, x -> list_contains(
+                 ['a', 'the', 'and', 'of', 'to'], x))) * 1.0 / len(sp), 6)
+                                                       AS stopword_ratio,
+           round(0.5 * (len(list_distinct(sp)) * 1.0 / len(sp))
+               + 0.3 * (1 - len(list_filter(sp, x -> list_contains(
+                     ['a', 'the', 'and', 'of', 'to'], x))) * 1.0 / len(sp))
+               + 0.2 * least(len(sp) / 100.0, 1.0), 6) AS quality
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (driver mandate): token counts (whitespace + regex),
+    lexical diversity, stopword ratio, length — combined into one [0,1]
+    score.  All per-row HOFs: a pure map stage at any scale."""
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    ttr = T.distinct_ratio_expr()
+    stop = T.stopword_ratio_expr()
+    n_tok = T.token_count_expr()
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        T.regex_token_count_expr().alias("n_regex_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(T.mean_token_len_expr(), 6).alias("mean_token_len"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(
+            0.5 * ttr
+            + 0.3 * (1 - stop)
+            + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)),
+            6,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') sp FROM documents),
+    hits AS (SELECT doc_id, lang,
+             len(list_filter(sp, x -> list_contains(['the','a','and','of'], x)))
+               AS en_hits,
+             len(list_filter(sp, x -> list_contains(['le','la','et','de'], x)))
+               AS fr_hits,
+             len(list_filter(sp, x -> list_contains(['el','la','y','de'], x)))
+               AS es_hits,
+             len(list_filter(sp, x -> list_contains(['der','die','und','von'], x)))
+               AS de_hits
+             FROM t)
+    SELECT doc_id, lang, en_hits, fr_hits, es_hits, de_hits,
+           CASE WHEN greatest(en_hits, fr_hits, es_hits, de_hits) = 0
+                THEN 'und'
+                WHEN en_hits >= greatest(fr_hits, es_hits, de_hits) THEN 'en'
+                WHEN fr_hits >= greatest(es_hits, de_hits) THEN 'fr'
+                WHEN es_hits >= de_hits THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM hits
+    """,
+    tags=("llm", "text"),
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (driver mandate): marker-stopword scoring with a
+    deterministic argmax tie-break.  Honest caveat: the fixture corpus is
+    synthetic English-ish word soup, so non-en markers never fire and the
+    prediction degenerates to en/und — the operator and its plumbing are
+    still fully exercised; on real multilingual text the same expression
+    discriminates."""
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    hits = {
+        lang: T.lang_marker_hits_expr(lang).alias(f"{lang}_hits")
+        for lang in ("en", "fr", "es", "de")
+    }
+    scored = d.select("doc_id", "lang", *hits.values())
+    en, fr, es, de = (F.col(f"{k}_hits") for k in ("en", "fr", "es", "de"))
+    pred = (
+        F.when(F.greatest(en, fr, es, de) == 0, "und")
+        .when(en >= F.greatest(fr, es, de), "en")
+        .when(fr >= F.greatest(es, de), "fr")
+        .when(es >= de, "es")
+        .otherwise("de")
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, ''), c -> ascii(c))),
+               (a, b) -> (a * {T.FINGERPRINT_BASE} + b) % {T.FINGERPRINT_P})
+             AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (driver mandate): polynomial rolling hash
+    over characters mod 2^31-1 — identical arithmetic on both engines, so
+    unlike md5-of-text it doubles as a cross-engine content checksum."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint_expr().alias("fingerprint"))
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle="""
+    WITH lex(word, weight) AS (VALUES ('fast', 1.0), ('slow', -1.0),
+                                      ('big', 0.5), ('small', -0.5),
+                                      ('merge', 0.25)),
+    t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+    s AS (SELECT doc_id, sum(weight) sw, count(*) nw
+          FROM t JOIN lex ON tok = word GROUP BY doc_id)
+    SELECT d.doc_id,
+           round(coalesce(sw, 0) / len(string_split(d.text, ' ')), 6)
+             AS sentiment,
+           coalesce(nw, 0) AS n_sentiment_tokens
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B67 lexicon-scored sentiment (EDBT'16 Spark-sentiment pattern):
+    explode tokens ⋈ broadcast lexicon → per-doc length-normalized score.
+    Lexicon weights are binary fractions (1, 0.5, 0.25) so the sum is
+    order-exact across engines — 0.2-style weights would drift by an ulp
+    and trip the rounding boundary (observed on doc 363 at sf0.01)."""
+    lex = F.broadcast(
+        spark.createDataFrame(
+            [("fast", 1.0), ("slow", -1.0), ("big", 0.5), ("small", -0.5),
+             ("merge", 0.25)],
+            "word string, weight double",
+        )
+    )
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    scores = (
+        d.select("doc_id", F.explode("tokens").alias("tok"))
+        .join(lex, F.col("tok") == F.col("word"))
+        .groupBy("doc_id")
+        .agg(F.sum("weight").alias("sw"), F.count(F.lit(1)).alias("nw"))
+    )
+    return (
+        d.join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("sw"), F.lit(0.0)) / F.size("tokens"), 6
+            ).alias("sentiment"),
+            F.coalesce(F.col("nw"), F.lit(0)).alias("n_sentiment_tokens"),
+        )
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B66: per-language corpus profile."""
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size("tokens")), 6).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (B68) + time-series similarity (B69)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           e.label,
+           round(sqrt(list_reduce(list_transform(e.embedding::DOUBLE[],
+                 x -> x * x), (a, b) -> a + b)), 6) AS vec_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B68: one row carrying text + vector + scalar metadata jointly
+    (documents ⋈ embeddings on id) with per-modality features computed in
+    the same plan."""
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.size("tokens").alias("n_tokens"),
+            "label",
+            F.round(S.norm_expr("embedding"), 6).alias("vec_norm"),
+        )
+    )
+
+
+@register(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           length(text) AS n_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, ''), c -> ascii(c))),
+               (a, b) -> a + b) % 997 AS byte_checksum,
+           lower(hex(substring(text, 1, 8)::BLOB)) AS head_hex
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pipeline: text bytes as a stand-in media column →
+    Arrow-batched mapInPandas feature extraction (stubbed decode; see
+    operators/multimodal.py).  The oracle reproduces the stub's byte math
+    in SQL (corpus is ASCII, so chars == bytes)."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_binary_payload(d)
+    return extract_features(media, decode="stub").select(
+        "doc_id", "media_type", "n_bytes", "byte_checksum", "head_hex"
+    )
+
+
+@register(
+    "ts_user_similarity",
+    oracle="""
+    WITH p AS (SELECT user_id, hour(ts) h, round(avg(value), 6) v
+               FROM events GROUP BY 1, 2),
+    nrm AS (SELECT user_id, sqrt(sum(v * v)) n FROM p GROUP BY 1),
+    dots AS (SELECT a.user_id ua, b.user_id ub, sum(a.v * b.v) d
+             FROM p a JOIN p b ON a.h = b.h AND a.user_id <> b.user_id
+             WHERE a.user_id < 50
+             GROUP BY 1, 2),
+    cos AS (SELECT ua, ub, round(d / (na.n * nb.n), 6) sim
+            FROM dots
+            JOIN nrm na ON ua = na.user_id
+            JOIN nrm nb ON ub = nb.user_id),
+    r AS (SELECT ua AS user_a, ub AS user_b, sim,
+                 row_number() OVER (PARTITION BY ua
+                                    ORDER BY sim DESC, ub) AS rank
+          FROM cos)
+    SELECT user_a, user_b, sim, rank FROM r WHERE rank <= 3
+    """,
+    tags=("llm", "timeseries"),
+)
+def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B69 time-series similarity (EDBT'19 pattern): hour-of-day activity
+    profiles per user, sparse cosine via a join on the hour key (missing
+    hours are implicit zeros — no dense pivot); top-3 most-similar users
+    for each of a 50-user query set.
+
+    The query-set shape is the scale-honest one: all-pairs user similarity
+    is inherently quadratic, so the engine's contract is top-k for a
+    bounded query set against the full population (the broadcast side),
+    exactly like the embedding ANN operators; full all-pairs at scale goes
+    through LSH (see dedup_minhash_lsh).  Profile values round to 6 first
+    so both engines rank identical numbers.
+    """
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id", F.hour("ts").alias("h"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    nrm = p.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n")
+    )
+    a = F.broadcast(
+        p.filter(F.col("user_id") < 50).select(
+            F.col("user_id").alias("ua"), "h", F.col("v").alias("va")
+        )
+    )
+    b = p.select(
+        F.col("user_id").alias("ub"), "h", F.col("v").alias("vb")
+    )
+    dots = (
+        a.join(b, "h")
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("d"))
+    )
+    cos = (
+        dots.join(nrm.select(F.col("user_id").alias("ua"),
+                             F.col("n").alias("na")), "ua")
+        .join(nrm.select(F.col("user_id").alias("ub"),
+                         F.col("n").alias("nb")), "ub")
+        .select(
+            "ua",
+            "ub",
+            F.round(F.col("d") / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("ua").orderBy(F.col("sim").desc(), F.col("ub"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            "sim",
+            "rank",
+        )
+    )
