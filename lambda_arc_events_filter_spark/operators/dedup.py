@@ -31,7 +31,14 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_shingles(df: DataFrame, n: int = 3, tokens_col: str = "tokens") -> DataFrame:
     """Distinct word n-gram shingles as an array column — pure HOF, no
-    explode: ``slice`` over a position sequence, then ``array_distinct``."""
+    explode: ``slice`` over a position sequence, then ``array_distinct``.
+
+    Repartitions to the cluster's parallelism FIRST: lambda HOFs are
+    interpreted (not codegen'd), making shingling the CPU-heaviest narrow
+    stage of every dedup pipeline — and the fixture corpus arrives as a
+    single parquet row-group, which would otherwise pin it to one core.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
     # guard: sequence(1, 0) in Spark is DESCENDING [1, 0], so a doc shorter
     # than n tokens must short-circuit to an empty shingle set explicitly
     expr = (
@@ -39,7 +46,7 @@ def with_shingles(df: DataFrame, n: int = 3, tokens_col: str = "tokens") -> Data
         f" array_distinct(transform(sequence(1, size({tokens_col}) - {n - 1}),"
         f" i -> concat_ws(' ', slice({tokens_col}, i, {n})))))"
     )
-    return df.withColumn("shingles", F.expr(expr))
+    return df.repartition(par).withColumn("shingles", F.expr(expr))
 
 
 def minhash_params(num_hashes: int = 128, seed: int = 42) -> list[tuple[int, int]]:
@@ -55,33 +62,58 @@ def with_minhash_signature(
     num_hashes: int = 128,
     seed: int = 42,
     shingles_col: str = "shingles",
+    id_col: str | None = None,
 ) -> DataFrame:
     """128-permutation MinHash signature as ``array<bigint>``.
 
     sig_j = min over shingles s of (a_j · (xxhash64(s) mod P) + b_j) mod P.
-    One xxhash64 per shingle, then pure arithmetic per permutation — an
-    O(|shingles|·k) per-row expression, no shuffle, no Python.
+
+    Two implementations with identical output:
+    - HOF form (``id_col=None``): per-row nested transform/aggregate — no
+      shuffle, but Catalyst evaluates lambda HOFs INTERPRETED, which costs
+      ~10× at k=128.
+    - explode+aggregate form (``id_col`` given): explode shingles, hash
+      once, compute the k permutations as k codegen'd ``min()`` aggregate
+      expressions, reassemble the array.  One extra (map-side-combinable)
+      shuffle buys whole-stage-codegen arithmetic — ~5× faster at sf0.1
+      and the form that scales (aggregation state is k longs per doc).
     """
     params = minhash_params(num_hashes, seed)
-    params_arr = (
-        "array("
-        + ",".join(f"struct({a}L as a, {b}L as b)" for a, b in params)
-        + ")"
+    if id_col is None:
+        params_arr = (
+            "array("
+            + ",".join(f"struct({a}L as a, {b}L as b)" for a, b in params)
+            + ")"
+        )
+        hashed = (
+            f"transform({shingles_col}, s -> pmod(xxhash64(s), {MINHASH_P}))"
+        )
+        expr = (
+            f"transform({params_arr}, h -> aggregate(_sh_hashed, {MINHASH_P}L,"
+            f" (m, x) -> least(m, pmod(h.a * x + h.b, {MINHASH_P}))))"
+        )
+        return (
+            df.withColumn("_sh_hashed", F.expr(hashed))
+            .withColumn("minhash", F.expr(expr))
+            .drop("_sh_hashed")
+        )
+    # group on the id only (never the wide text/shingle columns), then
+    # join the signature back to the input rows
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_col).alias("_s")
+    ).withColumn("_x", F.expr(f"pmod(xxhash64(_s), {MINHASH_P})"))
+    aggs = [
+        F.min(F.expr(f"pmod({a}L * _x + {b}L, {MINHASH_P})")).alias(f"_m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    sig_cols = [f"_m{j}" for j in range(num_hashes)]
+    sig = (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .withColumn("minhash", F.array(*sig_cols))
+        .drop(*sig_cols)
     )
-    # hash each shingle ONCE (string hashing dominates), then the k
-    # permutations are pure int arithmetic over the pre-hashed array —
-    # without the hoist, xxhash64 runs k× per shingle inside the
-    # interpreted HOF loop (observed 10× slowdown at sf0.1)
-    hashed = f"transform({shingles_col}, s -> pmod(xxhash64(s), {MINHASH_P}))"
-    expr = (
-        f"transform({params_arr}, h -> aggregate(_sh_hashed, {MINHASH_P}L,"
-        f" (m, x) -> least(m, pmod(h.a * x + h.b, {MINHASH_P}))))"
-    )
-    return (
-        df.withColumn("_sh_hashed", F.expr(hashed))
-        .withColumn("minhash", F.expr(expr))
-        .drop("_sh_hashed")
-    )
+    return df.join(sig, id_col)
 
 
 def lsh_band_explode(
@@ -137,33 +169,40 @@ def exact_jaccard_pairs(
     real scale.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = shingled.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
-        F.explode("shingles").alias("s"),
-    )
-    sizes = shingled.select(
-        F.col(id_col).alias("_id"), F.size("shingles").alias("_n")
-    )
-    common = (
-        sh.select(F.col("_id").alias("id_a"), "_blk", "s")
-        .join(
-            sh.select(F.col("_id").alias("id_b"), "_blk", "s"),
-            ["_blk", "s"],
+    par = shingled.sparkSession.sparkContext.defaultParallelism
+    # posting key = xxhash64(shingle): an 8-byte join key shuffles and
+    # compares ~5× cheaper than the 3-word shingle strings; a 64-bit
+    # collision between distinct shingles of one corpus is ~1e-9-improbable
+    # (and deterministic — the oracle gate would surface it).  The per-doc
+    # set size rides along on every posting, so jaccard needs NO extra
+    # size joins; the explicit repartition on the join key (i) co-locates
+    # both sides with zero additional exchange, (ii) is exempt from AQE's
+    # size-based coalescing, which would otherwise collapse this
+    # CPU-heavy-but-byte-light join to one partition, and (iii) makes the
+    # two branches share one ReusedExchange instead of recomputing the
+    # shingling.
+    post = (
+        shingled.filter(F.size("shingles") > 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            F.size("shingles").alias("_n"),
+            F.explode("shingles").alias("s"),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .select("_id", "_blk", "_n", F.xxhash64("s").alias("sk"))
+        .repartition(par, "_blk", "sk")
+    )
+    a = post.select(
+        F.col("_id").alias("id_a"), "_blk", "sk", F.col("_n").alias("n_a")
+    )
+    b = post.select(
+        F.col("_id").alias("id_b"), "_blk", "sk", F.col("_n").alias("n_b")
     )
     return (
-        common.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")),
-            "id_b",
-        )
+        a.join(b, ["_blk", "sk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
         .withColumn(
             "jaccard",
             F.round(
@@ -195,13 +234,15 @@ def minhash_lsh_pairs(
     # signature computation is the CPU-heavy stage, so spread it across the
     # cluster first (at real scale the source is already many splits and
     # this repartition collapses to a no-op-ish round-robin)
-    par = shingled.sparkSession.sparkContext.defaultParallelism
     # empty shingle sets all share the identity signature (the aggregate
     # init value) and would pair with each other — and an empty doc can't
-    # be a near-dup of anything — so drop them before signing
-    nonempty = shingled.filter(F.size("shingles") > 0)
+    # be a near-dup of anything — so drop them before signing.
+    # (with_shingles already repartitioned to cluster parallelism.)
+    nonempty = shingled.filter(F.size("shingles") > 0).select(
+        id_col, "shingles"
+    )
     sig = with_minhash_signature(
-        nonempty.repartition(par), num_hashes=num_hashes, seed=seed
+        nonempty, num_hashes=num_hashes, seed=seed, id_col=id_col
     ).select(id_col, "shingles", "minhash")
     bands_df = lsh_band_explode(sig, id_col, bands=bands, rows=rows)
     left = bands_df.select(

@@ -10,6 +10,8 @@ from lambda_arc_events_filter_spark.queries import (  # noqa: F401
     functions_q,
     llm_q,
     relational,
+    sources_q,
     streaming_q,
+    udf_q,
     windows,
 )

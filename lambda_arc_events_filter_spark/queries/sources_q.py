@@ -1,0 +1,163 @@
+"""Source/sink and SQL-front-door queries — SURVEY.md §2 B3-B4, §3 E2,
+and the B19 banded-range-join library operator."""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.operators.range_join import banded_range_join
+from lambda_arc_events_filter_spark.registry import register
+from lambda_arc_events_filter_spark.sources import readers
+
+
+@register(
+    "csv_roundtrip_scan",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("source",),
+)
+def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3+B4: write filtered orders to CSV, re-read with an explicit
+    schema, aggregate — proving the CSV codec path preserves types
+    (timestamps round-trip via ISO strings)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    path = readers.scratch_dir("csv_rt")
+    readers.write_csv(o, path)
+    back = readers.read_csv(
+        spark,
+        path,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "parquet_sink_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    WHERE value > 100
+    GROUP BY event_type
+    """,
+    tags=("source", "sink"),
+)
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: filtered events → parquet sink → re-scan → aggregate.  The
+    re-read goes through the same explicit-schema scan as any source."""
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 100)
+    path = readers.scratch_dir("pq_rt")
+    readers.write_parquet(e, path)
+    back = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# single source of truth: this exact text runs on BOTH engines (table names
+# templated — Spark gets session-unique temp views, DuckDB its fixture views)
+_SQL_FRONTDOOR = """
+    SELECT c.c_mktsegment,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM {customer} c
+    JOIN {orders} o   ON o.o_custkey = c.c_custkey
+    JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "sql_frontdoor",
+    oracle=_SQL_FRONTDOOR.format(
+        customer="customer", orders="orders", lineitem="lineitem"
+    ),
+    tags=("sql",),
+)
+def sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (SURVEY §3.2): the SQL entry point — identical Catalyst pipeline
+    from the analyzer onward; the oracle and the Spark query are the SAME
+    SQL text, only the table names are bound differently."""
+    suffix = uuid.uuid4().hex[:6]
+    names = {}
+    for t in ("customer", "orders", "lineitem"):
+        names[t] = f"{t}_{suffix}"
+        load(spark, sf_dir, t).createOrReplaceTempView(names[t])
+    return spark.sql(_SQL_FRONTDOOR.format(**names))
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS vol
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+    tags=("agg", "sql"),
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 explicit GROUPING SETS (rollup/cube cover the other shapes)
+    through the SQL front door."""
+    suffix = uuid.uuid4().hex[:6]
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"lineitem_{suffix}")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS vol
+        FROM lineitem_{suffix}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "range_join_library",
+    oracle="""
+    SELECT e1.event_id AS trigger_id, count(*) AS n_following
+    FROM events e1 JOIN events e2
+      ON e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 5 MINUTE
+     AND e2.event_id <> e1.event_id
+    WHERE e1.event_type = 'error'
+    GROUP BY e1.event_id
+    """,
+    tags=("join", "range"),
+)
+def range_join_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 via the reusable ``banded_range_join`` operator: for each error
+    event, count ALL events in the following 5 minutes (no equi key at
+    all) — the banding turns it into a hash join on the time bucket."""
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("trigger_id"), F.col("ts").alias("t_ts")
+    )
+    others = e.select(F.col("event_id").alias("other_id"), F.col("ts"))
+    joined = banded_range_join(
+        errors,
+        others,
+        left_time="t_ts",
+        right_time="ts",
+        width_seconds=300,
+        extra_condition=F.col("other_id") != F.col("trigger_id"),
+    )
+    return joined.groupBy("trigger_id").agg(
+        F.count(F.lit(1)).alias("n_following")
+    )

@@ -1,0 +1,162 @@
+"""Python UDF surface — SURVEY.md §2 B70-B73.
+
+These exist to prove the escape hatch, not to use it: every other operator
+in the engine is Catalyst-native.  All four variants are Arrow-batched
+(pandas UDF / applyInPandas / UDTF) — never row-at-a-time Python — and all
+function bodies are closures (serialized by value; workers don't import
+this package).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+             AS settled_price
+    FROM lineitem
+    WHERE l_quantity > 40
+    """,
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B70 vectorized scalar pandas UDF (Arrow batches, ~10-100× faster
+    than row-at-a-time Python).  The arithmetic is plain double ops so the
+    SQL oracle reproduces it exactly; rounding happens JVM-side after."""
+
+    @F.pandas_udf("double")
+    def settle(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1.0 - disc) * (1.0 + tax)
+
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            settle("l_extendedprice", "l_discount", "l_tax"), 6
+        ).alias("settled_price"),
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           value - min(value) OVER (PARTITION BY user_id) AS value_offset,
+           CAST(value = min(value) OVER (PARTITION BY user_id) AS BOOLEAN)
+             AS is_group_min
+    FROM events
+    """,
+    tags=("udf",),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B71 grouped-map applyInPandas: per-user offset from the group
+    minimum.
+
+    Centering against min (an exact data value) instead of mean is
+    deliberate: a mean is an aggregation whose summation ORDER differs
+    between pandas and any SQL engine, which drifts the last ulp and trips
+    rounding boundaries (observed with mean-centering at sf0.01: a 6-digit
+    exact half rounded half-even by numpy, half-away by DuckDB).  min has
+    no accumulation at all, so the result is bit-exact with NO rounding.
+    """
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].min()
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "value_offset": pdf["value"] - m,
+                "is_group_min": pdf["value"] == m,
+            }
+        )
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        center,
+        schema="event_id long, user_id long, value_offset double,"
+        " is_group_min boolean",
+    )
+
+
+@register(
+    "udf_table_function",
+    oracle="""
+    SELECT o_orderkey, unnest(generate_series(1, 3)) AS installment_no,
+           round(o_totalprice / 3, 4) AS installment_amount
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+    tags=("udf",),
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B72 Python UDTF (Spark 4): one row in → N rows out — an installment
+    plan generator for large orders.  Class defined inline (closure rule)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment_no int, installment_amount double")
+    class Installments:
+        def eval(self, total: float):  # noqa: D401
+            for i in range(1, 4):
+                yield i, round(total / 3, 4)
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .lateralJoin(Installments(F.col("o_totalprice").outer()))
+        .select("o_orderkey", "installment_no", "installment_amount")
+    )
+
+
+@register(
+    "udf_aggregate_equiv",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * (CAST(props->>'k' AS INT) + 1))
+                 / sum(CAST(props->>'k' AS INT) + 1), 6) AS weighted_avg_value,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("udf",),
+)
+def udf_aggregate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B73 UDAF-equivalent: applyInPandas emitting ONE row per group
+    (Python has no native UDAF) — a k-weighted mean of event values.
+
+    Sums accumulate via python float in iteration order of the sorted
+    group (sequential, like the SQL SUM over the same rows after the same
+    sort) — see the grouped-map note on pandas pairwise summation.
+    """
+
+    def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        w = pdf["k"] + 1
+        num = float(sum(pdf["value"] * w))
+        den = float(sum(w))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "weighted_avg_value": [round(num / den, 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "k", F.from_json("props", "k INT").getField("k")
+    )
+    return e.groupBy("event_type").applyInPandas(
+        wavg, schema="event_type string, weighted_avg_value double, n long"
+    )

@@ -32,6 +32,11 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # AQE coalesces by BYTES; at small scale factors CPU-heavy stages
+        # (HOF shingling, signature arithmetic, pair joins) are byte-light
+        # and would collapse to one task under the 64m default.  4m keeps
+        # local parallelism; on a real cluster raise it back toward 64m.
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
         "spark.sql.cbo.enabled": "true",
         "spark.sql.cbo.joinReorder.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),

@@ -1,0 +1,75 @@
+"""Physical-plan shape tests (SURVEY.md §4): the plans we designed for are
+asserted, not assumed.  A regression here is a scale bug even when results
+stay correct."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.plans import inspect as I
+from lambda_arc_events_filter_spark.registry import specs
+
+ALL = specs()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = ALL["filter_comparisons"].fn(spark, sf_dir)
+    assert I.has_pushed_filters(df), "comparison predicates must push down"
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = I.scan_read_schema(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_q01_scan_prunes_unused_columns(spark, sf_dir):
+    df = ALL["q01_pricing_summary"].fn(spark, sf_dir)
+    cols = set(I.scan_read_schema(df))
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_tax"} <= cols
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = ALL["join_broadcast_dims"].fn(spark, sf_dir)
+    assert I.uses_broadcast_join(df)
+    assert not I.uses_nested_loop_join(df)
+
+
+def test_banded_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The whole point of banding: a pure range predicate must NOT plan as
+    BroadcastNestedLoopJoin."""
+    df = ALL["range_join_library"].fn(spark, sf_dir)
+    assert not I.uses_nested_loop_join(df), I.formatted_plan(df)[:2000]
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = ALL["topk_orders"].fn(spark, sf_dir)
+    assert I.uses_take_ordered(df), "ORDER BY+LIMIT must not global-sort"
+
+
+def test_topk_per_group_plans_window_group_limit(spark, sf_dir):
+    df = ALL["window_topk_per_group"].fn(spark, sf_dir)
+    assert I.uses_window_group_limit(df)
+
+
+def test_catalyst_queries_have_no_python_nodes(spark, sf_dir):
+    """Every non-UDF query must stay JVM-side end to end."""
+    for name in ("q01_pricing_summary", "join_multiway_star", "agg_stats",
+                 "dedup_minhash_lsh", "embedding_topk_cosine",
+                 "text_quality_scores", "doc_fingerprints"):
+        df = ALL[name].fn(spark, sf_dir)
+        assert not I.has_python_in_plan(df), f"{name} has Python in the plan"
+
+
+def test_udf_queries_are_arrow_not_row_python(spark, sf_dir):
+    df = ALL["udf_pandas_scalar"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_codegen_covers_flagship(spark, sf_dir):
+    df = ALL["q01_pricing_summary"].fn(spark, sf_dir)
+    assert I.whole_stage_codegen_ids(df) >= 1
