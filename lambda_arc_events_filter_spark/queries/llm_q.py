@@ -240,6 +240,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, nprobe=2)
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (driver mandate), exact all-pairs at
+    fixture scale — the quadratic reference implementation whose output
+    contract the RP-LSH variant below reproduces approximately at scale."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_exact(e, threshold=0.4)
+
+
+@register("dedup_embedding_cosine_lsh", oracle=None, tags=("llm", "dedup"))
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH candidates
+    (24 bands × 3 bits), exact-verified — precision 1.0 by construction,
+    recall measured against the exact operator in tests/test_llm.py.
+    Rows-only driver check (LSH recall is probabilistic, so no exact SQL
+    oracle is sound)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_rp_lsh(e, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (B64-B67)
 # ---------------------------------------------------------------------------

@@ -81,6 +81,23 @@ def test_ivf_is_bruteforce_restricted_to_probed_cells(spark, sf_dir):
     assert ivf_rows == bf_rows
 
 
+def test_rp_lsh_cosine_pairs_match_exact(spark, sf_dir):
+    """Random-hyperplane LSH near-dup pairs: precision 1.0 by construction
+    (candidates re-scored exactly); recall vs the exact operator must be
+    total on the fixtures (verified, not assumed)."""
+    e = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs_exact(e, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs_rp_lsh(e, threshold=0.4).collect()
+    }
+    assert lsh <= exact  # precision 1.0
+    assert lsh == exact, f"missed {len(exact - lsh)} of {len(exact)} pairs"
+
+
 def test_multimodal_batch_plumbing(spark, sf_dir):
     """mapInPandas path: schema, row preservation, deterministic features,
     and Arrow batch shape (bounded batches)."""

@@ -1,0 +1,149 @@
+"""Property-based tests (SURVEY.md §5.4, hypothesis): algebraic invariants
+of the engine's operators on generated data.
+
+Hypothesis generates the DATA (not the plans); each property is an
+identity that must hold for any input: filter/project commutation, union
+count additivity, dedup idempotence, unbounded-window ≡ group aggregate,
+as-of join totality, jaccard symmetry bounds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+
+from lambda_arc_events_filter_spark.operators import dedup as D
+from lambda_arc_events_filter_spark.operators.asof import asof_join
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50),                      # id
+        st.integers(0, 5),                       # key
+        st.floats(-1e6, 1e6, allow_nan=False),   # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(int(a), int(b), float(c)) for a, b, c in rows],
+        "id long, key int, value double",
+    )
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_filter_project_commute(spark, rows):
+    df = _df(spark, rows)
+    a = df.filter(F.col("value") > 0).select("id", "key").collect()
+    b = df.select("id", "key", "value").filter(F.col("value") > 0).select(
+        "id", "key"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@settings(**SETTINGS)
+def test_union_count_additive(spark, rows, rows2):
+    a, b = _df(spark, rows), _df(spark, rows2)
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_idempotent(spark, rows):
+    df = _df(spark, rows)
+    once = df.dropDuplicates(["id"])
+    twice = once.dropDuplicates(["id"])
+    assert once.count() == twice.count() == df.select("id").distinct().count()
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_unbounded_window_sum_equals_group_sum(spark, rows):
+    df = _df(spark, rows)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    via_window = (
+        df.select("key", F.sum("value").over(w).alias("s"))
+        .groupBy("key")
+        .agg(F.max("s").alias("s"))
+    )
+    via_group = df.groupBy("key").agg(F.sum("value").alias("s"))
+    wv = {r["key"]: r["s"] for r in via_window.collect()}
+    gv = {r["key"]: r["s"] for r in via_group.collect()}
+    assert set(wv) == set(gv)
+    for k in wv:
+        assert abs(wv[k] - gv[k]) < 1e-6 * max(1.0, abs(gv[k]))
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_asof_join_preserves_left_rows(spark, rows):
+    """As-of join is a LEFT-total operator: exactly one output row per left
+    row, matched or not."""
+    df = _df(spark, rows).withColumn(
+        "ts", F.timestamp_seconds(F.col("id") * 60)
+    )
+    left = df.filter(F.col("value") >= 0).select("key", "ts", "id")
+    right = df.filter(F.col("value") < 0).select("key", "ts", "id")
+    out = asof_join(
+        left, right, key="key", time_col="ts", value_cols=["id"],
+        tiebreakers=["id"],
+    )
+    assert out.count() == left.count()
+    # every attached match must be at or before the left row's time
+    bad = out.filter(F.col("_asof_time") > F.col("ts")).count()
+    assert bad == 0
+
+
+texts_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(docs=texts_strategy)
+@settings(**SETTINGS)
+def test_jaccard_pairs_bounded_and_symmetric(spark, docs):
+    """Exact jaccard pairs: values in (0, 1], id_a < id_b, and a doc paired
+    with an identical doc scores exactly 1.0."""
+    seen = {}
+    for i, toks in docs:
+        seen[i] = " ".join(toks)
+    if not seen:
+        return
+    df = spark.createDataFrame(
+        [(i, t) for i, t in seen.items()], "doc_id long, text string"
+    ).withColumn("blk", F.lit(1))
+    sh = D.with_shingles(D.with_tokens(df))
+    pairs = D.exact_jaccard_pairs(
+        sh, id_col="doc_id", block_col="blk", threshold=0.0001
+    ).collect()
+    texts = seen
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        if texts[r["id_a"]] == texts[r["id_b"]]:
+            assert r["jaccard"] == 1.0
