@@ -169,40 +169,40 @@ def exact_jaccard_pairs(
     real scale.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    par = shingled.sparkSession.sparkContext.defaultParallelism
     # posting key = xxhash64(shingle): an 8-byte join key shuffles and
-    # compares ~5× cheaper than the 3-word shingle strings; a 64-bit
+    # compares ~5x cheaper than the 3-word shingle strings; a 64-bit
     # collision between distinct shingles of one corpus is ~1e-9-improbable
-    # (and deterministic — the oracle gate would surface it).  The per-doc
-    # set size rides along on every posting, so jaccard needs NO extra
-    # size joins; the explicit repartition on the join key (i) co-locates
-    # both sides with zero additional exchange, (ii) is exempt from AQE's
-    # size-based coalescing, which would otherwise collapse this
-    # CPU-heavy-but-byte-light join to one partition, and (iii) makes the
-    # two branches share one ReusedExchange instead of recomputing the
-    # shingling.
-    post = (
-        shingled.filter(F.size("shingles") > 0)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.col(block_col).alias("_blk"),
-            F.size("shingles").alias("_n"),
-            F.explode("shingles").alias("s"),
-        )
-        .select("_id", "_blk", "_n", F.xxhash64("s").alias("sk"))
-        .repartition(par, "_blk", "sk")
-    )
-    a = post.select(
-        F.col("_id").alias("id_a"), "_blk", "sk", F.col("_n").alias("n_a")
-    )
-    b = post.select(
-        F.col("_id").alias("id_b"), "_blk", "sk", F.col("_n").alias("n_b")
-    )
+    # (and deterministic -- the oracle gate would surface it).
+    #
+    # CRITICAL expression-evaluation detail: the shingles column is an
+    # interpreted lambda-HOF expression, and every extra reference to it in
+    # the same projection pipeline (a size() filter, an explode beside a
+    # size()) re-evaluates the WHOLE expression per row after projection
+    # collapse -- measured 10x (2.7s -> 0.26s at sf0.1).  So the postings
+    # relation touches `shingles` exactly once, via posexplode, and per-doc
+    # set sizes are re-derived FROM the postings (shingles are distinct, so
+    # count == set size); empty shingle sets simply emit no postings.
+    post = shingled.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.posexplode("shingles").alias("_pos", "_s"),
+    ).select("_id", "_blk", F.xxhash64("_s").alias("sk"))
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = post.select(F.col("_id").alias("id_a"), "_blk", "sk")
+    b = post.select(F.col("_id").alias("id_b"), "_blk", "sk")
     return (
         a.join(b, ["_blk", "sk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -218,56 +218,91 @@ def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str,
     threshold: float,
-    num_hashes: int = 128,
+    num_hashes: int = 96,
     bands: int = 16,
-    rows: int = 8,
+    rows: int = 6,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-verified.
 
-    candidate generation (LSH bucket equi-join) → distinct pairs →
-    exact-Jaccard verification ≥ threshold.  Output matches
+    candidate generation (LSH bucket equi-join) -> distinct pairs ->
+    exact-Jaccard verification >= threshold.  Output matches
     ``exact_jaccard_pairs`` whenever LSH recall covers every pair above
-    threshold (guaranteed-ish for J ≥ 0.9 at b=16,r=8; tests measure it).
+    threshold (P[miss] = (1-J^r)^b ~ 1e-5 at J=0.89 with b=16,r=6; tests
+    verify it exactly on the fixtures).  k=96 on purpose: a 128-buffer
+    aggregate exceeds spark.sql.codegen.maxFields (100) and silently drops
+    the signature stage out of whole-stage codegen.
+
+    Everything downstream derives from one single-touch postings relation
+    (id, hashed shingle) — see the expression-evaluation note in
+    ``exact_jaccard_pairs``; verification is an inverted-index count over
+    the same postings, so Jaccard needs no shingle arrays at all past the
+    explode.
     """
-    # the fixture corpus arrives as ONE parquet row-group → one partition;
-    # signature computation is the CPU-heavy stage, so spread it across the
-    # cluster first (at real scale the source is already many splits and
-    # this repartition collapses to a no-op-ish round-robin)
-    # empty shingle sets all share the identity signature (the aggregate
-    # init value) and would pair with each other — and an empty doc can't
-    # be a near-dup of anything — so drop them before signing.
-    # (with_shingles already repartitioned to cluster parallelism.)
-    nonempty = shingled.filter(F.size("shingles") > 0).select(
-        id_col, "shingles"
+    params = minhash_params(num_hashes, seed)
+    # single-touch postings (see exact_jaccard_pairs): posexplode is the
+    # ONLY reference to the interpreted shingles HOF; per-doc set size is
+    # re-derived from the postings; empty shingle sets emit no postings
+    # (so no identity-signature pairing).  _h: raw 64-bit hash for the
+    # verification join (collision-free in practice); _x: 31-bit reduction
+    # for the permutation arithmetic.
+    post = shingled.select(
+        F.col(id_col).alias("_id"), F.posexplode("shingles").alias("_pos", "_s")
+    ).select(
+        "_id",
+        F.xxhash64("_s").alias("_h"),
+        F.expr(f"pmod(xxhash64(_s), {MINHASH_P})").alias("_x"),
     )
-    sig = with_minhash_signature(
-        nonempty, num_hashes=num_hashes, seed=seed, id_col=id_col
-    ).select(id_col, "shingles", "minhash")
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    aggs = [
+        F.min(F.expr(f"pmod({a}L * _x + {b}L, {MINHASH_P})")).alias(f"_m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    sig_cols = [f"_m{j}" for j in range(num_hashes)]
+    sig = (
+        post.groupBy("_id")
+        .agg(*aggs)
+        .withColumn("minhash", F.array(*sig_cols))
+        .select(F.col("_id").alias(id_col), "minhash")
+    )
     bands_df = lsh_band_explode(sig, id_col, bands=bands, rows=rows)
-    left = bands_df.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
-    )
-    right = bands_df.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
-    )
     candidates = (
-        left.join(right, ["band_idx", "band_hash"])
+        bands_df.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        .join(
+            bands_df.select(
+                F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = sig.select(F.col(id_col), F.col("shingles"))
+    # exact verification from the same postings: |A ∩ B| = count of matching
+    # hashed shingles per candidate pair; candidates are few, so broadcast
+    # them into the postings scan
+    pa = post.select(F.col("_id").alias("id_a"), "_h").join(
+        F.broadcast(candidates), "id_a"
+    )
+    pb = post.select(F.col("_id").alias("id_b"), "_h")
     return (
-        candidates.join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        pa.join(pb, ["id_b", "_h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
             "id_a",
         )
         .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")),
             "id_b",
         )
-        .withColumn("jaccard", F.round(jaccard_expr("sh_a", "sh_b"), 6))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
