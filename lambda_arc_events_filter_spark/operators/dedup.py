@@ -18,7 +18,7 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 #: Mersenne prime 2^31-1: (a·x + b) mod P stays within int64 when
 #: a, b, x < P (product < 2^62).
@@ -139,6 +139,53 @@ def lsh_band_explode(
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
+def shingle_postings(
+    df: DataFrame,
+    id_col: str,
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Distinct hashed word-n-gram postings: one row per (doc, distinct
+    shingle), the shingle as a 64-bit ``xxhash64`` key ``sk``.
+
+    Codegen-first shingling: posexplode the tokens, form each n-gram with
+    window ``lead`` over (doc, position).  Every expression here is
+    JVM-evaluated (WindowExec + whole-stage codegen), unlike the
+    array-lambda ``transform`` form, whose INTERPRETED evaluation dominated
+    this pipeline's profile — and which Catalyst's InferFiltersFromGenerate
+    additionally inlines into the scan filter, tripling the per-row cost.
+    Measured at sf0.1: postings via window = ~0.4s vs ~6s via the HOF.
+
+    Scale shape: one shuffle of the tokenized corpus (window, partitioned
+    per doc) + one map-side-combinable distinct of the hashed postings.
+    An 8-byte posting key shuffles ~5× cheaper than 3-word shingle
+    strings; a 64-bit collision between distinct shingles of one corpus is
+    ~1e-9-improbable (and deterministic — the oracle gate would surface
+    it).  Docs shorter than n tokens emit no postings.
+    """
+    w = Window.partitionBy("_id").orderBy("_pos")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"),
+    )
+    grams = [F.col("_tok")] + [
+        F.lead("_tok", i).over(w) for i in range(1, n)
+    ]
+    return (
+        toks.select(
+            "_id",
+            *extra_cols,
+            F.concat_ws(" ", *grams).alias("_s"),
+            F.lead("_tok", n - 1).over(w).alias("_t_last"),
+        )
+        .filter(F.col("_t_last").isNotNull())
+        .select("_id", *extra_cols, F.xxhash64("_s").alias("sk"))
+        .dropDuplicates(["_id", "sk"])
+    )
+
+
 def jaccard_expr(a: str, b: str) -> Column:
     """Exact Jaccard similarity of two distinct-element array columns.
     Two empty sets define J = 0 here (not NaN): empty docs are never
@@ -159,50 +206,37 @@ def exact_jaccard_pairs(
     """Exact n-gram Jaccard pairs WITHIN a blocking key (e.g. lang), via a
     shingle INVERTED-INDEX join rather than all-pairs array intersection.
 
-    explode shingles → self-equi-join on (shingle, block) → per-pair common
-    count → jaccard from set sizes.  Only pairs sharing ≥1 shingle are ever
-    materialized, so cost tracks the posting-list mass (Σ bucket²) instead
-    of |block|² — the difference between 65s and 2s at sf0.1, and between
-    feasible and not at 100 TB.  (The naive form scored every same-block
-    pair with a 50-element array_intersect.)  Skewed hot shingles are
-    AQE-split; a frequency cap on postings is the standard next lever at
-    real scale.
+    Input needs a ``tokens`` array column (``with_tokens``); shingle
+    postings are built internally via ``shingle_postings`` (codegen window
+    form).  explode shingles → self-equi-join on (shingle, block) →
+    per-pair common count → jaccard from set sizes.  Only pairs sharing
+    ≥1 shingle are ever materialized, so cost tracks the posting-list mass
+    (Σ bucket²) instead of |block|² — the difference between 65s and 2s at
+    sf0.1, and between feasible and not at 100 TB.  (The naive form scored
+    every same-block pair with a 50-element array_intersect.)  Skewed hot
+    shingles are AQE-split; a frequency cap on postings is the standard
+    next lever at real scale.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # posting key = xxhash64(shingle): an 8-byte join key shuffles and
-    # compares ~5x cheaper than the 3-word shingle strings; a 64-bit
-    # collision between distinct shingles of one corpus is ~1e-9-improbable
-    # (and deterministic -- the oracle gate would surface it).
-    #
-    # CRITICAL expression-evaluation detail: the shingles column is an
-    # interpreted lambda-HOF expression, and every extra reference to it in
-    # the same projection pipeline (a size() filter, an explode beside a
-    # size()) re-evaluates the WHOLE expression per row after projection
-    # collapse -- measured 10x (2.7s -> 0.26s at sf0.1).  So the postings
-    # relation touches `shingles` exactly once, via posexplode, and per-doc
-    # set sizes are re-derived FROM the postings (shingles are distinct, so
-    # count == set size); empty shingle sets simply emit no postings.
-    post = shingled.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
-        F.posexplode("shingles").alias("_pos", "_s"),
-    ).select("_id", "_blk", F.xxhash64("_s").alias("sk"))
-    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a = post.select(F.col("_id").alias("id_a"), "_blk", "sk")
-    b = post.select(F.col("_id").alias("id_b"), "_blk", "sk")
+    # postings via the codegen window form (see shingle_postings); the
+    # per-doc distinct set size rides along via a count window over the
+    # postings themselves (distinct shingles, so count == set size) —
+    # no size joins downstream, no re-touch of the token arrays
+    base = shingled.withColumnRenamed(block_col, "_blk")
+    post = shingle_postings(base, id_col, extra_cols=("_blk",)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    )
+    a = post.select(
+        F.col("_id").alias("id_a"), "_blk", "sk", F.col("_n").alias("n_a")
+    )
+    b = post.select(
+        F.col("_id").alias("id_b"), "_blk", "sk", F.col("_n").alias("n_b")
+    )
     return (
         a.join(b, ["_blk", "sk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")),
-            "id_b",
-        )
         .withColumn(
             "jaccard",
             F.round(
@@ -233,70 +267,77 @@ def minhash_lsh_pairs(
     aggregate exceeds spark.sql.codegen.maxFields (100) and silently drops
     the signature stage out of whole-stage codegen.
 
-    Everything downstream derives from one single-touch postings relation
-    (id, hashed shingle) — see the expression-evaluation note in
-    ``exact_jaccard_pairs``; verification is an inverted-index count over
-    the same postings, so Jaccard needs no shingle arrays at all past the
-    explode.
+    Input needs a ``tokens`` array column (``with_tokens``).  Everything
+    derives from the codegen postings relation (``shingle_postings``):
+    signatures AND set sizes come from one groupBy over it (the k
+    permutation mins are codegen'd aggregate expressions over the posting
+    hash, and count == distinct set size), set sizes ride the candidate
+    pairs through the band join, and verification is an inverted-index
+    count over the same postings — shingle arrays never exist at all.
     """
     params = minhash_params(num_hashes, seed)
-    # single-touch postings (see exact_jaccard_pairs): posexplode is the
-    # ONLY reference to the interpreted shingles HOF; per-doc set size is
-    # re-derived from the postings; empty shingle sets emit no postings
-    # (so no identity-signature pairing).  _h: raw 64-bit hash for the
-    # verification join (collision-free in practice); _x: 31-bit reduction
-    # for the permutation arithmetic.
-    post = shingled.select(
-        F.col(id_col).alias("_id"), F.posexplode("shingles").alias("_pos", "_s")
-    ).select(
-        "_id",
-        F.xxhash64("_s").alias("_h"),
-        F.expr(f"pmod(xxhash64(_s), {MINHASH_P})").alias("_x"),
-    )
-    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    # hashed postings: feed (i) the signature/size aggregate and (ii) both
+    # sides of the verification join.  Docs with no postings (shorter than
+    # the shingle width) get no signature, so no identity-signature
+    # pairing.  sk: raw 64-bit posting key for the verification join;
+    # pmod reduces it to 31 bits for the permutation arithmetic.
+    post = shingle_postings(shingled, id_col)
     aggs = [
-        F.min(F.expr(f"pmod({a}L * _x + {b}L, {MINHASH_P})")).alias(f"_m{j}")
+        F.min(
+            F.expr(
+                f"pmod({a}L * pmod(sk, {MINHASH_P}) + {b}L, {MINHASH_P})"
+            )
+        ).alias(f"_m{j}")
         for j, (a, b) in enumerate(params)
     ]
     sig_cols = [f"_m{j}" for j in range(num_hashes)]
     sig = (
         post.groupBy("_id")
-        .agg(*aggs)
+        .agg(F.count(F.lit(1)).alias("_n"), *aggs)
         .withColumn("minhash", F.array(*sig_cols))
-        .select(F.col("_id").alias(id_col), "minhash")
+        .select("_id", "_n", "minhash")
     )
-    bands_df = lsh_band_explode(sig, id_col, bands=bands, rows=rows)
+    # band-explode carrying _n, so the final Jaccard needs no size joins:
+    # candidate pairs leave the band join already knowing both set sizes
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> struct(b as band_idx,"
+        f" xxhash64(concat_ws(',', transform(slice(minhash, b * {rows} + 1,"
+        f" {rows}), x -> cast(x as string)))) as band_hash))"
+    )
+    bands_df = sig.select(
+        "_id", "_n", F.explode(F.expr(band_expr)).alias("band")
+    ).select("_id", "_n", "band.band_idx", "band.band_hash")
     candidates = (
-        bands_df.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        bands_df.select(
+            F.col("_id").alias("id_a"),
+            F.col("_n").alias("n_a"),
+            "band_idx",
+            "band_hash",
+        )
         .join(
             bands_df.select(
-                F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+                F.col("_id").alias("id_b"),
+                F.col("_n").alias("n_b"),
+                "band_idx",
+                "band_hash",
             ),
             ["band_idx", "band_hash"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
     # exact verification from the same postings: |A ∩ B| = count of matching
     # hashed shingles per candidate pair; candidates are few, so broadcast
     # them into the postings scan
-    pa = post.select(F.col("_id").alias("id_a"), "_h").join(
+    pa = post.select(F.col("_id").alias("id_a"), "sk").join(
         F.broadcast(candidates), "id_a"
     )
-    pb = post.select(F.col("_id").alias("id_b"), "_h")
+    pb = post.select(F.col("_id").alias("id_b"), "sk")
     return (
-        pa.join(pb, ["id_b", "_h"])
-        .groupBy("id_a", "id_b")
+        pa.join(pb, ["id_b", "sk"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")),
-            "id_b",
-        )
         .withColumn(
             "jaccard",
             F.round(
