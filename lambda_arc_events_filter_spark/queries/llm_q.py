@@ -623,32 +623,43 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines rank identical numbers.
     """
     e = load(spark, sf_dir, "events")
+    # per-user norm rides each profile row via a window over the profile
+    # aggregate (one exchange on user_id) instead of a separate norms
+    # aggregate + two post-join lookups — that diamond re-ran the events
+    # scan+groupBy three times; this shape runs it once full (b side) and
+    # once scan-pruned to the 50-user query set (a side, filter pushed
+    # below the window on its partition key and into the scan)
     p = (
         e.groupBy("user_id", F.hour("ts").alias("h"))
         .agg(F.round(F.avg("value"), 6).alias("v"))
-    )
-    nrm = p.groupBy("user_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n")
+        .withColumn(
+            "n",
+            F.sqrt(
+                F.sum(F.col("v") * F.col("v")).over(
+                    Window.partitionBy("user_id")
+                )
+            ),
+        )
     )
     a = F.broadcast(
         p.filter(F.col("user_id") < 50).select(
-            F.col("user_id").alias("ua"), "h", F.col("v").alias("va")
+            F.col("user_id").alias("ua"),
+            "h",
+            F.col("v").alias("va"),
+            F.col("n").alias("na"),
         )
     )
     b = p.select(
-        F.col("user_id").alias("ub"), "h", F.col("v").alias("vb")
-    )
-    dots = (
-        a.join(b, "h")
-        .filter(F.col("ua") != F.col("ub"))
-        .groupBy("ua", "ub")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("d"))
+        F.col("user_id").alias("ub"),
+        "h",
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
     )
     cos = (
-        dots.join(nrm.select(F.col("user_id").alias("ua"),
-                             F.col("n").alias("na")), "ua")
-        .join(nrm.select(F.col("user_id").alias("ub"),
-                         F.col("n").alias("nb")), "ub")
+        a.join(b, "h")
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub", "na", "nb")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("d"))
         .select(
             "ua",
             "ub",

@@ -60,7 +60,10 @@ def events_stream(
 
 
 def run_to_memory(
-    df: DataFrame, name_prefix: str = "q", mode: str = "append"
+    df: DataFrame,
+    name_prefix: str = "q",
+    mode: str = "append",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow trigger,
     memory sink) and return the materialized result as a batch DataFrame.
@@ -77,16 +80,33 @@ def run_to_memory(
     cannot pass them), so the tail of the result would be missing.  Prod
     pipelines use append/update with the watermark doing eviction; the
     B58 late-data unit tests exercise that path explicitly.
+
+    ``state_partitions`` sizes the stateful-operator partition count
+    (fixed at the query's FIRST start from ``spark.sql.shuffle.partitions``
+    and baked into the checkpoint): one state-store instance — a RocksDB
+    per partition under our provider — is opened per partition per batch,
+    a fixed cost that dwarfs fixture-scale data (measured 1.9s → 1.0s at
+    sf0.1 going 32 → 4).  State partitions should be sized to state
+    VOLUME, not cluster cores; at 100 TB raise it (or leave None to
+    inherit the session's shuffle partitioning).  The session conf is
+    restored after the run — it only pins this query's checkpoint.
     """
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(qname)
 
 
