@@ -223,9 +223,18 @@ def exact_jaccard_pairs(
     # postings themselves (distinct shingles, so count == set size) —
     # no size joins downstream, no re-touch of the token arrays
     base = shingled.withColumnRenamed(block_col, "_blk")
+    # localCheckpoint: the postings relation feeds both sides of the
+    # self-join, and Spark re-executes diamond branches from the source
+    # otherwise (exchange reuse does not survive AQE's broadcast-join
+    # conversion at this scale).  Eagerly materializing the narrow
+    # (id, block, key, n) postings — the standard multi-pass-algorithm
+    # move, MLlib does the same internally — halves the pipeline; blocks
+    # are executor-local and GC-cleaned with the DataFrame.  At prod
+    # scale, a reliable checkpoint dir (spark.sparkContext.setCheckpointDir
+    # + .checkpoint()) is the fault-tolerant variant.
     post = shingle_postings(base, id_col, extra_cols=("_blk",)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("_id"))
-    )
+    ).localCheckpoint()
     a = post.select(
         F.col("_id").alias("id_a"), "_blk", "sk", F.col("_n").alias("n_a")
     )
@@ -281,7 +290,10 @@ def minhash_lsh_pairs(
     # the shingle width) get no signature, so no identity-signature
     # pairing.  sk: raw 64-bit posting key for the verification join;
     # pmod reduces it to 31 bits for the permutation arithmetic.
-    post = shingle_postings(shingled, id_col)
+    # localCheckpoint both multi-consumer relations (see the note in
+    # exact_jaccard_pairs): postings feed the signature aggregate AND both
+    # verification sides; signatures feed both sides of the band join.
+    post = shingle_postings(shingled, id_col).localCheckpoint()
     aggs = [
         F.min(
             F.expr(
@@ -296,6 +308,7 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("_n"), *aggs)
         .withColumn("minhash", F.array(*sig_cols))
         .select("_id", "_n", "minhash")
+        .localCheckpoint()
     )
     # band-explode carrying _n, so the final Jaccard needs no size joins:
     # candidate pairs leave the band join already knowing both set sizes
