@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.operators.asof import asof_join
+from lambda_arc_events_filter_spark.operators.skew import salted_join
 from lambda_arc_events_filter_spark.registry import register
 from lambda_arc_events_filter_spark.sources.streams import events_stream, run_to_memory
 from lambda_arc_events_filter_spark.streaming.stateful import conversion_stats
@@ -99,3 +100,35 @@ def stream_stateful_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = events_stream(spark, sf_dir)
     return run_to_memory(conversion_stats(s), "stateful", mode="update")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)             AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (SURVEY.md §4 skew handling): events.user_id is
+    low-cardinality by construction [FIXTURES.md events], so the plain
+    shuffle join hashes the whole fact table onto a handful of reducers —
+    the canonical hot-key shape at 100 TB.  ``salted_join`` shards each
+    key 8 ways deterministically (hash of event_id, not rand(): retries
+    and the oracle must see identical placement) and replicates the
+    customer side per shard.  Output is salt-invariant, so the plain SQL
+    join is a sound oracle.
+    """
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, on="user_id", salt_col="event_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

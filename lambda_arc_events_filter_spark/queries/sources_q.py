@@ -161,3 +161,52 @@ def range_join_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("trigger_id").agg(
         F.count(F.lit(1)).alias("n_following")
     )
+
+
+@register(
+    "partitioned_sink_dpp",
+    oracle="""
+    SELECT e.event_type,
+           count(*)               AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    WHERE e.event_type IN ('view', 'purchase')
+    GROUP BY e.event_type
+    """,
+    tags=("source", "sink", "scale"),
+)
+def partitioned_sink_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned re-read — the layout
+    contract for fact tables at 100 TB (SURVEY.md §4 "partition pruning").
+
+    Writes events hive-partitioned by event_type, then re-reads joining a
+    tiny in-memory dimension of wanted types: the scan must prune to the
+    two matching directories (dynamic partition pruning via the broadcast
+    join key being the partition column — asserted on the physical plan in
+    tests/test_plans.py), never listing the other partitions' data.  At
+    scale the partition column is the ingest date; the mechanics are
+    identical.
+    """
+    e = load(spark, sf_dir, "events")
+    path = readers.scratch_dir("pq_part")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, value double,"
+        " props string, event_type string"
+    ).parquet(path)
+    # the dim carries a selective filter: dynamic partition pruning only
+    # inserts its subquery when the build side is filtered (otherwise the
+    # join key alone can't prune anything)
+    wanted = spark.createDataFrame(
+        [("view", 1), ("purchase", 1), ("click", 0), ("scroll", 0)],
+        "event_type string, keep int",
+    ).filter(F.col("keep") == 1)
+    return (
+        back.join(F.broadcast(wanted), "event_type")
+        .drop("keep")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

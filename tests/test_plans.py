@@ -73,3 +73,21 @@ def test_udf_queries_are_arrow_not_row_python(spark, sf_dir):
 def test_codegen_covers_flagship(spark, sf_dir):
     df = ALL["q01_pricing_summary"].fn(spark, sf_dir)
     assert I.whole_stage_codegen_ids(df) >= 1
+
+
+def test_partitioned_sink_reread_dynamic_prunes(spark, sf_dir):
+    """The partitioned-layout contract: joining on the partition column
+    with a filtered dim must insert a dynamic-pruning subquery into the
+    fact scan (not list every partition)."""
+    df = ALL["partitioned_sink_dpp"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join must group on (key, shard) — no single-reducer hot
+    key — and still produce the unsalted result (oracle-checked); here we
+    assert the salt column reaches the join keys."""
+    df = ALL["join_salted_skew"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "_shard" in plan, plan[:2000]
