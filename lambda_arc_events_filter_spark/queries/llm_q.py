@@ -677,3 +677,63 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') sp
+               FROM documents),
+    q AS (SELECT doc_id, lang, source,
+                 len(sp) AS n_tokens,
+                 round(0.5 * (len(list_distinct(sp)) * 1.0 / len(sp))
+                     + 0.3 * (1 - len(list_filter(sp, x -> list_contains(
+                           ['a', 'the', 'and', 'of', 'to'], x))) * 1.0 / len(sp))
+                     + 0.2 * least(len(sp) / 100.0, 1.0), 6) AS quality,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM t)
+    SELECT lang, source,
+           count(*)                AS n_docs,
+           sum(n_tokens)           AS total_tokens,
+           round(avg(quality), 4)  AS avg_quality
+    FROM q
+    WHERE doc_id = keep_id AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 10000
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation slice — the operators composed the
+    way a 100 TB corpus pass actually runs: exact dedup (deterministic
+    min-id keeper per content hash) → quality gate (lexical diversity,
+    stopword ratio, length — the text_quality_scores formula) → per
+    (lang, source) corpus accounting.
+
+    One shuffle for the dedup window (hash of content), one for the final
+    aggregate; the quality gate is a pure map stage.  At scale the dedup
+    window is the same shape as dedup_exact_docs' groupBy — both
+    map-side-combinable on the content hash.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    ttr = T.distinct_ratio_expr()
+    stop = T.stopword_ratio_expr()
+    n_tok = T.token_count_expr()
+    quality = F.round(
+        0.5 * ttr
+        + 0.3 * (1 - stop)
+        + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)),
+        6,
+    )
+    keep = d.withColumn(
+        "_keep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).filter(F.col("doc_id") == F.col("_keep_id"))
+    filtered = (
+        keep.withColumn("n_tokens", n_tok)
+        .withColumn("quality", quality)
+        .filter((F.col("quality") >= 0.5) & F.col("n_tokens").between(5, 10000))
+    )
+    return filtered.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
