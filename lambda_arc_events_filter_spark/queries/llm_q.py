@@ -71,9 +71,9 @@ _JACCARD_ORACLE = """
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5), blocked
-    by lang.  Shingling is a per-row HOF (no explode); only the blocked
-    pair join shuffles.  The fixture corpus contains planted near-dups at
-    J≈0.98 — this finds exactly those."""
+    by lang, via the codegen shingle-postings inverted index
+    (operators/dedup.py::shingle_postings).  The fixture corpus contains
+    planted near-dups at J≈0.98 — this finds exactly those."""
     d = D.with_shingles(D.with_tokens(load(spark, sf_dir, "documents")))
     return D.exact_jaccard_pairs(d, id_col="doc_id", block_col="lang", threshold=0.5)
 
@@ -103,12 +103,12 @@ _JACCARD_ORACLE_UNBLOCKED = """
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B61 MinHash+LSH near-dup detection, exact-verified.
 
-    128 hash permutations → 16 bands × 8 rows → bucket equi-join candidates
+    96 hash permutations → 16 bands × 6 rows → bucket equi-join candidates
     → exact-Jaccard filter ≥ 0.5.  Oracle = UNBLOCKED exact all-pairs
     Jaccard: unlike the exact variant no lang blocking is needed — LSH
     buckets replace blocking, which is what scales to an unblocked 100 TB
     corpus.  Sound because at the fixture's planted-dup similarity (J≥0.89)
-    b=16/r=8 recall is ≈1 (P[miss] = (1-J^8)^16 ≈ 3e-4 at J=0.89, <1e-12
+    b=16/r=6 recall is ≈1 (P[miss] = (1-J^6)^16 ≈ 1e-5 at J=0.89, <1e-12
     at J=0.98) — verified exactly on both gate SFs by tests + tools/check.
     """
     d = D.with_shingles(D.with_tokens(load(spark, sf_dir, "documents")))
