@@ -147,3 +147,32 @@ def test_jaccard_pairs_bounded_and_symmetric(spark, docs):
         assert 0.0 < r["jaccard"] <= 1.0
         if texts[r["id_a"]] == texts[r["id_b"]]:
             assert r["jaccard"] == 1.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1000)), max_size=40
+    ),
+    salt=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows, salt):
+    """Salting is a physical rewrite only: for any data and salt factor the
+    salted join must equal the plain equi-join (including keys absent from
+    either side)."""
+    from lambda_arc_events_filter_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, v) for k, v in rows] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k int, tag string"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in salted_join(big, small, on="k", salt_col="v", salt=salt).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["tag"]) for r in big.join(small, "k").collect()
+    )
+    assert got == want
