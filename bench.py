@@ -44,6 +44,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "ts_user_similarity",
     "stream_tumbling_counts",
+    "join_salted_skew",
+    "partitioned_sink_dpp",
+    "corpus_curation_pipeline",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
