@@ -74,7 +74,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by lang, via the codegen shingle-postings inverted index
     (operators/dedup.py::shingle_postings).  The fixture corpus contains
     planted near-dups at J≈0.98 — this finds exactly those."""
-    d = D.with_shingles(D.with_tokens(load(spark, sf_dir, "documents")))
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
     return D.exact_jaccard_pairs(d, id_col="doc_id", block_col="lang", threshold=0.5)
 
 
@@ -111,7 +111,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b=16/r=6 recall is ≈1 (P[miss] = (1-J^6)^16 ≈ 1e-5 at J=0.89, <1e-12
     at J=0.98) — verified exactly on both gate SFs by tests + tools/check.
     """
-    d = D.with_shingles(D.with_tokens(load(spark, sf_dir, "documents")))
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(d, id_col="doc_id", threshold=0.5)
 
 
