@@ -132,3 +132,62 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas runs a protobuf-based state-server
+    worker; without a working google.protobuf in the Python workers the
+    query crashes at start.  Gate the registration on the capability so
+    queries() stays runnable everywhere (this container ships no usable
+    protobuf and installs are out of scope)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55 via the Spark 4 ``transformWithStateInPandas`` API (typed
+    ValueState per key) — the second arbitrary-state path beside
+    ``applyInPandasWithState``.  Single-batch replay makes the update-mode
+    output deterministic (one cumulative row per user), so it gets a full
+    SQL oracle.
+
+    The API requires the RocksDB state-store provider; set per-run and
+    restored so the query stays session-config-agnostic.
+    """
+    from lambda_arc_events_filter_spark.streaming.stateful import user_value_stats
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+    try:
+        s = events_stream(spark, sf_dir)
+        return run_to_memory(user_value_stats(s), "tws", mode="update")
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+if tws_available():
+    register(
+        "stream_stateful_user_stats",
+        oracle="""
+        SELECT user_id,
+               count(*)               AS n_events,
+               round(sum(value), 4)   AS total_value,
+               round(max(value), 4)   AS max_value
+        FROM events
+        GROUP BY user_id
+        """,
+        tags=("streaming", "stateful"),
+    )(_stream_stateful_user_stats)

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -99,4 +100,72 @@ def conversion_stats(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def user_value_stats(events: DataFrame) -> DataFrame:
+    """Per-user cumulative event statistics via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (successor of applyInPandasWithState,
+    SURVEY.md §2 B55): typed per-key ValueState managed by the state store,
+    timers available, state schema evolvable.
+
+    Requires the RocksDB state-store provider (the API rejects the default
+    HDFS-backed provider); the registered query sets it per-run.  Same
+    closure rule as ``conversion_stats``: the processor class is defined
+    inside this function so cloudpickle serializes it by value.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total, vmax = self._agg.get()
+            else:
+                n, total, vmax = 0, 0.0, None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                m = float(pdf["value"].max())
+                vmax = m if vmax is None else max(vmax, m)
+            self._agg.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "max_value": [round(vmax, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

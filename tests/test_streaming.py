@@ -92,3 +92,32 @@ def test_stream_batch_equivalence_multibatch(spark, two_batch_dir):
     )
     got = run_to_memory(agg, "equiv", mode="complete").collect()[0]
     assert got["n"] == 4 and got["total"] == 15.0
+
+
+def test_transform_with_state_user_stats(spark, sf_dir):
+    """B55 successor API (transformWithStateInPandas): cumulative per-user
+    stats must equal the batch aggregate.  Skipped where the Python workers
+    lack google.protobuf, which the API's state-server worker requires."""
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.queries.advanced_q import (
+        _stream_stateful_user_stats,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState cannot start")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in _stream_stateful_user_stats(spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
