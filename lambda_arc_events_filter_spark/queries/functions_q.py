@@ -119,13 +119,13 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 6)          AS abs_centered,
            round(l_extendedprice / 7, 3)             AS div_rounded,
-           ceil(l_extendedprice / 1000)              AS price_ceil,
-           floor(l_extendedprice / 1000)             AS price_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_floor,
            round(pow(l_quantity, 2), 4)              AS qty_sq,
            round(sqrt(l_extendedprice), 8)           AS price_sqrt,
            round(ln(l_extendedprice), 8)             AS price_ln,
            round(log10(l_extendedprice), 8)          AS price_log10,
-           sign(l_discount - 0.05)                   AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)   AS disc_sign,
            l_linenumber % 3                          AS ln_mod3,
            greatest(l_tax, l_discount)               AS max_rate,
            least(l_tax, l_discount)                  AS min_rate

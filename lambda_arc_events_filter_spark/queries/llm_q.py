@@ -694,7 +694,7 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t)
     SELECT lang, source,
            count(*)                AS n_docs,
-           sum(n_tokens)           AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(quality), 4)  AS avg_quality
     FROM q
     WHERE doc_id = keep_id AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 10000

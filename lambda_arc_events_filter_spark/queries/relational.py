@@ -568,7 +568,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities,
            count(*) AS n
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c_mktsegment
@@ -576,15 +577,20 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set array aggregate — array_sort-wrapped for deterministic
-    comparison (collect order is partition-dependent; SURVEY.md §7 pitfall e)."""
+    """collect_set array aggregate — sorted then joined to one scalar string
+    per group: collect order is partition-dependent (SURVEY.md §7 pitfall e),
+    and the driver's canonicalizer cannot hash list-valued cells (r01 err:
+    pandas `unhashable type: 'list'`), so both engines emit the set as a
+    deterministic comma-joined string."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
             F.count(F.lit(1)).alias("n"),
         )
     )
