@@ -58,6 +58,8 @@ def main() -> None:
     spark = get_spark("bench")
     all_specs = specs()
     names = [n for n in HEADLINE if n in all_specs]
+    if len(sys.argv) > 1:  # optional substring filter for local iteration
+        names = [n for n in names if any(f in n for f in sys.argv[1:])]
     timings: dict[str, float] = {}
     for name in names:
         fn = all_specs[name].fn

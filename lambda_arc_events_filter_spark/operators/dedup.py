@@ -129,10 +129,12 @@ def lsh_band_explode(
     whole band of their signatures agrees — the classic b·r LSH amplification
     (b=16, r=8 → ~50% recall at J≈0.78, ≈1.0 at J≥0.9).
     """
+    # xxhash64 hashes the sliced long array DIRECTLY (Spark hash
+    # expressions support ArrayType) — no per-band string building in the
+    # hottest explode, unlike the concat_ws form this replaces.
     band_expr = (
         f"transform(sequence(0, {bands - 1}), b -> struct(b as band_idx,"
-        f" xxhash64(concat_ws(',', transform(slice({sig_col}, b * {rows} + 1,"
-        f" {rows}), x -> cast(x as string)))) as band_hash))"
+        f" xxhash64(slice({sig_col}, b * {rows} + 1, {rows})) as band_hash))"
     )
     return df.select(
         F.col(id_col), F.explode(F.expr(band_expr)).alias("band")
@@ -165,10 +167,24 @@ def shingle_postings(
     it).  Docs shorter than n tokens emit no postings.
     """
     w = Window.partitionBy("_id").orderBy("_pos")
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c) for c in extra_cols],
-        F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # Repartition the NARROW (id, tokens) relation by id before exploding:
+    # the fixture corpus is one parquet row-group, so without this the
+    # posexplode (the heaviest map) runs on a single task; partitioning by
+    # _id also satisfies the window's clustering requirement, so no second
+    # exchange is inserted.
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in extra_cols],
+            F.col(tokens_col).alias("_toks"),
+        )
+        .repartition(par, "_id")
+        .select(
+            "_id",
+            *extra_cols,
+            F.posexplode(F.col("_toks")).alias("_pos", "_tok"),
+        )
     )
     grams = [F.col("_tok")] + [
         F.lead("_tok", i).over(w) for i in range(1, n)
@@ -197,11 +213,30 @@ def jaccard_expr(a: str, b: str) -> Column:
     )
 
 
+def _hot_posting_keys(post: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Posting keys whose document frequency exceeds ``max_doc_freq``.
+
+    Map-side-combinable count per key → the hot set is tiny (stop-shingles
+    like "the end of"), so consumers remove it with a BROADCAST anti-join —
+    the postings themselves are never reshuffled.  This is the standard
+    skew lever for inverted-index candidate generation at corpus scale: a
+    shingle appearing in d docs contributes d² candidate pairs, so one
+    100 TB-corpus stop-shingle would dominate the whole join.
+    """
+    return (
+        post.groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("sk")
+    )
+
+
 def exact_jaccard_pairs(
     shingled: DataFrame,
     id_col: str,
     block_col: str,
     threshold: float,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs WITHIN a blocking key (e.g. lang), via a
     shingle INVERTED-INDEX join rather than all-pairs array intersection.
@@ -209,43 +244,70 @@ def exact_jaccard_pairs(
     Input needs a ``tokens`` array column (``with_tokens``); shingle
     postings are built internally via ``shingle_postings`` (codegen window
     form).  explode shingles → self-equi-join on (shingle, block) →
-    per-pair common count → jaccard from set sizes.  Only pairs sharing
-    ≥1 shingle are ever materialized, so cost tracks the posting-list mass
+    per-pair common count → jaccard from set sizes (joined back from a
+    tiny per-doc size relation — pair counts and doc counts are both ≪
+    posting counts, so both joins broadcast).  Only pairs sharing ≥1
+    shingle are ever materialized, so cost tracks the posting-list mass
     (Σ bucket²) instead of |block|² — the difference between 65s and 2s at
     sf0.1, and between feasible and not at 100 TB.  (The naive form scored
-    every same-block pair with a 50-element array_intersect.)  Skewed hot
-    shingles are AQE-split; a frequency cap on postings is the standard
-    next lever at real scale.
+    every same-block pair with a 50-element array_intersect.)
+
+    ``max_doc_freq``: posting-frequency cap — shingles in more than this
+    many documents are excluded from CANDIDATE generation (their buckets
+    cost df² pair rows), and the common-shingle count is then re-computed
+    over the FULL postings for candidates only, so emitted jaccard values
+    are still exact.  A true-near-dup pair sharing *only* capped shingles
+    would be missed — set the cap well above boilerplate df (the fixture's
+    max df is 25/5000 docs; tests pin capped == uncapped there).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # postings via the codegen window form (see shingle_postings); the
-    # per-doc distinct set size rides along via a count window over the
-    # postings themselves (distinct shingles, so count == set size) —
-    # no size joins downstream, no re-touch of the token arrays
     base = shingled.withColumnRenamed(block_col, "_blk")
     # localCheckpoint: the postings relation feeds both sides of the
     # self-join, and Spark re-executes diamond branches from the source
     # otherwise (exchange reuse does not survive AQE's broadcast-join
     # conversion at this scale).  Eagerly materializing the narrow
-    # (id, block, key, n) postings — the standard multi-pass-algorithm
+    # (id, block, key) postings — the standard multi-pass-algorithm
     # move, MLlib does the same internally — halves the pipeline; blocks
     # are executor-local and GC-cleaned with the DataFrame.  At prod
     # scale, a reliable checkpoint dir (spark.sparkContext.setCheckpointDir
     # + .checkpoint()) is the fault-tolerant variant.
-    post = shingle_postings(base, id_col, extra_cols=("_blk",)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("_id"))
-    ).localCheckpoint()
-    a = post.select(
-        F.col("_id").alias("id_a"), "_blk", "sk", F.col("_n").alias("n_a")
-    )
-    b = post.select(
-        F.col("_id").alias("id_b"), "_blk", "sk", F.col("_n").alias("n_b")
-    )
-    return (
+    post = shingle_postings(base, id_col, extra_cols=("_blk",)).localCheckpoint()
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    cand_post = post
+    if max_doc_freq is not None:
+        cand_post = post.join(
+            F.broadcast(_hot_posting_keys(post, max_doc_freq)), "sk", "left_anti"
+        )
+    a = cand_post.select(F.col("_id").alias("id_a"), "_blk", "sk")
+    b = cand_post.select(F.col("_id").alias("id_b"), "_blk", "sk")
+    pairs = (
         a.join(b, ["_blk", "sk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if max_doc_freq is not None:
+        # candidates found on rare shingles; recount common shingles over
+        # the FULL postings so the jaccard itself is uncapped-exact
+        cand = pairs.select("id_a", "id_b")
+        pa = post.select(F.col("_id").alias("id_a"), "sk").join(
+            F.broadcast(cand), "id_a"
+        )
+        pb = post.select(F.col("_id").alias("id_b"), "sk")
+        pairs = (
+            pa.join(pb, ["id_b", "sk"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -265,6 +327,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     rows: int = 6,
     seed: int = 42,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-verified.
 
@@ -283,6 +346,14 @@ def minhash_lsh_pairs(
     hash, and count == distinct set size), set sizes ride the candidate
     pairs through the band join, and verification is an inverted-index
     count over the same postings — shingle arrays never exist at all.
+
+    ``max_doc_freq``: posting-frequency cap on the SIGNATURE input —
+    stop-shingles above the cap are removed via broadcast anti-join before
+    the permutation mins (a hot shingle adds no discriminating power and
+    its minhash floods every signature).  Verification always counts over
+    the full postings, so emitted jaccard values stay exact; a document
+    whose every shingle is capped falls out of candidate generation
+    (boilerplate-only docs — exact dedup's job, not near-dup's).
     """
     params = minhash_params(num_hashes, seed)
     # hashed postings: feed (i) the signature/size aggregate and (ii) both
@@ -303,19 +374,35 @@ def minhash_lsh_pairs(
         for j, (a, b) in enumerate(params)
     ]
     sig_cols = [f"_m{j}" for j in range(num_hashes)]
+    sig_input = post
+    if max_doc_freq is not None:
+        sig_input = post.join(
+            F.broadcast(_hot_posting_keys(post, max_doc_freq)), "sk", "left_anti"
+        )
     sig = (
-        post.groupBy("_id")
+        sig_input.groupBy("_id")
         .agg(F.count(F.lit(1)).alias("_n"), *aggs)
         .withColumn("minhash", F.array(*sig_cols))
         .select("_id", "_n", "minhash")
         .localCheckpoint()
     )
+    if max_doc_freq is not None:
+        # _n above counted only uncapped postings; jaccard needs the TRUE
+        # distinct-shingle sizes, from the full postings (tiny relation,
+        # broadcast-joined over the signature table)
+        sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_full"))
+        sig = (
+            sig.drop("_n")
+            .join(F.broadcast(sizes), "_id")
+            .withColumnRenamed("_n_full", "_n")
+        )
     # band-explode carrying _n, so the final Jaccard needs no size joins:
-    # candidate pairs leave the band join already knowing both set sizes
+    # candidate pairs leave the band join already knowing both set sizes.
+    # xxhash64 over the sliced long array directly — no per-band string
+    # building (see lsh_band_explode).
     band_expr = (
         f"transform(sequence(0, {bands - 1}), b -> struct(b as band_idx,"
-        f" xxhash64(concat_ws(',', transform(slice(minhash, b * {rows} + 1,"
-        f" {rows}), x -> cast(x as string)))) as band_hash))"
+        f" xxhash64(slice(minhash, b * {rows} + 1, {rows})) as band_hash))"
     )
     bands_df = sig.select(
         "_id", "_n", F.explode(F.expr(band_expr)).alias("band")

@@ -217,7 +217,7 @@ def label_centroids(
         label_col, F.posexplode(vec_col).alias("pos", "v")
     )
     by_pos = exploded.groupBy(label_col, "pos").agg(
-        F.avg(F.col("v").cast("double")).alias("m")
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
     )
     return (
         by_pos.groupBy(label_col)
@@ -231,24 +231,78 @@ def label_centroids(
     )
 
 
+# Session-lifetime IVF index cache: cache_key → (centroids, unit corpus).
+# Keyed by Spark applicationId so stale DataFrames from a dead session are
+# never served.
+_IVF_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    cache_key: tuple | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index ONCE: (tiny centroid table, corpus with
+    precomputed unit vectors partitioned by cell), both materialized via
+    localCheckpoint.
+
+    Index build and probe are separate phases by design: at 100 TB the
+    build is its own job writing parquet bucketed by cell (so a probe is a
+    partition-pruned scan), and queries must not pay a full-corpus pass —
+    round 1 rebuilt centroids inside every query execution, making the
+    "approximate" path slower than brute force (1.29 s vs 0.46 s at
+    sf0.1).  localCheckpoint is the local stand-in for the persisted
+    artifact.  Pass ``cache_key`` to reuse the index across queries within
+    a session.
+    """
+    if cache_key is not None:
+        hit = _IVF_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    cents = label_centroids(corpus, label_col, vec_col).coalesce(1).localCheckpoint()
+    units = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("cell"),
+            unit_vector_expr(vec_col).alias("c_unit"),
+        )
+        .repartition("cell")
+        .localCheckpoint()
+    )
+    idx = (cents, units)
+    if cache_key is not None:
+        _IVF_CACHE[cache_key] = idx
+    return idx
+
+
 def ivf_topk(
     queries: DataFrame,
-    corpus: DataFrame,
-    k: int,
+    corpus: DataFrame | None = None,
+    k: int = 5,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe only the ``nprobe`` cells whose
     centroids are nearest the query, then exact-score within those cells.
 
-    vs brute force: scoring cost × (nprobe/ncells); the corpus side is
-    pre-partitioned by cell, so each probe is a partition-pruned scan at
-    scale.  Approximate because the true neighbor may live in an unprobed
-    cell (tests measure recall against brute_force_topk).
+    Probe-only: takes a prebuilt ``index`` from :func:`ivf_build_index`
+    (or builds one uncached from ``corpus`` as a convenience).  The probe
+    touches the broadcast centroid table plus the probed cells' partitions
+    of the materialized unit corpus — scoring cost × (nprobe/ncells) vs
+    brute force, and no per-query HOF work on the corpus side at all.
+    Approximate because the true neighbor may live in an unprobed cell
+    (tests measure recall against brute_force_topk).
     """
-    cents = label_centroids(corpus, label_col, vec_col)
+    if index is None:
+        if corpus is None:
+            raise ValueError("ivf_topk needs either a corpus or a prebuilt index")
+        index = ivf_build_index(corpus, id_col, vec_col, label_col)
+    cents, units = index
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -264,13 +318,8 @@ def ivf_topk(
         .filter(F.col("prank") <= nprobe)
         .select("query_id", "q_unit", "cell")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        unit_vector_expr(vec_col).alias("c_unit"),
-        F.col(label_col).alias("cell"),
-    )
     scored = (
-        c.join(F.broadcast(probes), "cell")
+        units.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round(dot_expr("q_unit", "c_unit"), 6))
     )

@@ -39,7 +39,19 @@ def salted_join(
     rows uniformly across shards (a row id, a timestamp).  Deterministic:
     the same row always lands in the same shard, so retries and the
     correctness oracle both see identical results.
+
+    ``how`` is restricted to inner/left (big side preserved): the small
+    side is replicated ``salt`` ways before the join, so right/full outer
+    would emit each unmatched small-side row once PER SHARD — silently
+    wrong multiplicity.  Unmatched small-side rows need a different
+    construction (e.g. anti-join the small side back), so refuse rather
+    than corrupt.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "exploded small side would duplicate unmatched rows salt times"
+        )
     b = big.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt))
     )

@@ -55,21 +55,29 @@ def stream_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_tumbling_counts",
     oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            event_type,
            count(*)             AS n_events,
            round(sum(value), 4) AS total_value
-    FROM events
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
     GROUP BY 1, 2
     """,
     tags=("streaming", "window"),
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B50+B51: watermarked tumbling-window aggregate per event type.
+    """B50+B51: watermarked tumbling-window aggregate per event type, in
+    APPEND mode: a window row is emitted exactly once, when the watermark
+    passes its end, and its state is evicted.
 
-    Watermark bounds state: windows more than 10 minutes behind the max
-    event time close and their state is evicted — the 100 TB/unbounded-
-    stream requirement.  Batch oracle: date_trunc to the hour.
+    Append (not complete) is the unbounded-stream posture: complete mode
+    re-emits every window ever seen on each micro-batch — O(all windows)
+    sink traffic, the definitional scale-killer the watermark exists to
+    prevent (round 1 benched it at 76× the batch oracle).  The oracle is
+    restricted to the same closed set: windows whose end is at or before
+    max(ts) − 10 min (the final watermark of the replay); the final
+    no-data micro-batch of the availableNow run performs the flush.
     """
     s = events_stream(spark, sf_dir)
     agg = (
@@ -86,19 +94,27 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, "tumbling", mode="complete")
+    # state_partitions=4: window-count state is tiny at fixture scale and
+    # append runs 3 micro-batches (data + watermark + flush), so the
+    # per-batch state-store open cost dominates (measured 1.55s @ 8 →
+    # 1.18s @ 4 at sf0.1; flat below 4).
+    return run_to_memory(agg, "tumbling", mode="append", state_partitions=4)
 
 
 @register(
     "stream_sliding_avg",
     oracle="""
-    WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS k)
+    WITH offsets AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
              + INTERVAL 15 MINUTE * CAST(floor(minute(ts) / 15) AS INT)
              - INTERVAL 15 MINUTE * k            AS window_start,
            count(*)                              AS n_events,
            round(avg(value), 6)                  AS avg_value
-    FROM events, offsets
+    FROM events, offsets, wm
+    WHERE CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             + INTERVAL 15 MINUTE * CAST(floor(minute(ts) / 15) AS INT)
+             - INTERVAL 15 MINUTE * k + INTERVAL 1 HOUR <= wm.w
     GROUP BY 1
     """,
     tags=("streaming", "window"),
@@ -106,7 +122,11 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B52: sliding window (1h length, 15m slide) — each event lands in 4
     overlapping windows.  The oracle materializes the same 4-window
-    expansion with an unnest of slide offsets."""
+    expansion with an unnest of slide offsets.
+
+    Append mode, as on an unbounded stream: only windows the watermark has
+    closed (end ≤ max(ts) − 10 min) are emitted; complete mode would
+    re-emit all windows every batch."""
     s = events_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")
@@ -119,7 +139,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("window_start"), "n_events", "avg_value"
         )
     )
-    return run_to_memory(agg, "sliding", mode="complete")
+    return run_to_memory(agg, "sliding", mode="append")
 
 
 @register(
@@ -128,7 +148,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -137,14 +157,15 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM gaps
-    )
+    ), wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
     SELECT user_id,
            min(ts)                        AS session_start,
            max(ts) + INTERVAL 30 MINUTE   AS session_end,
            count(*)                       AS n_events,
            round(sum(value), 4)           AS total_value
-    FROM sess
-    GROUP BY user_id, sess_id
+    FROM sess, wm
+    GROUP BY user_id, sess_id, wm.w
+    HAVING max(ts) + INTERVAL 30 MINUTE <= wm.w
     """,
     tags=("streaming", "window", "session"),
 )
@@ -153,7 +174,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle reproduces session semantics in SQL via the classic
     islands-and-gaps construction — session_end = last event + gap, exactly
-    Spark's session_window.end definition.
+    Spark's session_window.end definition (END-EXCLUSIVE: an event at
+    exactly last_ts + 30 min starts a NEW session, hence the >= gap test).
+
+    Append mode: a session is emitted once, when the watermark passes its
+    end; the oracle keeps only sessions with end ≤ max(ts) − 10 min.
     """
     s = events_stream(spark, sf_dir)
     agg = (
@@ -171,7 +196,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, "sessions", mode="complete")
+    return run_to_memory(agg, "sessions", mode="append")
 
 
 @register(

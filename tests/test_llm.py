@@ -33,6 +33,48 @@ def test_minhash_lsh_equals_exact_unblocked(spark, sf_dir):
     assert len(_pairs(lsh)) > 0, "fixtures contain planted near-dups"
 
 
+def test_posting_frequency_cap_is_semantics_neutral_below_cap(spark, sf_dir):
+    """With the cap above the fixture's max shingle document-frequency the
+    capped operators must return EXACTLY the uncapped results (values
+    included — verification always recounts over full postings)."""
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+
+    def rows(df):
+        return sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect())
+
+    lsh_un = D.minhash_lsh_pairs(d, id_col="doc_id", threshold=0.5)
+    lsh_cap = D.minhash_lsh_pairs(
+        d, id_col="doc_id", threshold=0.5, max_doc_freq=500
+    )
+    assert rows(lsh_cap) == rows(lsh_un)
+    ex_un = D.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="lang", threshold=0.5
+    )
+    ex_cap = D.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="lang", threshold=0.5, max_doc_freq=500
+    )
+    assert rows(ex_cap) == rows(ex_un)
+
+
+def test_posting_frequency_cap_drops_hot_shingle_candidates(spark):
+    """A tiny cap must exclude pairs whose ONLY shared shingles are hot:
+    two docs sharing a boilerplate phrase present in every doc must not
+    surface as candidates once that phrase's shingles exceed the cap."""
+    boiler = "all rights reserved by the publisher"
+    rows = [(i, f"{boiler} unique{i} content{i} words{i} here{i}") for i in range(8)]
+    d = D.with_tokens(
+        spark.createDataFrame(rows, "doc_id int, text string")
+    ).withColumn("blk", F.lit(1))
+    un = D.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="blk", threshold=0.1
+    )
+    capped = D.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="blk", threshold=0.1, max_doc_freq=3
+    )
+    assert len(_pairs(un)) > 0, "boilerplate shingles create pairs uncapped"
+    assert _pairs(capped) == set(), "capped shingles generate no candidates"
+
+
 def test_simhash_separates_constructed_dups(spark):
     """On controlled data — two long docs differing in one token vs a
     disjoint-vocabulary doc — the near-dup pair must have a small Hamming

@@ -176,3 +176,17 @@ def test_salted_join_equals_plain_join(spark, rows, salt):
         (r["k"], r["v"], r["tag"]) for r in big.join(small, "k").collect()
     )
     assert got == want
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    """right/full outer would emit unmatched small-side rows once per shard
+    (the small side is exploded salt ways) — the operator must refuse."""
+    import pytest
+
+    from lambda_arc_events_filter_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10)], "k int, v int")
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "k int, tag string")
+    for how in ("right", "full", "outer", "left_semi"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, on="k", salt_col="v", salt=4, how=how)
