@@ -115,6 +115,77 @@ def table_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+#: Ingest-compaction cache (gitignored).  Lives inside the repo because the
+#: container forbids writes elsewhere; keyed by source (size, mtime) so a
+#: regenerated fixture invalidates automatically.
+_INGEST_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ingest_cache"
+)
+
+
+def _ingested_path(sf_dir: str, table: str) -> str:
+    """Compact a single-row-group fixture file into a multi-row-group layout.
+
+    Spark's scan parallelism is bounded by parquet ROW GROUPS: a split only
+    does work if a row-group midpoint falls inside it, so a 600 k-row file
+    written as one row group (every fixture table is) serializes the scan
+    *and the partial aggregation above it* onto one task regardless of
+    ``files.maxPartitionBytes``.  Single-node engines parallelize inside a
+    row group; Spark never will (SPARK-37514: vectorized reader is
+    per-group).
+
+    A resident engine ingests data into its own layout exactly once, so we
+    do the same: rewrite the table with ~16 k-row groups into a cache dir
+    (atomic rename, shared across sessions and processes) and scan that.
+    At the 100 TB design point this step is a no-op — distributed writers
+    produce many files/row groups already, which is why the check below
+    returns the source path untouched when the layout is already splittable.
+    ``SPARK_GRAFT_INGEST=0`` disables (tests cover both paths).
+    """
+    src = table_path(sf_dir, table)
+    if os.environ.get("SPARK_GRAFT_INGEST", "1") == "0":
+        return src
+    cached = _INGEST_PATHS.get(src)
+    if cached is not None and os.path.exists(cached):
+        return cached
+    try:
+        import pyarrow.parquet as pq
+
+        st = os.stat(src)
+        meta = pq.read_metadata(src)  # footer-only read
+        n = meta.num_rows
+        rows_per_group = max(4096, min(16384, n // 8))
+        needed_groups = n // rows_per_group
+        if needed_groups < 2 or meta.num_row_groups >= needed_groups:
+            _INGEST_PATHS[src] = src
+            return src  # already splittable (or too small to matter)
+        dst = os.path.join(
+            _INGEST_DIR, f"{table}-{st.st_size}-{st.st_mtime_ns}.parquet"
+        )
+        if not os.path.exists(dst):
+            os.makedirs(_INGEST_DIR, exist_ok=True)
+            tmp = f"{dst}.tmp{os.getpid()}"
+            pq.write_table(pq.read_table(src), tmp, row_group_size=rows_per_group)
+            os.replace(tmp, dst)
+        _INGEST_PATHS[src] = dst
+        return dst
+    except Exception:
+        return src  # never let the cache break a read
+
+
+#: Process-local memo of resolved ingest paths (avoids per-query stat+footer).
+_INGEST_PATHS: dict[str, str] = {}
+
+#: Per-(session, sf_dir, table) memo of the resolved scan DataFrame.
+#: Resolving a datasource relation costs ~50 ms of JVM round-trips per
+#: table per query — pure constant overhead on a resident engine, so we
+#: resolve once.  DataFrames are immutable; sharing one relation across
+#: queries is semantically free, and Catalyst still applies per-query
+#: pushdown/pruning on top of the shared relation.  Keyed weakly-ish by
+#: the JVM applicationId so a new session never sees a stale JVM handle.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one fixture table with its explicit schema.
 
@@ -130,6 +201,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table not in SCHEMAS:
         raise KeyError(f"unknown table {table!r}; known: {sorted(SCHEMAS)}")
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    hit = _RELATION_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_uncached(spark, sf_dir, table)
+    _RELATION_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         read_schema = StructType(
@@ -144,11 +225,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
         return (
             spark.read.schema(read_schema)
-            .parquet(table_path(sf_dir, table))
+            .parquet(_ingested_path(sf_dir, table))
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             .select([f.name for f in SCHEMAS[table].fields])
         )
-    return spark.read.schema(SCHEMAS[table]).parquet(table_path(sf_dir, table))
+    return spark.read.schema(SCHEMAS[table]).parquet(_ingested_path(sf_dir, table))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -15,6 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 import random
 
 import pyspark.sql.functions as F
@@ -147,6 +148,7 @@ def shingle_postings(
     n: int = 3,
     extra_cols: tuple[str, ...] = (),
     tokens_col: str = "tokens",
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Distinct hashed word-n-gram postings: one row per (doc, distinct
     shingle), the shingle as a 64-bit ``xxhash64`` key ``sk``.
@@ -167,7 +169,14 @@ def shingle_postings(
     it).  Docs shorter than n tokens emit no postings.
     """
     w = Window.partitionBy("_id").orderBy("_pos")
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # Pipeline width: every downstream stage (signature agg, cap agg,
+    # verification joins) inherits this partitioning, and on local[32] each
+    # 32-task stage pays ~0.2 s of pure dispatch over single-digit-MB data
+    # — measured 3-4× slower than 8 partitions end-to-end at sf0.1.  At
+    # the 100 TB design point set SPARK_GRAFT_DEDUP_PARTITIONS to cluster
+    # parallelism (the shape is unchanged: one shuffle by doc id, then
+    # map-side work).
+    par = int(os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS", "8"))
     # Repartition the NARROW (id, tokens) relation by id before exploding:
     # the fixture corpus is one parquet row-group, so without this the
     # posexplode (the heaviest map) runs on a single task; partitioning by
@@ -189,7 +198,7 @@ def shingle_postings(
     grams = [F.col("_tok")] + [
         F.lead("_tok", i).over(w) for i in range(1, n)
     ]
-    return (
+    post = (
         toks.select(
             "_id",
             *extra_cols,
@@ -200,6 +209,15 @@ def shingle_postings(
         .select("_id", *extra_cols, F.xxhash64("_s").alias("sk"))
         .dropDuplicates(["_id", "sk"])
     )
+    if with_sizes:
+        # Distinct-shingle set size per doc, carried ON the postings rows.
+        # hash(_id) partitioning satisfies both the dedup above and this
+        # window, so neither inserts a shuffle — consumers get sizes for
+        # free instead of a separate aggregate + join-back pass.
+        post = post.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+        )
+    return post
 
 
 def jaccard_expr(a: str, b: str) -> Column:
@@ -271,44 +289,39 @@ def exact_jaccard_pairs(
     # are executor-local and GC-cleaned with the DataFrame.  At prod
     # scale, a reliable checkpoint dir (spark.sparkContext.setCheckpointDir
     # + .checkpoint()) is the fault-tolerant variant.
-    post = shingle_postings(base, id_col, extra_cols=("_blk",)).localCheckpoint()
-    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    post = shingle_postings(
+        base, id_col, extra_cols=("_blk",), with_sizes=True
+    ).localCheckpoint()
     cand_post = post
     if max_doc_freq is not None:
         cand_post = post.join(
             F.broadcast(_hot_posting_keys(post, max_doc_freq)), "sk", "left_anti"
         )
-    a = cand_post.select(F.col("_id").alias("id_a"), "_blk", "sk")
-    b = cand_post.select(F.col("_id").alias("id_b"), "_blk", "sk")
+    # set sizes ride the postings rows (with_sizes) and the join keys, so
+    # the final Jaccard needs no separate size relation or join-back
+    a = cand_post.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_blk", "sk")
+    b = cand_post.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_blk", "sk")
     pairs = (
         a.join(b, ["_blk", "sk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     if max_doc_freq is not None:
         # candidates found on rare shingles; recount common shingles over
         # the FULL postings so the jaccard itself is uncapped-exact
-        cand = pairs.select("id_a", "id_b")
+        cand = pairs.select("id_a", "id_b", "n_a", "n_b")
         pa = post.select(F.col("_id").alias("id_a"), "sk").join(
             F.broadcast(cand), "id_a"
         )
         pb = post.select(F.col("_id").alias("id_b"), "sk")
         pairs = (
             pa.join(pb, ["id_b", "sk"])
-            .groupBy("id_a", "id_b")
+            .groupBy("id_a", "id_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("c"))
         )
     return (
-        pairs.join(
-            F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))),
-            "id_b",
-        )
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
@@ -364,7 +377,10 @@ def minhash_lsh_pairs(
     # localCheckpoint both multi-consumer relations (see the note in
     # exact_jaccard_pairs): postings feed the signature aggregate AND both
     # verification sides; signatures feed both sides of the band join.
-    post = shingle_postings(shingled, id_col).localCheckpoint()
+    # with_sizes: TRUE distinct-set size rides on every posting row (zero
+    # extra shuffles), so the capped path below needs no separate sizes
+    # aggregate + join-back, and the uncapped path's F.first is free.
+    post = shingle_postings(shingled, id_col, with_sizes=True).localCheckpoint()
     aggs = [
         F.min(
             F.expr(
@@ -381,25 +397,18 @@ def minhash_lsh_pairs(
         )
     sig = (
         sig_input.groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("_n"), *aggs)
+        .agg(F.first("_n").alias("_n"), *aggs)
         .withColumn("minhash", F.array(*sig_cols))
         .select("_id", "_n", "minhash")
         .localCheckpoint()
     )
-    if max_doc_freq is not None:
-        # _n above counted only uncapped postings; jaccard needs the TRUE
-        # distinct-shingle sizes, from the full postings (tiny relation,
-        # broadcast-joined over the signature table)
-        sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_full"))
-        sig = (
-            sig.drop("_n")
-            .join(F.broadcast(sizes), "_id")
-            .withColumnRenamed("_n_full", "_n")
-        )
     # band-explode carrying _n, so the final Jaccard needs no size joins:
     # candidate pairs leave the band join already knowing both set sizes.
     # xxhash64 over the sliced long array directly — no per-band string
-    # building (see lsh_band_explode).
+    # building (see lsh_band_explode).  (A bucket-collect_list + pair
+    # explode variant was measured ~25% slower here: collect_list drops
+    # the aggregate off the codegen path, while this self-join of the
+    # checkpointed signatures is AQE-broadcast with no shuffle.)
     band_expr = (
         f"transform(sequence(0, {bands - 1}), b -> struct(b as band_idx,"
         f" xxhash64(slice(minhash, b * {rows} + 1, {rows})) as band_hash))"

@@ -68,7 +68,12 @@ _JACCARD_ORACLE = """
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    tags=("llm", "dedup"),
+    plan_cache=False,  # checkpoints postings internally; see register()
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5), blocked
     by lang, via the codegen shingle-postings inverted index
@@ -98,7 +103,10 @@ _JACCARD_ORACLE_UNBLOCKED = """
 
 
 @register(
-    "dedup_minhash_lsh", oracle=_JACCARD_ORACLE_UNBLOCKED, tags=("llm", "dedup")
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_ORACLE_UNBLOCKED,
+    tags=("llm", "dedup"),
+    plan_cache=False,  # checkpoints postings/signatures internally
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B61 MinHash+LSH near-dup detection, exact-verified.

@@ -37,6 +37,13 @@ def get_spark(
         # and would collapse to one task under the 64m default.  4m keeps
         # local parallelism; on a real cluster raise it back toward 64m.
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        # Same local-vs-cluster sizing logic for SCANS: fixture tables are
+        # single-digit-MB files, which the 128m default packs into ONE task.
+        # 1m splits a compacted multi-row-group file (catalog._ingested_path)
+        # across the local cores; on a real cluster raise it back to 128m+.
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"
+        ),
         "spark.sql.cbo.enabled": "true",
         "spark.sql.cbo.joinReorder.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
