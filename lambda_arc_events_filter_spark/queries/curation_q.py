@@ -1,0 +1,322 @@
+"""Training-data curation queries beyond the core dedup/text family:
+Gopher-style repetition rules, PII redaction, deterministic stratified
+sampling (domain mixing), benchmark-contamination screening, and
+connected-components dedup clustering (pairs → transitive closure).
+
+Each is driver-mandate surface (SURVEY.md §2 addendum: "operations a
+large-scale training-data pipeline would need") with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.operators import dedup as D
+from lambda_arc_events_filter_spark.operators.graph import connected_components
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Repetition rules (Gopher/MassiveText-style quality filtering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_rules",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') sp FROM documents),
+    pos AS (SELECT doc_id, unnest(sp) w, generate_subscripts(sp, 1) i FROM t),
+    wc AS (SELECT doc_id, w, count(*) c FROM pos GROUP BY 1, 2),
+    ws AS (SELECT doc_id, max(c) top_cnt, CAST(sum(c) AS BIGINT) n_tokens
+           FROM wc GROUP BY 1),
+    bg0 AS (SELECT doc_id,
+                   w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bg,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL AS ok
+            FROM pos),
+    bgc AS (SELECT doc_id, bg, count(*) c FROM bg0 WHERE ok GROUP BY 1, 2),
+    bgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_bg, count(*) n_dist
+            FROM bgc GROUP BY 1)
+    SELECT ws.doc_id,
+           n_tokens,
+           round(top_cnt * 1.0 / n_tokens, 6)        AS top_word_frac,
+           round((n_bg - n_dist) * 1.0 / n_bg, 6)    AS dup_bigram_frac,
+           (n_tokens >= 20
+            AND top_cnt * 1.0 / n_tokens <= 0.15
+            AND (n_bg - n_dist) * 1.0 / n_bg <= 0.10) AS keep
+    FROM ws JOIN bgs ON ws.doc_id = bgs.doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics + keep/drop gate, the
+    Gopher-rules shape: most-frequent-word fraction and duplicate-bigram
+    fraction per document, thresholded alongside a length floor.
+
+    Both metrics derive from one posexplode of the token array: word
+    counts aggregate it directly; bigrams come from a window ``lead`` over
+    (doc, position) — the same codegen-only shingling strategy as
+    ``operators/dedup.shingle_postings`` (array-lambda HOFs are
+    interpreted; see that docstring).  Two aggregation branches over the
+    exploded relation, each map-side combinable; at 100 TB this is two
+    shuffles of (doc, term) pairs, no row ever wider than a few tokens.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("sp")
+    )
+    pos = toks.repartition(8, "doc_id").select(
+        "doc_id", F.posexplode("sp").alias("i", "w")
+    )
+    ws = (
+        pos.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("i")
+    nxt = F.lead("w", 1).over(wspec)
+    bgs = (
+        pos.select(
+            "doc_id", F.concat_ws(" ", F.col("w"), nxt).alias("bg"), nxt.alias("_nx")
+        )
+        .filter(F.col("_nx").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bg"), F.count(F.lit(1)).alias("n_dist"))
+    )
+    top_frac = F.col("top_cnt") / F.col("n_tokens")
+    dup_frac = (F.col("n_bg") - F.col("n_dist")) / F.col("n_bg")
+    return (
+        ws.join(bgs, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens"),
+            F.round(top_frac, 6).alias("top_word_frac"),
+            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            (
+                (F.col("n_tokens") >= 20)
+                & (top_frac <= 0.15)
+                & (dup_frac <= 0.10)
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_redaction_scan",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '[ID]', 'g') AS masked_name,
+           CAST(length(c_name)
+                - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+             AS BIGINT)                                   AS n_digits,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)
+                                                          AS extracted_id,
+           regexp_matches(c_name, '[0-9]{6,}')            AS has_long_digit_run
+    FROM customer
+    """,
+    tags=("llm", "curation"),
+)
+def pii_redaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style detect/extract/redact over an identifier-bearing column:
+    mask digit runs, count digit characters, extract the numeric id, flag
+    long runs.  The regex machinery (replace-all, char-class count,
+    capture-group extract, run-length detect) is exactly what an email /
+    phone / SSN scrubber runs per document at corpus scale — pure
+    codegen'd string expressions in one map stage, no shuffle at all.
+    Patterns stay within the regex subset where Java (Spark) and RE2
+    (DuckDB oracle) agree.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "[ID]").alias("masked_name"),
+        (
+            F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+        ).cast("long").alias("n_digits"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).cast("long").alias("extracted_id"),
+        F.col("c_name").rlike("[0-9]{6,}").alias("has_long_digit_run"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (domain mixing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle="""
+    WITH k AS (
+      SELECT lang, source,
+             CASE WHEN (doc_id * 2654435761) % 100 <
+                       (CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50
+                                  ELSE 20 END)
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents)
+    SELECT lang, source,
+           count(*)                       AS n_total,
+           CAST(sum(kept) AS BIGINT)      AS n_kept,
+           round(avg(kept * 1.0), 6)      AS kept_frac
+    FROM k GROUP BY 1, 2
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing primitive: a
+    target rate per language (en 80%, zh 50%, rest 20%), membership decided
+    by an arithmetic hash of the stable doc id (Knuth multiplicative), so
+    the sample is reproducible run-to-run and engine-to-engine (no rand()).
+    One map stage + one aggregate; at 100 TB the filter form
+    (``WHERE hash < rate``) feeds the writer directly with zero shuffles,
+    this accounting form adds one.
+    """
+    d = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(20)
+    )
+    kept = (
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) < rate
+    ).cast("int")
+    return (
+        d.select("lang", "source", kept.alias("kept"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.avg(F.col("kept") * 1.0), 6).alias("kept_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_ngram_screen",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+    pos AS (SELECT doc_id, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+    sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+           FROM pos a
+           JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+    n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    shared AS (SELECT doc_id, count(*) c FROM sh
+               WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench)
+               GROUP BY 1)
+    SELECT shared.doc_id,
+           n.n                      AS n_shingles,
+           shared.c                 AS n_shared,
+           round(shared.c * 1.0 / n.n, 6) AS overlap_frac,
+           shared.c * 1.0 / n.n >= 0.5    AS contaminated
+    FROM shared JOIN n ON shared.doc_id = n.doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: fraction of each corpus document's
+    distinct 3-gram shingles that appear anywhere in a held-out benchmark
+    set (here: every 97th document), flagged at ≥50% overlap.
+
+    Same inverted-index shape as the dedup family: hashed shingle postings
+    (``shingle_postings``, codegen window form), benchmark key set
+    broadcast, LEFT SEMI join + per-doc count — the benchmark side of a
+    contamination check is always broadcast-small (eval suites are MBs,
+    corpora are TBs), so the corpus is never shuffled at all.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    post = D.shingle_postings(d, "doc_id", with_sizes=True)
+    bench_keys = (
+        post.filter(F.col("_id") % 97 == 0).select("sk").distinct()
+    )
+    return (
+        post.filter(F.col("_id") % 97 != 0)
+        .join(F.broadcast(bench_keys), "sk", "left_semi")
+        .groupBy("_id", "_n")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.col("_n").alias("n_shingles"),
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("_n"), 6).alias("overlap_frac"),
+            (F.col("n_shared") / F.col("_n") >= 0.5).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup clustering
+# ---------------------------------------------------------------------------
+
+#: Exact unblocked 3-gram Jaccard pairs at ≥0.5 — the edge relation.  Kept
+#: as a CTE fragment so the recursive-closure oracle below builds on the
+#: exact pair set the Spark side also starts from (same set
+#: ``dedup_minhash_lsh`` verifies against).
+_PAIR_CTE = """
+    tok AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+    pos AS (SELECT doc_id, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+    sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+           FROM pos a
+           JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+    n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pair AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+    edge AS (SELECT id_a, id_b
+             FROM pair
+             JOIN n nx ON id_a = nx.doc_id
+             JOIN n ny ON id_b = ny.doc_id
+             WHERE c * 1.0 / (nx.n + ny.n - c) >= 0.5)
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIR_CTE},
+    sym AS (SELECT id_a a, id_b b FROM edge
+            UNION ALL SELECT id_b, id_a FROM edge),
+    reach(src, dst) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    tags=("llm", "curation", "dedup"),
+    plan_cache=False,  # iterative: checkpoints label relation per round
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: transitive closure over the exact
+    unblocked Jaccard ≥0.5 pair set via iterative min-label propagation
+    (``operators/graph.connected_components``).  ``cluster_id`` is the
+    minimum doc id of the component — the deterministic keeper a dedup
+    writer would retain.  The oracle computes the same closure with a
+    recursive CTE over the identical pair set.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
+        "_one", F.lit(1)
+    )
+    pairs = D.exact_jaccard_pairs(d, id_col="doc_id", block_col="_one", threshold=0.5)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

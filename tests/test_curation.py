@@ -1,0 +1,91 @@
+"""Unit tests for the curation family: connected components semantics,
+deterministic sampling, repetition metrics on constructed documents."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lambda_arc_events_filter_spark.operators.graph import connected_components
+from lambda_arc_events_filter_spark.registry import specs
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    out = connected_components(edges, src="src", dst="dst")
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_cc_chain_collapses_to_min(spark):
+    # 1-2, 2-3, 3-4: a diameter-3 chain — multiple propagation rounds
+    labels = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_separate_components(spark):
+    labels = _cc(spark, [(10, 20), (20, 11), (5, 6), (100, 7)])
+    assert labels == {10: 10, 20: 10, 11: 10, 5: 5, 6: 5, 100: 7, 7: 7}
+
+
+def test_cc_triangle_and_self_edge(spark):
+    labels = _cc(spark, [(3, 2), (2, 1), (1, 3), (9, 9)])
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_cc_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges, "src", "dst").count() == 0
+
+
+def test_cluster_ids_are_component_minima(spark, sf_dir):
+    """Every cluster_id must itself be a member of the cluster and its
+    minimum — the deterministic-keeper contract."""
+    out = specs()["dedup_connected_components"].fn(spark, sf_dir)
+    rows = [(r["doc_id"], r["cluster_id"]) for r in out.collect()]
+    by_cluster: dict[int, list[int]] = {}
+    for doc, cl in rows:
+        by_cluster.setdefault(cl, []).append(doc)
+    for cl, members in by_cluster.items():
+        assert cl == min(members)
+        assert cl in members
+
+
+def test_stratified_sampling_deterministic(spark, sf_dir):
+    fn = specs()["corpus_sample_stratified"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+    # rates land near targets in aggregate (loose: small strata wobble)
+    kept = {(r[0]): 0 for r in a}
+    tot = dict(kept)
+    for lang, _src, n_total, n_kept, _frac in a:
+        tot[lang] = tot.get(lang, 0) + n_total
+        kept[lang] = kept.get(lang, 0) + n_kept
+    for lang, target in [("en", 0.8), ("zh", 0.5)]:
+        if tot.get(lang, 0) >= 50:
+            assert abs(kept[lang] / tot[lang] - target) < 0.25
+
+
+def test_repetition_flags_constructed_docs(spark):
+    import lambda_arc_events_filter_spark.queries.curation_q as Q
+
+    docs = spark.createDataFrame(
+        [
+            # 30 distinct-ish tokens, no repeated bigram -> keep
+            (1, " ".join(f"w{i}" for i in range(30))),
+            # 'spam ham' repeated 15x -> dup_bigram_frac ~1, top ~0.5 -> drop
+            (2, " ".join(["spam", "ham"] * 15)),
+            # too short -> drop
+            (3, "a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    orig = Q.load
+    Q.load = lambda spark_, sf_, table: docs  # noqa: ARG005
+    try:
+        out = {
+            r["doc_id"]: r["keep"]
+            for r in Q.text_repetition_rules(spark, "ignored").collect()
+        }
+    finally:
+        Q.load = orig
+    assert out == {1: True, 2: False, 3: False}
