@@ -171,12 +171,13 @@ def shingle_postings(
     w = Window.partitionBy("_id").orderBy("_pos")
     # Pipeline width: every downstream stage (signature agg, cap agg,
     # verification joins) inherits this partitioning, and on local[32] each
-    # 32-task stage pays ~0.2 s of pure dispatch over single-digit-MB data
-    # — measured 3-4× slower than 8 partitions end-to-end at sf0.1.  At
-    # the 100 TB design point set SPARK_GRAFT_DEDUP_PARTITIONS to cluster
-    # parallelism (the shape is unchanged: one shuffle by doc id, then
-    # map-side work).
-    par = int(os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS", "8"))
+    # 32-task stage pays ~0.2 s of pure dispatch over single-digit-MB data.
+    # Measured at sf0.1 (minhash+jaccard wall): 32 ≈ 3-4× slower than 8;
+    # 8 → 5.0 s, 4 → 4.0-4.3 s, 2 → 5.1 s (compute-starved).  4 is the
+    # sweet spot at fixture scale.  At the 100 TB design point set
+    # SPARK_GRAFT_DEDUP_PARTITIONS to cluster parallelism (the shape is
+    # unchanged: one shuffle by doc id, then map-side work).
+    par = int(os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS", "4"))
     # Repartition the NARROW (id, tokens) relation by id before exploding:
     # the fixture corpus is one parquet row-group, so without this the
     # posexplode (the heaviest map) runs on a single task; partitioning by

@@ -119,9 +119,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b=16/r=6 recall is ≈1 (P[miss] = (1-J^6)^16 ≈ 1e-5 at J=0.89, <1e-12
     at J=0.98) — verified exactly on both gate SFs by tests + tools/check.
 
-    max_doc_freq=500 exercises the stop-shingle cap (the 100 TB skew
-    lever): semantics-neutral here (fixture max shingle df is 25/5000
-    docs — pytest pins capped == uncapped), load-bearing on a real corpus.
+    Uncapped: a 5000-doc fixture corpus has no stop-shingles (max df
+    25/5000), so the posting-frequency cap would be a pure no-op pass here
+    (measured +1.0 s at sf0.1: one extra full-postings aggregate + a
+    broadcast barrier before the signature stage).  The capped path — the
+    100 TB skew lever — is driver-verified separately as
+    ``dedup_minhash_lsh_capped`` below; pytest pins capped == uncapped.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    return D.minhash_lsh_pairs(d, id_col="doc_id", threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle=_JACCARD_ORACLE_UNBLOCKED,
+    tags=("llm", "dedup"),
+    plan_cache=False,  # checkpoints postings/signatures internally
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the posting-frequency cap engaged (max_doc_freq=500):
+    stop-shingles above the cap are anti-joined out of the signature input
+    before the permutation mins (operators/dedup.py::minhash_lsh_pairs).
+
+    On a real corpus this is THE residual-skew lever — a "the end of"
+    shingle floods every signature and its posting list melts one reducer;
+    here it is semantics-neutral (fixture max df 25 < 500, so output ==
+    ``dedup_minhash_lsh`` == the exact all-pairs oracle), which is exactly
+    what makes it driver-verifiable: same oracle, same rows, cap engaged.
+    Verification always counts over full postings, so emitted jaccard
+    values stay exact even when the cap does bite.
     """
     d = D.with_tokens(load(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(d, id_col="doc_id", threshold=0.5, max_doc_freq=500)
