@@ -320,3 +320,263 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (domain capping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_cap",
+    oracle="""
+    WITH rk AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, n_chars, rk
+    FROM rk WHERE rk <= 40
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the over-represented-source limiter every
+    web-scale mix applies (keep the best N documents per domain, drop the
+    tail): rank within source by length desc (doc_id tiebreak, so the
+    keeper set is deterministic), keep rank ≤ 40.
+
+    The rank≤N filter sits directly on the row_number, which Spark rewrites
+    to WindowGroupLimit: each map task keeps only its local top-40 per
+    source BEFORE the shuffle, so the exchange moves O(sources × 40) rows,
+    not the corpus — the same plan shape ``window_topk_per_group``'s plan
+    test pins.  At 100 TB a mega-domain (wikipedia.org) is the classic
+    window skew; the group-limit pushdown is exactly the mitigation, and
+    ranking by a precomputed quality column keeps the sort cheap.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pack_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t)
+    SELECT lang,
+           (cum - n_tok) // 2048     AS chunk_id,
+           count(*)                  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+           min(doc_id)               AS first_doc,
+           max(doc_id)               AS last_doc
+    FROM c
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining shards: concatenate documents in a
+    stable order (doc_id within lang) and cut every 2048 tokens — each
+    document joins the chunk where its first token lands.  This is the
+    concat-and-split packing GPT-style pipelines run before tokenized
+    shards are written; the output is the chunk manifest (doc count, token
+    count, doc-id span per chunk).
+
+    One running-sum window per lang partition and one aggregate — a single
+    shuffle by lang.  The integer chunk arithmetic ((cum − n_tok) div 2048)
+    is BIGINT in both engines (no floor(): Spark floor returns LONG while
+    DuckDB's returns DOUBLE — the fn_math_suite type-drift lesson).  At
+    100 TB packing runs within (lang, shard) boundaries so the window never
+    sees a skewed mega-partition; the manifest shape is unchanged.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        t.select(
+            "lang",
+            F.expr("(cum - n_tok) div 2048").alias("chunk_id"),
+            "doc_id",
+            "n_tok",
+        )
+        .groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile outlier filter (winsorized accounting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_quantile_outlier_filter",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 4) AS lo,
+             round(quantile_cont(value, 0.95), 4) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT e.event_type,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE value >= lo AND value <= hi) AS n_kept,
+           round(count(*) FILTER (WHERE value >= lo AND value <= hi)
+                 * 1.0 / count(*), 6) AS kept_frac,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                      FILTER (WHERE value >= lo AND value <= hi) AS DOUBLE)
+                 / count(*) FILTER (WHERE value >= lo AND value <= hi),
+                 4) AS avg_kept
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("llm", "curation"),
+)
+def events_quantile_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile outlier filter — the numeric-feature winsorizer of a
+    data-quality pass: per-group exact p05/p95 bounds (sort-based
+    ``group_percentile_cont``, the no-OOM percentile from agg_stats),
+    broadcast back onto the stream, and per-group kept/total accounting.
+
+    Bounds round to 4 before comparison so both engines filter on
+    identical numbers; the kept-value average aggregates DECIMAL(18,6)
+    (order-insensitive exact, the corpus_curation_pipeline lesson) and
+    divides in double only at the end.  Plan: one window pass for bounds
+    over groups, a broadcast hash join (bounds relation = one row per
+    group), one aggregate — the corpus scans twice, shuffles once.
+    """
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = group_percentile_cont(
+        e, ["event_type"], "value", {"lo": 0.05, "hi": 0.95}
+    ).select(
+        "event_type",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+    )
+    kept = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.round(
+                F.count(F.when(kept, 1)) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("kept_frac"),
+            F.round(
+                F.sum(
+                    F.when(kept, F.col("value").cast("decimal(18,6)"))
+                ).cast("double")
+                / F.count(F.when(kept, 1)),
+                4,
+            ).alias("avg_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental snapshot dedup (new-batch ingestion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle="""
+    WITH snap AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 4),
+    batch AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents WHERE doc_id % 5 = 4),
+    f AS (
+      SELECT b.doc_id, b.lang,
+             s.h IS NOT NULL            AS in_snap,
+             b.doc_id = b.keeper        AS is_keeper
+      FROM batch b LEFT JOIN snap s ON b.h = s.h)
+    SELECT lang,
+           count(*) AS n_batch,
+           count(*) FILTER (WHERE NOT in_snap AND is_keeper) AS n_kept,
+           count(*) FILTER (WHERE in_snap)                   AS n_drop_snapshot,
+           count(*) FILTER (WHERE NOT in_snap AND NOT is_keeper)
+                                                             AS n_drop_within
+    FROM f GROUP BY 1
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup at ingestion time — the shape of every
+    continuously-crawled corpus: an arriving batch (docs with
+    doc_id % 5 = 4) is deduplicated against the already-ingested snapshot
+    (the other 80%) AND within itself.  A batch row survives iff its
+    content hash is absent from the snapshot and it is the lowest-id
+    holder of that hash inside the batch; the result is per-lang ingestion
+    accounting (kept / dropped-vs-snapshot / dropped-within).
+
+    Content identity is md5 (cross-engine-reproducible, unlike xxhash64 —
+    the doc_fingerprints lesson).  Plan: the snapshot collapses to its
+    distinct hash set BEFORE the join (map-side combinable distinct), the
+    batch joins it on the hash key, the within-batch keeper is a min-window
+    on the same key — one shuffle each side, both on h.  At 100 TB the
+    snapshot key set lives as a sorted/bucketed hash table keyed by h
+    (or a bloom filter in front of it: a miss — the common case for fresh
+    crawl — then skips the join probe entirely); the batch side is always
+    the small one, exactly this join orientation.
+    """
+    d = load(spark, sf_dir, "documents")
+    snap = (
+        d.filter(F.col("doc_id") % 5 != 4)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .withColumn("_in_snap", F.lit(True))
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 4).select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    batch = batch.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    f = batch.join(snap, "h", "left").select(
+        "lang",
+        F.coalesce(F.col("_in_snap"), F.lit(False)).alias("in_snap"),
+        (F.col("doc_id") == F.col("keeper")).alias("is_keeper"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(~F.col("in_snap") & F.col("is_keeper"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("in_snap"), 1)).alias("n_drop_snapshot"),
+        F.count(F.when(~F.col("in_snap") & ~F.col("is_keeper"), 1)).alias(
+            "n_drop_within"
+        ),
+    )
