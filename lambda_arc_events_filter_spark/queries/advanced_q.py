@@ -3,8 +3,10 @@ streaming (B55)."""
 
 from __future__ import annotations
 
+import uuid
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.operators.asof import asof_join
@@ -191,3 +193,129 @@ if tws_available():
         """,
         tags=("streaming", "stateful"),
     )(_stream_stateful_user_stats)
+
+
+# ---------------------------------------------------------------------------
+# Pivot / conditional cross-tab
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_event_type_matrix",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event-type counts cross-tabbed per user cohort.
+
+    The pivot values are ENUMERATED (not discovered): ``pivot(col)`` with
+    no value list runs an extra collect-distinct job over the corpus
+    before the real aggregation — at 100 TB that is a full scan just to
+    learn the column names.  With the list supplied the pivot compiles to
+    one pass of conditional aggregates (exactly the oracle's FILTER form),
+    map-side combinable, one shuffle of (cohorts × types) partial cells.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (EXISTS + scalar) through the SQL front door
+# ---------------------------------------------------------------------------
+
+_CORRELATED_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE)
+            FROM {orders} o2
+            WHERE o2.o_custkey = c.c_custkey) AS total_order_value
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM {orders} o3
+                      WHERE o3.o_custkey = c.c_custkey
+                        AND o3.o_orderstatus = 'F'
+                        AND o3.o_totalprice < 1000)
+"""
+
+
+@register(
+    "subquery_correlated",
+    oracle=_CORRELATED_SQL.format(customer="customer", orders="orders"),
+    tags=("join", "sql"),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS / scalar subqueries — the SQL forms
+    users actually write instead of semi/anti/aggregate joins.  Catalyst
+    decorrelates all three (RewritePredicateSubquery → left-semi and
+    left-anti hash joins; RewriteCorrelatedScalarSubquery → an aggregate
+    + outer join), so the physical plan is the same shuffled-join shape as
+    ``join_semi``/``join_anti`` — nothing executes per-row.  Identical SQL
+    text runs on both engines.  The scalar aggregates DECIMAL (exact,
+    order-insensitive): an avg-of-doubles here can land exactly on a
+    rounding half (saw 1287637.63/8 = ...70375 split the engines — Java
+    rounds the shortest string, DuckDB the binary value).
+    """
+    suffix = uuid.uuid4().hex[:6]
+    names = {}
+    for t in ("customer", "orders"):
+        names[t] = f"{t}_{suffix}"
+        load(spark, sf_dir, t).createOrReplaceTempView(names[t])
+    return spark.sql(_CORRELATED_SQL.format(**names))
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frames (value-based, not row-based)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           count(*) OVER w                     AS n_within_10k,
+           round(sum(o_totalprice) OVER w, 2)  AS sum_within_10k
+    FROM orders
+    WHERE o_totalprice > 250000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame — value-based bounds (all orders within $10k
+    below the current price), the frame semantics ROWS frames can't
+    express when ties and gaps matter.  Deterministic under ties by
+    construction: every peer row shares the same frame, so no ordering
+    ambiguity leaks into the result (unlike ROWS frames over ties).
+    One shuffle on the partition key, one sort, single window pass.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_within_10k"),
+    )

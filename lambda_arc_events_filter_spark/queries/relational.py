@@ -472,7 +472,8 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_rows,
            round(sum(l_extendedprice), 2) AS total_price,
-           round(avg(l_discount), 6)      AS avg_disc,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6)           AS avg_disc,
            min(l_shipdate)                AS first_ship,
            max(l_shipdate)                AS last_ship
     FROM lineitem
@@ -485,7 +486,15 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        # DECIMAL sum then one double division: avg(double) is
+        # association-sensitive in the last ulp, and round(...,6) can land
+        # exactly on the boundary (saw 0.049918 vs 0.049919 flip with the
+        # ingest-compacted partition order)
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_disc"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
