@@ -19,6 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Shuffle width sized to the benched SF, not the core count: at sf0.1 the
+# shuffled stages are single-digit MB, where 32 initial partitions cost
+# more dispatch than AQE's coalesce can claw back (measured full-headline
+# wall at local[16]: 32 -> 12.8 s, 16 -> 10.6 s, 8 -> 11.6 s).  On a real
+# cluster SPARK_GRAFT_SHUFFLE is set to ~2-3x total cores (see SCALE.md).
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
+
 from lambda_arc_events_filter_spark.registry import specs
 from lambda_arc_events_filter_spark.session import get_spark
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import random
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
@@ -380,29 +381,33 @@ def minhash_lsh_pairs(
     # verification sides; signatures feed both sides of the band join.
     # with_sizes: TRUE distinct-set size rides on every posting row (zero
     # extra shuffles), so the capped path below needs no separate sizes
-    # aggregate + join-back, and the uncapped path's F.first is free.
+    # aggregate + join-back, and the uncapped path's first(_n) is free.
     post = shingle_postings(shingled, id_col, with_sizes=True).localCheckpoint()
-    aggs = [
-        F.min(
-            F.expr(
-                f"pmod({a}L * pmod(sk, {MINHASH_P}) + {b}L, {MINHASH_P})"
-            )
-        ).alias(f"_m{j}")
-        for j, (a, b) in enumerate(params)
-    ]
-    sig_cols = [f"_m{j}" for j in range(num_hashes)]
     sig_input = post
     if max_doc_freq is not None:
         sig_input = post.join(
             F.broadcast(_hot_posting_keys(post, max_doc_freq)), "sk", "left_anti"
         )
-    sig = (
-        sig_input.groupBy("_id")
-        .agg(F.first("_n").alias("_n"), *aggs)
-        .withColumn("minhash", F.array(*sig_cols))
-        .select("_id", "_n", "minhash")
-        .localCheckpoint()
+    # The k permutation mins are emitted as ONE spark.sql string rather
+    # than k Column objects: building 96 F.min(F.expr(...)).alias()
+    # aggregates costs ~300 py4j round-trips ≈ 0.7 s of pure client-side
+    # plan construction per call (a third of this query's wall at sf0.1).
+    # The SQL text parses JVM-side in one call and analyzes to the
+    # identical aggregate plan.
+    spark = sig_input.sparkSession
+    view = f"_mh_post_{uuid.uuid4().hex[:8]}"
+    sig_input.createOrReplaceTempView(view)
+    mins = ", ".join(
+        f"min(pmod({a}L * pmod(sk, {MINHASH_P}) + {b}L, {MINHASH_P}))"
+        f" AS _m{j}"
+        for j, (a, b) in enumerate(params)
     )
+    arr = ", ".join(f"_m{j}" for j in range(num_hashes))
+    sig = spark.sql(
+        f"SELECT _id, _n, array({arr}) AS minhash FROM"
+        f" (SELECT _id, first(_n) AS _n, {mins} FROM {view} GROUP BY _id)"
+    ).localCheckpoint()
+    spark.catalog.dropTempView(view)
     # band-explode carrying _n, so the final Jaccard needs no size joins:
     # candidate pairs leave the band join already knowing both set sizes.
     # xxhash64 over the sliced long array directly — no per-band string
