@@ -94,11 +94,13 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    # state_partitions=4: window-count state is tiny at fixture scale and
-    # append runs 3 micro-batches (data + watermark + flush), so the
-    # per-batch state-store open cost dominates (measured 1.55s @ 8 →
-    # 1.18s @ 4 at sf0.1; flat below 4).
-    return run_to_memory(agg, "tumbling", mode="append", state_partitions=4)
+    # state_partitions=2: window-count state is tiny at fixture scale and
+    # append runs data + flush micro-batches, so the per-batch RocksDB
+    # instance-open cost dominates (measured at sf0.1: 1.9s @ 4 → 1.5s @ 2
+    # → 1.3s @ 1; 2 keeps the stateful stage non-degenerate).  State
+    # partitions are a CAPACITY knob sized to state volume — see
+    # run_to_memory's docstring for the 100 TB posture.
+    return run_to_memory(agg, "tumbling", mode="append", state_partitions=2)
 
 
 @register(
