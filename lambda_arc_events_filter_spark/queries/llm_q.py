@@ -782,3 +782,118 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, n_chars,
+                      split_part(text, ' ', 1) AS first_tok,
+                      CAST(floor(n_chars / 64) AS INT) AS len_b
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM d a JOIN d b
+      ON a.first_tok = b.first_tok AND a.len_b = b.len_b
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 0.1 * greatest(a.n_chars, b.n_chars)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection with entity-resolution blocking —
+    the character-level complement to the token-level MinHash/Jaccard
+    family (catches single-character edits that shift every shingle).
+
+    Scale shape: the quadratic levenshtein verification runs only WITHIN
+    blocks — the block key (first token, length bucket) is a plain equi-join
+    that shuffles each block to one partition, never all-pairs across the
+    corpus.  Recall trade-off is explicit and standard for blocking: a
+    near-dup pair differing in its first token or straddling a length
+    boundary is missed; at 100 TB you widen recall with a second blocking
+    pass on a different key (e.g. last token), each pass staying an
+    equi-join.  Both engines block identically, so the oracle is exact.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.element_at(F.split("text", " "), 1).alias("first_tok"),
+        F.floor(F.col("n_chars") / 64).cast("int").alias("len_b"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.first_tok") == F.col("b.first_tok"))
+            & (F.col("a.len_b") == F.col("b.len_b"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.text"), F.col("b.text")))
+        .filter(
+            F.col("edit_dist")
+            <= 0.1 * F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "edit_dist",
+        )
+    )
+
+
+#: Chunking geometry: 32-token windows advancing 24 tokens (8-token overlap)
+#: — the standard pretraining-tokenizer feed shape, scaled to the ~30-60
+#: token fixture docs.
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "doc_chunk_token_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                      unnest(range(0, len(toks), {_STRIDE})) AS start
+               FROM t)
+    SELECT doc_id,
+           CAST(start // {_STRIDE} AS INT)            AS chunk_id,
+           array_to_string(toks[start + 1 : start + {_CHUNK}], ' ')
+                                                      AS chunk_text,
+           CAST(least({_CHUNK}, len(toks) - start) AS INT) AS n_tokens
+    FROM c
+    """,
+    tags=("llm", "chunk"),
+)
+def doc_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking into overlapping fixed-token windows — the step
+    that turns a curated corpus into training sequences (every pretraining
+    pipeline runs it between dedup and tokenization).
+
+    Pure narrow plan: split → sequence of window starts → explode → slice.
+    No shuffle at all — chunking parallelizes embarrassingly over document
+    partitions, and the 8-token overlap means ~33% output inflation, which
+    the plan pays in the explode, never in an exchange.  At 100 TB this is
+    a map-only pass whose output is written partitioned by shard.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return (
+        d.withColumn(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / _STRIDE).cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, _CHUNK)
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("toks"), F.col("start") + 1, _CHUNK)).alias(
+                "n_tokens"
+            ),
+        )
+    )

@@ -121,3 +121,16 @@ def test_star_join_streams_the_fact_table(spark, sf_dir):
     assert "lineitem" in first_scan_table, (
         "lineitem must be the streaming-side leaf, got " + first_scan_table
     )
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """bucketed_join_colocated's contract: with both sides bucketed on the
+    join key, the SMJ must read bucket-to-bucket — the ONLY Exchange in the
+    whole plan is the final aggregate's."""
+    df = ALL["bucketed_join_colocated"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert I.uses_sort_merge_join(df), plan[:2000]
+    # formatted output repeats each node (tree line "+- Exchange (n)" +
+    # detail header "(n) Exchange"): one Exchange node == one tree line
+    assert plan.count("+- Exchange") == 1, plan[:3000]
+    assert ":- Exchange" not in plan and "BroadcastExchange" not in plan

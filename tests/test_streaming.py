@@ -121,3 +121,18 @@ def test_transform_with_state_user_stats(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_upsert_replay_is_multi_batch(spark, sf_dir):
+    """The foreachBatch upsert must exercise its merge path: the sharded
+    replay fixture holds one file per trigger, so availableNow runs >= 2
+    micro-batches (not one batch that never merges)."""
+    import os
+
+    from lambda_arc_events_filter_spark.queries.streaming_q import (
+        _sharded_events_path,
+    )
+
+    path = _sharded_events_path(spark, sf_dir)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 2, files
