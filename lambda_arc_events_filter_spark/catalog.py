@@ -193,11 +193,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     the types bit-stable across engines.  Catalyst still gets full predicate
     pushdown / column pruning on top of this scan.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects outright ([PARQUET_TYPE_ILLEGAL]).  We read it as raw nanosecond
-    longs (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
-    TimestampType in the plan — lossless here (fixture values are µs-grain;
-    FIXTURES.md) and still a single vectorized columnar scan.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    generations, which Spark's parquet reader rejects outright
+    ([PARQUET_TYPE_ILLEGAL]).  When the footer says nanos we read it as raw
+    nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``) and convert
+    to TimestampType in the plan — lossless (values are µs-grain) and still
+    a single vectorized columnar scan.  Micros fixtures read directly.
     """
     if table not in SCHEMAS:
         raise KeyError(f"unknown table {table!r}; known: {sorted(SCHEMAS)}")
@@ -210,8 +211,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer-only probe: is events.ts physically TIMESTAMP(NANOS)?
+
+    The fixture generator has shipped events.ts as both NANOS (round 1)
+    and MICROS (round 2) across regenerations; hardcoding either corrupts
+    timestamps by 1000x when the other shows up, so detect per file.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_metadata(path).schema.to_arrow_schema()
+        return str(sch.field("ts").type) == "timestamp[ns]"
+    except Exception:
+        return False
+
+
 def _load_uncached(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if table == "events":
+    if table == "events" and _events_ts_is_nanos(_ingested_path(sf_dir, table)):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         read_schema = StructType(
             [

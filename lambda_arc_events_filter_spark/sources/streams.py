@@ -34,29 +34,40 @@ def events_stream(
 ) -> DataFrame:
     """Unbounded DataFrame replaying the fixture ``events`` table.
 
-    Same ns-timestamp handling as the batch path (catalog.load): read ts as
-    nanosecond longs, convert in-plan.  ``pathGlobFilter`` scopes the
-    directory scan to the events file so the other nine tables in sf_dir
-    are not picked up.
+    Same ts-unit handling as the batch path (catalog.load): fixture
+    generations vary between TIMESTAMP(NANOS) and TIMESTAMP(MICROS), so
+    probe the footer; nanos reads as raw longs converted in-plan.
+    ``pathGlobFilter`` scopes the directory scan to the events file so the
+    other nine tables in sf_dir are not picked up.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read_schema = StructType(
-        [
-            StructField("ts", LongType(), True) if f.name == "ts" else f
-            for f in SCHEMAS["events"].fields
-        ]
+    from lambda_arc_events_filter_spark.catalog import (
+        _events_ts_is_nanos,
+        table_path,
     )
+
+    nanos = _events_ts_is_nanos(table_path(sf_dir, "events"))
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        read_schema = StructType(
+            [
+                StructField("ts", LongType(), True) if f.name == "ts" else f
+                for f in SCHEMAS["events"].fields
+            ]
+        )
+    else:
+        read_schema = SCHEMAS["events"]
     reader = (
         spark.readStream.schema(read_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
-        reader.parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select([f.name for f in SCHEMAS["events"].fields])
-    )
+    out = reader.parquet(sf_dir)
+    if nanos:
+        out = out.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select([f.name for f in SCHEMAS["events"].fields])
+    return out
 
 
 def run_to_memory(
