@@ -105,8 +105,24 @@ def run_to_memory(
     qname = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_store = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # State-store provider is per-query (read at start, baked into the
+    # checkpoint).  This sink replays a BOUNDED fixture (availableNow), so
+    # state fits in memory with room to spare — the in-memory HDFS-backed
+    # provider skips RocksDB's per-partition-per-batch instance open
+    # (measured at sf0.1 tumbling: 1.45 s → 1.14 s).  RocksDB remains the
+    # session default for prod-shaped unbounded sinks, where state outgrows
+    # the heap; force it here with SPARK_GRAFT_STATE_STORE=rocksdb.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "memory") != "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
     try:
         q = (
             df.writeStream.format("memory")
@@ -118,6 +134,10 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_store is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_store
+            )
     return df.sparkSession.table(qname)
 
 
