@@ -10,6 +10,7 @@ from lambda_arc_events_filter_spark.queries import (  # noqa: F401
     curation_q,
     functions_q,
     llm_q,
+    quality_q,
     relational,
     sources_q,
     streaming_q,

@@ -1,0 +1,286 @@
+"""Corpus-quality and accounting queries rounding out the curation family:
+vocabulary building, unigram-LM quality scoring (perplexity proxy), text
+normalization, sequence-length accounting, and batch sessionization.
+
+Each is driver-mandate surface (SURVEY.md §2 addendum: "operations a
+large-scale training-data pipeline would need") with a full DuckDB oracle.
+Float-valued outputs are rounded and integer aggregates BIGINT-cast on
+both sides (round-1 lesson: DuckDB HUGEINT / result-type drift breaks the
+driver's value-hash even when values are equal).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (tokenizer/BPE precursor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT)              AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok
+    GROUP BY term
+    ORDER BY tf DESC, term
+    LIMIT 100
+    """,
+    tags=("llm", "curation"),
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 terms by total frequency, with
+    document frequency — the counting pass every tokenizer build (BPE,
+    unigram-LM) and stop-word list starts from.
+
+    Shape at 100 TB: explode to (doc, term), one partial-aggregated
+    groupBy(term) computing tf + df (two-level distinct on doc_id), then a
+    global top-k which Spark executes as TakeOrderedAndProject — each
+    partition keeps only its local top-100, so the ordered collect moves
+    O(partitions x 100) rows, never the vocabulary.  Ties broken by term
+    so the LIMIT cut is deterministic cross-engine.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality score (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)               AS n_tokens,
+           round(avg(ln(v.c * 1.0 / tot.n)), 6)   AS avg_logprob,
+           avg(ln(v.c * 1.0 / tot.n)) >= -7.0     AS keep
+    FROM tok t JOIN vocab v USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity proxy (CCNet-style) used to
+    gate low-quality documents before an expensive model-based filter.
+
+    Two passes over one exploded relation: (1) groupBy(term) builds the
+    LM (map-side combinable); (2) tokens re-join the LM on term and
+    aggregate per doc.  The vocabulary is Zipf-bounded (≪ corpus size), so
+    at 100 TB the LM side of the join is broadcast-able after aggregation
+    — AQE converts it here; the token side never reshuffles.  The global
+    token count is a 1-row cross join (literal broadcast).  Threshold gate
+    (keep) evaluates on the unrounded average in both engines.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("n"))
+    lp = F.log(F.col("c") * 1.0 / F.col("n"))
+    return (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            (F.avg(lp) >= -7.0).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (pre-dedup canonical form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_normalize_clean",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g'))                                  AS clean_text,
+           CAST(length(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g'))) AS BIGINT)                      AS n_chars_clean,
+           trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g')) <> text                          AS changed
+    FROM documents
+    """,
+    tags=("llm", "curation"),
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization ahead of exact/near dedup: lowercase,
+    strip non-alphanumerics, collapse whitespace runs, trim.  Exact-dedup
+    recall depends on this pass (casing/punctuation variants hash apart
+    without it), which is why curation pipelines normalize before
+    fingerprinting.
+
+    Pure codegen'd string expressions in one map stage — no shuffle, no
+    Python; at 100 TB this fuses into the scan.  Regexes stay in the
+    ASCII subset where Java (Spark) and RE2 (DuckDB) semantics agree.
+    """
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
+        (cleaned != F.col("text")).alias("changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(n_tokens // 16 AS BIGINT)        AS bucket,
+           CAST((n_tokens // 16) * 16 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)         AS total_tokens
+    FROM t
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "curation"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram (16-token-wide buckets) with per-bucket
+    token mass — the accounting view behind packing-efficiency and
+    truncation-loss decisions when fixing a training context length.
+
+    Integer bucket arithmetic on purpose: a log2-based bucket would hinge
+    on float ``ln(n)/ln(2)`` landing on the same side of an integer in
+    both engines — a cross-engine flakiness class this repo avoids by
+    construction.  One map + one tiny groupBy; the aggregate output is
+    O(max_len/16) rows regardless of corpus size.
+    """
+    n = F.size(F.split("text", " ")).cast("bigint")
+    return (
+        load(spark, sf_dir, "documents")
+        .select((n / 16).cast("bigint").alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            (F.col("bucket") * 16).alias("bucket_lo"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select("bucket", "bucket_lo", "n_docs", "total_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gap-based)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sessionize_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           min(ts)                      AS session_start,
+           max(ts)                      AS session_end,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           round(sum(value), 6)         AS total_value
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    tags=("events",),
+)
+def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream on ≥30-minute
+    gaps (lag + running sum of session-start flags), then aggregate per
+    session — the offline twin of ``stream_session_windows``, with the
+    same ≥-gap boundary as Spark's exclusive ``session_window`` end.
+
+    One shuffle on user_id serves both window passes AND the final
+    groupBy (hash(user_id) clustering satisfies all three), so the whole
+    query is scan → exchange → sort-within-partition → aggregate.  Per-key
+    state is a sort of that user's events — bounded, spill-safe, and the
+    standard plan shape at 100 TB.  Same-timestamp ties are safe: tied
+    rows produce gap 0, landing in the same session under any tie order.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # unix_micros, not cast("long"): casting a timestamp to long truncates
+    # to epoch SECONDS, which would misclassify sub-second-accurate gaps
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        # two select steps: a window expression cannot nest inside another
+        # window's aggregate, so materialize the flag column first (same
+        # exchange serves both passes — no extra shuffle)
+        e.withColumn("_new_sess", new_sess)
+        .withColumn(
+            "session_seq", F.sum("_new_sess").over(run).cast("bigint")
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

@@ -112,44 +112,39 @@ def _ensure_loaded() -> None:
 
 # The driver's correctness gate checks at most ~50 queries per round, in
 # registry order (CORRECTNESS_r01.json stopped after entry 50).  Round 1
-# checked the 50 names below; every other query passed only the identical
-# local oracle diff.  To get driver signal onto the never-checked set,
-# specs() emits queries in three tiers: (1) everything round 1 did NOT
-# check, (2) the three round-1 reds whose canonicalization we fixed,
-# (3) the already-green remainder.  Within a tier, registration order.
-_R01_CHECKED: frozenset[str] = frozenset(
-    {
-        "asof_join_events", "stream_stateful_conversions", "join_salted_skew",
-        "fn_string_suite", "fn_datetime_suite", "fn_math_suite",
-        "fn_array_suite", "fn_json_suite", "fn_cast_coalesce",
-        "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash_pairs", "embedding_topk_cosine", "vector_norms",
-        "ann_ivf_topk", "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
-        "text_token_stats", "text_tfidf_top_terms", "text_quality_scores",
-        "text_langid_heuristic", "doc_fingerprints", "text_sentiment_lexicon",
-        "text_lang_profile", "multimodal_join", "multimodal_binary_features",
-        "ts_user_similarity", "corpus_curation_pipeline",
-        "q01_pricing_summary", "filter_comparisons",
-        "filter_boolean_membership", "filter_patterns",
-        "filter_null_semantics", "case_when_buckets",
-        "join_inner_orders_customer", "join_left_outer", "join_semi",
-        "join_anti", "join_broadcast_dims", "join_multiway_star",
-        "join_cross_small", "join_range_theta", "agg_global",
-        "agg_count_distinct", "agg_rollup", "agg_cube", "agg_having",
-        "agg_collect_set", "agg_stats",
-    }
+# checked 50 names (the set now recorded in CORRECTNESS_r01.json); round 2
+# must spend its window on (a) the 47 queries round 1 never checked and
+# (b) the three round-1 reds whose canonicalization we fixed — exactly 50.
+# _R02_WINDOW pins that list EXPLICITLY so that queries added after the
+# freeze sort behind it and cannot displace the reds out of the window;
+# they take the round-3 window together with anything still unchecked.
+_R02_WINDOW: tuple[str, ...] = (
+    "pivot_event_type_matrix", "subquery_correlated", "window_range_frame",
+    "text_repetition_rules", "pii_redaction_scan", "corpus_sample_stratified",
+    "contamination_ngram_screen", "dedup_connected_components",
+    "corpus_source_cap", "corpus_pack_token_budget",
+    "events_quantile_outlier_filter", "dedup_incremental_snapshot",
+    "dedup_minhash_lsh_capped", "dedup_levenshtein_blocked",
+    "doc_chunk_token_windows", "agg_approx_count_distinct", "sort_multi_key",
+    "topk_orders", "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "dedup_keep_first_per_key", "csv_roundtrip_scan",
+    "parquet_sink_roundtrip", "sql_frontdoor", "grouping_sets_sql",
+    "range_join_library", "partitioned_sink_dpp", "bucketed_join_colocated",
+    "stream_filter_project", "stream_tumbling_counts", "stream_sliding_avg",
+    "stream_session_windows", "stream_dedup_watermark", "stream_static_join",
+    "stream_stream_join", "stream_foreachbatch_upsert", "udf_pandas_scalar",
+    "udf_grouped_map", "udf_table_function", "udf_aggregate_equiv",
+    "window_rank_ntile", "window_lag_lead", "window_running_sum",
+    "window_moving_avg", "window_topk_per_group", "fn_math_suite",
+    "corpus_curation_pipeline", "agg_collect_set",
 )
-_R01_RED: tuple[str, ...] = (
-    "agg_collect_set", "fn_math_suite", "corpus_curation_pipeline",
-)
+_R02_RANK = {n: i for i, n in enumerate(_R02_WINDOW)}
 
 
-def _priority(name: str) -> int:
-    if name not in _R01_CHECKED:
-        return 0  # never driver-checked — must land in round 2's window
-    if name in _R01_RED:
-        return 1  # red in round 1, fixed — needs a green driver row
-    return 2  # already driver-green
+def _priority(name: str) -> tuple[int, int]:
+    # window members first, in the frozen order; then everything else
+    # (round-1 greens + post-freeze additions) in registration order.
+    return (0, _R02_RANK[name]) if name in _R02_RANK else (1, 0)
 
 
 def specs() -> dict[str, QuerySpec]:
