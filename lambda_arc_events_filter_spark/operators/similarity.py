@@ -331,3 +331,76 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd k-means on DataFrames: ``iters`` rounds of
+    assign-then-update from a fixed seed (the first ``k`` vectors by id),
+    returning the final (id, cluster, dist) assignment.
+
+    The iterative-algorithm pattern on Spark: each round is one broadcast
+    of the k×dim centroid table (a few KB — NEVER a shuffle of the corpus)
+    + a narrow in-row squared-L2 over codegen'd zip_with/aggregate, then a
+    map-side-combinable (cluster, dim) mean to refresh centroids.  Corpus
+    rows are touched O(iters) times and never widen; at 100 TB each round
+    is a scan + one tiny aggregate, the same shape MLlib's KMeans uses.
+    Centroid coordinates round to 6 decimals between rounds so every
+    engine re-running the recurrence sees identical inputs (floats enter
+    each round exactly representable; only the final distance carries
+    last-ulp summation drift).
+
+    Determinism: seeds are id-ordered, not sampled; argmin ties break to
+    the lowest cluster id via min_by over (dist, cluster) structs.
+    """
+    sq_l2 = (
+        "aggregate(zip_with({v}, cent, (x, y) ->"
+        " (cast(x as double) - cast(y as double)) *"
+        " (cast(x as double) - cast(y as double))), 0D, (s, e) -> s + e)"
+    ).format(v=vec_col)
+    cents = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cluster"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cent"),
+    )
+    dims = emb.select(
+        id_col,
+        F.posexplode(F.expr(f"transform({vec_col}, x -> cast(x as double))")).alias(
+            "i", "v"
+        ),
+    )
+    for _ in range(iters - 1):
+        assign = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("d", F.expr(sq_l2))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("d", "cluster")).alias("best"))
+            .select(id_col, F.col("best.cluster").alias("cluster"))
+        )
+        cents = (
+            dims.join(assign, id_col)
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("v"), 6).alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, cv))),"
+                    " p -> p.cv)"
+                ).alias("cent")
+            )
+        )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d", F.expr(sq_l2))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cluster")).alias("best"))
+        .select(
+            id_col,
+            F.col("best.cluster").alias("cluster"),
+            F.round("best.d", 6).alias("dist"),
+        )
+    )

@@ -284,3 +284,63 @@ def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative clustering (Lloyd k-means) over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle="""
+    WITH ed AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, i, v AS cv
+      FROM ed WHERE vec_id < 8
+    ),
+    d1 AS (
+      SELECT e.vec_id, c.cluster, sum((e.v - c.cv) * (e.v - c.cv)) AS d
+      FROM ed e JOIN c0 c USING (i) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cluster, e.i, round(avg(e.v), 6) AS cv
+      FROM ed e JOIN a1 a USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cluster, sum((e.v - c.cv) * (e.v - c.cv)) AS d
+      FROM ed e JOIN c1 c USING (i) GROUP BY 1, 2
+    )
+    SELECT vec_id, cluster, round(d, 6) AS dist FROM (
+      SELECT vec_id, cluster, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn
+      FROM d2) WHERE rn = 1
+    """,
+    tags=("llm", "vector"),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd rounds over the embedding corpus (k=8,
+    seeds = vec_id 0..7), emitting each vector's final cluster and
+    squared-L2 distance — the clustering pass behind IVF cell
+    construction, corpus diversity accounting, and semantic sharding.
+
+    See ``operators.similarity.kmeans_lloyd`` for the iteration shape
+    (broadcast centroids + in-row codegen distance; corpus never
+    shuffles).  The oracle unrolls the same two rounds as CTEs with the
+    identical argmin tie-break (order by dist, then cluster) and the same
+    round-to-6 centroid refresh, so both engines run the exact recurrence.
+    """
+    from lambda_arc_events_filter_spark.operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2)

@@ -69,6 +69,79 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_roundtrip_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                          AS n,
+           round(sum(o_totalprice), 2)       AS total,
+           min(o_orderdate)                  AS first_order
+    FROM orders
+    WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "sink"),
+)
+def json_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 as a FILE scan (fn_json_suite covers the in-column parse path):
+    filtered orders → JSON-lines sink → explicit-schema re-read →
+    aggregate.  Proves the JSON codec round-trips types — longs, doubles,
+    and timestamps (ISO strings on disk, parsed back to TimestampType by
+    the schema, min() aggregated to the same instant the oracle sees).
+    JSON-lines stays splittable, so at 100 TB the re-scan parallelizes
+    per-block like any text source."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    path = readers.scratch_dir("json_rt")
+    readers.write_json(o, path)
+    back = readers.read_json(
+        spark,
+        path,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+@register(
+    "orc_roundtrip_scan",
+    oracle="""
+    SELECT event_type,
+           count(*)               AS n,
+           round(sum(value), 4)   AS total_value,
+           max(ts)                AS last_ts
+    FROM events
+    WHERE user_id % 10 = 3
+    GROUP BY event_type
+    """,
+    tags=("source", "sink"),
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip — the second native columnar container
+    (B1/B4 family): filtered events → ORC sink → explicit-schema scan →
+    aggregate.  Same vectorized-reader + predicate-pushdown machinery as
+    parquet (Spark's OrcFileFormat), so the layout guidance in SCALE.md
+    applies unchanged; the oracle reads the source table, so the check
+    proves the sink+scan is lossless including µs timestamps."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    path = readers.scratch_dir("orc_rt")
+    readers.write_orc(e, path)
+    back = readers.read_orc(
+        spark,
+        path,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 # single source of truth: this exact text runs on BOTH engines (table names
 # templated — Spark gets session-unique temp views, DuckDB its fixture views)
 _SQL_FRONTDOOR = """

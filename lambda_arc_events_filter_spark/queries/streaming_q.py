@@ -318,6 +318,81 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "ss_join")
 
 
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.ts       AS purchase_ts,
+           v.ts       AS view_ts
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase'
+            AND ts < TIMESTAMP '2024-01-29 00:00:00') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57 outer variant: purchases keep a null-padded row when no view
+    preceded them within the hour — the attribution-join shape where
+    match-rate itself is the signal.
+
+    Outer emission is WATERMARK-GATED state eviction: a purchase's null
+    row can only be emitted once the watermark proves no qualifying view
+    can still arrive (wm > purchase_ts), so unmatched results trail the
+    stream by the watermark delay — the outer-join analogue of append-mode
+    window finalization.  The purchase side is bounded a day short of the
+    fixture's end (a fixed cutoff well behind the final watermark at every
+    SF), so bounded replay provably evicts and emits every unmatched row;
+    without it, purchases inside the last watermark-delay of the replay
+    would sit in state forever and rows-level parity would be
+    nondeterministic by design, not by bug.  State cost matches the inner
+    variant: views evict at (wm - 1h), purchases at wm.
+    """
+    # Watermark BEFORE the ts cutoff: predicates on the event-time column
+    # are not pushed below the EventTimeWatermark operator, so the
+    # watermark tracks the full purchase stream (final wm ≈ stream end -
+    # 10 min).  Filtering first would freeze the purchase-side watermark
+    # at (last pre-cutoff purchase - 10 min), permanently trapping the
+    # final 10 minutes of unmatched purchases in state — measured: exactly
+    # one null row short at sf0.01.
+    purchases = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("user_id", "purchase_id", "view_id", "purchase_ts", "view_ts")
+    return run_to_memory(joined, "ss_louter")
+
+
 # Write-once sharded copy of events (4 ts-range parquet files) so the
 # availableNow replay below yields multiple micro-batches — one file per
 # trigger — and the upsert sink's merge path is actually exercised.

@@ -32,5 +32,28 @@ def read_csv(spark: SparkSession, path: str, schema: StructType | str) -> DataFr
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """JSON-lines sink (one object per line — the splittable layout; a
+    single giant JSON array would serialize the scan)."""
+    df.write.mode(mode).json(path)
+    return path
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """JSON-lines scan with explicit schema: no sampling pass, and
+    timestamps parse from the ISO strings the sink writes."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """ORC sink — the other columnar container Spark ships natively."""
+    df.write.mode(mode).orc(path)
+    return path
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).orc(path)
+
+
 def scratch_dir(prefix: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex[:8]}")
