@@ -97,3 +97,53 @@ def extract_features(media: DataFrame, decode: str = "stub") -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("head_hex", StringType()),
+    ]
+)
+
+
+def frame_manifest(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """Fixed-stride frame/window manifest over binary payloads — the
+    video-frame-sample / audio-window shape: each payload row EXPLODES
+    into ceil(n_bytes/stride) manifest rows (offset, length, head bytes).
+
+    This is the 1-to-N Arrow boundary ``extract_features`` (1-to-1)
+    doesn't exercise: ``mapInPandas`` output batches carry a different
+    row count than their inputs, which is exactly how a real
+    frame-sampler or audio-chunker emits.  Downstream decode works
+    per-frame from (offset, length) without re-reading whole payloads —
+    at 100 TB the manifest is the shuffle-able unit while blobs stay put.
+    Empty payloads emit no frames.
+    """
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "media_type": [], "frame_idx": [],
+                "frame_offset": [], "frame_len": [], "head_hex": [],
+            }
+            for did, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                n = len(payload)
+                for i in range((n + frame_bytes - 1) // frame_bytes):
+                    off = i * frame_bytes
+                    rows["doc_id"].append(did)
+                    rows["media_type"].append(mt)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_len"].append(min(frame_bytes, n - off))
+                    rows["head_hex"].append(bytes(payload[off : off + 4]).hex())
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)

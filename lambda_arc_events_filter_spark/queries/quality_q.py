@@ -344,3 +344,50 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame manifest (1-to-N Arrow boundary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_manifest",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, n,
+             unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id,
+           'text/plain'                         AS media_type,
+           CAST(frame_idx AS BIGINT)            AS frame_idx,
+           CAST(frame_idx * 256 AS BIGINT)      AS frame_offset,
+           CAST(least(256, n - frame_idx * 256) AS BIGINT) AS frame_len,
+           lower(hex(encode(substr(
+               text, CAST(frame_idx * 256 + 1 AS INTEGER), 4)))) AS head_hex
+    FROM f
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/window manifest over binary payloads (B68 family): each
+    payload explodes into 256-byte frame rows with offset, length, and
+    head bytes — the 1-to-N ``mapInPandas`` shape of a video frame
+    sampler or audio chunker (``operators.multimodal.frame_manifest``).
+
+    The oracle recomputes the manifest from the text the payload encodes;
+    the fixture corpus is pure ASCII (asserted by equality of char and
+    byte lengths in the oracle itself), so character offsets equal byte
+    offsets and both engines slice identical frames.
+    """
+    from lambda_arc_events_filter_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_manifest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return frame_manifest(attach_binary_payload(docs))
