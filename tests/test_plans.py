@@ -134,3 +134,47 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     # detail header "(n) Exchange"): one Exchange node == one tree line
     assert plan.count("+- Exchange") == 1, plan[:3000]
     assert ":- Exchange" not in plan and "BroadcastExchange" not in plan
+
+
+def test_vocab_topk_plans_take_ordered(spark, sf_dir):
+    """Vocabulary head must be per-partition top-k, never a vocabulary-wide
+    global sort."""
+    df = ALL["vocab_top_terms"].fn(spark, sf_dir)
+    assert I.uses_take_ordered(df), "ORDER BY tf LIMIT 100 must not global-sort"
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """One hash(user_id) exchange must serve the lag window, the running
+    sum, and the session rollup — extra exchanges mean the clustering
+    contract broke."""
+    import re
+
+    df = ALL["events_sessionize_gaps"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+
+
+def test_kmeans_broadcasts_centroids_corpus_never_shuffles(spark, sf_dir):
+    """Lloyd rounds broadcast the centroid table; the embedding corpus must
+    never hash-exchange on its own rows (only the tiny (cluster, dim)
+    aggregates may)."""
+    import re
+
+    df = ALL["embedding_kmeans_assign"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    # the only hash exchanges allowed are aggregate-side ((id) argmin,
+    # (cluster, dim) means, centroid assembly) — 2 rounds bound them; a
+    # corpus-wide distance-row shuffle would add O(rounds) more
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 4, f"{n_exchanges} exchanges — corpus likely shuffling"
+
+
+def test_unigram_logprob_lm_side_broadcasts(spark, sf_dir):
+    """The rescore join's LM side is post-aggregation (Zipf-bounded) and
+    must broadcast under AQE rather than reshuffling the token stream."""
+    df = ALL["text_unigram_logprob"].fn(spark, sf_dir)
+    df.collect()  # AQE decides join strategies at runtime
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final[:2000]
