@@ -60,6 +60,8 @@ HEADLINE = [
     "join_salted_skew",
     "partitioned_sink_dpp",
     "corpus_curation_pipeline",
+    "text_unigram_logprob",
+    "embedding_kmeans_assign",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
