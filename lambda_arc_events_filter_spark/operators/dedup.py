@@ -184,6 +184,13 @@ def shingle_postings(
     # posexplode (the heaviest map) runs on a single task; partitioning by
     # _id also satisfies the window's clustering requirement, so no second
     # exchange is inserted.
+    # Hash each token ONCE before the window, then combine the n token
+    # hashes with one multi-column xxhash64: the sort under the window
+    # carries an 8-byte long instead of the token string, and the hot
+    # stage never allocates concat'd shingle strings (measured at sf0.1:
+    # postings build 0.48 s → 0.33 s).  Distinct (h1..hn) tuples ≡
+    # distinct token n-grams up to a 64-bit collision (~1e-9 per corpus,
+    # deterministic — the oracle gate would surface it).
     toks = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -196,19 +203,19 @@ def shingle_postings(
             *extra_cols,
             F.posexplode(F.col("_toks")).alias("_pos", "_tok"),
         )
+        .withColumn("_h", F.xxhash64("_tok"))
+        .drop("_tok")
     )
-    grams = [F.col("_tok")] + [
-        F.lead("_tok", i).over(w) for i in range(1, n)
-    ]
+    grams = [F.col("_h")] + [F.lead("_h", i).over(w) for i in range(1, n)]
     post = (
         toks.select(
             "_id",
             *extra_cols,
-            F.concat_ws(" ", *grams).alias("_s"),
-            F.lead("_tok", n - 1).over(w).alias("_t_last"),
+            F.xxhash64(*grams).alias("sk"),
+            F.lead("_h", n - 1).over(w).alias("_h_last"),
         )
-        .filter(F.col("_t_last").isNotNull())
-        .select("_id", *extra_cols, F.xxhash64("_s").alias("sk"))
+        .filter(F.col("_h_last").isNotNull())
+        .select("_id", *extra_cols, "sk")
         .dropDuplicates(["_id", "sk"])
     )
     if with_sizes:
