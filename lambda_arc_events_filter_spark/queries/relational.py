@@ -840,3 +840,81 @@ def dedup_keep_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(b.uid, s.uid)      AS uid,
+           coalesce(b.n_buy, 0)        AS n_buy,
+           coalesce(s.n_scroll, 0)     AS n_scroll,
+           b.uid IS NOT NULL AND s.uid IS NOT NULL AS both_sides
+    FROM (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_buy
+          FROM events WHERE event_type = 'purchase' GROUP BY 1) b
+    FULL JOIN (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_scroll
+               FROM events WHERE event_type = 'scroll' GROUP BY 1) s
+      ON b.uid = s.uid
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15's remaining shape — FULL outer join: per-user purchase counts
+    against per-user scroll counts, keeping users present on either side
+    only.  Full outer forces a shuffle join (no broadcast strategy exists
+    for it), so both aggregates co-partition on the join key — one
+    exchange each, reused by the join."""
+    e = load(spark, sf_dir, "events")
+    b = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_buy"))
+    )
+    s = (
+        e.filter(F.col("event_type") == "scroll")
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_scroll"))
+    )
+    return b.join(s, "uid", "full_outer").select(
+        F.col("uid"),
+        F.coalesce("n_buy", F.lit(0)).alias("n_buy"),
+        F.coalesce("n_scroll", F.lit(0)).alias("n_scroll"),
+        (b.uid.isNotNull() & s.uid.isNotNull()).alias("both_sides"),
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each key appears min(count_left,
+    count_right) times.  Spark plans a left-semi-style hash join with
+    count tracking; distinct-free, so heavy-hitter keys survive with
+    multiplicity."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return f.intersectAll(op)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each key survives max(count_left -
+    count_right, 0) times."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return f.exceptAll(op)

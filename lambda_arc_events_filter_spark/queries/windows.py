@@ -163,3 +163,48 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w                AS cheapest,
+           last_value(o_totalprice)  OVER w_full           AS priciest,
+           nth_value(o_totalprice, 2) OVER w_full          AS second_cheapest,
+           round(o_totalprice - first_value(o_totalprice) OVER w, 2)
+                                                           AS over_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey),
+           w_full AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-position family: first_value / last_value / nth_value per
+    customer.  last_value and nth_value run over the FULL-partition frame
+    on purpose — under the default running frame last_value degenerates to
+    the current row (the classic window gotcha), and both engines agree on
+    the explicit frame.  Same one-shuffle-one-sort cost envelope as every
+    window query here.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w_full).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_cheapest"),
+        F.round(
+            F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+        ).alias("over_cheapest"),
+    )
