@@ -666,7 +666,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type — the 100 TB
     cardinality-estimation path (constant memory vs exact distinct's shuffle).
-    Rows-only driver check; tests/test_relational.py bounds its error vs exact."""
+    Rows-only driver check; tests/test_approx.py bounds its error vs exact."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users")
@@ -918,3 +918,63 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
     return f.exceptAll(op)
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # t-digest/GK sketch — approximate by design, no SQL oracle
+    tags=("agg", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per return flag — B30's sketch path: constant
+    memory per group at any scale, where exact percentiles pay a
+    distributed sort (see agg_stats / functions/stats.py).  Accuracy
+    parameter 10000 bounds rank error at n/10000.  Rows-only driver
+    check; tests/test_approx.py bounds its error against the exact
+    sort-based percentile."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+            "approx_p95"
+        ),
+    )
+
+
+@register(
+    "unpivot_revenue_components",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             round(sum(l_extendedprice), 2)              AS gross,
+             round(sum(l_extendedprice * l_discount), 2) AS discount,
+             round(sum(l_extendedprice * l_tax), 2)      AS tax
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, component, amount
+    FROM m UNPIVOT (amount FOR component IN (gross, discount, tax))
+    """,
+    tags=("agg", "reshape"),
+)
+def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long, the inverse of pivot_event_type_matrix):
+    per-flag revenue components melt into (flag, component, amount) rows.
+    Spark's DataFrame.unpivot plans an Expand node — a narrow map that
+    emits one row per measure column, no shuffle beyond the feeding
+    aggregate."""
+    l = load(spark, sf_dir, "lineitem")
+    m = l.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "discount"
+        ),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 2).alias("tax"),
+    )
+    return m.unpivot(
+        ids=["l_returnflag"],
+        values=["gross", "discount", "tax"],
+        variableColumnName="component",
+        valueColumnName="amount",
+    )
