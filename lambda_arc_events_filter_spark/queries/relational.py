@@ -847,37 +847,41 @@ def dedup_keep_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(b.uid, s.uid)      AS uid,
            coalesce(b.n_buy, 0)        AS n_buy,
-           coalesce(s.n_scroll, 0)     AS n_scroll,
+           coalesce(s.n_err, 0)        AS n_err,
            b.uid IS NOT NULL AND s.uid IS NOT NULL AS both_sides
     FROM (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_buy
-          FROM events WHERE event_type = 'purchase' GROUP BY 1) b
-    FULL JOIN (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_scroll
-               FROM events WHERE event_type = 'scroll' GROUP BY 1) s
+          FROM events WHERE event_type = 'purchase' AND value > 95
+          GROUP BY 1) b
+    FULL JOIN (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_err
+               FROM events WHERE event_type = 'error' AND value > 95
+               GROUP BY 1) s
       ON b.uid = s.uid
     """,
     tags=("join",),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B15's remaining shape — FULL outer join: per-user purchase counts
-    against per-user scroll counts, keeping users present on either side
-    only.  Full outer forces a shuffle join (no broadcast strategy exists
-    for it), so both aggregates co-partition on the join key — one
-    exchange each, reused by the join."""
+    """B15's remaining shape — FULL outer join: users with big purchases
+    against users with big errors, keeping rows present on either side
+    (the value>95 cut makes both one-sided sets non-empty at sf0.01: 12
+    left-only, 22 right-only, 112 both).  Full outer forces a shuffle
+    join (no broadcast strategy exists for it), so both aggregates
+    co-partition on the join key — one exchange each, reused by the
+    join."""
     e = load(spark, sf_dir, "events")
     b = (
-        e.filter(F.col("event_type") == "purchase")
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 95))
         .groupBy(F.col("user_id").alias("uid"))
         .agg(F.count(F.lit(1)).alias("n_buy"))
     )
     s = (
-        e.filter(F.col("event_type") == "scroll")
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 95))
         .groupBy(F.col("user_id").alias("uid"))
-        .agg(F.count(F.lit(1)).alias("n_scroll"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
     )
     return b.join(s, "uid", "full_outer").select(
         F.col("uid"),
         F.coalesce("n_buy", F.lit(0)).alias("n_buy"),
-        F.coalesce("n_scroll", F.lit(0)).alias("n_scroll"),
+        F.coalesce("n_err", F.lit(0)).alias("n_err"),
         (b.uid.isNotNull() & s.uid.isNotNull()).alias("both_sides"),
     )
 
