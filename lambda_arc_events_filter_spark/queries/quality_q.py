@@ -391,3 +391,69 @@ def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return frame_manifest(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Markov transition analysis (power iteration over event-type graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_stationary",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tc AS (SELECT cur, nxt, count(*) AS c FROM seq
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tp AS (SELECT cur, nxt, c * 1.0 / sum(c) OVER (PARTITION BY cur) AS p
+           FROM tc),
+    v0 AS (SELECT DISTINCT cur AS t, 0.2 AS prob FROM tc),
+    v1 AS (SELECT tp.nxt AS t, round(sum(v0.prob * tp.p), 6) AS prob
+           FROM v0 JOIN tp ON tp.cur = v0.t GROUP BY 1),
+    v2 AS (SELECT tp.nxt AS t, round(sum(v1.prob * tp.p), 6) AS prob
+           FROM v1 JOIN tp ON tp.cur = v1.t GROUP BY 1),
+    v3 AS (SELECT tp.nxt AS t, round(sum(v2.prob * tp.p), 6) AS prob
+           FROM v2 JOIN tp ON tp.cur = v2.t GROUP BY 1)
+    SELECT t AS event_type, prob FROM v3
+    """,
+    tags=("events", "iterative"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain analysis of user behavior: per-user event-type
+    transition counts → row-normalized transition matrix → three power
+    -iteration steps from the uniform vector, approaching the stationary
+    distribution (the PageRank mechanic on the behavior graph).
+
+    The distributed work is the TRANSITION BUILD — one window pass per
+    user over the full event stream (lag/lead with an event_id
+    tiebreaker, same exchange-reuse shape as sessionization).  The
+    iteration itself runs on the aggregated |types|² matrix — a few rows
+    broadcast each round, exactly like kmeans' centroids: corpus-scale
+    scan once, iterate on the summary.  Vector entries round to 6 between
+    rounds so both engines replay the identical recurrence.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    tp = tc.withColumn(
+        "p", F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("cur"))
+    )
+    v = tp.select("cur").distinct().select(
+        F.col("cur").alias("t"), F.lit(0.2).alias("prob")
+    )
+    for _ in range(3):
+        v = (
+            v.join(tp, v.t == tp.cur)
+            .groupBy("nxt")
+            .agg(F.round(F.sum(F.col("prob") * F.col("p")), 6).alias("prob"))
+            .select(F.col("nxt").alias("t"), "prob")
+        )
+    return v.select(F.col("t").alias("event_type"), "prob")

@@ -136,3 +136,46 @@ def test_upsert_replay_is_multi_batch(spark, sf_dir):
     path = _sharded_events_path(spark, sf_dir)
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) >= 2, files
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """The checkpoint WAL contract (B59 / SURVEY §3.1): a restarted
+    availableNow run with the same checkpointLocation must process ONLY
+    files that arrived since the last committed batch — every input row
+    lands in the sink exactly once across both runs."""
+    import os
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "event_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long, value double")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 2
+    spark.createDataFrame(
+        [(3, 3.0), (4, 4.0)], "event_id long, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    counts = {
+        r.event_id: r.n
+        for r in spark.read.parquet(sink)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {1: 1, 2: 1, 3: 1, 4: 1}, counts
