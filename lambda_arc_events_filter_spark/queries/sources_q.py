@@ -380,3 +380,76 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# Small-files fixture: events written as 64 tiny parquet files (once per
+# session) — the shape a streaming sink or over-parallel writer leaves
+# behind, which compaction exists to repair.
+_SMALL_FILES_CACHE: dict[tuple, str] = {}
+
+
+def _small_files_events(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SMALL_FILES_CACHE.get(key)
+    if path is None:
+        path = readers.scratch_dir("events_small")
+        load(spark, sf_dir, "events").repartition(64).write.parquet(path)
+        _SMALL_FILES_CACHE[key] = path
+    return path
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> str:
+    """Table-maintenance compaction: rewrite a small-files parquet dir into
+    ~target-sized files.  File count = ceil(total_bytes / target): the
+    standard bin-packing a Delta OPTIMIZE / Iceberg rewrite performs; at
+    100 TB this runs per partition-directory so each rewrite is bounded.
+    Uses the directory's real byte size, not row counts — row width varies
+    and the target is an IO unit, not a cardinality."""
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _, fs in _os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    dst = readers.scratch_dir("events_compacted")
+    spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(src).repartition(n_files).write.parquet(dst)
+    return dst
+
+
+@register(
+    "maintenance_compact_small_files",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)       AS n_rows,
+           CAST(sum(event_id) AS BIGINT)  AS id_sum,
+           round(sum(value), 4)           AS value_sum
+    FROM events
+    """,
+    tags=("source", "sink", "scale"),
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction as a verified operator: a 64-file events copy
+    (the streaming-sink pathology) rewrites into byte-targeted files
+    (``compact_parquet_dir``), and the query returns integrity aggregates
+    of the COMPACTED copy — the oracle computes the same from the source
+    table, so the gate proves compaction is lossless.  File-count
+    correctness is pinned by tests/test_tier_a.py's compaction test."""
+    src = _small_files_events(spark, sf_dir)
+    dst = compact_parquet_dir(spark, src, target_file_bytes=4 * 1024 * 1024)
+    back = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(dst)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )

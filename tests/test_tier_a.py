@@ -95,3 +95,25 @@ def test_malformed_payload_yields_null_event(spark):
     assert out[0]["event"] is None or all(
         v is None for v in out[0]["event"].asDict().values()
     )
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """compact_parquet_dir bin-packs a 64-file directory into
+    ceil(bytes/target) files and loses no rows."""
+    import glob
+    import os
+
+    from lambda_arc_events_filter_spark.queries.sources_q import (
+        _small_files_events,
+        compact_parquet_dir,
+    )
+
+    src = _small_files_events(spark, sf_dir)
+    n_src = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_src == 64
+    dst = compact_parquet_dir(spark, src, target_file_bytes=4 * 1024 * 1024)
+    n_dst = len(glob.glob(os.path.join(dst, "*.parquet")))
+    assert 1 <= n_dst < 8, n_dst
+    assert (
+        spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+    )
