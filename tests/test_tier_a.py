@@ -117,3 +117,19 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     assert (
         spark.read.parquet(dst).count() == spark.read.parquet(src).count()
     )
+
+
+def test_ingest_compaction_path_is_lossless(spark, sf_dir, monkeypatch):
+    """catalog's ingest compaction (multi-row-group rewrite) must return
+    byte-identical data to the raw fixture scan, at every table it
+    rewrites — and the env kill-switch must bypass it."""
+    from lambda_arc_events_filter_spark import catalog
+
+    for table in ("events", "lineitem"):
+        monkeypatch.setenv("SPARK_GRAFT_INGEST", "0")
+        raw = catalog._load_uncached(spark, sf_dir, table)
+        monkeypatch.setenv("SPARK_GRAFT_INGEST", "1")
+        compacted = catalog._load_uncached(spark, sf_dir, table)
+        assert raw.schema == compacted.schema
+        assert raw.exceptAll(compacted).count() == 0
+        assert compacted.exceptAll(raw).count() == 0
