@@ -3,9 +3,22 @@
 ``group_percentile_cont`` replaces Spark's builtin exact ``percentile``
 UDAF for large groups: the builtin buffers EVERY group value in a single
 aggregation buffer (OpenHashMap per group) — a driver-of-OOM at 100 TB and
-~7s on a 600k-row group locally.  The sort-based form below ranks rows with
-a window (distributed range-partitioned sort) and interpolates between the
-two straddling ranks, which is both scale-safe and ~5× faster at sf0.1.
+~7s on a 600k-row group locally.
+
+Implementation is a RANGE-PARTITIONED distributed rank, not a
+group-partitioned window: ``Window.partitionBy(group)`` puts each group in
+ONE task (three return flags → three tasks sorting 200k rows each; a 10B-row
+group at 100 TB → one task, i.e. a scalability cliff).  Instead:
+
+1. ``repartitionByRange(P, keys..., value)`` — the engine's range
+   partitioner splits every group across P partitions in sorted order.
+2. local rank per (physical partition, group) — a window keyed on
+   ``spark_partition_id()``, so P partitions sort in parallel.
+3. global rank = local rank + offset, where offsets are a running sum over
+   the tiny (partition, group, count) relation — |P|·|groups| rows.
+4. the two straddling ranks per quantile come from a BROADCAST join of the
+   per-group target ranks (derived from group counts) into the ranked
+   relation — the big side never reshuffles.
 
 The interpolation is the standard PERCENTILE_CONT formula — identical to
 DuckDB ``quantile_cont`` and Spark ``percentile``:
@@ -26,31 +39,127 @@ def group_percentile_cont(
     value_col: str,
     quantiles: dict[str, float],
     extra_aggs: Sequence[Column] = (),
+    num_partitions: int | None = None,
+    strategy: str | None = None,
 ) -> DataFrame:
-    """Exact interpolated per-group quantiles, sort-based.
+    """Exact interpolated per-group quantiles.
 
     Returns one row per key combination with one column per entry of
-    ``quantiles`` (alias → q), plus any ``extra_aggs`` computed in the same
-    pass.  NULL values in ``value_col`` are excluded (matching both the
-    builtin percentile and DuckDB quantile_cont).
+    ``quantiles`` (alias → q), plus any ``extra_aggs`` computed in a
+    parallel aggregation pass.  NULL values in ``value_col`` are excluded
+    (matching both the builtin percentile and DuckDB quantile_cont).
+
+    ``strategy`` (default from ``SPARK_GRAFT_PERCENTILE_STRATEGY``, else
+    ``group``) picks between two exact plans with identical output —
+    pytest asserts their equality:
+
+    - ``group``: one window partitioned by the group key.  Each group
+      sorts in ONE task — optimal while a group fits a task's sort
+      budget (fixture scale: 3 × 200k-row groups, ~0.5 s total; the
+      range plan pays ~0.5 s more in stage constants here).
+    - ``range``: range-partitioned global rank (below).  The 100 TB
+      posture — a group never meets a single task, so there is no
+      per-group cliff.  Set the env var to ``range`` on a real cluster,
+      exactly like the shuffle/dedup-width knobs in SCALE.md §confs.
     """
-    w_rank = Window.partitionBy(*keys).orderBy(value_col)
-    w_all = Window.partitionBy(*keys)
-    # keep all input columns so extra_aggs can reference them; Catalyst's
-    # column pruning removes the unused ones from the scan
-    ranked = df.filter(F.col(value_col).isNotNull()).select(
-        "*",
-        F.row_number().over(w_rank).alias("_rn"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
+    import os
+
+    spark = df.sparkSession
+    if strategy is None:
+        strategy = os.environ.get("SPARK_GRAFT_PERCENTILE_STRATEGY", "group")
+    if strategy not in ("group", "range"):
+        raise ValueError(f"unknown percentile strategy {strategy!r}")
+    keys = list(keys)
+    nn = df.filter(F.col(value_col).isNotNull())
+
+    if strategy == "group":
+        w_rank = Window.partitionBy(*keys).orderBy(value_col)
+        w_all = Window.partitionBy(*keys)
+        ranked_g = nn.select(
+            "*",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_n"),
+        )
+        aggs: list[Column] = []
+        for alias, q in quantiles.items():
+            p = F.lit(1.0) + (F.col("_n") - F.lit(1)) * F.lit(q)
+            lo, hi = F.floor(p), F.ceil(p)
+            v_lo = F.max(F.when(F.col("_rn") == lo, F.col(value_col)))
+            v_hi = F.max(F.when(F.col("_rn") == hi, F.col(value_col)))
+            frac = F.max(p - lo)
+            aggs.append((v_lo + frac * (v_hi - v_lo)).alias(alias))
+        return ranked_g.groupBy(*keys).agg(*aggs, *extra_aggs)
+
+    if num_partitions is None:
+        num_partitions = min(32, spark.sparkContext.defaultParallelism)
+
+    # one ordinary (map-side combinable, fully parallel) aggregation pass
+    # for group sizes and any extra aggregates
+    base = nn.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"), *extra_aggs)
+
+    # range-partition on (keys, value): each group spans a run of
+    # consecutive partitions, each partition holds a contiguous value range
+    rp = nn.select(*keys, value_col).repartitionByRange(
+        num_partitions, *keys, F.col(value_col)
     )
-    aggs: list[Column] = []
+    rp = rp.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid", *keys).orderBy(value_col)
+    ranked = rp.withColumn("_lr", F.row_number().over(w_local))
+
+    # per-(partition, group) counts → running offset per group.  This
+    # relation is |partitions|·|groups| rows — broadcast-sized at any data
+    # volume.  NOTE: _pid ordering equals value ordering because the range
+    # partitioner assigns ascending key ranges to ascending partition ids.
+    sizes = ranked.groupBy("_pid", *keys).agg(F.max("_lr").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sizes.withColumn(
+        "_off", F.sum("_cnt").over(w_off) - F.col("_cnt")
+    ).select("_pid", *keys, "_off")
+    ranked = ranked.join(F.broadcast(offsets), ["_pid", *keys]).withColumn(
+        "_rank", F.col("_lr") + F.col("_off")
+    )
+
+    # per-group straddling target ranks for every quantile, from counts
+    target_cols = []
     for alias, q in quantiles.items():
-        # _n is constant within a group, so the target position p (and its
-        # floor/ceil/frac) are per-row constants — no nested aggregates
         p = F.lit(1.0) + (F.col("_n") - F.lit(1)) * F.lit(q)
-        lo, hi = F.floor(p), F.ceil(p)
-        v_lo = F.max(F.when(F.col("_rn") == lo, F.col(value_col)))
-        v_hi = F.max(F.when(F.col("_rn") == hi, F.col(value_col)))
-        frac = F.max(p - lo)
-        aggs.append((v_lo + frac * (v_hi - v_lo)).alias(alias))
-    return ranked.groupBy(*keys).agg(*aggs, *extra_aggs)
+        target_cols.append(
+            F.struct(
+                F.lit(alias).alias("q_alias"),
+                F.floor(p).cast("long").alias("_lo"),
+                F.ceil(p).cast("long").alias("_hi"),
+                (p - F.floor(p)).alias("_frac"),
+            )
+        )
+    targets = base.select(
+        *keys, F.explode(F.array(*target_cols)).alias("t")
+    ).select(*keys, "t.q_alias", "t._lo", "t._hi", "t._frac")
+
+    # broadcast the targets into the ranked relation: only the rows AT a
+    # straddling rank survive the join — the big side never reshuffles
+    hits = ranked.join(F.broadcast(targets), keys).filter(
+        (F.col("_rank") == F.col("_lo")) | (F.col("_rank") == F.col("_hi"))
+    )
+    per_q = hits.groupBy(*keys, "q_alias", "_frac").agg(
+        F.max(F.when(F.col("_rank") == F.col("_lo"), F.col(value_col))).alias(
+            "_v_lo"
+        ),
+        F.max(F.when(F.col("_rank") == F.col("_hi"), F.col(value_col))).alias(
+            "_v_hi"
+        ),
+    )
+    per_q = per_q.withColumn(
+        "_v", F.col("_v_lo") + F.col("_frac") * (F.col("_v_hi") - F.col("_v_lo"))
+    )
+    # pivot the per-quantile rows back to one column per alias
+    aliases = list(quantiles)
+    wide = (
+        per_q.groupBy(*keys)
+        .pivot("q_alias", aliases)
+        .agg(F.first("_v"))
+    )
+    return base.join(wide, keys).drop("_n")

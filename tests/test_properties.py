@@ -314,3 +314,31 @@ def test_frame_manifest_tiles_payload_exactly(spark, texts):
         assert sum(f.frame_len for f in frames) == n
         for j, f in enumerate(frames):
             assert f.frame_idx == j and f.frame_offset == j * 256
+
+
+def test_percentile_strategies_agree(spark, sf_dir):
+    """The group-window and range-rank percentile plans are two physical
+    strategies for ONE exact semantics — outputs must be identical."""
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    l = load(spark, sf_dir, "lineitem")
+    qs = {"p25": 0.25, "median": 0.5, "p95": 0.95}
+    a = {
+        r.l_returnflag: (r.p25, r.median, r.p95)
+        for r in group_percentile_cont(
+            l, ["l_returnflag"], "l_extendedprice", qs, strategy="group"
+        ).collect()
+    }
+    b = {
+        r.l_returnflag: (r.p25, r.median, r.p95)
+        for r in group_percentile_cont(
+            l, ["l_returnflag"], "l_extendedprice", qs, strategy="range"
+        ).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            assert abs(x - y) < 1e-9, (k, a[k], b[k])
