@@ -178,3 +178,22 @@ def test_unigram_logprob_lm_side_broadcasts(spark, sf_dir):
     df.collect()  # AQE decides join strategies at runtime
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, final[:2000]
+
+
+def test_range_percentile_broadcasts_targets(spark, sf_dir):
+    """The range-rank percentile's straddling-rank join must broadcast the
+    tiny target relation — a hash exchange of the ranked corpus there
+    would undo the strategy's point."""
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    df = group_percentile_cont(
+        load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"median": 0.5},
+        strategy="range",
+    )
+    plan = I.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
