@@ -453,3 +453,64 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("event_id").alias("id_sum"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+# Write-once sorted copy of events (clustered layout), same cache pattern
+# as the partitioned/bucketed fixtures above.
+_SORTED_CACHE: dict[tuple, str] = {}
+
+
+def _sorted_events_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SORTED_CACHE.get(key)
+    if path is None:
+        path = readers.scratch_dir("events_sorted")
+        # range-partition + in-partition sort on the cluster key: each
+        # parquet file (and row group) covers a narrow user_id range, so
+        # min/max footer stats make point/range predicates skip almost
+        # every row group — the CLUSTER BY / Z-order (single-key) mechanic
+        (
+            load(spark, sf_dir, "events")
+            .repartitionByRange(8, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.parquet(path)
+        )
+        _SORTED_CACHE[key] = path
+    return path
+
+
+@register(
+    "sorted_layout_point_scan",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 44
+    GROUP BY user_id
+    """,
+    tags=("source", "sink", "scale"),
+)
+def sorted_layout_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-layout scan: events rewritten once range-sorted on
+    user_id (``_sorted_events_path``), then a narrow user_id range query
+    re-reads it.  With the sort, every parquet row group's min/max
+    footer stats cover a narrow key range, so the pushed BETWEEN
+    predicate skips all but ~1/8 of the data before decoding — the
+    CLUSTER BY / single-key Z-order mechanic that complements partition
+    pruning (DPP) and bucketing in the layout toolbox.  The plan test
+    asserts the predicate reaches the scan as PushedFilters; the oracle
+    proves the rewrite lost nothing."""
+    path = _sorted_events_path(spark, sf_dir)
+    back = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(path)
+    return (
+        back.filter(F.col("user_id").between(40, 44))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

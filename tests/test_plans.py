@@ -197,3 +197,10 @@ def test_range_percentile_broadcasts_targets(spark, sf_dir):
     )
     plan = I.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_sorted_layout_pushes_range_predicate(spark, sf_dir):
+    """The clustered-layout scan must push the BETWEEN predicate into the
+    parquet reader (row-group min/max skipping depends on it)."""
+    df = ALL["sorted_layout_point_scan"].fn(spark, sf_dir)
+    assert I.has_pushed_filters(df), I.formatted_plan(df)[:1500]
