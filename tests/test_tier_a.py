@@ -133,3 +133,57 @@ def test_ingest_compaction_path_is_lossless(spark, sf_dir, monkeypatch):
         assert raw.schema == compacted.schema
         assert raw.exceptAll(compacted).count() == 0
         assert compacted.exceptAll(raw).count() == 0
+
+
+def test_catalog_handles_both_ts_units(spark, tmp_path):
+    """Fixture generations have shipped events.ts as TIMESTAMP(NANOS)
+    (round 1) and TIMESTAMP(MICROS) (round 2); the catalog probes the
+    footer per file.  Synthesize both layouts and assert identical
+    loaded values — the regression test for the 1000x-corruption bug the
+    round-2 regeneration exposed."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lambda_arc_events_filter_spark import catalog
+
+    ts = [
+        dt.datetime(2024, 1, 1, 10, 0, 0, 123456),
+        dt.datetime(2024, 1, 2, 11, 30, 0, 654321),
+    ]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["view", "purchase"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k": 1}', '{"k": 2}']),
+    }
+    loaded = {}
+    for unit in ("us", "ns"):
+        d = str(tmp_path / f"sf_{unit}")
+        os.makedirs(d)
+        table = pa.table(
+            {
+                "event_id": cols["event_id"],
+                "ts": pa.array(ts, pa.timestamp(unit)),
+                "user_id": cols["user_id"],
+                "event_type": cols["event_type"],
+                "value": cols["value"],
+                "props": cols["props"],
+            }
+        )
+        pq.write_table(
+            table,
+            os.path.join(d, "events.parquet"),
+            store_schema=False,  # force the physical unit into the footer
+        )
+        df = catalog._load_uncached(spark, d, "events")
+        loaded[unit] = sorted(
+            (r.event_id, r.ts) for r in df.select("event_id", "ts").collect()
+        )
+        shutil.rmtree(d)
+    assert loaded["us"] == loaded["ns"], loaded
+    assert loaded["us"][0][1] == ts[0]
