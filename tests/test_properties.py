@@ -342,3 +342,31 @@ def test_percentile_strategies_agree(spark, sf_dir):
     for k in a:
         for x, y in zip(a[k], b[k]):
             assert abs(x - y) < 1e-9, (k, a[k], b[k])
+
+
+def test_percentile_strategies_agree_on_null_keys(spark):
+    """NULL-key groups must survive BOTH strategies identically: the range
+    plan joins on the group key, so a plain equi-join would silently drop
+    the NULL group that the window-based group plan keeps (ADVICE r2)."""
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    rows = [(None if i % 3 == 0 else f"g{i % 3}", float(i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    qs = {"median": 0.5, "p90": 0.9}
+
+    def run(strategy):
+        return {
+            r.k: (r.median, r.p90)
+            for r in group_percentile_cont(
+                df, ["k"], "v", qs, strategy=strategy
+            ).collect()
+        }
+
+    a, b = run("group"), run("range")
+    assert None in a, "group strategy must keep the NULL-key group"
+    assert a.keys() == b.keys()
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            assert abs(x - y) < 1e-9, (k, a[k], b[k])
