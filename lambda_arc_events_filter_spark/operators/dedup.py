@@ -264,6 +264,7 @@ def exact_jaccard_pairs(
     block_col: str,
     threshold: float,
     max_doc_freq: int | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs WITHIN a blocking key (e.g. lang), via a
     shingle INVERTED-INDEX join rather than all-pairs array intersection.
@@ -286,21 +287,30 @@ def exact_jaccard_pairs(
     are still exact.  A true-near-dup pair sharing *only* capped shingles
     would be missed — set the cap well above boilerplate df (the fixture's
     max df is 25/5000 docs; tests pin capped == uncapped there).
+    ``postings``: a prebuilt postings-index relation (from
+    ``postings_index``-style sharing at the query layer) with columns
+    (_id, _blk, sk, _n); when given, the internal shingle build is
+    skipped — the inverted index is a corpus artifact all the dedup
+    family probes, exactly like the IVF index on the embedding side.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = shingled.withColumnRenamed(block_col, "_blk")
-    # localCheckpoint: the postings relation feeds both sides of the
-    # self-join, and Spark re-executes diamond branches from the source
-    # otherwise (exchange reuse does not survive AQE's broadcast-join
-    # conversion at this scale).  Eagerly materializing the narrow
-    # (id, block, key) postings — the standard multi-pass-algorithm
-    # move, MLlib does the same internally — halves the pipeline; blocks
-    # are executor-local and GC-cleaned with the DataFrame.  At prod
-    # scale, a reliable checkpoint dir (spark.sparkContext.setCheckpointDir
-    # + .checkpoint()) is the fault-tolerant variant.
-    post = shingle_postings(
-        base, id_col, extra_cols=("_blk",), with_sizes=True
-    ).localCheckpoint()
+    if postings is not None:
+        post = postings
+    else:
+        base = shingled.withColumnRenamed(block_col, "_blk")
+        # localCheckpoint: the postings relation feeds both sides of the
+        # self-join, and Spark re-executes diamond branches from the source
+        # otherwise (exchange reuse does not survive AQE's broadcast-join
+        # conversion at this scale).  Eagerly materializing the narrow
+        # (id, block, key) postings — the standard multi-pass-algorithm
+        # move, MLlib does the same internally — halves the pipeline; blocks
+        # are executor-local and GC-cleaned with the DataFrame.  At prod
+        # scale, a reliable checkpoint dir
+        # (spark.sparkContext.setCheckpointDir + .checkpoint()) is the
+        # fault-tolerant variant.
+        post = shingle_postings(
+            base, id_col, extra_cols=("_blk",), with_sizes=True
+        ).localCheckpoint()
     cand_post = post
     if max_doc_freq is not None:
         cand_post = post.join(
@@ -341,6 +351,40 @@ def exact_jaccard_pairs(
     )
 
 
+def minhash_signatures(
+    post: DataFrame, num_hashes: int = 96, seed: int = 42
+) -> DataFrame:
+    """(_id, _n, minhash) signature relation from a hashed-postings
+    relation — the stored artifact of a MinHash index (what a resident
+    dedup service persists and probes; postings + signatures together ARE
+    the index).
+
+    The k permutation mins are emitted as ONE spark.sql string rather
+    than k Column objects: building 96 ``F.min(F.expr(...)).alias()``
+    aggregates costs ~300 py4j round-trips ≈ 0.7 s of pure client-side
+    plan construction per call (a third of the LSH query's wall at
+    sf0.1).  The SQL text parses JVM-side in one call and analyzes to the
+    identical aggregate plan.  ``pmod`` reduces the raw 64-bit posting
+    key to 31 bits for the permutation arithmetic.
+    """
+    params = minhash_params(num_hashes, seed)
+    spark = post.sparkSession
+    view = f"_mh_post_{uuid.uuid4().hex[:8]}"
+    post.createOrReplaceTempView(view)
+    mins = ", ".join(
+        f"min(pmod({a}L * pmod(sk, {MINHASH_P}) + {b}L, {MINHASH_P}))"
+        f" AS _m{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    arr = ", ".join(f"_m{j}" for j in range(num_hashes))
+    sig = spark.sql(
+        f"SELECT _id, _n, array({arr}) AS minhash FROM"
+        f" (SELECT _id, first(_n) AS _n, {mins} FROM {view} GROUP BY _id)"
+    )
+    spark.catalog.dropTempView(view)
+    return sig
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str,
@@ -350,6 +394,8 @@ def minhash_lsh_pairs(
     rows: int = 6,
     seed: int = 42,
     max_doc_freq: int | None = None,
+    postings: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-verified.
 
@@ -376,8 +422,11 @@ def minhash_lsh_pairs(
     the full postings, so emitted jaccard values stay exact; a document
     whose every shingle is capped falls out of candidate generation
     (boilerplate-only docs — exact dedup's job, not near-dup's).
+
+    ``signatures``: a prebuilt (_id, _n, minhash) relation (see
+    ``minhash_signatures``) skips the permutation-min aggregate — the
+    probe side of the build-once/probe-many split.
     """
-    params = minhash_params(num_hashes, seed)
     # hashed postings: feed (i) the signature/size aggregate and (ii) both
     # sides of the verification join.  Docs with no postings (shorter than
     # the shingle width) get no signature, so no identity-signature
@@ -389,32 +438,25 @@ def minhash_lsh_pairs(
     # with_sizes: TRUE distinct-set size rides on every posting row (zero
     # extra shuffles), so the capped path below needs no separate sizes
     # aggregate + join-back, and the uncapped path's first(_n) is free.
-    post = shingle_postings(shingled, id_col, with_sizes=True).localCheckpoint()
-    sig_input = post
-    if max_doc_freq is not None:
-        sig_input = post.join(
-            F.broadcast(_hot_posting_keys(post, max_doc_freq)), "sk", "left_anti"
-        )
-    # The k permutation mins are emitted as ONE spark.sql string rather
-    # than k Column objects: building 96 F.min(F.expr(...)).alias()
-    # aggregates costs ~300 py4j round-trips ≈ 0.7 s of pure client-side
-    # plan construction per call (a third of this query's wall at sf0.1).
-    # The SQL text parses JVM-side in one call and analyzes to the
-    # identical aggregate plan.
-    spark = sig_input.sparkSession
-    view = f"_mh_post_{uuid.uuid4().hex[:8]}"
-    sig_input.createOrReplaceTempView(view)
-    mins = ", ".join(
-        f"min(pmod({a}L * pmod(sk, {MINHASH_P}) + {b}L, {MINHASH_P}))"
-        f" AS _m{j}"
-        for j, (a, b) in enumerate(params)
-    )
-    arr = ", ".join(f"_m{j}" for j in range(num_hashes))
-    sig = spark.sql(
-        f"SELECT _id, _n, array({arr}) AS minhash FROM"
-        f" (SELECT _id, first(_n) AS _n, {mins} FROM {view} GROUP BY _id)"
-    ).localCheckpoint()
-    spark.catalog.dropTempView(view)
+    # ``postings``: a prebuilt (_id, sk, _n) index skips the shingle build —
+    # the corpus-index build/probe split shared across the dedup family.
+    if postings is not None:
+        post = postings
+    else:
+        post = shingle_postings(
+            shingled, id_col, with_sizes=True
+        ).localCheckpoint()
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig_input = post
+        if max_doc_freq is not None:
+            sig_input = post.join(
+                F.broadcast(_hot_posting_keys(post, max_doc_freq)),
+                "sk",
+                "left_anti",
+            )
+        sig = minhash_signatures(sig_input, num_hashes, seed).localCheckpoint()
     # band-explode carrying _n, so the final Jaccard needs no size joins:
     # candidate pairs leave the band join already knowing both set sizes.
     # xxhash64 over the sliced long array directly — no per-band string

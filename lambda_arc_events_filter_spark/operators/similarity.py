@@ -233,8 +233,10 @@ def label_centroids(
 
 # Session-lifetime IVF index cache: cache_key → (centroids, unit corpus).
 # Keyed by Spark applicationId so stale DataFrames from a dead session are
-# never served.
+# never served.  Bounded FIFO (cache.bounded_put) so a long-lived session
+# over many corpora cannot grow driver references without limit.
 _IVF_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_IVF_CACHE_MAX = 8
 
 
 def ivf_build_index(
@@ -273,7 +275,9 @@ def ivf_build_index(
     )
     idx = (cents, units)
     if cache_key is not None:
-        _IVF_CACHE[cache_key] = idx
+        from lambda_arc_events_filter_spark.cache import bounded_put
+
+        bounded_put(_IVF_CACHE, cache_key, idx, _IVF_CACHE_MAX)
     return idx
 
 
@@ -339,6 +343,7 @@ def kmeans_lloyd(
     vec_col: str,
     k: int = 8,
     iters: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd k-means on DataFrames: ``iters`` rounds of
     assign-then-update from a fixed seed (the first ``k`` vectors by id),
@@ -366,6 +371,15 @@ def kmeans_lloyd(
     choice — a skewed-id corpus gets degenerate seeds; k-means‖ sampling
     is the real-world seeding.)
     """
+    # The corpus is read once per round (assignment) plus once for the
+    # dims refresh — O(iters) scans.  ``materialize`` localCheckpoints the
+    # input so rounds 2..n read executor-local blocks instead of re-running
+    # the parquet scan each round (the same multi-pass move the dedup
+    # postings use); callers that registered the query must disable the
+    # plan cache (see registry.register) since the checkpointed RDD would
+    # otherwise be baked into a reused plan.
+    if materialize:
+        emb = emb.localCheckpoint()
     sq_l2 = (
         "aggregate(zip_with({v}, cent, (x, y) ->"
         " (cast(x as double) - cast(y as double)) *"

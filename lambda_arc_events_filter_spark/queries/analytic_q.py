@@ -1,0 +1,243 @@
+"""Round-3 analytic depth: TPC-H-classic multi-join aggregates, peer-group
+window statistics, and three-valued IN-subquery semantics.
+
+These target the plan shapes a warehouse engine must get right at scale —
+join ordering + broadcast selection across a 3-6 table star, top-k
+pushdown below a sort, and Catalyst's null-aware anti-join rewrite — on
+top of surfaces SURVEY.md §2 already covers piecewise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping priority (3-way join, agg, top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) on the fixture star: segment-filtered
+    customers → their pre-cutoff orders → post-cutoff lineitems, revenue
+    per order, top 10.
+
+    The plan Catalyst should (and does) pick: both dimension filters push
+    to the scans, the filtered customer side broadcasts under AQE, the
+    orders⨝lineitem join shuffles on orderkey once and the groupBy reuses
+    that clustering (partial agg under the join output), and the
+    ORDER+LIMIT collapses to TakeOrderedAndProject — no global sort ever
+    materializes.  ``l_orderkey`` is a deterministic tiebreaker on equal
+    revenues.
+    """
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: regional supplier volume (6-way star join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_region_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN lineitem ON l_suppkey   = s_suppkey
+    JOIN orders   ON o_orderkey  = l_orderkey
+    JOIN customer ON c_custkey   = o_custkey AND c_nationkey = s_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+)
+def q05_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation for lineitems
+    where supplier and customer share an ASIA nation, over a 3-year order
+    window — the deepest join tree in the suite (6 tables, one non-key
+    equality ``c_nationkey = s_nationkey`` closing the star into a cycle).
+
+    Scale shape: region/nation/supplier broadcast (a few KB); the only
+    shuffles are lineitem⨝orders on orderkey and the customer join on
+    custkey; the final nation aggregate is a handful of groups,
+    map-side combined.  Catalyst's join reordering handles the cycle —
+    the declared order here is readability, not execution order.
+    """
+    cut_lo = F.lit("1996-01-01").cast("timestamp")
+    cut_hi = F.lit("1999-01-01").cast("timestamp")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(l, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            c,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peer-group window statistics: percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_cume_percent_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           ntile(4) OVER w                 AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window",),
+)
+def window_cume_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31 completion: percent_rank + cume_dist + ntile in one window pass
+    — the relative-standing statistics (what fraction of my nation's
+    suppliers hold less balance than me).  ``s_suppkey`` in the ORDER BY
+    makes rows unique within the partition, so the peer-set-dependent
+    functions and ntile are all deterministic.  One exchange on the
+    partition key, one sort, all three functions share the frame.
+    """
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Three-valued IN-subquery semantics (null-aware membership)
+# ---------------------------------------------------------------------------
+
+_IN_3VL_SQL = """
+    SELECT o_orderkey,
+           o_custkey,
+           o_custkey IN (SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                                     ELSE c_custkey END
+                         FROM {customer}
+                         WHERE c_mktsegment = 'BUILDING') AS in_building
+    FROM {orders}
+    WHERE o_orderkey <= 5000
+"""
+
+
+@register(
+    "in_subquery_three_valued",
+    oracle=_IN_3VL_SQL.format(customer="customer", orders="orders"),
+    tags=("join", "sql"),
+)
+def in_subquery_three_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with NULLs in the value list — SQL's three-valued
+    membership trap: when the list contains a NULL (negative-balance
+    BUILDING customers mapped to NULL here, and the fixture has them),
+    non-members evaluate to NULL, not FALSE, while members still
+    evaluate TRUE.
+
+    Spark 4's native rewrite of a PROJECTED In-subquery is an
+    ExistenceJoin that is NOT null-aware — measured on the fixture: it
+    returns FALSE for all 1182 non-members where the standard (and
+    DuckDB's mark join, and Spark's own WHERE-clause NOT IN handling)
+    yields NULL.  So this engine expresses the standard semantics
+    explicitly: broadcast the distinct non-null keys for the match flag,
+    a broadcast scalar has-null flag for the unknown branch, and a
+    three-way CASE — TRUE on hit, NULL if the list contains a NULL,
+    FALSE otherwise.  Both joins broadcast; the orders side never
+    shuffles, which is also the 100 TB plan.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    keys = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.when(F.col("c_acctbal") < 0, F.lit(None))
+            .otherwise(F.col("c_custkey"))
+            .alias("k")
+        )
+    )
+    nonnull = (
+        keys.filter(F.col("k").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    has_null = keys.agg(F.max(F.col("k").isNull()).alias("_has_null"))
+    return (
+        o.join(F.broadcast(nonnull), o.o_custkey == nonnull.k, "left")
+        .crossJoin(F.broadcast(has_null))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("_hit"), F.lit(True))
+            .when(F.col("_has_null"), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False))
+            .alias("in_building"),
+        )
+    )

@@ -240,11 +240,15 @@ def range_join_library(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the LAYOUT job (at 100 TB a one-time table-maintenance pass), not part of
 # the query — round 1 re-wrote the full sink inside every execution, so the
 # bench measured write throughput instead of the pruned read it exists to
-# demonstrate (178× the read-only DuckDB oracle).
+# demonstrate (178× the read-only DuckDB oracle).  Bounded FIFO
+# (cache.bounded_put); evicted paths are scratch dirs cleaned at exit.
 _PART_SINK_CACHE: dict[tuple, str] = {}
+_PART_SINK_CACHE_MAX = 8
 
 
 def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    from lambda_arc_events_filter_spark.cache import bounded_put
+
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _PART_SINK_CACHE.get(key)
     if path is None:
@@ -252,7 +256,7 @@ def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
         load(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
             "event_type"
         ).parquet(path)
-        _PART_SINK_CACHE[key] = path
+        bounded_put(_PART_SINK_CACHE, key, path, _PART_SINK_CACHE_MAX)
     return path
 
 

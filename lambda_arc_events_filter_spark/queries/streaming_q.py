@@ -492,3 +492,81 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_value", 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.ts       AS purchase_ts,
+           v.ts       AS view_ts
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase'
+            AND ts < TIMESTAMP '2024-01-29 00:00:00') p
+    FULL JOIN (SELECT * FROM events
+               WHERE event_type = 'view'
+                 AND ts < TIMESTAMP '2024-01-28 23:00:00') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57 full-outer variant: BOTH unmatched purchases and unmatched
+    views survive as null-padded rows — the two-sided attribution audit
+    (purchases without a preceding view AND views that never converted).
+
+    Emission timing is two independent watermark gates: an unmatched
+    purchase emits once wm > purchase_ts (no qualifying view can still
+    arrive), an unmatched view once wm > view_ts + 1h (it can match
+    purchases up to an hour after itself, so its state lives that much
+    longer).  Hence the asymmetric cutoffs for deterministic bounded
+    replay: views stop one extra hour earlier than purchases, so every
+    retained row on both sides provably evicts before the final
+    watermark (fixture ends Jan 30 ~24:00; final wm ≈ end − 10 min).
+    Same watermark-before-filter ordering as the left-outer variant —
+    see its docstring for why filtering first would trap tail state.
+    """
+    purchases = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("ts") < F.lit("2024-01-28 23:00:00").cast("timestamp"))
+        )
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+        "view_ts",
+    )
+    return run_to_memory(joined, "ss_fouter")

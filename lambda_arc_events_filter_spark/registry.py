@@ -41,8 +41,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: time, unlike re-collecting the same DataFrame, which would silently
 #: reuse AQE stage results (result caching, NOT what a benchmark may skip).
 #: Queries tagged streaming/source/sink are exempt: their fn performs the
-#: actual run/write per call.
+#: actual run/write per call.  Bounded (cache.bounded_put): FIFO-evicted
+#: past _PLAN_CACHE_MAX entries so a long-lived session over many sf_dirs
+#: cannot grow driver memory without limit.
 _PLAN_CACHE: dict[tuple[str, str, str], object] = {}
+_PLAN_CACHE_MAX = 1024
 _NO_PLAN_CACHE_TAGS = frozenset({"streaming", "source", "sink"})
 
 
@@ -52,8 +55,15 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
             key = (spark.sparkContext.applicationId, sf_dir, name)
             jplan = _PLAN_CACHE.get(key)
             if jplan is None:
+                from lambda_arc_events_filter_spark.cache import bounded_put
+
                 df = fn(spark, sf_dir)
-                _PLAN_CACHE[key] = df._jdf.queryExecution().logical()
+                bounded_put(
+                    _PLAN_CACHE,
+                    key,
+                    df._jdf.queryExecution().logical(),
+                    _PLAN_CACHE_MAX,
+                )
                 return df
             jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                 spark._jsparkSession, jplan
