@@ -470,3 +470,132 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("nxt").alias("t"), "prob")
         )
     return v.select(F.col("t").alias("event_type"), "prob")
+
+
+# ---------------------------------------------------------------------------
+# Round 3: product analytics over the event stream — funnel + retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purch
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+    SELECT step, stage, n_users FROM (
+      SELECT 1 AS step, 'view' AS stage, count(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click', count(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', count(*) FROM p)
+    """,
+    tags=("events", "analytics"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at step k only if the step-k event happened strictly AFTER their
+    step-(k-1) entry time — the sequence-sensitive funnel (a click before
+    the first view doesn't count), not a bag-of-events intersection.
+
+    Plan shape: each stage is one filtered aggregate joined back on
+    user_id; every stage's output is one row per qualifying user, so the
+    joins shrink monotonically down the funnel.  At 100 TB all three
+    stage relations hash-cluster on user_id — one exchange each, reused
+    by the next stage's join — and the final counts are scalar
+    aggregates.  The event scan is shared via one cached filter pass per
+    stage type (predicate pushed to the scan).
+    """
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purch"))
+    )
+    counts = [
+        v.agg(
+            F.lit(1).alias("step"),
+            F.lit("view").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+        c.agg(
+            F.lit(2).alias("step"),
+            F.lit("click").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+        p.agg(
+            F.lit(3).alias("step"),
+            F.lit("purchase").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events),
+    j AS (
+      SELECT f.cohort, CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset
+      FROM firstday f JOIN act a USING (user_id))
+    SELECT cohort, day_offset, count(*) AS n_users
+    FROM j WHERE day_offset <= 7 GROUP BY 1, 2
+    """,
+    tags=("events", "analytics"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, and
+    for each cohort the count of users active again k days later
+    (k ≤ 7) — THE product-analytics rollup behind every retention curve.
+
+    Two aggregates over one events scan (first-day per user, distinct
+    active days per user) joined on user_id, then a tiny (cohort, offset)
+    count.  Both aggregates and the join share hash(user_id) clustering,
+    so the corpus crosses the wire once; the output is |cohorts|×8 rows
+    regardless of input volume — the 100 TB shape (shuffle shrinks to
+    per-user rows immediately, never widens).
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firstday = e.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    act = e.select("user_id", day.alias("d")).distinct()
+    return (
+        firstday.join(act, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).cast("int").alias(
+                "day_offset"
+            ),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -204,3 +204,29 @@ def test_sorted_layout_pushes_range_predicate(spark, sf_dir):
     parquet reader (row-group min/max skipping depends on it)."""
     df = ALL["sorted_layout_point_scan"].fn(spark, sf_dir)
     assert I.has_pushed_filters(df), I.formatted_plan(df)[:1500]
+
+
+def test_q03_plans_take_ordered_and_broadcast(spark, sf_dir):
+    """TPC-H Q3 shape: ORDER BY revenue LIMIT 10 must plan as
+    TakeOrderedAndProject (no global sort), and the segment-filtered
+    customer side must broadcast."""
+    df = ALL["q03_shipping_priority"].fn(spark, sf_dir)
+    assert I.uses_take_ordered(df), "Q3 top-10 must not global-sort"
+    assert I.uses_broadcast_join(df)
+    assert I.has_pushed_filters(df), "segment/date filters must push down"
+
+
+def test_q05_no_nested_loop_and_pruned_scans(spark, sf_dir):
+    """The 6-table star with the nation-closing cycle must stay all
+    hash/broadcast joins — a nested-loop anywhere is a scale bug."""
+    df = ALL["q05_region_supplier_volume"].fn(spark, sf_dir)
+    assert not I.uses_nested_loop_join(df), I.formatted_plan(df)[:2000]
+    assert I.uses_broadcast_join(df)
+
+
+def test_in_subquery_three_valued_broadcasts(spark, sf_dir):
+    """The explicit null-aware membership must broadcast both tiny sides —
+    the orders scan never shuffles."""
+    df = ALL["in_subquery_three_valued"].fn(spark, sf_dir)
+    assert I.uses_broadcast_join(df)
+    assert not I.has_python_in_plan(df)

@@ -370,3 +370,38 @@ def test_percentile_strategies_agree_on_null_keys(spark):
     for k in a:
         for x, y in zip(a[k], b[k]):
             assert abs(x - y) < 1e-9, (k, a[k], b[k])
+
+
+def test_in_subquery_three_valued_semantics(spark, sf_dir):
+    """Standard SQL: IN over a list containing NULL yields TRUE for
+    members and NULL (never FALSE) for non-members.  Spark's native
+    projected-IN rewrite loses this (returns FALSE); the engine's
+    explicit implementation must not."""
+    from lambda_arc_events_filter_spark.queries.analytic_q import (
+        in_subquery_three_valued,
+    )
+
+    rows = in_subquery_three_valued(spark, sf_dir).collect()
+    vals = {r.in_building for r in rows}
+    assert True in vals, "members must evaluate TRUE"
+    assert None in vals, "non-members must evaluate NULL when list has NULL"
+    assert False not in vals, (
+        "with a NULL in the list no row can evaluate FALSE"
+    )
+
+
+def test_stream_stream_full_outer_both_sides_padded(spark, sf_dir):
+    """Full-outer stream-stream join must emit null-padded rows from BOTH
+    sides once the watermark passes their eviction horizons."""
+    from lambda_arc_events_filter_spark.queries.streaming_q import (
+        stream_stream_full_outer,
+    )
+
+    rows = stream_stream_full_outer(spark, sf_dir).collect()
+    unmatched_purchases = [r for r in rows if r.view_id is None]
+    unmatched_views = [r for r in rows if r.purchase_id is None]
+    matched = [r for r in rows if r.purchase_id is not None and r.view_id is not None]
+    assert matched, "fixture must produce matched purchase/view pairs"
+    assert unmatched_purchases, "purchases without a preceding view must survive"
+    assert unmatched_views, "views that never converted must survive"
+    assert all(r.user_id is not None for r in rows)
