@@ -241,3 +241,153 @@ def in_subquery_three_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_building"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality operators: column profiling + referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_table_profile",
+    oracle="""
+    WITH base AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT col, n_rows, n_nonnull, n_distinct,
+           round(1.0 - n_nonnull * 1.0 / n_rows, 6) AS null_fraction
+    FROM (
+      SELECT 'o_orderkey' AS col, base.n_rows,
+             CAST(count(o_orderkey) AS BIGINT)          AS n_nonnull,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders CROSS JOIN base GROUP BY base.n_rows
+      UNION ALL
+      SELECT 'o_custkey', base.n_rows,
+             CAST(count(o_custkey) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT)
+      FROM orders CROSS JOIN base GROUP BY base.n_rows
+      UNION ALL
+      SELECT 'o_orderstatus', base.n_rows,
+             CAST(count(o_orderstatus) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+      FROM orders CROSS JOIN base GROUP BY base.n_rows
+      UNION ALL
+      SELECT 'o_orderpriority', base.n_rows,
+             CAST(count(o_orderpriority) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+      FROM orders CROSS JOIN base GROUP BY base.n_rows)
+    """,
+    tags=("audit", "agg"),
+)
+def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile (the Deequ/expectations primitive):
+    row count, non-null count, distinct count, and null fraction per
+    profiled column — in ONE scan.
+
+    The Spark shape is the point: all per-column aggregates are sibling
+    expressions of a single global aggregate (one pass, map-side
+    partial), then the wide row unpivots to (col, stats) rows.  The
+    oracle computes each column independently — same values, N scans —
+    which is exactly the difference between profiling a 100 TB table
+    once and N times.
+    """
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"nn_{c}"))
+        aggs.append(
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"nd_{c}")
+        )
+    wide = o.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"nn_{c}").alias("n_nonnull"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.n_rows", "s.n_nonnull", "s.n_distinct")
+    return stacked.withColumn(
+        "null_fraction",
+        F.round(1.0 - F.col("n_nonnull") * 1.0 / F.col("n_rows"), 6),
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT edge, n_child, n_orphans FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS edge,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+    """,
+    tags=("audit", "join"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star's FK edges: per edge,
+    child-row count and orphan count (children whose parent key is
+    missing) — the ingest gate that catches a bad partition or a
+    truncated dimension load before queries silently lose rows to inner
+    joins.
+
+    Each edge is a LEFT join probing the parent key; parents are
+    dimension-sized, so every probe broadcasts (AQE) and the fact tables
+    never shuffle — at 100 TB the audit costs one scan per child table.
+    A healthy star reports zero orphans; the count (not just a boolean)
+    sizes the blast radius when it isn't.
+    """
+
+    def edge(name, child, ckey, parent, pkey):
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(F.col(pkey))
+        return (
+            c.join(p, F.col(ckey) == F.col(pkey), "left")
+            .agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(
+                    F.when(F.col(pkey).isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_orphans"),
+            )
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+    ]
+    out = edges[0]
+    for df in edges[1:]:
+        out = out.unionByName(df)
+    return out
