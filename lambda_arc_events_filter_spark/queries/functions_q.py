@@ -268,3 +268,45 @@ def fn_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_filled"
         ),
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n,
+           CAST(sum(k) AS BIGINT)    AS k_sum,
+           min(k)                    AS k_min,
+           max(k)                    AS k_max
+    FROM v
+    GROUP BY event_type
+    """,
+    tags=("functions", "json"),
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47 via the VARIANT type (Spark 4's semi-structured column):
+    ``parse_json`` ingests the props payload ONCE into the binary variant
+    encoding, ``try_variant_get`` path-extracts with a target type — the
+    shred-on-read model that replaces per-query ``from_json`` re-parsing
+    when a JSON column is queried many ways.  At 100 TB variant columns
+    store parsed-binary (cheaper repeated access, pushdown-friendly
+    shredding in parquet); ``from_json`` (fn_json_suite) remains the
+    schema-declared path.  The oracle extracts the same path with
+    DuckDB's JSON machinery — same values, different storage model.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

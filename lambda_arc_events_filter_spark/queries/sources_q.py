@@ -518,3 +518,69 @@ def sorted_layout_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 DataSource API)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "custom_source_events_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source",),
+)
+def custom_source_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the engine's custom Python DataSource
+    (``sources/pyds.py``, Spark 4 DataSource API): the events table read
+    via ``format("events_replay")`` — row-group-parallel, Arrow-batched —
+    then an ordinary aggregate.  The oracle reads the table natively;
+    equality proves the connector is transparent (same rows, same types,
+    no Python-side value mangling).
+
+    This is the connector seam for feeds with no JVM reader (the
+    reference's Kinesis role): ``partitions()`` keeps Spark's split/task
+    model, ``read()`` yields pyarrow RecordBatches so no per-row Python
+    objects exist on the data path.  Same ns/µs fixture handling as
+    every other events read path (catalog probes the footer).
+    """
+    from lambda_arc_events_filter_spark.catalog import (
+        SCHEMAS,
+        _events_ts_is_nanos,
+        table_path,
+    )
+    from lambda_arc_events_filter_spark.sources.pyds import (
+        register_events_replay,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    register_events_replay(spark)
+    path = table_path(sf_dir, "events")
+    nanos = _events_ts_is_nanos(path)
+    if nanos:
+        read_schema = StructType(
+            [
+                StructField("ts", LongType(), True) if f.name == "ts" else f
+                for f in SCHEMAS["events"].fields
+            ]
+        )
+    else:
+        read_schema = SCHEMAS["events"]
+    df = (
+        spark.read.format("events_replay")
+        .schema(read_schema)
+        .option("path", path)
+        .load()
+    )
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -1,0 +1,108 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a row-group-parallel
+parquet replay source registered as ``format("events_replay")``.
+
+Why this exists: the reference system's one external dependency is a
+Kinesis consumer; the Spark-4 Python DataSource API is how a connector
+with no JVM implementation (an internal feed, a bespoke archive format, a
+REST-paginated API) plugs into the engine while keeping Spark's
+parallelism model — ``partitions()`` declares the split points and each
+task reads only its split.  This implementation replays the fixture
+``events`` table one PARQUET ROW GROUP per input partition, streaming
+``pyarrow.RecordBatch``es (the Arrow fast path — no per-row Python
+objects), so the scan parallelizes exactly like the native reader and the
+whole downstream plan is ordinary Catalyst.
+
+SERIALIZATION RULE (same as the repo's Python-UDF closure rule, enforced
+by the /tmp driver-sim): the DataSource classes are defined INSIDE a
+factory function, never at module level.  Spark pickles the data source
+to its Python planner/worker processes; a module-level class pickles BY
+REFERENCE and those processes cannot import this package when the driver
+process starts outside /root/repo — measured failure:
+PYTHON_DATA_SOURCE_ERROR on instance creation.  Closure-defined classes
+cloudpickle BY VALUE and carry their own code.
+
+The custom source is the extension seam, not a replacement: the native
+parquet reader stays the hot path everywhere else (pushdown, row-group
+skipping).  The oracle gate proves the source is transparent: reading
+through it equals reading the table natively.
+"""
+
+from __future__ import annotations
+
+try:  # the DataSource API exists in pyspark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    PYDS_AVAILABLE = True
+except ImportError:  # pragma: no cover - older pyspark
+    PYDS_AVAILABLE = False
+
+
+def make_events_replay_datasource():
+    """Build the DataSource class closure-locally (see module docstring)."""
+
+    class _RowGroupPartition(InputPartition):
+        """One parquet row group = one Spark input partition."""
+
+        def __init__(self, path: str, row_group: int):
+            self.path = path
+            self.row_group = row_group
+
+    class _EventsReplayReader(DataSourceReader):
+        def __init__(self, options: dict):
+            path = options.get("path")
+            if not path:
+                raise ValueError("events_replay requires option 'path'")
+            self.path = path
+
+        def partitions(self):
+            # Planning: enumerate row groups from the footer only (no
+            # data read).  Each becomes an independent task — the same
+            # split model the native reader uses.
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(self.path).metadata.num_row_groups
+            return [_RowGroupPartition(self.path, i) for i in range(n)]
+
+        def read(self, partition):
+            # Executor-side: read ONLY this task's row group, yield Arrow
+            # batches (no Python row objects on the data path).
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(partition.path)
+            yield from pf.read_row_group(partition.row_group).to_batches()
+
+    class EventsReplayDataSource(DataSource):
+        """``spark.read.format("events_replay").schema(S).option("path", p)``"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "events_replay"
+
+        def reader(self, schema) -> _EventsReplayReader:
+            return _EventsReplayReader(self.options)
+
+    return EventsReplayDataSource
+
+
+def make_events_replay_reader(options: dict):
+    """Reader instance for direct (test) use — same closure-built class."""
+    return make_events_replay_datasource()(options=options).reader(None)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register_events_replay(spark) -> None:
+    """Idempotently register the source with this session."""
+    if not PYDS_AVAILABLE:
+        raise RuntimeError(
+            "pyspark.sql.datasource API not available in this Spark"
+        )
+    key = spark.sparkContext.applicationId
+    if key not in _REGISTERED:
+        spark.dataSource.register(make_events_replay_datasource())
+        _REGISTERED.add(key)

@@ -405,3 +405,26 @@ def test_stream_stream_full_outer_both_sides_padded(spark, sf_dir):
     assert unmatched_purchases, "purchases without a preceding view must survive"
     assert unmatched_views, "views that never converted must survive"
     assert all(r.user_id is not None for r in rows)
+
+
+def test_custom_pyds_partitions_follow_row_groups(spark, sf_dir):
+    """The custom Python DataSource must split exactly one input partition
+    per parquet row group (planning from the footer), and reading through
+    it must reproduce the native reader's row count."""
+    import pyarrow.parquet as pq
+
+    from lambda_arc_events_filter_spark.catalog import load, table_path
+    from lambda_arc_events_filter_spark.queries.sources_q import (
+        custom_source_events_scan,
+    )
+    from lambda_arc_events_filter_spark.sources.pyds import (
+        make_events_replay_reader,
+    )
+
+    path = table_path(sf_dir, "events")
+    reader = make_events_replay_reader({"path": path})
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    assert len(reader.partitions()) == n_rg
+    out = custom_source_events_scan(spark, sf_dir)
+    total = sum(r.n for r in out.collect())
+    assert total == load(spark, sf_dir, "events").count()
