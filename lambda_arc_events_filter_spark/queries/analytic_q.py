@@ -391,3 +391,98 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in edges[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batch MERGE (SCD upsert): snapshot + change set → next snapshot
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+    WITH ch AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'D'
+                  WHEN c_custkey % 10 IN (1, 2) THEN 'U'
+                  WHEN c_custkey % 10 = 3 THEN 'I' END AS op,
+             c_acctbal + 100.0   AS new_acctbal,
+             c_custkey + 1000000 AS insert_key
+      FROM customer
+      WHERE c_custkey % 10 IN (0, 1, 2, 3))
+    SELECT c.c_custkey,
+           round(CASE WHEN ch.op = 'U' THEN ch.new_acctbal
+                      ELSE c.c_acctbal END, 2) AS c_acctbal,
+           c.c_mktsegment,
+           CASE WHEN ch.op = 'U' THEN 'updated'
+                ELSE 'kept' END AS merge_action
+    FROM customer c
+    LEFT JOIN ch ON c.c_custkey = ch.c_custkey
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+    UNION ALL
+    SELECT ch.insert_key AS c_custkey,
+           round(ch.new_acctbal, 2) AS c_acctbal,
+           'NEW' AS c_mktsegment,
+           'inserted' AS merge_action
+    FROM ch WHERE ch.op = 'I'
+"""
+
+
+@register(
+    "batch_merge_upsert",
+    oracle=_MERGE_ORACLE,
+    tags=("join", "maintenance"),
+)
+def batch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (the SCD/upsert table-maintenance primitive): apply a
+    change set with update/delete/insert ops to a snapshot and emit the
+    next snapshot — what ``MERGE INTO`` does in table formats, expressed
+    engine-side as one outer join + disposition CASE + insert union.
+    The change set here derives deterministically from the snapshot
+    (op by key residue) so both engines replay the identical merge.
+
+    Scale shape: snapshot LEFT-joins the change set on the key — the
+    change side is typically ≪ snapshot and broadcasts (AQE); deletes
+    drop via the join-result filter, updates overwrite via CASE, inserts
+    union in.  The snapshot crosses the wire zero times when the change
+    side broadcasts; at 100 TB with a bucketed snapshot this is the
+    standard incremental-maintenance pass (see also
+    dedup_incremental_snapshot for the ingest-side analogue).
+    """
+    c = load(spark, sf_dir, "customer")
+    ch = (
+        c.filter(F.col("c_custkey") % 10 <= 3)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, "D")
+            .when(F.col("c_custkey") % 10 <= 2, "U")
+            .otherwise("I")
+            .alias("op"),
+            (F.col("c_acctbal") + 100.0).alias("new_acctbal"),
+            (F.col("c_custkey") + 1000000).alias("insert_key"),
+        )
+    )
+    joined = c.join(
+        F.broadcast(ch.select("c_custkey", "op", "new_acctbal")),
+        "c_custkey",
+        "left",
+    )
+    survivors = joined.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "c_custkey",
+        F.round(
+            F.when(F.col("op") == "U", F.col("new_acctbal")).otherwise(
+                F.col("c_acctbal")
+            ),
+            2,
+        ).alias("c_acctbal"),
+        "c_mktsegment",
+        F.when(F.col("op") == "U", "updated")
+        .otherwise("kept")
+        .alias("merge_action"),
+    )
+    inserts = ch.filter(F.col("op") == "I").select(
+        F.col("insert_key").alias("c_custkey"),
+        F.round("new_acctbal", 2).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("inserted").alias("merge_action"),
+    )
+    return survivors.unionByName(inserts)

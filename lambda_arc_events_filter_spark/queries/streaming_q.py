@@ -570,3 +570,68 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
     )
     return run_to_memory(joined, "ss_fouter")
+
+
+@register(
+    "stream_chained_window_agg",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    q AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                   + INTERVAL 15 MINUTE
+                     * CAST(floor(minute(ts) / 15) AS INT) AS q_start,
+                 value
+          FROM events),
+    quarter AS (SELECT q_start, count(*) AS n, sum(value) AS v
+                FROM q GROUP BY 1)
+    SELECT CAST(date_trunc('hour', q_start) AS TIMESTAMP) AS hour_start,
+           CAST(count(*) AS BIGINT)     AS n_quarters,
+           CAST(sum(n) AS BIGINT)       AS n_events,
+           round(max(n * 1.0), 1)       AS peak_quarter_events,
+           round(sum(v), 4)             AS total_value
+    FROM quarter CROSS JOIN wm
+    WHERE date_trunc('hour', q_start) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark 4
+    multiple-stateful-operators): 15-minute tumbling counts re-aggregated
+    into hourly rollups with the peak quarter — the classic two-level
+    downsample (fine-grain for alerting, coarse-grain for dashboards)
+    that previously required two queries glued by a sink.
+
+    The second ``groupBy(window(window_col, '1h'))`` consumes the FIRST
+    aggregate's window struct as its event time; the watermark propagates
+    through, so an hourly row emits exactly once — when the watermark
+    passes the hour end, by which point every inner quarter has already
+    finalized.  State cost is two window stores, both watermark-evicted.
+    The oracle replays the same two-level rollup restricted to hours the
+    final watermark closed.
+    """
+    s = events_stream(spark, sf_dir)
+    quarter = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("qw"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    hourly = (
+        quarter.groupBy(F.window(F.col("qw"), "1 hour").alias("hw"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_quarters"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.max(F.col("n") * 1.0), 1).alias("peak_quarter_events"),
+            F.round(F.sum("v"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("hw.start").alias("hour_start"),
+            "n_quarters",
+            "n_events",
+            "peak_quarter_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(hourly, "chained", mode="append", state_partitions=2)
