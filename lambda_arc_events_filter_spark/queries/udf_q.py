@@ -160,3 +160,59 @@ def udf_aggregate_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         wavg, schema="event_type string, weighted_avg_value double, n long"
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_id,
+           round(value * 1.07, 4)         AS value_adj,
+           CAST(length(event_type) AS INT) AS type_len
+    FROM events
+    WHERE value > 200
+    """,
+    tags=("udf",),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third Python boundary: ``mapInArrow`` — the batch-level API
+    below pandas (no pandas conversion at all; the function sees raw
+    ``pyarrow.RecordBatch``es).  The right boundary when the Python side
+    is itself Arrow-native (writing feather/IPC, calling a C++ lib with
+    an Arrow FFI, zero-copy into numpy via ``.to_numpy``): skipping the
+    pandas round-trip removes a copy per batch in each direction.
+
+    The computation (tax-adjust + a length feature) is deliberately the
+    kind of thing production keeps JVM-side — the query exists to pin the
+    Arrow-batch path's correctness and its schema contract, like
+    udf_pandas_scalar does for the pandas boundary.  Body is a closure
+    (pickled by value; workers never import this package).
+    """
+    import pyarrow as pa_mod
+
+    def adjust(batches):
+        for b in batches:
+            value = b.column("value")
+            etype = b.column("event_type")
+            yield pa_mod.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    # NO rounding here: pyarrow's decimal round (scale,
+                    # round, unscale) lands on a different nearest-double
+                    # than Spark/DuckDB round (measured: ...20340000000002
+                    # vs ...2034) — the decimal pin happens JVM-side below
+                    # where both engines agree
+                    pa_mod.compute.multiply(value, 1.07),
+                    pa_mod.compute.cast(
+                        pa_mod.compute.utf8_length(etype), pa_mod.int32()
+                    ),
+                ],
+                names=["event_id", "value_adj", "type_len"],
+            )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 200).select(
+        "event_id", "value", "event_type"
+    )
+    out = e.mapInArrow(
+        adjust, schema="event_id long, value_adj double, type_len int"
+    )
+    return out.withColumn("value_adj", F.round("value_adj", 4))
