@@ -486,3 +486,75 @@ def batch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("inserted").alias("merge_action"),
     )
     return survivors.unionByName(inserts)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL join (correlated per-row subquery) + rolling distinct counts
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.s_name, t.s_acctbal
+    FROM {nation} n,
+    LATERAL (SELECT s_name, s_acctbal FROM {supplier} s
+             WHERE s.s_nationkey = n.n_nationkey
+             ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+"""
+
+
+@register(
+    "lateral_join_topn",
+    oracle=_LATERAL_SQL.format(nation="nation", supplier="supplier"),
+    tags=("join", "sql"),
+)
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join — the correlated per-row subquery form of top-N-per-
+    group (each nation pulls ITS top-2 suppliers by balance): the SQL
+    users write when the per-group logic is an arbitrary query, not just
+    a rank filter.  Catalyst plans it via LateralJoin decorrelation
+    (DecorrelateInnerQuery rewrites the correlated LIMIT into a
+    window-rank join — the same physical shape as window_topk_per_group,
+    proving the two surfaces meet in one plan).  Identical SQL text runs
+    on both engines; ``s_name`` tie-breaks the LIMIT deterministically.
+    """
+    import uuid as _uuid
+
+    suffix = _uuid.uuid4().hex[:6]
+    names = {}
+    for t in ("nation", "supplier"):
+        names[t] = f"{t}_{suffix}"
+        load(spark, sf_dir, t).createOrReplaceTempView(names[t])
+    return spark.sql(_LATERAL_SQL.format(**names))
+
+
+@register(
+    "window_rolling_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(count(DISTINCT user_id) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS INT)
+             AS rolling_uniques
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count over a row frame — unique users across the
+    trailing 50 events of each type (the sliding-uniques signal behind
+    bot/abuse detection).  Spark has no DISTINCT windowed aggregate, so
+    the engine expresses it as ``size(collect_set(...))`` over the same
+    frame — semantically identical (a set per frame), one sort + one
+    window pass, frame state bounded at 50 entries.  DuckDB runs the
+    native DISTINCT window form; value equality proves the rewrite.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).alias("rolling_uniques"),
+    )
