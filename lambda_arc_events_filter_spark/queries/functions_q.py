@@ -310,3 +310,68 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "fn_generator_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN []
+                  ELSE string_split(text, ' ')[1:3] END AS toks
+      FROM documents WHERE doc_id < 100)
+    SELECT t.doc_id,
+           u.tok,
+           u.pos - 1 AS pos
+    FROM t LEFT JOIN LATERAL (
+      SELECT unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos) u ON true
+    """,
+    tags=("functions", "generator"),
+)
+def fn_generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator NULL semantics: ``posexplode_outer`` keeps a null-padded
+    row for empty/NULL arrays where plain explode silently DROPS the
+    parent row — the lossy-join trap of flattening (every doc_id
+    divisible by 7 here carries an empty token array).  The oracle
+    mirrors with a LEFT JOIN LATERAL unnest, SQL's spelling of the same
+    outer-generator contract.  Pure narrow plan, codegen'd Generate node.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.when(
+        F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return d.select(
+        "doc_id", F.posexplode_outer(toks).alias("pos", "tok")
+    ).select("doc_id", "tok", "pos")
+
+
+@register(
+    "agg_bool_bit",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 400000)  AS any_over_400k,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(o_orderkey)  AS BIGINT) AS key_bit_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bit_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "functions"),
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 completion: boolean (every/any) and bitwise (and/or/xor)
+    aggregates — predicate rollups ("did EVERY order clear the floor?")
+    and the xor-fold integrity trick (bit_xor over a keyset fingerprints
+    it order-independently, the cheap cross-partition checksum).  All
+    map-side combinable; one tiny shuffle on the group key.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bit_and("o_orderkey").cast("bigint").alias("key_bit_and"),
+        F.bit_or("o_orderkey").cast("bigint").alias("key_bit_or"),
+        F.bit_xor("o_orderkey").cast("bigint").alias("key_bit_xor"),
+    )

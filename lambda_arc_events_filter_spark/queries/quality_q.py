@@ -599,3 +599,62 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_gaps_and_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    g AS (
+      SELECT user_id, day,
+             CAST(date_diff('day', TIMESTAMP '2024-01-01', day) AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d)
+    SELECT user_id,
+           min(day)                 AS streak_start,
+           max(day)                 AS streak_end,
+           CAST(count(*) AS BIGINT) AS streak_days
+    FROM g
+    GROUP BY user_id, grp
+    HAVING count(*) >= 3
+    """,
+    tags=("events", "analytics"),
+)
+def events_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    (streaks ≥ 3) — the sequence-break pattern behind streak badges,
+    uptime spans, and contiguous-coverage audits.  The classic trick:
+    day-ordinal minus row_number is constant within a consecutive run,
+    so one window pass turns island detection into a plain groupBy.
+
+    Distinct-days, the window, and the final rollup all cluster on
+    user_id — one exchange serves all three at any scale.  Unlike
+    ``events_sessionize_gaps`` (time-gap splits inside a day) this finds
+    calendar-consecutive structure across days.
+    """
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("timestamp")).cast(
+            "bigint"
+        )
+        - F.row_number().over(w),
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("grp")
+    )
