@@ -343,7 +343,7 @@ def kmeans_lloyd(
     vec_col: str,
     k: int = 8,
     iters: int = 2,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means on DataFrames: ``iters`` rounds of
     assign-then-update from a fixed seed (the first ``k`` vectors by id),
@@ -372,12 +372,14 @@ def kmeans_lloyd(
     is the real-world seeding.)
     """
     # The corpus is read once per round (assignment) plus once for the
-    # dims refresh — O(iters) scans.  ``materialize`` localCheckpoints the
-    # input so rounds 2..n read executor-local blocks instead of re-running
-    # the parquet scan each round (the same multi-pass move the dedup
-    # postings use); callers that registered the query must disable the
-    # plan cache (see registry.register) since the checkpointed RDD would
-    # otherwise be baked into a reused plan.
+    # dims refresh — O(iters) scans.  ``materialize=True`` localCheckpoints
+    # the input so rounds 2..n read executor-local blocks instead of
+    # re-running the parquet scan each round (the same multi-pass move the
+    # dedup postings use) — worth it for many-iteration cluster runs.
+    # Default FALSE because it is unsafe under the prepared-plan cache:
+    # a cached plan would bake in the checkpointed RDD and repeat
+    # executions would skip the corpus scan entirely (result caching —
+    # see registry.register); opting in requires plan_cache=False.
     if materialize:
         emb = emb.localCheckpoint()
     sq_l2 = (

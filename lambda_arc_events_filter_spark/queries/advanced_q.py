@@ -277,7 +277,10 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         names[t] = f"{t}_{suffix}"
         load(spark, sf_dir, t).createOrReplaceTempView(names[t])
-    return spark.sql(_CORRELATED_SQL.format(**names))
+    out = spark.sql(_CORRELATED_SQL.format(**names))
+    for v in names.values():  # eager analysis → safe to drop, no leak
+        spark.catalog.dropTempView(v)
+    return out
 
 
 # ---------------------------------------------------------------------------

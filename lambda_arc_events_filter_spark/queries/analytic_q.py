@@ -523,7 +523,12 @@ def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("nation", "supplier"):
         names[t] = f"{t}_{suffix}"
         load(spark, sf_dir, t).createOrReplaceTempView(names[t])
-    return spark.sql(_LATERAL_SQL.format(**names))
+    out = spark.sql(_LATERAL_SQL.format(**names))
+    # spark.sql analyzes eagerly (classic mode), so the views can drop
+    # immediately — no catalog leak per invocation
+    for v in names.values():
+        spark.catalog.dropTempView(v)
+    return out
 
 
 @register(

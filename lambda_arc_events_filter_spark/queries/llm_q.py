@@ -116,7 +116,11 @@ _JACCARD_ORACLE = """
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
     tags=("llm", "dedup"),
-    plan_cache=False,  # checkpoints postings internally; see register()
+    # plan_cache=False: probes the session postings INDEX (_postings_index,
+    # build-once like IVF — the indexed protocol BASELINE.md documents);
+    # a cached plan would pin one checkpoint lineage and hide the probe
+    # re-execution this fn performs per call.
+    plan_cache=False,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5), blocked
@@ -152,7 +156,11 @@ _JACCARD_ORACLE_UNBLOCKED = """
     "dedup_minhash_lsh",
     oracle=_JACCARD_ORACLE_UNBLOCKED,
     tags=("llm", "dedup"),
-    plan_cache=False,  # checkpoints postings/signatures internally
+    # plan_cache=False: probes the session postings+signature INDEX
+    # (build-once/probe-many; timed work = banding + candidate join +
+    # exact verification — the protocol BASELINE.md's round-3 note
+    # documents explicitly).
+    plan_cache=False,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B61 MinHash+LSH near-dup detection, exact-verified.
@@ -183,7 +191,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_capped",
     oracle=_JACCARD_ORACLE_UNBLOCKED,
     tags=("llm", "dedup"),
-    plan_cache=False,  # checkpoints postings/signatures internally
+    # plan_cache=False: probes the session postings index; the CAPPED
+    # signature set is rebuilt + checkpointed per call (the cap filters
+    # the signature input, so it cannot share the uncapped index).
+    plan_cache=False,
 )
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the posting-frequency cap engaged (max_doc_freq=500):

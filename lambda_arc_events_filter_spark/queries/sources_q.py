@@ -172,7 +172,10 @@ def sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         names[t] = f"{t}_{suffix}"
         load(spark, sf_dir, t).createOrReplaceTempView(names[t])
-    return spark.sql(_SQL_FRONTDOOR.format(**names))
+    out = spark.sql(_SQL_FRONTDOOR.format(**names))
+    for v in names.values():  # eager analysis → safe to drop, no leak
+        spark.catalog.dropTempView(v)
+    return out
 
 
 @register(
@@ -191,7 +194,7 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the SQL front door."""
     suffix = uuid.uuid4().hex[:6]
     load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"lineitem_{suffix}")
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                round(sum(l_extendedprice), 2) AS vol
@@ -200,6 +203,8 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag, l_linestatus))
         """
     )
+    spark.catalog.dropTempView(f"lineitem_{suffix}")
+    return out
 
 
 @register(

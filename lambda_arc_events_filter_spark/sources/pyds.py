@@ -70,10 +70,28 @@ def make_events_replay_datasource():
         def read(self, partition):
             # Executor-side: read ONLY this task's row group, yield Arrow
             # batches (no Python row objects on the data path).
+            # Spark's Arrow ingestion rejects timestamp[ns] columns
+            # (UNSUPPORTED_ARROWTYPE) and does NOT coerce yielded batches
+            # to the declared schema — so nanosecond timestamps are cast
+            # to their raw int64 here, matching the LongType the caller
+            # declares for ns-layout fixtures (the same dual-layout
+            # contract as catalog.load / events_stream).
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             pf = pq.ParquetFile(partition.path)
-            yield from pf.read_row_group(partition.row_group).to_batches()
+            tbl = pf.read_row_group(partition.row_group)
+            fields = []
+            changed = False
+            for f in tbl.schema:
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                    fields.append(pa.field(f.name, pa.int64()))
+                    changed = True
+                else:
+                    fields.append(f)
+            if changed:
+                tbl = tbl.cast(pa.schema(fields))
+            yield from tbl.to_batches()
 
     class EventsReplayDataSource(DataSource):
         """``spark.read.format("events_replay").schema(S).option("path", p)``"""

@@ -428,3 +428,76 @@ def test_custom_pyds_partitions_follow_row_groups(spark, sf_dir):
     out = custom_source_events_scan(spark, sf_dir)
     total = sum(r.n for r in out.collect())
     assert total == load(spark, sf_dir, "events").count()
+
+
+def test_custom_pyds_handles_nanos_timestamps(spark, tmp_path):
+    """Spark's Arrow ingestion rejects timestamp[ns] batches
+    (UNSUPPORTED_ARROWTYPE) — the custom source must cast ns columns to
+    their raw int64 so the ns fixture layout reads through the same
+    LongType contract as events_stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lambda_arc_events_filter_spark.sources.pyds import (
+        register_events_replay,
+    )
+
+    path = str(tmp_path / "ns_events.parquet")
+    ts_ns = pa.array([1_700_000_000_000_000_001, 1_700_000_000_000_000_002],
+                     type=pa.timestamp("ns"))
+    ids = pa.array([1, 2], type=pa.int64())
+    pq.write_table(
+        pa.table({"event_id": ids, "ts": ts_ns}),
+        path,
+        coerce_timestamps=None,
+    )
+    assert pq.read_schema(path).field("ts").type == pa.timestamp("ns")
+    register_events_replay(spark)
+    got = (
+        spark.read.format("events_replay")
+        .schema("event_id long, ts long")
+        .option("path", path)
+        .load()
+        .collect()
+    )
+    assert sorted((r.event_id, r.ts) for r in got) == [
+        (1, 1_700_000_000_000_000_001),
+        (2, 1_700_000_000_000_000_002),
+    ]
+
+
+def test_registry_window_reprioritizes_reds(tmp_path, monkeypatch):
+    """A query red in its latest driver check must sort AHEAD of
+    never-checked queries; greens sort stalest-first behind them."""
+    import json
+
+    from lambda_arc_events_filter_spark import registry as R
+
+    art = {
+        "green_r1": {"rows_match": True, "schema_match": True,
+                     "hash_match": True, "err": None},
+        "red_r1": {"rows_match": True, "schema_match": True,
+                   "hash_match": False, "err": None},
+        "rows_only_r1": {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "err": "no_oracle"},
+        "fixed_r2": {"rows_match": False, "schema_match": True,
+                     "hash_match": False, "err": None},
+    }
+    art2 = {
+        "fixed_r2": {"rows_match": True, "schema_match": True,
+                     "hash_match": True, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(art))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(art2))
+
+    real_glob = R.Path.glob if hasattr(R, "Path") else None  # noqa: F841
+    import pathlib
+
+    monkeypatch.setattr(
+        pathlib.Path, "resolve", lambda self: tmp_path / "pkg" / "x.py",
+        raising=False,
+    )
+    last, red = R._driver_checked()
+    assert red == {"red_r1"}, red
+    assert last["fixed_r2"] == 2  # green in its LATEST check
+    assert last["rows_only_r1"] == 1  # no_oracle is not red
