@@ -230,3 +230,28 @@ def test_in_subquery_three_valued_broadcasts(spark, sf_dir):
     df = ALL["in_subquery_three_valued"].fn(spark, sf_dir)
     assert I.uses_broadcast_join(df)
     assert not I.has_python_in_plan(df)
+
+
+def test_referential_audit_broadcasts_parents(spark, sf_dir):
+    """FK-audit probes must broadcast the parent key sides — the fact
+    tables never shuffle."""
+    df = ALL["referential_integrity_audit"].fn(spark, sf_dir)
+    assert I.uses_broadcast_join(df)
+    assert not I.uses_nested_loop_join(df)
+
+
+def test_merge_upsert_broadcasts_change_set(spark, sf_dir):
+    """MERGE: the change set broadcasts; the snapshot side never
+    exchanges for the join."""
+    df = ALL["batch_merge_upsert"].fn(spark, sf_dir)
+    assert I.uses_broadcast_join(df)
+    assert not I.has_python_in_plan(df)
+
+
+def test_lateral_join_decorrelates_to_window(spark, sf_dir):
+    """The correlated LIMIT subquery must decorrelate — no per-row
+    subquery execution, no nested loop over the outer side."""
+    df = ALL["lateral_join_topn"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "LateralJoin" not in plan, "lateral must be decorrelated"
+    assert not I.has_python_in_plan(df)

@@ -501,3 +501,91 @@ def test_registry_window_reprioritizes_reds(tmp_path, monkeypatch):
     assert red == {"red_r1"}, red
     assert last["fixed_r2"] == 2  # green in its LATEST check
     assert last["rows_only_r1"] == 1  # no_oracle is not red
+
+
+def test_funnel_steps_monotonically_shrink(spark, sf_dir):
+    """Ordered-funnel invariant: each step's user count is at most the
+    previous step's (a user cannot convert without entering)."""
+    from lambda_arc_events_filter_spark.queries.quality_q import (
+        events_funnel_conversion,
+    )
+
+    rows = {r.step: r.n_users for r in
+            events_funnel_conversion(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
+
+
+def test_merge_upsert_disposition_counts(spark, sf_dir):
+    """MERGE accounting: deletes vanish, updates/keeps/inserts match the
+    residue classes that defined the change set."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.queries.analytic_q import (
+        batch_merge_upsert,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    by_res = {
+        r.res: r.n
+        for r in c.groupBy((F.col("c_custkey") % 10).alias("res"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = lambda *rs: sum(by_res.get(r, 0) for r in rs)  # noqa: E731
+    out = batch_merge_upsert(spark, sf_dir)
+    acts = {
+        r.merge_action: r.cnt
+        for r in out.groupBy("merge_action")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(by_res.values())
+    assert acts.get("updated", 0) == n(1, 2)
+    assert acts.get("inserted", 0) == n(3)
+    assert acts.get("kept", 0) == total - n(0, 1, 2)
+    # inserted keys never collide with surviving snapshot keys
+    assert out.groupBy("c_custkey").count().filter("count > 1").count() == 0
+
+
+def test_gaps_islands_streaks_match_python_recompute(spark, sf_dir):
+    """Recompute maximal consecutive-day streaks driver-side from the
+    distinct (user, day) set and compare against the query."""
+    import datetime
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.queries.quality_q import (
+        events_gaps_and_islands,
+    )
+
+    e = load(spark, sf_dir, "events")
+    days = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in days:
+        by_user.setdefault(r.user_id, []).append(r.day)
+    expected = set()
+    for uid, ds in by_user.items():
+        ds = sorted(ds)
+        start = prev = ds[0]
+        for d in ds[1:] + [None]:
+            if d is not None and (d - prev) == datetime.timedelta(days=1):
+                prev = d
+                continue
+            length = (prev - start).days + 1
+            if length >= 3:
+                expected.add((uid, start, prev, length))
+            if d is not None:
+                start = prev = d
+    got = {
+        (r.user_id, r.streak_start, r.streak_end, r.streak_days)
+        for r in events_gaps_and_islands(spark, sf_dir).collect()
+    }
+    assert got == expected
