@@ -14,6 +14,7 @@ from lambda_arc_events_filter_spark.queries import (  # noqa: F401
     quality_q,
     relational,
     sources_q,
+    statistics_q,
     streaming_q,
     udf_q,
     windows,

@@ -1,0 +1,441 @@
+"""Round-3 statistical depth: regression aggregates, exact order
+statistics with deterministic tie-breaks, error-tolerant ``try_``
+functions, cryptographic hash columns, time-series resampling with
+forward fill, and z-score anomaly flagging.
+
+These cover the analyst-facing statistics surface a warehouse engine
+must carry (SURVEY.md §2 B23-B30/B42-B48 families, widened): every
+query is a single declarative plan — aggregates stay map-side
+combinable, the resample spine is generated per key with zero Python,
+and the anomaly pass is the two-scan broadcast shape that holds at
+100 TB (per-group moments are k rows, never a window over the corpus).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregate family (regr_*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_regression_suite",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           round(corr(l_extendedprice, l_quantity), 6)           AS pearson_r,
+           round(covar_samp(l_extendedprice, l_quantity), 6)     AS cov_s
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares aggregates: slope/intercept/R² of
+    extendedprice regressed on quantity, plus Pearson r and sample
+    covariance — the regr_* family (ANSI SQL:2016, built into both
+    engines as single-pass moment aggregates).
+
+    One hash aggregate; every regr_* decomposes into the same five
+    streaming moments (n, Σx, Σy, Σxx, Σxy), so the whole row is one
+    map-side-combinable pass — the cheapest possible statistical query
+    shape at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("pearson_r"),
+        F.round(F.covar_samp(y, x), 6).alias("cov_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics: median / discrete percentile / deterministic mode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)  AS n,
+             round(median(value), 6)   AS med
+      FROM events GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*)    OVER (PARTITION BY event_type)                 AS cnt
+      FROM events
+    ),
+    p90 AS (
+      SELECT event_type, round(value, 6) AS p90_disc
+      FROM r WHERE rn = CAST(ceil(cnt * 0.90) AS BIGINT)
+    ),
+    f AS (
+      SELECT event_type, round(value, 2) AS vbin, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    md AS (
+      SELECT event_type, vbin AS mode_bin FROM (
+        SELECT event_type, vbin,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, vbin) AS rk
+        FROM f) WHERE rk = 1
+    )
+    SELECT m.event_type, m.n, m.med, p90.p90_disc, md.mode_bin
+    FROM m JOIN p90 USING (event_type) JOIN md USING (event_type)
+    """,
+    tags=("agg", "stats"),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics per group: true median (interpolating, the
+    built-in both engines share), discrete 90th percentile (the actual
+    data value at rank ⌈0.9·n⌉ — no interpolation), and the modal value
+    of the 2-decimal bin with a DETERMINISTIC tie-break (highest count,
+    then lowest bin — the built-in ``mode()`` is tie-unspecified in both
+    engines, so a reproducible pipeline must pin the tie itself).
+
+    Median is a single sort-based aggregate; the discrete percentile and
+    mode each ride one hash(event_type) exchange — and all three share
+    that clustering, so the join at the end is co-partitioned with zero
+    extra shuffles.  At scale the mode path (bin → count → top-1 per key)
+    is the two-level heavy-hitter aggregate, map-side combinable.
+    """
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("value"), 6).alias("med"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("cnt"),
+    )
+    p90 = r.filter(
+        F.col("rn") == F.ceil(F.col("cnt") * 0.90).cast("long")
+    ).select("event_type", F.round("value", 6).alias("p90_disc"))
+    fbin = e.groupBy(
+        "event_type", F.round("value", 2).alias("vbin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wk = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("vbin")
+    )
+    md = (
+        fbin.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("vbin").alias("mode_bin"))
+    )
+    return m.join(p90, "event_type").join(md, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Error-tolerant try_* function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_try_suite",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, value,
+             value % 3600 AS num,
+             CAST(floor(value) AS DOUBLE) % 3 AS denom,
+             CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS VARCHAR)
+                  ELSE event_type END AS int_str,
+             CASE WHEN event_id % 3 = 0 THEN '2024-01-15'
+                  ELSE event_type END AS date_str
+      FROM events
+    )
+    SELECT event_id,
+           round(num / denom, 6)                     AS safe_div,
+           try_cast(int_str AS INTEGER)              AS parsed_int,
+           try_strptime(date_str, '%Y-%m-%d')        AS parsed_ts
+    FROM s
+    """,
+    tags=("functions",),
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48 widened: the ``try_``-prefixed error-tolerant function family —
+    division that yields NULL instead of failing on zero denominators,
+    cast that yields NULL on unparseable strings, timestamp parse that
+    yields NULL on format mismatch.
+
+    The ingest-hardening surface: a 100 TB raw-corpus pass cannot abort
+    on one malformed record, so every conversion in the hot path uses the
+    try_ form and malformed rows are routed by IS NULL filters instead of
+    exceptions.  (DuckDB's ``/`` already yields NULL on zero, so the
+    oracle is plain division; its TRY_CAST / try_strptime mirror the
+    rest.)  All pure row-level codegen — no shuffle at all.
+    """
+    e = load(spark, sf_dir, "events")
+    int_str = F.when(
+        F.col("event_id") % 2 == 0, F.col("user_id").cast("string")
+    ).otherwise(F.col("event_type"))
+    date_str = F.when(
+        F.col("event_id") % 3 == 0, F.lit("2024-01-15")
+    ).otherwise(F.col("event_type"))
+    return e.select(
+        "event_id",
+        F.round(
+            F.try_divide(
+                F.col("value") % 3600,
+                F.floor(F.col("value")).cast("double") % 3,
+            ),
+            6,
+        ).alias("safe_div"),
+        F.try_to_number(int_str, F.lit("999999999"))
+        .cast("int")
+        .alias("parsed_int"),
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd")).alias("parsed_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cryptographic hash / fingerprint columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_hash_suite",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                               AS md5_hex,
+           sha256(text)                            AS sha256_hex,
+           substr(md5(text), 1, 8)                 AS md5_head,
+           CAST(length(sha256(text)) AS INTEGER)   AS sha_len
+    FROM documents
+    """,
+    tags=("functions", "llm"),
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests as columns: md5 and sha-256 hex over document
+    text — the content-addressing primitive under exact dedup, cache
+    keys, and provenance ledgers (every engine agrees on these by
+    construction, unlike seeded engine-native hashes such as xxhash64,
+    which is why THIS pair is the cross-system fingerprint of choice).
+
+    Pure narrow projection — fingerprints at 100 TB are a map-only job
+    that feeds the exact-dedup groupBy (``dedup_exact_docs``).
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("md5_head"),
+        F.length(F.sha2(F.col("text"), 256)).alias("sha_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + forward fill (gap-filling spine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS bucket,
+             value
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, bucket, round(avg(value), 6) AS v,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM b GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(bucket) mn, max(bucket) mx
+            FROM agg GROUP BY 1),
+    spine AS (SELECT user_id, unnest(generate_series(mn, mx, 21600)) AS bucket
+              FROM rng),
+    j AS (
+      SELECT s.user_id, s.bucket, a.v,
+             coalesce(a.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN agg a USING (user_id, bucket)
+    ),
+    g AS (
+      SELECT *, count(v) OVER (PARTITION BY user_id ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM j
+    )
+    SELECT user_id, bucket, n_events,
+           max(v) OVER (PARTITION BY user_id, grp) AS filled_value,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM g
+    """,
+    tags=("events", "timeseries"),
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: bucket each user's events into a regular
+    6-hour grid, generate the COMPLETE per-user spine between their first
+    and last bucket (``sequence`` + explode — missing buckets
+    materialize as rows), and forward-fill gaps with the last observed
+    bucket average.  The gap-filling shape behind downsampled metric
+    stores and ML feature grids.
+
+    Integer epoch arithmetic end-to-end (no engine-specific timestamp
+    binning), averages rounded BEFORE the fill so both engines propagate
+    identical values.  One hash(user_id) exchange serves the bucket
+    aggregate, the spine generation, the join back, and the fill window
+    — at 100 TB the spine is O(keys × buckets), generated, never
+    shuffled wide.  Spark's ``last(ignorenulls)`` running window is the
+    fill; the oracle reaches the same fill via the non-null-count
+    grouping trick (DuckDB windows lack IGNORE NULLS).
+    """
+    e = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("long")
+    agg = (
+        e.select("user_id", bucket.alias("bucket"), "value")
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.round(F.avg("value"), 6).alias("v"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.lit(21600).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    j = spine.join(agg, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly flagging (two-scan broadcast moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           round((e.value - m.mu) / m.sigma, 6) AS zscore
+    FROM events e JOIN m USING (event_type)
+    WHERE abs((e.value - m.mu) / m.sigma) > 2.5
+    """,
+    tags=("events", "stats"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flagging: per-event-type mean and
+    sample stddev, then every event more than 2.5σ from its type's mean —
+    the monitoring primitive behind metric alerting and data-quality
+    quarantine (the batch twin of the quantile-based
+    ``events_quantile_outlier_filter``).
+
+    Deliberately NOT a window over the corpus: the moments aggregate to
+    |event_type| rows, broadcast back for the second scan, so the plan is
+    scan → tiny agg → broadcast-join → scan with no corpus shuffle at
+    all.  The z-computation inside the filter and the projection is the
+    same expression — Catalyst collapses it; both engines compare on the
+    UN-rounded z (rounding only the output) so the cut line is identical.
+    """
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg / string_agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    WITH pc AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           string_agg(CAST(c AS VARCHAR), '|' ORDER BY o_orderpriority)
+             AS counts
+    FROM pc GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per order status, the '|'-joined list
+    of priorities and their counts, in priority order — LISTAGG/WITHIN
+    GROUP semantics (SQL:2016), the report-formatting aggregate.
+
+    Determinism is the whole game: an unordered collect is
+    partition-order-dependent and breaks run-to-run reproducibility, so
+    the Spark side sorts INSIDE the aggregate (sort_array over collected
+    structs — the array never leaves the JVM) rather than trusting input
+    order.  Pre-aggregating to (status, priority) counts first keeps the
+    collected arrays O(distinct values), never O(rows) — the bound that
+    makes ordered listagg safe at corpus scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    pc = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = F.sort_array(
+        F.collect_list(F.struct("o_orderpriority", "c"))
+    )
+    return pc.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.transform(pairs, lambda s: s["o_orderpriority"]), "|"
+        ).alias("priorities"),
+        F.array_join(
+            F.transform(pairs, lambda s: s["c"].cast("string")), "|"
+        ).alias("counts"),
+    )
