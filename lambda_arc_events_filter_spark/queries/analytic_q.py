@@ -563,3 +563,242 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.size(F.collect_set("user_id").over(w)).alias("rolling_uniques"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast revenue change (pure filter-aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT)                    AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    filter-everything-then-one-global-sum query — a year of shipments in
+    a discount band under a quantity cap.
+
+    The whole query should be (and is) a single scan with every
+    predicate pushed into the parquet reader (range predicates on
+    l_shipdate/l_discount/l_quantity all reach PushedFilters, so
+    row-group min/max stats skip non-qualifying groups before decode)
+    followed by a partial+final sum — the plan whose scan efficiency IS
+    the benchmark at 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS-correlated order counting (null-safe semi join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q04_late_shipment_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q04_late_shipment_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), adapted to the fixture
+    columns: count two years of orders per priority where at least ONE
+    lineitem shipped more than 90 days after the order date — the
+    EXISTS-correlated aggregate.
+
+    EXISTS compiles to a LEFT SEMI join on orderkey carrying the
+    non-equi lateness predicate as a join condition — one shuffle on the
+    key both sides, each order emitted at most once no matter how many
+    late lineitems it has (the semi join's short-circuit is exactly
+    EXISTS semantics, and what makes this safe on a skewed 7000-item
+    order at scale).
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: per-group metrics against a global baseline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar_global",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)        AS n_orders,
+           round(avg(o_totalprice), 6)     AS avg_price,
+           round(avg(o_totalprice)
+                 / (SELECT avg(o_totalprice) FROM orders), 6) AS vs_global
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("subquery", "agg"),
+)
+def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: each order status's average total
+    price expressed as a ratio to the GLOBAL average — the
+    benchmark-against-baseline report shape.
+
+    The global average is a one-row aggregate broadcast into the
+    per-group result (Catalyst plans the scalar subquery as its own
+    stage whose single row feeds the main plan as a literal); the corpus
+    is scanned twice but shuffled once, and the broadcast side is one
+    row — there is no cheaper way to compare every group to the whole.
+    """
+    o = load(spark, sf_dir, "orders")
+    g = o.agg(F.avg("o_totalprice").alias("_g"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("o_totalprice").alias("_avg"),
+        )
+        .join(F.broadcast(g))
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.round("_avg", 6).alias("avg_price"),
+            F.round(F.col("_avg") / F.col("_g"), 6).alias("vs_global"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join (chunked equi-join strategy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             min(ts) AS a_start, max(ts) AS a_end
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_id AS incident_id,
+             ts - INTERVAL 30 MINUTE AS b_start,
+             ts + INTERVAL 30 MINUTE AS b_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.user_id, a.day,
+           CAST(count(DISTINCT b.incident_id) AS BIGINT) AS n_incidents
+    FROM a LEFT JOIN b
+      ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+    GROUP BY 1, 2
+    """,
+    tags=("join", "events", "timeseries"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity spans
+    [first event, last event] joined against hour-wide incident windows
+    (±30 min around every error event), counting distinct incidents each
+    activity span overlaps — the interval-intersection primitive behind
+    downtime attribution, ad-flight matching, and sensor alignment.
+
+    A raw theta join (a.start<=b.end AND b.start<=a.end) is a nested
+    loop — quadratic and a scale-killer.  The engine instead CHUNKS time
+    into fixed 1-hour cells: each interval explodes to the cells it
+    touches (``sequence`` over epoch-hours — bounded fan-out since both
+    interval kinds are ≤1 day wide), the join becomes an EQUI-join on
+    the cell id, and the exact overlap predicate then filters the
+    superset; pair dedup (an interval pair can share several cells) +
+    left join back restores exact semantics including zero-overlap days.
+    The oracle runs the quadratic form directly — value equality proves
+    the chunked rewrite.  At 100 TB the cell id is the shuffle key: time
+    locality becomes hash locality, and each cell's population is
+    bounded by interval density, not corpus size.
+    """
+    e = load(spark, sf_dir, "events")
+    a = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    b = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("b_end"),
+    )
+    hour = 3600
+
+    def cells(start, end):
+        return F.sequence(
+            F.floor(F.unix_timestamp(start) / hour).cast("long"),
+            F.floor(F.unix_timestamp(end) / hour).cast("long"),
+        )
+
+    ac = a.withColumn("cell", F.explode(cells("a_start", "a_end")))
+    bc = b.withColumn("cell", F.explode(cells("b_start", "b_end")))
+    pairs = (
+        ac.join(bc, "cell")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("user_id", "day", "incident_id")
+        .distinct()
+    )
+    hits = pairs.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        a.select("user_id", "day")
+        .join(hits, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(
+                "n_incidents"
+            ),
+        )
+    )
