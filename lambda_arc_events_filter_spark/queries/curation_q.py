@@ -580,3 +580,220 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_drop_within"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster, then prune within clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle="""
+    WITH ed AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cluster, i, v AS cv
+      FROM ed WHERE vec_id < 8
+    ),
+    d1 AS (
+      SELECT e.vec_id, c.cluster, sum((e.v - c.cv) * (e.v - c.cv)) AS d
+      FROM ed e JOIN c0 c USING (i) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(d, 6), cluster) rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cluster, e.i, round(avg(e.v), 6) AS cv
+      FROM ed e JOIN a1 a USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cluster, sum((e.v - c.cv) * (e.v - c.cv)) AS d
+      FROM ed e JOIN c1 c USING (i) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(d, 6), cluster) rn
+        FROM d2) WHERE rn = 1
+    ),
+    ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT x.cluster, a.vec_id AS ia, b.vec_id AS ib
+      FROM a2 x
+      JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN ev a ON a.vec_id = x.vec_id
+      JOIN ev b ON b.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    acc AS (
+      SELECT cluster,
+             CAST(count(*) AS BIGINT)            AS n_dup_pairs,
+             CAST(count(DISTINCT ib) AS BIGINT)  AS n_pruned
+      FROM p GROUP BY cluster
+    )
+    SELECT m.cluster,
+           CAST(count(*) AS BIGINT)        AS n_members,
+           coalesce(acc.n_dup_pairs, 0)    AS n_dup_pairs,
+           coalesce(acc.n_pruned, 0)       AS n_pruned
+    FROM a2 m LEFT JOIN acc ON m.cluster = acc.cluster
+    GROUP BY m.cluster, acc.n_dup_pairs, acc.n_pruned
+    """,
+    tags=("llm", "vector", "dedup"),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding corpus, then search for near-duplicate
+    pairs ONLY within each cluster and prune the higher-id member of
+    every pair — per-cluster accounting (members, dup pairs, pruned).
+
+    The clustering is what makes semantic dedup feasible at corpus
+    scale: all-pairs cosine is quadratic in the corpus, but
+    cluster-scoped pairs are quadratic only in the CELL population (the
+    same cell-partition move IVF uses for search).  Here: two
+    deterministic Lloyd rounds (``operators.similarity.kmeans_lloyd`` —
+    broadcast centroids, corpus never shuffled), then a self-join keyed
+    on cluster id, cosine rounded to 6 BEFORE the threshold compare so
+    the cut line is engine-exact.  At 100 TB the cluster id is the
+    shuffle key and skewed cells get the salting/cap levers the LSH
+    dedup family already carries.
+    """
+    from lambda_arc_events_filter_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = S.kmeans_lloyd(
+        emb, "vec_id", "embedding", k=8, iters=2, materialize=False
+    ).select("vec_id", "cluster")
+    ev = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    m = assign.join(ev, "vec_id")
+    a = m.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+    )
+    b = m.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, e) -> s + e)"
+        " / (sqrt(aggregate(va, 0D, (s, x) -> s + x * x))"
+        "  * sqrt(aggregate(vb, 0D, (s, x) -> s + x * x)))"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("_cos", F.round(cos, 6))
+        .filter(F.col("_cos") >= 0.35)
+        .select("cluster", "ia", "ib")
+    )
+    acc = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("ib").alias("n_pruned"),
+    )
+    members = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return members.join(acc, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+        F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture rebalancing: data-driven per-source keep rates toward a target mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mixture_rebalance",
+    oracle="""
+    WITH cnt AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM documents
+      GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_total) AS n FROM cnt),
+    tgt AS (
+      SELECT lang, n_total,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                       ELSE 0.1 END AS target_frac
+      FROM cnt
+    ),
+    rate AS (
+      SELECT lang, n_total,
+             CAST(floor(least(1.0,
+                  target_frac * tot.n / n_total) * 10000) AS INTEGER)
+               AS rate_bp
+      FROM tgt, tot
+    )
+    SELECT d.lang, r.n_total, r.rate_bp,
+           CAST(sum(CASE WHEN (d.doc_id * 2654435761) % 10000 < r.rate_bp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rate r USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing toward target language proportions (en 50%,
+    zh 20%, other 10% of the CURRENT corpus size): per-language keep
+    rates are COMPUTED FROM THE DATA (target share × total ÷ actual
+    count, capped at 1), then membership is decided by the same
+    deterministic Knuth-hash threshold the stratified sampler uses — the
+    difference from ``corpus_sample_stratified`` is that rates there are
+    constants, here they are a data-dependent control signal (the "mix
+    to spec" step that precedes every pretraining run).
+
+    Rates quantize to integer basis points before the threshold compare,
+    so the keep decision is pure integer arithmetic — bit-identical
+    across engines and runs.  Plan: tiny per-lang aggregate → broadcast
+    back over the corpus scan → per-lang accounting; the corpus shuffles
+    zero times in the filter form (WHERE hash < rate feeds the writer).
+    """
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    tot = cnt.agg(F.sum("n_total").alias("_n"))
+    target = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "zh", 0.2)
+        .otherwise(0.1)
+    )
+    rate = (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_total",
+            F.floor(
+                F.least(
+                    F.lit(1.0), target * F.col("_n") / F.col("n_total")
+                )
+                * 10000
+            )
+            .cast("int")
+            .alias("rate_bp"),
+        )
+    )
+    kept = (
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10000))
+        < F.col("rate_bp")
+    ).cast("int")
+    return (
+        d.join(F.broadcast(rate), "lang")
+        .select("lang", "n_total", "rate_bp", kept.alias("_k"))
+        .groupBy("lang", "n_total", "rate_bp")
+        .agg(F.sum("_k").cast("long").alias("n_kept"))
+    )

@@ -658,3 +658,60 @@ def events_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_days") >= 3)
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral path mining: top event-type trigrams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    ),
+    t AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path
+      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY path)
+    SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
+    """,
+    tags=("events", "window", "topk"),
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most frequent 3-step event-type
+    sequences across all users (lead×2 over each user's time-ordered
+    stream, then count) — the n-gram-over-sessions primitive behind
+    funnel discovery and next-action models.
+
+    One hash(user_id) exchange feeds both lead windows (same sort), the
+    trigram concat is codegen, and the count + top-20 collapses to a
+    partial agg + TakeOrderedAndProject — at 100 TB the only wide data
+    movement is the |distinct paths| aggregate, which is bounded by the
+    event-type alphabet cubed, not the corpus.  ``event_id`` breaks
+    same-timestamp ties so both engines see identical sequences; the
+    final (count desc, path) order pins the cut line.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
