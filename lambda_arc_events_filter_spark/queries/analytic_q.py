@@ -802,3 +802,137 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification (cumulative-share windows in integer cents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_pareto_abc",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(cents) OVER () AS total_cents
+      FROM pr
+    )
+    SELECT l_partkey,
+           round(cents / 100.0, 2)              AS revenue,
+           round(cum_cents * 1.0 / total_cents, 6) AS cum_share,
+           CASE WHEN cum_cents * 1.0 / total_cents <= 0.5 THEN 'A'
+                WHEN cum_cents * 1.0 / total_cents <= 0.8 THEN 'B'
+                ELSE 'C' END                    AS abc_class
+    FROM c
+    """,
+    tags=("window", "agg"),
+)
+def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: parts ranked by revenue, cumulative revenue
+    share, and the classic A (top 50% of revenue) / B (next 30%) / C
+    (tail) classification — the inventory-prioritization report.
+
+    Numeric determinism is engineered, not hoped for: every lineitem's
+    net price quantizes to INTEGER CENTS per row (no cross-row float
+    summation ever happens), so part revenue and the running total are
+    exact integer arithmetic in a pinned order (revenue desc, partkey)
+    — engines disagree on float summation ASSOCIATION (segment-tree vs
+    streaming window sums), but not on integer addition, so the A/B
+    boundary cannot flip on a last-ulp drift.  The global-order window is
+    the one genuinely serial step; at 100 TB it becomes a range-partition
+    by revenue + partition-offset rebase (the exact-percentile 'range'
+    strategy this engine already ships in ``functions/stats.py``).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    # quantize PER ROW, sum integers: a per-part float sum then a single
+    # round can land on a .5 boundary differently across engines (seen at
+    # sf0.01 — three parts off by one cent); per-row rounding involves no
+    # cross-row summation, so both engines produce identical cents and the
+    # aggregate is exact integer addition in any order.
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cents")
+    )
+    w = (
+        Window.orderBy(F.col("cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = F.col("cum_cents") * 1.0 / F.col("total_cents")
+    return (
+        pr.withColumn("cum_cents", F.sum("cents").over(w))
+        .withColumn(
+            "total_cents", F.sum("cents").over(Window.partitionBy())
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.5, "A")
+            .when(share <= 0.8, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month percent change (lag over calendar aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_mom_pct_change",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             date_trunc('month', o_orderdate) AS month,
+             round(sum(o_totalprice), 2)      AS revenue,
+             CAST(count(*) AS BIGINT)         AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, month, revenue, n_orders,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 6) AS mom_pct
+    FROM m
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month)
+    """,
+    tags=("window", "agg", "timeseries"),
+)
+def orders_mom_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order status: calendar-month
+    rollup, then lag-based percent delta (NULL for each status's first
+    month) — the KPI-trend query every reporting layer runs.
+
+    The aggregate shrinks the corpus to |status × month| rows BEFORE the
+    window, so the serial month ordering runs on dozens of rows no matter
+    the input scale; revenue rounds to 2 decimals before the ratio so
+    both engines difference identical values.
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_orderstatus",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "o_orderstatus",
+        "month",
+        "revenue",
+        "n_orders",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )

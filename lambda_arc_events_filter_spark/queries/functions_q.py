@@ -375,3 +375,55 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").cast("bigint").alias("key_bit_or"),
         F.bit_xor("o_orderkey").cast("bigint").alias("key_bit_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing functions (parse_url family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_url_suite",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com'                          AS host,
+           '/' || lang || '/doc/' || doc_id                  AS path,
+           'q=' || n_chars || '&lang=' || lang               AS query,
+           CAST(n_chars AS VARCHAR)                          AS q_param,
+           'https'                                           AS protocol
+    FROM documents
+    """,
+    tags=("functions",),
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42 widened: URL decomposition with ``parse_url`` — host, path,
+    query string, single query parameter, and protocol — the
+    log-analytics / web-corpus provenance primitive.
+
+    The engine CONSTRUCTS each document's canonical URL from its fixture
+    columns and then parses it back; the oracle computes every component
+    directly from the same columns, so any parse defect (greedy host
+    match, query-param extraction, protocol slicing) breaks value
+    equality.  Pure codegen projection, no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id"),
+        F.lit("?q="),
+        F.col("n_chars"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -439,3 +439,93 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(pairs, lambda s: s["c"].cast("string")), "|"
         ).alias("counts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counting via bitmaps (bucketed two-level aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through bitmap aggregation: ids map to
+    (bucket, bit position), per-(group, bucket) bitmaps OR together
+    map-side, and the distinct count is the sum of per-bucket popcounts.
+
+    This is the scale-out alternative to COUNT(DISTINCT): a plain
+    count-distinct shuffles every distinct VALUE, while the bitmap form
+    shuffles fixed-width bitmaps whose count is bounded by id-range /
+    bucket-width regardless of row count — the same two-level shape
+    warehouse engines compile exact distinct into.  The oracle is plain
+    COUNT(DISTINCT): value equality proves the bitmap rewrite exact, not
+    approximate.
+    """
+    e = load(spark, sf_dir, "events")
+
+    def bitmap_distinct(col: str, out: str):
+        return (
+            e.selectExpr(
+                "event_type",
+                f"bitmap_bucket_number({col}) AS _bkt",
+                f"bitmap_bit_position({col}) AS _pos",
+            )
+            .groupBy("event_type", "_bkt")
+            .agg(F.expr("bitmap_construct_agg(_pos)").alias("_bm"))
+            .groupBy("event_type")
+            .agg(F.expr("sum(bitmap_count(_bm))").alias(out))
+        )
+
+    return bitmap_distinct("user_id", "n_users").join(
+        bitmap_distinct("event_id", "n_events"), "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch build + merge (the partial-sketch rollup pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle=None,  # approximate by design; error-bound pinned in pytest
+    tags=("agg", "sketch"),
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch AS A VALUE: per-day user sketches built with
+    ``hll_sketch_agg``, then merged across days with ``hll_union_agg``
+    and estimated — the partial-sketch rollup that powers reusable
+    distinct-count cubes (build per partition/day once, merge any
+    subset later without touching raw data; mergeability is the whole
+    point and what plain approx_count_distinct cannot do).
+
+    Emits one row per day (daily estimate) plus a 'total' row (union of
+    all daily sketches).  Approximate by design → no SQL oracle; the
+    error bound vs exact distinct counts is pinned in
+    ``tests/test_round3b.py`` (HLL standard error at default lgK=12 is
+    ~1.6%; the test allows 5%).
+    """
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("_sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("scope"),
+        F.expr("hll_sketch_estimate(_sk)").alias("approx_users"),
+    )
+    total = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(_sk))").alias(
+            "approx_users"
+        )
+    ).select(F.lit("total").alias("scope"), "approx_users")
+    return per_day.unionAll(total)

@@ -216,3 +216,47 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         adjust, schema="event_id long, value_adj double, type_len int"
     )
     return out.withColumn("value_adj", F.round("value_adj", 4))
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT event_id,
+           round((exp(2 * (value / 100.0)) - 1)
+                 / (exp(2 * (value / 100.0)) + 1) * 2.0 + 1.0, 6)
+             AS activation
+    FROM events
+    """,
+    tags=("udf",),
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``): the model-serving shape — expensive state
+    (here a stand-in parameter dict; in production a loaded model) is
+    initialized ONCE per Python worker, then reused across every Arrow
+    batch the worker sees, instead of once per batch like a plain scalar
+    pandas UDF.
+
+    At 100 TB this is the difference between loading a model
+    tasks×batches times and tasks times.  The math itself (scaled tanh
+    activation) is deterministic double arithmetic, so the SQL oracle
+    reproduces it exactly; rounding happens JVM-side after the UDF.
+    """
+
+    @F.pandas_udf("double")
+    def activate(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # once per worker: the "model load" the iterator form amortizes
+        params = {"scale": 100.0, "gain": 2.0, "bias": 1.0}
+        for batch in batches:
+            yield (
+                np.tanh(batch / params["scale"]) * params["gain"]
+                + params["bias"]
+            )
+
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(activate("value"), 6).alias("activation"),
+    )

@@ -4,6 +4,9 @@ mixture rebalance, path trigrams)."""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 import pyspark.sql.functions as F
 
 from lambda_arc_events_filter_spark.plans import inspect as I
@@ -172,3 +175,86 @@ def test_zscore_rows_actually_exceed_threshold(spark, sf_dir):
     rows = ALL["events_anomaly_zscore"].fn(spark, sf_dir).collect()
     assert rows, "fixture should contain >2.5 sigma outliers"
     assert all(abs(r.zscore) > 2.5 for r in rows)
+
+
+def test_hll_union_within_error_bound(spark, sf_dir):
+    """Default lgK=12 standard error is ~1.6%; allow 5% vs exact."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    rows = ALL["agg_hll_sketch_union"].fn(spark, sf_dir).collect()
+    est = {r.scope: r.approx_users for r in rows}
+    e = load(spark, sf_dir, "events")
+    exact_total = e.select("user_id").distinct().count()
+    assert abs(est["total"] - exact_total) <= max(1, 0.05 * exact_total)
+    daily = dict(
+        e.groupBy(F.date_trunc("day", "ts").cast("string").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    for day, n in daily.items():
+        assert abs(est[day] - n) <= max(1, 0.05 * n), (day, est[day], n)
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    """The bitmap rewrite must be EXACT, not approximate."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    got = {
+        r.event_type: (r.n_users, r.n_events)
+        for r in ALL["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    want = {
+        r.event_type: (r.nu, r.ne)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nu"),
+            F.countDistinct("event_id").alias("ne"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_pareto_classes_partition_by_cum_share(spark, sf_dir):
+    rows = (
+        ALL["lineitem_pareto_abc"]
+        .fn(spark, sf_dir)
+        .orderBy("cum_share")
+        .collect()
+    )
+    assert rows[-1].cum_share == 1.0
+    seen = [r.abc_class for r in rows]
+    # classes must appear in A..B..C blocks as share grows
+    assert seen == sorted(seen), "class must be monotone in cum_share"
+    for r in rows:
+        want = "A" if r.cum_share <= 0.5 else ("B" if r.cum_share <= 0.8 else "C")
+        # boundary rows can differ from the rounded cum_share; recompute
+        # loosely: class is decided on the unrounded share, so only assert
+        # rows safely away from the boundaries
+        if abs(r.cum_share - 0.5) > 1e-5 and abs(r.cum_share - 0.8) > 1e-5:
+            assert r.abc_class == want, (r.l_partkey, r.cum_share, r.abc_class)
+
+
+def test_iter_udf_initializes_once_per_worker(spark, sf_dir):
+    """The iterator form must see MANY batches per initialization —
+    assert via a per-worker side-channel accumulator."""
+    sc = spark.sparkContext
+    inits = sc.accumulator(0)
+    batches = sc.accumulator(0)
+
+    @F.pandas_udf("double")
+    def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        inits.add(1)
+        for b in it:
+            batches.add(1)
+            yield b * 0.0
+
+    from lambda_arc_events_filter_spark.catalog import load
+
+    e = load(spark, sf_dir, "events").repartition(2)
+    # consume the UDF column (a bare count() would prune the projection
+    # and the UDF would never run)
+    e.select(probe("value").alias("x")).agg(F.sum("x")).first()
+    assert inits.value >= 1
+    assert batches.value >= inits.value
