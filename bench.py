@@ -62,6 +62,15 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "text_unigram_logprob",
     "embedding_kmeans_assign",
+    # round-3 second wave: one per new family
+    "q06_forecast_revenue",
+    "agg_regression_suite",
+    "agg_bitmap_distinct",
+    "events_anomaly_zscore",
+    "events_resample_ffill",
+    "interval_overlap_join",
+    "lineitem_pareto_abc",
+    "semdedup_cluster_prune",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
