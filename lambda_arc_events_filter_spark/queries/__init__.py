@@ -8,8 +8,10 @@ SQL-expressible (noted per-query).
 from lambda_arc_events_filter_spark.queries import (  # noqa: F401
     advanced_q,
     analytic_q,
+    corpus_stats_q,
     curation_q,
     functions_q,
+    lakehouse_q,
     llm_q,
     quality_q,
     relational,

@@ -1,0 +1,330 @@
+"""Corpus-level statistical mining — round-3 wave: distribution drift
+(KL divergence), collocation mining (PMI bigrams), nearest-centroid
+label evaluation, and deterministic weighted sampling.
+
+The training-data-pipeline measurement layer (driver mandate "text
+analysis" widened): these are the queries a data-curation team runs to
+DECIDE — is source X drifting from the corpus mix, which phrases are
+over-represented, how separable are the labels in embedding space, and
+which documents make the weighted cut.  All pure DataFrame plans: token
+distributions are explode→groupBy aggregates with broadcast marginals,
+the centroid pass is the broadcast-k×dim shape of the k-means family,
+and the weighted sample is integer hash arithmetic — no Python on any
+data path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.operators import dedup as D
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# KL divergence: per-source token distribution vs the corpus distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    st AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    s_tot AS (SELECT source, sum(c) AS n_s FROM st GROUP BY 1),
+    ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY 1),
+    c_tot AS (SELECT sum(cc) AS n_c FROM ct)
+    SELECT st.source,
+           CAST(s_tot.n_s AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT)  AS n_terms,
+           round(sum((st.c * 1.0 / s_tot.n_s)
+                 * ln((st.c * 1.0 / s_tot.n_s)
+                      / (ct.cc * 1.0 / c_tot.n_c))), 6) AS kl_vs_corpus
+    FROM st
+    JOIN s_tot USING (source)
+    JOIN ct USING (tok), c_tot
+    GROUP BY st.source, s_tot.n_s
+    """,
+    tags=("llm", "text", "stats"),
+)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source token distribution ‖
+    corpus token distribution) — the drift detector for training-data
+    mixture monitoring (a source whose KL jumps between snapshots changed
+    its content mix; sources are ranked by how far they sit from the
+    blend they feed).  KL is finite by construction here because every
+    source term is also a corpus term (the corpus marginal is the sum
+    over sources).
+
+    Shape: one explode → (source, token) count aggregate — the only
+    corpus-width shuffle — then the token marginal re-aggregates FROM
+    those counts (never re-scanning text), joins back on the hashed token
+    key, and the divergence is a per-source sum.  Corpus marginals are
+    |vocab| rows; per-source sums are |sources| rows.  At 100 TB the
+    (source, token) relation is the same postings matrix TF-IDF builds —
+    one pipeline can feed both.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    st = (
+        d.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ct = st.groupBy("tok").agg(F.sum("c").alias("cc"))
+    n_c = st.agg(F.sum("c").alias("n_c"))
+    p_s = F.col("c") * 1.0 / F.col("n_s")
+    p_c = F.col("cc") * 1.0 / F.col("n_c")
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(ct, "tok")
+        .join(F.broadcast(n_c))
+        .groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "n_terms",
+            "kl_vs_corpus",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: adjacent-bigram pointwise mutual information
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    tot AS (SELECT sum(c12) AS n FROM bc),
+    uni1 AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+    uni2 AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY 1),
+    pmi AS (
+      SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+             round(ln((bc.c12 * 1.0 / tot.n)
+                   / ((uni1.c1 * 1.0 / tot.n)
+                      * (uni2.c2 * 1.0 / tot.n))), 6) AS pmi
+      FROM bc JOIN uni1 USING (w1) JOIN uni2 USING (w2), tot
+      WHERE bc.c12 >= 20
+    )
+    SELECT w1, w2, c12, pmi FROM pmi
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of ADJACENT token
+    bigrams, top-20 by PMI among bigrams seen ≥ 20 times — the phrase
+    detector (word2vec-phrases / tokenizer-merge precursor): high-PMI
+    pairs co-occur far above chance and deserve a single vocabulary slot.
+
+    Adjacent pairs keep the pair relation LINEAR in corpus size (a
+    within-window co-occurrence blows up quadratically with window
+    width); the unigram marginals re-aggregate from the bigram counts
+    (c1 = Σ_w2 c12), so text is scanned once, and the count floor both
+    stabilizes the statistic and caps the join's skew.  Final order is
+    pinned on (rounded pmi, w1, w2) so the top-20 is cross-engine
+    deterministic; TakeOrderedAndProject keeps the global sort a heap.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    big = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
+                " i -> struct(tokens[i-1] as w1, tokens[i] as w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tot = bc.agg(F.sum("c12").alias("n"))
+    uni1 = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni2 = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") * 1.0 / F.col("n"))
+            / (
+                (F.col("c1") * 1.0 / F.col("n"))
+                * (F.col("c2") * 1.0 / F.col("n"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.filter(F.col("c12") >= 20)
+        .join(uni1, "w1")
+        .join(uni2, "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid label evaluation (embedding-space separability)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_eval",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+    ex AS (SELECT label, unnest(v) val, generate_subscripts(v, 1) pos FROM e),
+    cent AS (
+      SELECT label AS clabel, pos, avg(val) AS cv
+      FROM ex GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT vec_id, label, unnest(v) AS val,
+             generate_subscripts(v, 1) AS pos
+      FROM e
+    ),
+    dist AS (
+      SELECT ev.vec_id, ev.label, c.clabel,
+             round(sum((ev.val - c.cv) * (ev.val - c.cv)), 6) AS d2
+      FROM ev JOIN cent c ON c.pos = ev.pos
+      GROUP BY ev.vec_id, ev.label, c.clabel
+    ),
+    best AS (
+      SELECT vec_id, label, clabel AS assigned,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, clabel) AS rk
+      FROM dist
+    )
+    SELECT label, assigned, CAST(count(*) AS BIGINT) AS n
+    FROM best WHERE rk = 1
+    GROUP BY label, assigned
+    """,
+    tags=("llm", "similarity", "stats"),
+)
+def embedding_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid evaluation: per-label mean vectors, every
+    embedding assigned to its nearest centroid (squared L2, ties pinned
+    by label), confusion counts (true label × assigned) — the
+    separability probe run before trusting labels for filtering or
+    stratification, and the evaluation half of the k-means family.
+
+    Centroids aggregate via posexplode → (label, pos) means (k·dim rows),
+    come back as ONE broadcast array-struct row, and assignment is an
+    in-row argmin over the k candidates — the corpus is scanned once and
+    never shuffled (the confusion aggregate moves k² result rows).
+    Distances round to 6 BEFORE the argmin on both engines so near-ties
+    break on the label, not on last-ulp float drift (the kmeans lesson,
+    COVERAGE.md).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = dims.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("cv")
+    )
+    packed = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc")
+    ).select(
+        F.col("label").alias("clabel"),
+        F.expr("transform(pc, s -> s.cv)").alias("cvec"),
+    )
+    cents = packed.agg(
+        F.array_sort(
+            F.collect_list(F.struct("clabel", "cvec"))
+        ).alias("cs")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "array_min(transform(cs, c -> struct("
+            " round(aggregate(zip_with(embedding, c.cvec,"
+            "   (x, y) -> (cast(x as double) - y)"
+            "           * (cast(x as double) - y)),"
+            "   0D, (a, b) -> a + b), 6) as d2,"
+            " c.clabel as assigned)))"
+        ).alias("best"),
+    )
+    return scored.groupBy(
+        "label", F.col("best.assigned").alias("assigned")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (A-ES exponential-keys, hash-seeded)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             ((doc_id * 2654435761) % 2147483647 + 1) / 2147483648.0 AS u
+      FROM documents
+    ),
+    sk AS (
+      SELECT doc_id, source, n_chars,
+             round(-ln(u) / n_chars, 12) AS ekey
+      FROM k
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY ekey, doc_id) AS rk
+      FROM sk
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+    tags=("llm", "sampling"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 3 docs per source, inclusion
+    probability ∝ n_chars: the Efraimidis-Spirakis exponential-key method
+    (key = −ln(u)/w; smallest k keys = a weighted sample) with the
+    uniform drawn from a Knuth multiplicative hash of doc_id — fully
+    deterministic, so the "sample" is reproducible across runs AND
+    engines, which is what makes a sampled eval set auditable.
+
+    One window per source (WindowGroupLimit caps the sort at k per key);
+    the key arithmetic is integer-exact cross-engine (modular multiply,
+    then one float ln), rounded to 12 to absorb last-ulp ln drift.  This
+    is the scale answer to "give me a weighted 1 % of 100 TB": no global
+    sort, no second pass, no rejection loop — score and take-k per group.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647) + 1
+    ) / F.lit(2147483648.0)
+    sk = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 12).alias("ekey"),
+    )
+    w = Window.partitionBy("source").orderBy("ekey", "doc_id")
+    return (
+        sk.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

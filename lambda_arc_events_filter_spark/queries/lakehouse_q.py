@@ -1,0 +1,335 @@
+"""Lakehouse/table-format mechanics — round-3 wave: schema evolution,
+manifest-driven file pruning, Z-order (multi-key) clustering, and parquet
+column bloom filters.
+
+These are the four storage-layer moves a 100 TB table depends on beyond
+plain partitioning (SURVEY.md §4 "physical-execution posture"): schema
+drift across ingest batches must read as one table; file-level min/max
+manifests prune the file LIST before any scan task launches (the
+Iceberg/Delta planning step); Z-order gives row-group skipping on TWO
+predicate dimensions where a single-key sort covers one; and parquet
+bloom filters skip row groups on point predicates over UNSORTED high-
+cardinality columns where min/max stats are useless.  Every layout write
+happens once per (session, sf_dir) — a table-maintenance job, not part
+of the measured query — mirroring ``sources_q._partitioned_events_path``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+from lambda_arc_events_filter_spark.sources import readers
+
+_EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across ingest batches (mergeSchema)
+# ---------------------------------------------------------------------------
+
+_EVOLVED_CACHE: dict[tuple, str] = {}
+
+
+def _evolved_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _EVOLVED_CACHE.get(key)
+    if path is None:
+        path = readers.scratch_dir("orders_evolved")
+        o = load(spark, sf_dir, "orders")
+        # batch 1: the original five columns
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate",
+        ).write.parquet(path + "/batch=1")
+        # batch 2: schema widened by a derived sales-channel column
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+            F.when(F.col("o_orderpriority") <= "2-HIGH", "expedited")
+            .otherwise("standard")
+            .alias("o_channel"),
+        ).drop("o_orderpriority").write.parquet(path + "/batch=2")
+        _EVOLVED_CACHE[key] = path
+    return path
+
+
+@register(
+    "schema_evolution_scan",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderstatus, o_totalprice, NULL AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice,
+             CASE WHEN o_orderpriority <= '2-HIGH'
+                  THEN 'expedited' ELSE 'standard' END
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)          AS n,
+           round(sum(o_totalprice), 2)       AS total,
+           CAST(count(o_channel) AS BIGINT)  AS n_with_channel,
+           CAST(count(DISTINCT o_channel) AS BIGINT) AS n_channels
+    FROM unioned GROUP BY o_orderstatus
+    """,
+    tags=("source", "scale"),
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest batches: batch 1 carries the original
+    order columns, batch 2 adds a derived ``o_channel`` column; the table
+    reads as ONE DataFrame via ``mergeSchema`` with the missing column
+    NULL-padded for old files — the additive-column drift every long-lived
+    ingest pipeline accumulates, read the way Delta/Iceberg readers
+    resolve it (union of file schemas by name).
+
+    The aggregate proves both halves land: total counts match the source
+    table, ``n_with_channel`` counts only batch-2 rows, and the oracle
+    reconstructs the same union from the fixture directly.  At 100 TB
+    schema evolution is strictly metadata-side — no rewrite of old files,
+    which is the point of reading it this way rather than migrating.
+    """
+    path = _evolved_orders_path(spark, sf_dir)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count("o_channel").alias("n_with_channel"),
+        F.countDistinct("o_channel").alias("n_channels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-driven file pruning (the Iceberg/Delta planning step)
+# ---------------------------------------------------------------------------
+
+_RANGED_CACHE: dict[tuple, str] = {}
+_RANGED_FILES = 16
+
+
+def _time_ranged_events_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _RANGED_CACHE.get(key)
+    if path is None:
+        path = readers.scratch_dir("events_ranged")
+        (
+            load(spark, sf_dir, "events")
+            .repartitionByRange(_RANGED_FILES, "ts")
+            .sortWithinPartitions("ts")
+            .write.parquet(path)
+        )
+        _RANGED_CACHE[key] = path
+    return path
+
+
+@register(
+    "manifest_file_pruning",
+    oracle="""
+    WITH s AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    b AS (SELECT CAST(floor(min(sec) + (max(sec) - min(sec)) * 0.25)
+                 AS BIGINT) thr FROM s)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM events, b
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) <= b.thr
+    GROUP BY event_type
+    """,
+    tags=("source", "scale"),
+)
+def manifest_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-manifest pruning: events live as 16 time-ranged files; a
+    manifest of per-file (min_sec, max_sec) is built by one metadata-scale
+    aggregate over ``input_file_name()``, and the time-range query reads
+    ONLY the files whose range can overlap — the planning step an
+    Iceberg/Delta manifest performs before a single scan task launches.
+
+    The pruned file list is a driver-side collect of the MANIFEST (one row
+    per file — metadata, never data; the same O(files) list Spark's own
+    planner holds), then the exact predicate still applies to the rows
+    read, so pruning is conservative-safe.  At 100 TB the manifest is
+    itself a parquet table maintained at write time; the mechanics —
+    min/max per file, overlap test, list-then-scan — are identical.
+    Threshold = 25 % into the corpus time span in whole epoch seconds, so
+    both engines cut on the same integer.
+    """
+    path = _time_ranged_events_path(spark, sf_dir)
+    back = spark.read.schema(_EVENTS_DDL).parquet(path)
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    manifest = (
+        back.select(F.input_file_name().alias("file"), sec.alias("sec"))
+        .groupBy("file")
+        .agg(F.min("sec").alias("min_sec"), F.max("sec").alias("max_sec"))
+    )
+    lo, hi = back.agg(F.min(sec), F.max(sec)).first()
+    thr = int(lo + (hi - lo) * 0.25)
+    keep = [
+        r["file"]
+        for r in manifest.filter(F.col("min_sec") <= thr).collect()
+    ]
+    pruned = spark.read.schema(_EVENTS_DDL).parquet(*keep)
+    return (
+        pruned.filter(F.floor(F.unix_timestamp("ts")).cast("long") <= thr)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: two-dimensional row-group skipping
+# ---------------------------------------------------------------------------
+
+_ZORDER_CACHE: dict[tuple, str] = {}
+
+
+def morton_expr(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative ints: bit i of
+    ``a`` lands at position 2i, bit i of ``b`` at 2i+1.  Pure codegen
+    shift/mask arithmetic — the multi-dimensional cluster key Delta's
+    OPTIMIZE ZORDER BY computes, as a reusable column expression."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = (
+            acc
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return acc
+
+
+def _zorder_events_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ZORDER_CACHE.get(key)
+    if path is None:
+        path = readers.scratch_dir("events_zorder")
+        # the cluster dims are PERSISTED columns (hr, not hour(ts)): parquet
+        # min/max stats only skip on stored columns, never on expressions —
+        # materializing the derived dim at layout time is what makes the
+        # second predicate pushable (a derived partition/cluster column is
+        # standard lake-table practice)
+        e = (
+            load(spark, sf_dir, "events")
+            .withColumn("hr", F.hour("ts").cast("int"))
+            .withColumn("_z", morton_expr(F.col("user_id"), F.col("hr"), bits=16))
+        )
+        (
+            e.repartitionByRange(8, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.option("parquet.block.size", 256 * 1024)
+            .parquet(path)
+        )
+        _ZORDER_CACHE[key] = path
+    return path
+
+
+@register(
+    "zorder_layout_scan",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 47 AND hour(ts) BETWEEN 6 AND 11
+    GROUP BY user_id
+    """,
+    tags=("source", "scale"),
+)
+def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout: events rewritten once sorted by the
+    Morton interleave of (user_id, hour-of-day), then a query filtering
+    on BOTH dimensions re-reads it.  A single-key sort
+    (``sorted_layout_point_scan``) gives row-group skipping on one
+    column and nothing on the other; the Z-curve keeps rows close in
+    BOTH keys inside each row group, so min/max footer stats skip on
+    either predicate — the OPTIMIZE ZORDER BY mechanic, built from
+    ``repartitionByRange`` + in-partition sort on a codegen Morton
+    expression (``morton_expr``), with small row groups so skipping has
+    granularity.  Oracle reads the source table: the rewrite is lossless
+    and the layout affects IO only.
+    """
+    path = _zorder_events_path(spark, sf_dir)
+    back = spark.read.schema(_EVENTS_DDL + ", hr int").parquet(path)
+    return (
+        back.filter(
+            F.col("user_id").between(40, 47) & F.col("hr").between(6, 11)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parquet column bloom filters: point skipping on unsorted columns
+# ---------------------------------------------------------------------------
+
+_BLOOM_CACHE: dict[tuple, str] = {}
+
+
+def _bloom_events_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _BLOOM_CACHE.get(key)
+    if path is None:
+        path = readers.scratch_dir("events_bloom")
+        (
+            load(spark, sf_dir, "events")
+            # deliberately clustered by something ELSE (time), so user_id
+            # min/max stats span the whole domain in every row group and
+            # ONLY the bloom filter can skip
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.option("parquet.bloom.filter.enabled#user_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+            .option("parquet.block.size", 256 * 1024)
+            .parquet(path)
+        )
+        _BLOOM_CACHE[key] = path
+    return path
+
+
+@register(
+    "bloom_filter_point_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    WHERE user_id IN (7, 1013, 4099)
+    GROUP BY event_type
+    """,
+    tags=("source", "scale"),
+)
+def bloom_filter_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet column bloom filter: events written once clustered by TIME
+    with a bloom filter on ``user_id`` (``parquet.bloom.filter.enabled``),
+    then a point-membership query on user_id re-reads it.  Because the
+    layout clusters a different column, user_id min/max stats are useless
+    (every row group spans the whole id domain) — the bloom filter is the
+    only structure that can prove "this row group cannot contain id 4099"
+    and skip its decode.  This is the standard answer for needle-in-
+    haystack lookups on high-cardinality UNSORTED columns at 100 TB,
+    complementing sort (range), partition (equality on low cardinality),
+    and Z-order (two dims).  The pushed IN predicate reaches the scan
+    (plan-tested); the oracle proves the rewrite lossless.
+    """
+    path = _bloom_events_path(spark, sf_dir)
+    back = spark.read.schema(_EVENTS_DDL).parquet(path)
+    return (
+        back.filter(F.col("user_id").isin(7, 1013, 4099))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -549,3 +549,222 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("total").alias("scope"), "approx_users")
     return per_day.unionAll(total)
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay aggregates (recency-weighted engagement)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_decayed_engagement",
+    oracle="""
+    WITH s AS (SELECT user_id, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    ref AS (SELECT max(sec) AS ref_sec FROM s)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(exp(-(ref_sec - sec) / 604800.0)), 6)
+             AS decayed_count,
+           round(sum(exp(-(ref_sec - sec) / 604800.0) * value), 6)
+             AS decayed_value
+    FROM s, ref
+    GROUP BY user_id
+    """,
+    tags=("events", "stats", "timeseries"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay aggregates: each event weighted by
+    ``exp(-age/τ)`` (τ = 7 days) relative to the corpus's newest event,
+    summed per user — the recency-weighted engagement score behind
+    feature stores and ranking signals, where yesterday's click matters
+    more than last month's.
+
+    The reference instant is a one-row global aggregate broadcast into
+    the scan (scalar-subquery shape); the decayed sums are plain
+    map-side-combinable aggregates — decay needs NO window and NO state,
+    just arithmetic against a constant, which is why it scales to any
+    corpus.  Whole-second ages (both engines floor epoch to BIGINT) keep
+    the exponent bit-identical cross-engine; sums round to 6.
+    """
+    e = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    s = e.select("user_id", "value", sec.alias("sec"))
+    ref = s.agg(F.max("sec").alias("ref_sec"))
+    w = F.exp(-(F.col("ref_sec") - F.col("sec")) / F.lit(604800.0))
+    return (
+        s.join(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+            F.round(F.sum(w * F.col("value")), 6).alias("decayed_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median / MAD (the quartet to z-score's mean / stddev)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mad_outlier",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           round(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    WHERE abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+    """,
+    tags=("events", "stats"),
+)
+def events_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging via median / MAD: per event type, the
+    median, then the median absolute deviation, then every event whose
+    modified z-score ``0.6745·(v−med)/MAD`` exceeds 3.5 (Iglewicz-
+    Hoaglin) — the heavy-tail-safe twin of ``events_anomaly_zscore``,
+    which a single fat outlier can blind by inflating the stddev.
+
+    Two tiny median aggregates (k rows each) with the corpus re-scanned,
+    never shuffled: moments broadcast back for the deviation pass and the
+    final scan — 100 TB posture identical to the z-score query, one extra
+    pass because MAD is a nested order statistic.  Both engines share the
+    interpolating ``median`` built-in and compare on the UN-rounded score.
+    """
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    rz = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (decile boundaries + per-bucket profile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_equi_depth",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*)    OVER (PARTITION BY event_type)   AS cnt
+      FROM events
+    )
+    SELECT event_type,
+           CAST(floor((rn - 1) * 10.0 / cnt) AS BIGINT) + 1 AS decile,
+           CAST(count(*) AS BIGINT)   AS n,
+           round(min(value), 6)       AS lo,
+           round(max(value), 6)       AS hi,
+           round(avg(value), 6)       AS mean_v
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("events", "stats"),
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: per event type, rows are
+    ranked by value and cut into 10 equal-population deciles, each
+    profiled with count / bounds / mean — the optimizer-statistics and
+    data-profiling primitive (equi-WIDTH histograms mislead on skewed
+    data; equi-depth buckets adapt to the distribution).
+
+    Bucket assignment is pure integer arithmetic on the rank
+    (``floor((rn-1)·10/cnt)+1`` — both engines compute the identical
+    bucket, unlike ntile whose remainder distribution is
+    engine-convention), with ties pinned by event_id so the rank itself
+    is deterministic.  One hash(event_type) exchange carries the rank
+    window AND the bucket aggregate; at scale this is the
+    sort-within-key + bounded-output shape of every percentile pass.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("cnt"),
+    )
+    decile = (
+        F.floor((F.col("rn") - 1) * 10.0 / F.col("cnt")).cast("long") + 1
+    )
+    return r.groupBy("event_type", decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median over a trailing window frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_med
+    FROM events
+    """,
+    tags=("window", "stats"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of each user's last 5 event values — the
+    robust smoother for noisy per-key series (a rolling mean chases
+    spikes; the median ignores them).
+
+    Spark's ordered-set aggregates don't accept window frames, so the
+    engine computes the frame median itself: ``collect_list`` over the
+    5-row frame (bounded — the array can never exceed the frame length),
+    ``array_sort``, then the standard midpoint interpolation.  That stays
+    entirely inside the one hash(user_id) exchange the window needs, and
+    the O(frame·log frame) in-row sort is constant per row — the same
+    cost profile DuckDB's native frame median pays.  Ties in ``ts`` are
+    pinned by event_id so both engines see identical frames.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((mid_lo + mid_hi) / 2.0, 6).alias("rolling_med"),
+    )

@@ -1,0 +1,235 @@
+"""Plan-shape and property tests for the round-3 third wave: lakehouse
+layout mechanics (schema evolution, manifest pruning, Z-order, parquet
+bloom filters), robust/rolling statistics, and corpus mining."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from lambda_arc_events_filter_spark.plans import inspect as I
+from lambda_arc_events_filter_spark.queries import lakehouse_q as L
+from lambda_arc_events_filter_spark.registry import specs
+
+ALL = specs()
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse layouts
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_pushes_both_cluster_dims(spark, sf_dir):
+    """Both predicates (user_id range AND the persisted hr range) must
+    reach the parquet scan as pushed filters — the whole point of
+    materializing the derived dimension at layout time."""
+    df = ALL["zorder_layout_scan"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters"):].split("]")[0]
+    assert "user_id" in pushed, pushed
+    assert "hr" in pushed, pushed
+
+
+def test_morton_expr_interleaves_and_separates(spark):
+    """Known values (bit i of a → 2i, bit i of b → 2i+1) and injectivity
+    over a small grid — the property that makes the Z-curve a valid
+    cluster key."""
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a long, b long"
+    )
+    rows = grid.select(
+        "a", "b", L.morton_expr(F.col("a"), F.col("b"), bits=8).alias("z")
+    ).collect()
+    by_pair = {(r.a, r.b): r.z for r in rows}
+    assert by_pair[(1, 0)] == 1
+    assert by_pair[(0, 1)] == 2
+    assert by_pair[(3, 3)] == 15
+    assert by_pair[(4, 0)] == 16
+    assert len(set(by_pair.values())) == len(by_pair)  # injective
+
+
+def test_bloom_layout_has_multiple_row_groups(spark, sf_dir):
+    """Bloom skipping needs granularity: the layout write must produce
+    several row groups (small block size), otherwise there is nothing to
+    skip."""
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    path = L._bloom_events_path(spark, sf_dir)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert files
+    total_rgs = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    assert total_rgs >= len(files)
+
+
+def test_bloom_point_scan_pushes_in_predicate(spark, sf_dir):
+    plan = I.formatted_plan(ALL["bloom_filter_point_scan"].fn(spark, sf_dir))
+    pushed = plan[plan.index("PushedFilters"):].split("]")[0]
+    assert "user_id" in pushed, pushed
+
+
+def test_manifest_pruning_reads_fewer_files(spark, sf_dir):
+    """The pruned read must touch a strict subset of the 16 layout files
+    (the 25 % time cut leaves ~4-5 overlapping files), and pruning must
+    be lossless vs filtering the full layout."""
+    path = L._time_ranged_events_path(spark, sf_dir)
+    back = spark.read.schema(L._EVENTS_DDL).parquet(path)
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    manifest = (
+        back.select(F.input_file_name().alias("file"), sec.alias("sec"))
+        .groupBy("file")
+        .agg(F.min("sec").alias("min_sec"))
+    )
+    n_files = manifest.count()
+    lo, hi = back.agg(F.min(sec), F.max(sec)).first()
+    thr = int(lo + (hi - lo) * 0.25)
+    keep = [r["file"] for r in manifest.filter(F.col("min_sec") <= thr).collect()]
+    assert 0 < len(keep) < n_files
+    pruned_n = ALL["manifest_file_pruning"].fn(spark, sf_dir).agg(F.sum("n")).first()[0]
+    full_n = back.filter(sec <= thr).count()
+    assert pruned_n == full_n
+
+
+def test_schema_evolution_null_pads_old_batch(spark, sf_dir):
+    df = ALL["schema_evolution_scan"].fn(spark, sf_dir).collect()
+    total = sum(r.n for r in df)
+    with_channel = sum(r.n_with_channel for r in df)
+    assert 0 < with_channel < total
+    assert all(r.n_channels <= 2 for r in df)
+
+
+# ---------------------------------------------------------------------------
+# Robust / rolling statistics
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    """Cross-check the manual frame-median (collect_list + sort + midpoint)
+    against pandas' rolling median on one user's series."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    e = load(spark, sf_dir, "events")
+    uid = e.groupBy("user_id").count().orderBy(F.desc("count")).first()[0]
+    got = (
+        ALL["window_rolling_median"].fn(spark, sf_dir)
+        .filter(F.col("user_id") == uid)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    src = (
+        e.filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .select("event_id", "value")
+        .toPandas()
+    )
+    expected = src["value"].rolling(5, min_periods=1).median().round(6)
+    merged = src.assign(exp=expected).merge(got, on="event_id")
+    assert (merged["exp"] - merged["rolling_med"]).abs().max() < 1e-9
+
+
+def test_mad_flags_injected_extreme(spark):
+    df = spark.createDataFrame(
+        [(i, "t", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 500])],
+        "event_id long, event_type string, value double",
+    )
+    med = df.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        df.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    rz = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    flagged = (
+        df.join(med, "event_type").join(mad, "event_type")
+        .filter(F.abs(rz) > 3.5)
+        .collect()
+    )
+    assert [r.event_id for r in flagged] == [8]
+
+
+def test_equi_depth_buckets_are_balanced(spark, sf_dir):
+    rows = ALL["histogram_equi_depth"].fn(spark, sf_dir).collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.n)
+    for t, ns in by_type.items():
+        assert max(ns) - min(ns) <= 1, (t, sorted(ns))
+        assert len(ns) <= 10
+
+
+def test_decayed_engagement_bounded_by_count(spark, sf_dir):
+    """Each decay weight is in (0, 1], so 0 < decayed_count ≤ n_events."""
+    rows = ALL["events_decayed_engagement"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.decayed_count <= r.n_events + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Corpus mining
+# ---------------------------------------------------------------------------
+
+
+def test_kl_divergence_nonnegative(spark, sf_dir):
+    rows = ALL["corpus_kl_divergence"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_vs_corpus >= -1e-9, r
+
+
+def test_pmi_favors_rare_over_frequent_pairs(spark):
+    """PMI must rank a perfectly-predictive rare bigram above a chance
+    co-occurrence of two frequent words."""
+    docs = [
+        (0, "zig zag " + "the cat " * 20),
+        (1, "zig zag " + "the dog " * 20),
+        (2, "the cat the dog " * 10),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    big = df.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> struct(split(text, ' ')[i-1] as w1,"
+                " split(text, ' ')[i] as w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tot = bc.agg(F.sum("c12").alias("n"))
+    uni1 = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni2 = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    pmi_col = F.log(
+        (F.col("c12") * 1.0 / F.col("n"))
+        / ((F.col("c1") * 1.0 / F.col("n")) * (F.col("c2") * 1.0 / F.col("n")))
+    )
+    pmi = {
+        (r.w1, r.w2): r.pmi
+        for r in bc.join(uni1, "w1").join(uni2, "w2").join(tot)
+        .select("w1", "w2", pmi_col.alias("pmi")).collect()
+    }
+    assert pmi[("zig", "zag")] > pmi[("the", "cat")]
+
+
+def test_weighted_sample_is_deterministic_and_capped(spark, sf_dir):
+    a = ALL["corpus_weighted_sample"].fn(spark, sf_dir).collect()
+    b = ALL["corpus_weighted_sample"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_source: dict[str, int] = {}
+    for r in a:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert all(v <= 3 for v in per_source.values())
+
+
+def test_centroid_eval_diagonal_dominates(spark, sf_dir):
+    """Fixture embeddings are (weakly) label-clustered: the diagonal of
+    the confusion matrix must beat the 1/k = 10 % chance rate by a wide
+    margin — the property that makes nearest-centroid a meaningful
+    separability probe here."""
+    rows = ALL["embedding_centroid_eval"].fn(spark, sf_dir).collect()
+    diag = sum(r.n for r in rows if r.label == r.assigned)
+    total = sum(r.n for r in rows)
+    assert total > 0
+    assert diag / total > 0.25, (diag, total)
