@@ -333,3 +333,127 @@ def bloom_filter_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation diff (CDC / replica-drift audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_reconcile_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders
+    ),
+    replica AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderkey % 101 = 0
+                  THEN round(o_totalprice * 1.01, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0
+    ),
+    j AS (
+      SELECT coalesce(b.o_orderkey, r.o_orderkey) AS k,
+             CASE
+               WHEN r.o_orderkey IS NULL THEN 'missing_in_replica'
+               WHEN b.o_orderkey IS NULL THEN 'extra_in_replica'
+               WHEN b.o_totalprice <> r.o_totalprice
+                 OR md5(concat_ws('|', b.o_orderstatus, b.o_orderpriority))
+                 <> md5(concat_ws('|', r.o_orderstatus, r.o_orderpriority))
+                 THEN 'value_drift'
+               ELSE 'match'
+             END AS diff_class,
+             CASE WHEN b.o_orderkey IS NOT NULL
+                   AND r.o_orderkey IS NOT NULL
+                  THEN abs(r.o_totalprice - b.o_totalprice)
+                  ELSE 0 END AS drift_abs
+      FROM base b FULL OUTER JOIN replica r USING (o_orderkey)
+    )
+    SELECT diff_class,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(sum(drift_abs), 2)  AS total_drift
+    FROM j GROUP BY diff_class
+    """,
+    tags=("source", "scale", "audit"),
+)
+def table_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: a base table full-outer-joined against a
+    drifted replica (rows deleted, rows added, values mutated — the
+    deterministic drift is synthesized from the fixture so the oracle
+    reconstructs it exactly), classifying every key as match /
+    missing_in_replica / extra_in_replica / value_drift with drift
+    magnitude totals — the CDC-audit / cross-system consistency check
+    every replicated 100 TB table needs on a schedule.
+
+    Mechanics: string columns compare through an md5 row-digest (the
+    cross-engine-stable fingerprint ``fn_hash_suite`` establishes;
+    hashing avoids wide column shipping for match rows at scale),
+    numeric columns compare directly (float→string formatting is NOT
+    cross-engine stable, so numerics never enter the digest).  One
+    sort-merge full-outer join on the key — the unavoidable shuffle —
+    then a k-row class aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    replica = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 101 == 0,
+                F.round(F.col("o_totalprice") * 1.01, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+    )
+    digest = lambda side: F.md5(  # noqa: E731
+        F.concat_ws(
+            "|",
+            F.col(f"{side}.o_orderstatus"),
+            F.col(f"{side}.o_orderpriority"),
+        )
+    )
+    b = base.alias("b")
+    r = replica.alias("r")
+    j = b.join(r, F.col("b.o_orderkey") == F.col("r.o_orderkey"), "full")
+    diff_class = (
+        F.when(F.col("r.o_orderkey").isNull(), "missing_in_replica")
+        .when(F.col("b.o_orderkey").isNull(), "extra_in_replica")
+        .when(
+            (F.col("b.o_totalprice") != F.col("r.o_totalprice"))
+            | (digest("b") != digest("r")),
+            "value_drift",
+        )
+        .otherwise("match")
+    )
+    drift = F.when(
+        F.col("b.o_orderkey").isNotNull() & F.col("r.o_orderkey").isNotNull(),
+        F.abs(F.col("r.o_totalprice") - F.col("b.o_totalprice")),
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select(diff_class.alias("diff_class"), drift.alias("drift_abs"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("drift_abs"), 2).alias("total_drift"),
+        )
+    )

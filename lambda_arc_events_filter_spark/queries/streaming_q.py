@@ -635,3 +635,64 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(hourly, "chained", mode="append", state_partitions=2)
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             count(*)             AS n_events,
+             round(sum(value), 4) AS total_value
+      FROM events, wm
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, total_value,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n_events DESC, event_type) rk
+          FROM agg)
+    WHERE rk <= 3
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 3 busiest event types per closed hourly
+    window — the live-leaderboard pattern.  Ranking ACROSS keys is not
+    incrementally computable per-row (a rank is only final when its
+    window closes), so the engine does what production leaderboards do:
+    the STREAM maintains the watermarked per-(window, type) counts
+    (append mode, state evicted on close — identical machinery to
+    ``stream_tumbling_counts``), and the rank is a stateless
+    WindowGroupLimit applied on the serving read of the closed-window
+    sink.  The division of labor is the design point: unbounded state
+    stays in the stream where the watermark bounds it; the O(windows·k)
+    rank runs on the bounded result.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    closed = run_to_memory(agg, "topk_win", mode="append", state_partitions=2)
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), "event_type"
+        )
+    )
+    return closed.withColumn("rk", rk).filter(F.col("rk") <= 3)

@@ -233,3 +233,50 @@ def test_centroid_eval_diagonal_dominates(spark, sf_dir):
     total = sum(r.n for r in rows)
     assert total > 0
     assert diag / total > 0.25, (diag, total)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 / Q10 shapes + reconcile + streaming top-k
+# ---------------------------------------------------------------------------
+
+
+def test_q07_broadcasts_both_dimension_chains(spark, sf_dir):
+    """Lineitem must stream through two broadcast probes (supplier-nation
+    and customer-nation chains) without shuffling before the aggregate."""
+    df = ALL["q07_nation_volume"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_q10_plans_take_ordered_top20(spark, sf_dir):
+    df = ALL["q10_returned_items"].fn(spark, sf_dir)
+    assert I.uses_take_ordered(df), I.formatted_plan(df)[:1500]
+
+
+def test_reconcile_diff_classes_complete(spark, sf_dir):
+    """The synthesized drift guarantees all four classes appear, and the
+    class counts reconstruct both snapshots' row counts exactly."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    rows = {r.diff_class: r for r in ALL["table_reconcile_diff"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "match", "value_drift", "missing_in_replica", "extra_in_replica"
+    }
+    n_orders = load(spark, sf_dir, "orders").count()
+    base_seen = (
+        rows["match"].n + rows["value_drift"].n + rows["missing_in_replica"].n
+    )
+    assert base_seen == n_orders
+    assert rows["value_drift"].total_drift > 0
+    assert rows["match"].total_drift == 0.0
+
+
+def test_stream_topk_caps_rank_per_window(spark, sf_dir):
+    rows = ALL["stream_topk_per_window"].fn(spark, sf_dir).collect()
+    assert rows
+    per_win: dict = {}
+    for r in rows:
+        per_win.setdefault(r.window_start, []).append(r.rk)
+    for w, rks in per_win.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
