@@ -768,8 +768,9 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches (``sequence`` over epoch-cells — bounded fan-out: sessions
     and incident windows are both minutes wide), the join becomes an
     EQUI-join on the cell id, and the exact overlap predicate then
-    filters the superset; pair dedup (a pair can share several cells) +
-    left join back restores exact semantics including zero-overlap
+    filters the superset; each pair is counted only in its CANONICAL
+    cell (max of the two start-cells — always inside the overlap), so
+    no dedup pass exists, and the left join back restores zero-overlap
     sessions.  The oracle runs the quadratic form directly — value
     equality proves the chunked rewrite.  At 100 TB the cell id is the
     shuffle key: time locality becomes hash locality, each cell's
@@ -810,18 +811,25 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ac = a.withColumn("cell", F.explode(cells("a_start", "a_end")))
     bc = b.withColumn("cell", F.explode(cells("b_start", "b_end")))
-    # one aggregate, not distinct-then-count: countDistinct dedups the
-    # (session, incident) pairs INSIDE the single hash(user_id, a_start)
-    # exchange, where a .distinct() first would shuffle the full pair
-    # relation a second time on a wider key (A/B at sf0.1: 0.80 → 0.67 s)
+    # canonical-cell dedup: a pair overlapping in time shares every cell in
+    # the intersection of its cell ranges, and max(start-cells) is always
+    # in that intersection — so counting a pair ONLY in that one cell makes
+    # matches unique by construction.  That turns the old
+    # distinct/countDistinct dedup into a plain count(*): map-side
+    # combinable partial aggregation, no dedup hash state, no second
+    # shuffle of the raw pair relation (the standard chunked
+    # interval-join trick; A/B at sf0.1: 1.51 → 1.05 s).
+    a_cell0 = F.floor(F.unix_timestamp("a_start") / cell_s).cast("long")
+    b_cell0 = F.floor(F.unix_timestamp("b_start") / cell_s).cast("long")
     hits = (
         ac.join(bc, "cell")
         .filter(
             (F.col("a_start") <= F.col("b_end"))
             & (F.col("b_start") <= F.col("a_end"))
+            & (F.col("cell") == F.greatest(a_cell0, b_cell0))
         )
         .groupBy("user_id", "a_start")
-        .agg(F.countDistinct("incident_id").alias("_n"))
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     return (
         a.select("user_id", "a_start")
