@@ -90,17 +90,23 @@ def main() -> None:
     names = [n for n in HEADLINE if n in all_specs]
     if len(sys.argv) > 1:  # optional substring filter for local iteration
         names = [n for n in names if any(f in n for f in sys.argv[1:])]
+    # Result materialization = Arrow → pandas (toPandas), the engine's
+    # production result path, mirroring the DuckDB baseline's fetchdf():
+    # both engines hand the caller a pandas frame (also what the driver's
+    # correctness gate hashes).  Row-at-a-time collect() spends ~0.5 s/100k
+    # rows building Python objects — measuring the pickle loop, not the
+    # engine (interval_overlap 1.25 → 0.69 s, resample 0.98 → 0.37 s).
     reps: dict[str, list[float]] = {n: [] for n in names}
     for name in names:
         fn = all_specs[name].fn
-        fn(spark, sf_dir).collect()  # warm-up (plan + code cache)
+        fn(spark, sf_dir).toPandas()  # warm-up (plan + code cache)
         for _ in range(REPS):
             t0 = time.time()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             reps[name].append(time.time() - t0)
     for name in names:  # interleaved rescue pass (see module docstring)
         t0 = time.time()
-        all_specs[name].fn(spark, sf_dir).collect()
+        all_specs[name].fn(spark, sf_dir).toPandas()
         reps[name].append(time.time() - t0)
     timings = {n: round(min(ts), 4) for n, ts in reps.items()}
     total = round(sum(timings.values()), 4)

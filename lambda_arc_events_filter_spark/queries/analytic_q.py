@@ -1130,3 +1130,117 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintile scoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+    base AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                            (SELECT max_d FROM mx)) AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT *,
+        6 - (CAST(floor((row_number() OVER (ORDER BY recency_days, c_custkey)
+               - 1) * 5.0 / (count(*) OVER ())) AS BIGINT) + 1) AS r_score,
+        CAST(floor((row_number() OVER (ORDER BY frequency, c_custkey)
+               - 1) * 5.0 / (count(*) OVER ())) AS BIGINT) + 1  AS f_score,
+        CAST(floor((row_number() OVER (ORDER BY monetary_cents, c_custkey)
+               - 1) * 5.0 / (count(*) OVER ())) AS BIGINT) + 1  AS m_score
+      FROM base
+    )
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score >= 4 AND f_score < 4 THEN 'recent'
+                WHEN r_score < 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score < 2 AND f_score < 2  THEN 'lost'
+                ELSE 'core' END AS segment
+    FROM scored
+    """,
+    tags=("analytic", "customer"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    vs the corpus's newest order), frequency (order count) and monetary
+    value (lifetime spend in integer cents), each scored into quintiles,
+    then mapped to named marketing segments — the classic customer-value
+    model, with every step integer-exact so both engines agree bit-for-
+    bit (cents instead of float sums, epoch-day recency, the same
+    explicit rank-arithmetic quintile as ``histogram_equi_depth``
+    instead of engine-convention ntile, ties pinned by custkey; recency
+    quintile is inverted so 5 = most recent).
+
+    Shape: one hash(custkey) aggregate over orders, then three global
+    rank windows over the |customers| relation — at 100 TB the base
+    aggregate is the only corpus-scale stage; the scoring runs on the
+    aggregated relation, and each rank window is a range-partitionable
+    global sort (functions/stats.py's range strategy is the documented
+    cliff-free path).
+    """
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            F.datediff("max_d", "last_d").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    n = Window.partitionBy()
+
+    def quintile(order_col):
+        rn = F.row_number().over(Window.orderBy(order_col, "c_custkey"))
+        cnt = F.count(F.lit(1)).over(n)
+        return F.floor((rn - 1) * 5.0 / cnt).cast("long") + 1
+
+    scored = base.select(
+        "*",
+        (6 - quintile(F.col("recency_days"))).alias("r_score"),
+        quintile(F.col("frequency")).alias("f_score"),
+        quintile(F.col("monetary_cents")).alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") < 4), "recent")
+        .when((F.col("r_score") < 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") < 2) & (F.col("f_score") < 2), "lost")
+        .otherwise("core")
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        segment.alias("segment"),
+    )

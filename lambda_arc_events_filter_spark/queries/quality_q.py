@@ -715,3 +715,115 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned per week
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id)              AS first_wk,
+             lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ),
+    mx AS (SELECT max(wk) AS max_wk FROM uw),
+    act AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk        THEN 'new'
+                  WHEN prev_wk = wk - 1     THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM seq
+    ),
+    churn AS (
+      SELECT seq.wk + 1 AS wk, count(*) AS n_churned
+      FROM seq, mx
+      WHERE (seq.next_wk IS NULL OR seq.next_wk > seq.wk + 1)
+        AND seq.wk + 1 <= mx.max_wk
+      GROUP BY 1
+    ),
+    acts AS (
+      SELECT wk,
+             CAST(count(*) FILTER (WHERE status = 'new')         AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE status = 'retained')    AS BIGINT) AS n_retained,
+             CAST(count(*) FILTER (WHERE status = 'resurrected') AS BIGINT) AS n_resurrected
+      FROM act GROUP BY wk
+    )
+    SELECT coalesce(acts.wk, churn.wk) AS wk,
+           coalesce(n_new, 0)          AS n_new,
+           coalesce(n_retained, 0)     AS n_retained,
+           coalesce(n_resurrected, 0)  AS n_resurrected,
+           CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+    FROM acts FULL OUTER JOIN churn ON acts.wk = churn.wk
+    """,
+    tags=("events", "analytics"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the startup-metrics standard): every active
+    (user, week) classified as NEW (first-ever week), RETAINED (also
+    active the prior week) or RESURRECTED (returning after a gap), plus
+    CHURNED counts (active last week, absent this week) — the four-way
+    ledger whose identity actives(w) = new + retained + resurrected and
+    actives(w) − churned(w+1) = retained(w+1) audits itself.
+
+    Weeks are integer epoch-weeks (floor(sec/604800)) so both engines
+    bucket identically with zero calendar semantics.  One exchange on
+    user_id serves first/lag/lead in a single window pass over the
+    DISTINCT (user, week) relation — which is the corpus compressed to
+    at most |users|·|weeks| rows; the weekly rollup is k rows.  The
+    churn ledger is derived from ``lead`` gaps, not an anti-join — no
+    second corpus pass.
+    """
+    e = load(spark, sf_dir, "events")
+    wk = F.floor(F.floor(F.unix_timestamp("ts")) / 604800).cast("long")
+    uw = e.select("user_id", wk.alias("wk")).distinct()
+    w_user = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(Window.partitionBy("user_id")).alias("first_wk"),
+        F.lag("wk").over(w_user).alias("prev_wk"),
+        F.lead("wk").over(w_user).alias("next_wk"),
+    )
+    status = (
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+    )
+    acts = seq.groupBy("wk").agg(
+        F.count_if(status == "new").alias("n_new"),
+        F.count_if(status == "retained").alias("n_retained"),
+        F.count_if(status == "resurrected").alias("n_resurrected"),
+    )
+    max_wk = uw.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        seq.join(F.broadcast(max_wk))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("max_wk"))
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        acts.join(churn, "wk", "full")
+        .select(
+            "wk",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )

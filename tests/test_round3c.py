@@ -280,3 +280,47 @@ def test_stream_topk_caps_rank_per_window(spark, sf_dir):
     for w, rks in per_win.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 3
+
+
+def test_growth_accounting_ledger_identities(spark, sf_dir):
+    """actives(w) = new + retained + resurrected, and the churn ledger
+    balances: retained(w+1) = actives(w) − churned(w+1) − (those who
+    skipped w+1), so churned(w+1) ≤ actives(w)."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    rows = sorted(
+        ALL["events_growth_accounting"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.wk,
+    )
+    e = load(spark, sf_dir, "events")
+    wk = F.floor(F.floor(F.unix_timestamp("ts")) / 604800).cast("long")
+    actives = {
+        r.wk: r.n
+        for r in e.select("user_id", wk.alias("wk")).distinct()
+        .groupBy("wk").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    prev = None
+    for r in rows:
+        assert r.n_new + r.n_retained + r.n_resurrected == actives.get(r.wk, 0)
+        if prev is not None and r.wk == prev.wk + 1:
+            prev_active = actives.get(prev.wk, 0)
+            assert r.n_churned <= prev_active
+            assert r.n_retained <= prev_active
+        prev = r
+
+
+def test_rfm_quintiles_balanced_and_segments_partition(spark, sf_dir):
+    rows = ALL["customer_rfm_segments"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        counts: dict[int, int] = {}
+        for r in rows:
+            v = r[col]
+            assert 1 <= v <= 5
+            counts[v] = counts.get(v, 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
+    assert all(
+        r.segment in {"champion", "recent", "at_risk", "lost", "core"}
+        for r in rows
+    )

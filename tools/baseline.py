@@ -32,17 +32,17 @@ def main() -> None:
         spec = all_specs.get(name)
         if spec is None or spec.oracle is None:
             continue
-        con.sql(spec.oracle).fetchall()  # warm
+        con.sql(spec.oracle).fetchdf()  # warm
         reps = []
         for _ in range(3):
             t0 = time.time()
-            con.sql(spec.oracle).fetchall()
+            con.sql(spec.oracle).fetchdf()
             reps.append(time.time() - t0)
         out[name] = round(statistics.median(reps), 4)
     payload = {
         "engine": "duckdb-1.0.0",
         "sf_dir": sf_dir,
-        "protocol": "oracle SQL, single process, warm cache, median of 3",
+        "protocol": "oracle SQL, single process, warm cache, median of 3, pandas materialization (fetchdf — mirrors bench.py toPandas)",
         "queries": out,
         "total": round(sum(out.values()), 4),
     }
