@@ -1244,3 +1244,66 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         segment.alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto-frontier query (2-D dominance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_skyline_frontier",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)  AS price_cents,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT)  AS date_sec
+      FROM orders
+    ),
+    w AS (
+      SELECT *,
+             max(date_sec) OVER (ORDER BY price_cents
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS best_cheaper
+      FROM s
+    )
+    SELECT o_orderkey, price_cents, date_sec
+    FROM w
+    WHERE best_cheaper IS NULL OR best_cheaper <= date_sec
+    """,
+    tags=("analytic", "window"),
+)
+def orders_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the orders not STRICTLY dominated
+    on (cheaper price, more recent date) — an order falls off the
+    frontier exactly when some strictly cheaper order is also strictly
+    more recent.  The multi-criteria shortlist primitive (cheapest-and-
+    freshest offers, best price/performance points).
+
+    The naive formulation is a quadratic NOT EXISTS self-join; the
+    engine computes it in one analytic pass: sort by price (integer
+    cents), take the running max of date over the RANGE frame ending 1
+    cent before the current row (value-based frame, so equal-price rows
+    never see each other — strict dominance preserved exactly), and keep
+    rows whose date ties-or-beats every strictly-cheaper order.  One
+    global sort — range-partitionable at scale, the same posture as
+    every rank pass — versus the self-join's |orders|² pair stream.
+    """
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.floor(F.unix_timestamp("o_orderdate")).cast("long").alias("date_sec"),
+    )
+    w = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        s.withColumn("best_cheaper", F.max("date_sec").over(w))
+        .filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("best_cheaper") <= F.col("date_sec"))
+        )
+        .select("o_orderkey", "price_cents", "date_sec")
+    )

@@ -427,3 +427,77 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "fn_map_hof_suite",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, round(value, 4) AS v,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_id,
+           round(v * 2, 6)                      AS doubled_base,
+           round(v * 3 * 2, 6)                  AS tripled_doubled,
+           CAST(CASE WHEN v * 2 > 100 THEN 1 ELSE 0 END
+              + CASE WHEN v * 2 * 2 > 100 THEN 1 ELSE 0 END
+              + CASE WHEN v * 3 * 2 > 100 THEN 1 ELSE 0 END
+              AS INTEGER)                       AS n_over_100,
+           'base,double,triple'                 AS keys_sorted,
+           round(v + k, 6)                      AS merged_k,
+           CAST(3 AS INTEGER)                   AS n_entries
+    FROM s
+    """,
+    tags=("functions", "map"),
+)
+def fn_map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46 widened to the map higher-order-function family:
+    ``map_from_arrays`` construction, ``transform_values`` (scale every
+    value), ``map_filter`` (keep entries over a threshold),
+    ``map_concat`` (merge a second map), ``map_zip_with`` (combine two
+    maps key-wise), ``element_at`` lookup, and sorted ``map_keys`` — the
+    full in-row key-value manipulation surface used on parsed
+    semi-structured payloads.
+
+    The oracle verifies the VALUES through equivalent scalar arithmetic
+    (DuckDB's map surface differs; what must agree is the data, so every
+    map result is projected to deterministic scalars/arrays before
+    comparison).  All pure codegen row-level work — no shuffle, and maps
+    stay inside the row (never exploded), which is the point of the HOF
+    forms at scale.
+    """
+    e = load(spark, sf_dir, "events")
+    s = e.select(
+        "event_id",
+        F.round("value", 4).alias("v"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("double"), F.lit("triple")),
+        F.array(F.col("v"), F.col("v") * 2, F.col("v") * 3),
+    )
+    doubled = F.map_zip_with(
+        m,
+        F.map_from_arrays(
+            F.array(F.lit("base"), F.lit("double"), F.lit("triple")),
+            F.array(F.lit(2.0), F.lit(2.0), F.lit(2.0)),
+        ),
+        lambda k, v1, v2: v1 * v2,
+    )
+    filtered = F.map_filter(doubled, lambda k, v: v > 100)
+    with_k = F.map_concat(
+        F.create_map(F.lit("k"), F.col("k").cast("double")),
+        F.create_map(F.lit("v"), F.col("v")),
+    )
+    return s.select(
+        "event_id",
+        F.round(F.element_at(doubled, "base"), 6).alias("doubled_base"),
+        F.round(F.element_at(doubled, "triple"), 6).alias("tripled_doubled"),
+        F.size(filtered).alias("n_over_100"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.round(
+            F.element_at(with_k, "k") + F.element_at(with_k, "v"), 6
+        ).alias("merged_k"),
+        F.size(F.transform_values(m, lambda k, v: v + 1)).alias("n_entries"),
+    )

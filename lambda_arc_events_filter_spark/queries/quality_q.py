@@ -827,3 +827,99 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching over sessions (CEP-lite via regex)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sequence_pattern",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    ),
+    agg AS (
+      SELECT user_id, session_seq,
+             min(ts) AS session_start,
+             CAST(count(*) AS BIGINT) AS n_events,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, session_start, n_events,
+           CAST(CASE WHEN regexp_matches(path, 'view.*click.*purchase')
+                THEN 1 ELSE 0 END AS INTEGER) AS funnel_hit,
+           CAST(CASE WHEN regexp_matches(path, 'error>error')
+                THEN 1 ELSE 0 END AS INTEGER) AS double_error
+    FROM agg
+    """,
+    tags=("events", "sequence"),
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite sequence matching: each user session's ordered event path
+    is rendered as a '>'-joined string and matched against regex
+    patterns — the ordered-subsequence funnel (view…click…purchase, any
+    gaps) and the immediate-repetition alarm (error>error).  Regex over
+    a serialized path is the pragmatic complement to the join-based
+    funnel (``events_funnel_conversion``) and the stateful CEP operator
+    (B55): arbitrary patterns, zero state machinery.
+
+    One hash(user_id) exchange carries sessionization AND the per-session
+    path aggregate (sort_array inside the aggregate pins event order
+    deterministically — ties by event_id); pattern evaluation is
+    row-level codegen on the session relation.  Path length is bounded
+    by session length — the same bound any per-session aggregate
+    carries; a pathological never-idle key would need the session cap
+    lever before this query, not because of it.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(Window.partitionBy("user_id").orderBy("ts"))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    agg = s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        path.alias("path"),
+    )
+    return agg.select(
+        "user_id",
+        "session_start",
+        "n_events",
+        F.when(
+            F.col("path").rlike("view.*click.*purchase"), 1
+        ).otherwise(0).cast("int").alias("funnel_hit"),
+        F.when(F.col("path").rlike("error>error"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("double_error"),
+    )

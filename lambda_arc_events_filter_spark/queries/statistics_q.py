@@ -768,3 +768,100 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((mid_lo + mid_hi) / 2.0, 6).alias("rolling_med"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test analysis: Welch z-test with polynomial normal CDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_welch_ztest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, user_id % 2 AS grp,
+             count(*) AS n, avg(value) AS m, var_samp(value) AS s2
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             CAST(a.n AS BIGINT) AS n_treat, CAST(b.n AS BIGINT) AS n_ctrl,
+             round(a.m - b.m, 6) AS lift,
+             (a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n) AS z
+      FROM g a JOIN g b ON a.event_type = b.event_type
+      WHERE a.grp = 1 AND b.grp = 0
+    ),
+    c AS (
+      SELECT *, abs(z) AS az, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+      FROM p
+    )
+    SELECT event_type, n_treat, n_ctrl, lift,
+           round(z, 6) AS z_score,
+           round(2 * (exp(-az * az / 2) / sqrt(2 * pi())
+                 * (0.319381530 * t - 0.356563782 * t * t
+                    + 1.781477937 * t * t * t
+                    - 1.821255978 * t * t * t * t
+                    + 1.330274429 * t * t * t * t * t)), 6) AS p_value
+    FROM c
+    """,
+    tags=("events", "stats"),
+)
+def events_ab_welch_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into treatment/control
+    (user_id parity — the deterministic assignment an experiment platform
+    uses), Welch's z on the value metric per event type, and a two-sided
+    p-value via the Abramowitz-Stegun 26.2.17 polynomial for the normal
+    tail — the experimentation primitive, entirely in SQL-expressible
+    arithmetic (neither engine ships erf, so BOTH evaluate the identical
+    5-term polynomial: cross-engine agreement by construction, |ε| < 8e-8
+    of the true tail).
+
+    One hash aggregate produces the 2·|event_type| moment rows; the test
+    statistic is row-level arithmetic on that tiny relation — the corpus
+    is scanned once and never shuffled (moments are map-side combinable),
+    which is why experiment readouts stay cheap at any traffic volume.
+    """
+    import math
+
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+    )
+    a = g.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("n_treat"),
+        F.col("m").alias("m1"),
+        F.col("s2").alias("s21"),
+    )
+    b = g.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n_ctrl"),
+        F.col("m").alias("m0"),
+        F.col("s2").alias("s20"),
+    )
+    j = a.join(b, "event_type")
+    z = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("s21") / F.col("n_treat") + F.col("s20") / F.col("n_ctrl")
+    )
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = (
+        0.319381530 * t
+        - 0.356563782 * t * t
+        + 1.781477937 * t * t * t
+        - 1.821255978 * t * t * t * t
+        + 1.330274429 * t * t * t * t * t
+    )
+    pdf = F.exp(-az * az / 2) / F.lit(math.sqrt(2 * math.pi))
+    return j.select(
+        "event_type",
+        "n_treat",
+        "n_ctrl",
+        F.round(F.col("m1") - F.col("m0"), 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+        F.round(2 * pdf * poly, 6).alias("p_value"),
+    )

@@ -324,3 +324,78 @@ def test_rfm_quintiles_balanced_and_segments_partition(spark, sf_dir):
         r.segment in {"champion", "recent", "at_risk", "lost", "core"}
         for r in rows
     )
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """The one-pass analytic skyline must equal the quadratic NOT-EXISTS
+    definition of strict 2-D dominance."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    got = {
+        r.o_orderkey
+        for r in ALL["orders_skyline_frontier"].fn(spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+        F.floor(F.unix_timestamp("o_orderdate")).cast("long").alias("d"),
+    )
+    rows = o.collect()
+    expected = {
+        r.o_orderkey
+        for r in rows
+        if not any(s.p < r.p and s.d > r.d for s in rows)
+    }
+    assert got == expected
+
+
+def test_welch_ztest_pvalue_sane(spark, sf_dir):
+    """Parity split of the same population: p-values must be in [0, 1]
+    and (with no true effect) mostly far from 0."""
+    rows = ALL["events_ab_welch_ztest"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.p_value <= 1.0
+        assert r.n_treat > 0 and r.n_ctrl > 0
+    assert sum(1 for r in rows if r.p_value > 0.01) >= len(rows) - 1
+
+
+def test_sequence_pattern_detects_constructed_funnel(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), 100 + i, t)
+        for i, t in enumerate(["view", "scroll", "click", "view", "purchase"])
+    ] + [
+        (2, base + dt.timedelta(minutes=i), 200 + i, t)
+        for i, t in enumerate(["error", "error"])
+    ] + [
+        (3, base + dt.timedelta(minutes=i), 300 + i, t)
+        for i, t in enumerate(["purchase", "click", "view"])  # wrong order
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, i, t) for (u, ts, i, t) in rows],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    agg = df.groupBy("user_id").agg(path.alias("path"))
+    got = {
+        r.user_id: (
+            bool(__import__("re").search("view.*click.*purchase", r.path)),
+            ">".join(["error", "error"]) in r.path,
+        )
+        for r in agg.collect()
+    }
+    assert got[1] == (True, False)
+    assert got[2] == (False, True)
+    assert got[3] == (False, False)
