@@ -328,3 +328,74 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score (backoff-smoothed, CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+    v AS (SELECT count(DISTINCT w2) AS vocab FROM bc)
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * v.vocab))), 6)
+             AS mean_logprob
+    FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1), v
+    GROUP BY big.doc_id
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: per document, the mean
+    log-probability of its adjacent token bigrams under an add-k-smoothed
+    (k = 0.5) corpus bigram LM — the second-order refinement of the
+    unigram perplexity gate (``text_unigram_logprob``); repetitive or
+    out-of-distribution text scores low and gets filtered before
+    training.
+
+    The LM is the (w1, w2) count relation the PMI query also builds; the
+    conditional P(w2|w1) needs only the bigram count, the left-unigram
+    marginal (re-aggregated from bigram counts — one text scan total) and
+    the vocabulary size (one scalar, broadcast).  Scoring joins each
+    document bigram to the LM on the hashed pair key — at 100 TB both
+    sides cluster on (w1, w2), and the per-doc mean is one
+    map-side-combinable aggregate.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
+                " i -> struct(tokens[i-1] as w1, tokens[i] as w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = bc.agg(F.countDistinct("w2").alias("vocab"))
+    logp = F.log(
+        (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("vocab"))
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("mean_logprob"),
+        )
+    )

@@ -835,3 +835,63 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_total", "rate_bp")
         .agg(F.sum("_k").cast("long").alias("n_kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline accounting via observed metrics (zero-extra-pass telemetry)
+# ---------------------------------------------------------------------------
+
+
+def filter_with_accounting(d: DataFrame):
+    """Quality-gate filter instrumented with ``df.observe``: returns the
+    filtered frame plus an Observation whose metrics (rows seen, rows
+    kept, chars seen) materialize as a side effect of whatever action
+    the caller runs — ZERO extra passes over the data.
+
+    This is the accounting contract of a 100 TB curation pipeline: every
+    stage must report what it dropped (SCALE.md "no silent caps"), and a
+    separate count() per stage would double the scan bill.  CollectMetrics
+    rides the existing task stream (the same mechanism Structured
+    Streaming uses for per-batch metrics).
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    keep = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 400)
+    obs = Observation(f"acct_{_uuid.uuid4().hex[:8]}")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(keep).alias("rows_kept"),
+        F.sum("n_chars").alias("chars_seen"),
+    )
+    return observed.filter(keep), obs
+
+
+@register(
+    "corpus_filter_observed",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT)       AS n_kept,
+           CAST(sum(n_chars) AS BIGINT)   AS chars_kept
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 400
+    GROUP BY source
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_filter_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-gate curation filter instrumented with observed metrics
+    (``filter_with_accounting``): the result is the ordinary filtered
+    aggregate the oracle verifies; the drop accounting (rows seen / kept
+    / chars) is collected BY THE SAME ACTION through CollectMetrics —
+    pinned separately in tests/test_round3c.py, since the observation is
+    telemetry, not part of the relational result.
+    """
+    d = load(spark, sf_dir, "documents")
+    kept, _obs = filter_with_accounting(d)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )

@@ -457,3 +457,143 @@ def table_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("drift_abs"), 2).alias("total_drift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (delta-merge vs recompute)
+# ---------------------------------------------------------------------------
+
+_AGG_SNAPSHOT_CACHE: dict[tuple, tuple[str, int]] = {}
+
+
+def _agg_snapshot(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Write-once aggregate snapshot over the first ~80 % of the events
+    time span (integer-second cutoff), returning (path, cutoff_sec)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    snap = _AGG_SNAPSHOT_CACHE.get(key)
+    if snap is None:
+        e = load(spark, sf_dir, "events")
+        sec = F.floor(F.unix_timestamp("ts")).cast("long")
+        lo, hi = e.agg(F.min(sec), F.max(sec)).first()
+        cutoff = int(lo + (hi - lo) * 0.8)
+        path = readers.scratch_dir("agg_snapshot")
+        (
+            e.filter(sec <= cutoff)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+            )
+            .write.parquet(path)
+        )
+        snap = (path, cutoff)
+        _AGG_SNAPSHOT_CACHE[key] = snap
+    return snap
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4)     AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "scale", "maintenance"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a persisted aggregate snapshot
+    (first 80 % of the time span, written once) is brought current by
+    merging ONLY the delta's partial aggregate — count and sum are
+    algebraic, so snapshot ⊎ delta ≡ full recompute, and the oracle IS
+    the full recompute over all events.
+
+    This is the materialized-view maintenance contract every serving
+    aggregate at 100 TB depends on: the per-refresh cost is O(delta),
+    never O(corpus).  The merge is a unionByName + re-aggregate on the
+    tiny keyed relation (|types| rows from the snapshot + |types| from
+    the delta partial) — one broadcast-scale shuffle; the delta scan's
+    time predicate pushes to the parquet reader.  Holds for any algebraic
+    aggregate (sum/count/min/max; avg via sum+count; the HLL sketches in
+    ``agg_hll_sketch_union`` extend the same merge to distinct counts).
+    """
+    path, cutoff = _agg_snapshot(spark, sf_dir)
+    snapshot = spark.read.schema(
+        "event_type string, n long, sum_value double"
+    ).parquet(path)
+    e = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    delta = (
+        e.filter(sec > cutoff)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention delete (partition-level data expiry)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_delete_partitions",
+    oracle="""
+    WITH s AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, * FROM events),
+    b AS (SELECT CAST(floor(min(sec) + (max(sec) - min(sec)) * 0.5)
+                 AS BIGINT) AS thr FROM s),
+    d AS (SELECT CAST(floor(sec / 86400) AS BIGINT) AS day, s.*
+          FROM s, b WHERE floor(sec / 86400) > floor(thr / 86400))
+    SELECT CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+           round(sum(value), 4)          AS total_value
+    FROM d
+    """,
+    tags=("source", "sink", "scale", "maintenance"),
+)
+def retention_delete_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention enforcement (GDPR / data-expiry): a day-partitioned copy
+    of events has every partition directory at-or-before the retention
+    cutoff DELETED at the filesystem level — no rewrite of surviving
+    data, which is the entire point of partitioning by the expiry key —
+    and the query audits what remains.  The oracle computes the same
+    retention filter logically: equality proves partition-level deletion
+    ≡ row-level filter when the partition key IS the expiry key.
+
+    The copy is rebuilt per call in scratch space (the deletion is the
+    operator under test); at 100 TB this is a metadata-plus-unlink
+    operation per expired partition, O(expired days), executed by the
+    table format's delete-partition path rather than any scan.
+    """
+    import shutil
+
+    e = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    lo, hi = e.agg(F.min(sec), F.max(sec)).first()
+    thr_day = int(lo + (hi - lo) * 0.5) // 86400
+    path = readers.scratch_dir("events_retention")
+    (
+        e.withColumn("day", F.floor(sec / 86400).cast("long"))
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    import os
+
+    for entry in os.listdir(path):
+        if entry.startswith("day="):
+            day = int(entry.split("=", 1)[1])
+            if day <= thr_day:
+                shutil.rmtree(os.path.join(path, entry))
+    back = spark.read.schema(_EVENTS_DDL + ", day long").parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

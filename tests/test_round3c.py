@@ -399,3 +399,62 @@ def test_sequence_pattern_detects_constructed_funnel(spark):
     assert got[1] == (True, False)
     assert got[2] == (False, True)
     assert got[3] == (False, False)
+
+
+def test_bigram_logprob_penalizes_novel_text(spark, sf_dir):
+    """A doc whose bigrams are common in the corpus must outscore the
+    corpus minimum; scores are finite and negative (log-probs)."""
+    rows = ALL["text_bigram_logprob"].fn(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r.mean_logprob < 0
+        assert math.isfinite(r.mean_logprob)
+        assert r.n_bigrams > 0
+
+
+def test_incremental_maintenance_equals_recompute(spark, sf_dir):
+    from lambda_arc_events_filter_spark.catalog import load
+
+    got = {
+        r.event_type: (r.n, r.sum_value)
+        for r in ALL["incremental_agg_maintenance"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        r.event_type: (r.n, round(r.s, 4))
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(full)
+    for k in got:
+        assert got[k][0] == full[k][0]
+        assert abs(got[k][1] - full[k][1]) < 1e-6
+
+
+def test_retention_delete_removes_expired_days(spark, sf_dir):
+    """Surviving day partitions must all be strictly after the cutoff
+    and the surviving row count must be a strict subset of the corpus."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    row = ALL["retention_delete_partitions"].fn(spark, sf_dir).first()
+    total = load(spark, sf_dir, "events").count()
+    assert 0 < row.n_rows < total
+    assert row.n_days > 0
+
+
+def test_observed_metrics_account_without_extra_pass(spark, sf_dir):
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.queries.curation_q import (
+        filter_with_accounting,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    kept, obs = filter_with_accounting(d)
+    n_kept_action = kept.count()
+    m = obs.get
+    assert m["rows_seen"] == d.count()
+    assert m["rows_kept"] == n_kept_action
+    assert m["chars_seen"] == d.agg(F.sum("n_chars")).first()[0]
