@@ -399,3 +399,154 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 6).alias("mean_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the per-source token distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    s_tot AS (SELECT source, sum(c) AS n_s FROM st GROUP BY 1)
+    SELECT st.source,
+           CAST(s_tot.n_s AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT)  AS n_terms,
+           round(-sum((st.c * 1.0 / s_tot.n_s)
+                      * ln(st.c * 1.0 / s_tot.n_s)), 6) AS entropy,
+           round(-sum((st.c * 1.0 / s_tot.n_s)
+                      * ln(st.c * 1.0 / s_tot.n_s)) / ln(count(*)), 6)
+             AS norm_entropy
+    FROM st JOIN s_tot USING (source)
+    GROUP BY st.source, s_tot.n_s
+    """,
+    tags=("llm", "text", "stats"),
+)
+def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution, plus the
+    vocabulary-normalized variant (÷ ln |vocab|, so 1.0 = uniform): the
+    diversity gauge of corpus curation — templated or boilerplate-heavy
+    sources score low-normalized-entropy and get down-weighted in the
+    training mixture; the companion to [[corpus_kl_divergence]]'s drift
+    measure on the same (source, token) count relation.
+
+    Same plan family as KL: explode→two-level count aggregate, broadcast
+    per-source totals; p·ln p sums are map-side combinable, so at 100 TB
+    the corpus crosses the wire once as (source, token) partial counts.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    st = (
+        d.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    p = F.col("c") / F.col("n_s")
+    plogp = -F.sum(p * F.log(p))
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(plogp, 6).alias("entropy"),
+            F.round(plogp / F.log(F.count(F.lit(1)).cast("double")), 6).alias(
+                "norm_entropy"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            "entropy",
+            "norm_entropy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law empirics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    first_use AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+    doc_new AS (
+      SELECT first_doc AS doc_id, count(*) AS new_terms
+      FROM first_use GROUP BY 1
+    ),
+    doc_tok AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+    per_doc AS (
+      SELECT doc_tok.doc_id, doc_tok.n_tok,
+             coalesce(doc_new.new_terms, 0) AS new_terms
+      FROM doc_tok LEFT JOIN doc_new USING (doc_id)
+    ),
+    dec AS (
+      SELECT CAST(floor(ntile(10) OVER (ORDER BY doc_id)) AS INT) AS decile,
+             n_tok, new_terms
+      FROM per_doc
+    ),
+    per_dec AS (
+      SELECT decile, sum(n_tok) AS toks, sum(new_terms) AS news
+      FROM dec GROUP BY 1
+    )
+    SELECT decile,
+           CAST(sum(toks) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(sum(news) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM per_dec
+    """,
+    tags=("llm", "text", "stats"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law empirics): scanning documents
+    in doc_id order, the cumulative distinct-vocabulary size vs the
+    cumulative token count at each corpus decile.  A corpus whose curve
+    flattens early is repetitive (bounded vocabulary); sub-linear but
+    unbounded growth (V ≈ K·nᵝ) is the healthy-text signature — the
+    standard collection-level health check before tokenizer training.
+
+    The cumulative-distinct is NOT computed as a distinct-over-window
+    (quadratic state): each term contributes exactly once at its FIRST
+    document (min(doc_id) per term — one explode→min aggregate), so
+    cumulative vocabulary = running sum of per-doc first-use counts.
+    The decile rollup leaves a 10-row frame; the final running sums are
+    single-partition window work on 10 rows.  Both engines ntile over
+    the identical unique doc_id order — deterministic.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode("tokens").alias("tok"))
+    first_use = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_new = first_use.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    doc_tok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    per_doc = doc_tok.join(doc_new, "doc_id", "left").select(
+        "doc_id", "n_tok", F.coalesce("new_terms", F.lit(0)).alias("new_terms")
+    )
+    dec = per_doc.select(
+        F.ntile(10).over(Window.orderBy("doc_id")).cast("int").alias("decile"),
+        "n_tok",
+        "new_terms",
+    )
+    per_dec = dec.groupBy("decile").agg(
+        F.sum("n_tok").alias("toks"), F.sum("new_terms").alias("news")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_dec.select(
+        "decile",
+        F.sum("toks").over(wc).cast("long").alias("cum_tokens"),
+        F.sum("news").over(wc).cast("long").alias("cum_vocab"),
+    )

@@ -17,7 +17,7 @@ of the measured query — mirroring ``sources_q._partitioned_events_path``.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.registry import register
@@ -596,4 +596,93 @@ def retention_delete_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("day").cast("long").alias("n_days"),
         F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build (change-interval history)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_dimension_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                            ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM ordered
+    ),
+    spans AS (
+      SELECT user_id, seg_id, min(event_type) AS event_type,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM seg GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+             IS NULL AS is_current,
+           n_events
+    FROM spans
+    """,
+    tags=("window", "scale", "maintenance"),
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event log: each
+    user's event_type stream is segmented at change points into validity
+    intervals [valid_from, valid_to) with an open-ended current row —
+    the standard dimension-history reconstruction every lakehouse runs
+    to serve "what was this entity's state AT time t" joins (the as-of
+    join in ``operators/asof.py`` is the consumer of exactly this shape).
+
+    Gaps-and-islands via two stacked windows on ONE partitioning
+    (user_id): the change flag (lag), the running segment id (sum), then
+    a per-segment aggregate and a lead() for the closing edge — Spark
+    executes all of it after a single exchange on user_id.  At 100 TB
+    the state never materializes per-row history beyond the sort; the
+    output is one row per CHANGE, which is the compression that makes
+    SCD2 cheaper than snapshotting.
+
+    Determinism: ties on (ts) within a user are broken by event_id in
+    the change-flag window; the running segment sum orders by
+    (ts, event_type) so equal-ts rows of the same segment cannot split
+    differently across engines.
+    """
+    e = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w_ord).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    seg = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_type")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("seg_id"),
+    )
+    spans = seg.groupBy("user_id", "seg_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_seg = Window.partitionBy("user_id").orderBy("seg_id")
+    valid_to = F.lead("valid_from").over(w_seg)
+    return spans.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
     )

@@ -865,3 +865,137 @@ def events_ab_welch_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.round(2 * pdf * poly, 6).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (event_type × day-of-week)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_chi_square_independence",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o) AS r FROM cell GROUP BY 1),
+    ct AS (SELECT dow, sum(o) AS c FROM cell GROUP BY 1),
+    n  AS (SELECT sum(o) AS n FROM cell)
+    SELECT cell.event_type,
+           CAST(rt.r AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(power(cell.o - rt.r * ct.c / n.n, 2)
+                     / (rt.r * ct.c / n.n)), 6) AS chi2_contrib
+    FROM cell JOIN rt USING (event_type) JOIN ct USING (dow), n
+    GROUP BY cell.event_type, rt.r
+    """,
+    tags=("agg", "stats"),
+)
+def events_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and day-of-week:
+    per event type, the summed (observed − expected)²/expected over its
+    weekday cells, where expected assumes the type mix is day-invariant.
+    The per-type contributions sum to the global χ² statistic — the
+    standard screen for "does traffic composition depend on weekday"
+    before trusting a day-sampled training snapshot.
+
+    One contingency aggregate (|types|×7 cells) plus two tiny broadcast
+    marginals — the corpus crosses the wire once into a map-side
+    combinable count; everything downstream is arithmetic on k rows.
+    Weekday alignment: Spark ``dayofweek`` is 1-based Sunday, DuckDB
+    ``dow`` 0-based Sunday — the Spark side subtracts 1.
+    """
+    e = load(spark, sf_dir, "events")
+    cell = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cell.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = cell.agg(F.sum("o").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    return (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(n))
+        .groupBy("event_type", "r")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias(
+                "chi2_contrib"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("r").cast("long").alias("n_events"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            "chi2_contrib",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (cumulative-weight order statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(round(min(tw), 0) AS BIGINT)  AS total_weight,
+           round(min(CASE WHEN cw >= tw / 2 THEN l_extendedprice END), 4)
+             AS w_median_price
+    FROM w GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "window"),
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest price
+    whose cumulative quantity weight reaches half the group's total — the
+    order statistic that answers "half the SHIPPED VOLUME was at or below
+    this price", which an unweighted median (half the line items) gets
+    wrong whenever quantity correlates with price.
+
+    One sort-based window per group builds the cumulative weight, then a
+    conditional-min aggregate picks the crossing point.  At 100 TB the
+    group-partitioned sort is the same single exchange an exact
+    percentile pays; ties on price are harmless because the crossing
+    point is a min over an upward-closed predicate — deterministic
+    without a tie-break column in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cw = F.sum("l_quantity").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tw = F.sum("l_quantity").over(Window.partitionBy("l_returnflag"))
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            cw.alias("cw"),
+            tw.alias("tw"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("tw"), 0).cast("long").alias("total_weight"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cw") >= F.col("tw") / 2, F.col("l_extendedprice")
+                    )
+                ),
+                4,
+            ).alias("w_median_price"),
+        )
+    )

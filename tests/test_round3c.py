@@ -458,3 +458,90 @@ def test_observed_metrics_account_without_extra_pass(spark, sf_dir):
     assert m["rows_seen"] == d.count()
     assert m["rows_kept"] == n_kept_action
     assert m["chars_seen"] == d.agg(F.sum("n_chars")).first()[0]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 fourth wave: chi-square, weighted median, entropy, Heaps, SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_contributions_nonnegative(spark, sf_dir):
+    rows = ALL["events_chi_square_independence"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.chi2_contrib >= 0
+        assert 1 <= r.n_cells <= 7
+
+
+def test_weighted_median_within_price_range_and_crossing(spark, sf_dir):
+    """The weighted median must lie within the group's price range and
+    at least half the quantity weight must sit at-or-below it."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    got = {
+        r.l_returnflag: r.w_median_price
+        for r in ALL["lineitem_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    for flag, med in got.items():
+        g = li.filter(F.col("l_returnflag") == flag)
+        tot = g.agg(F.sum("l_quantity")).first()[0]
+        below = (
+            g.filter(F.col("l_extendedprice") <= med)
+            .agg(F.sum("l_quantity"))
+            .first()[0]
+        )
+        assert below >= tot / 2
+        # strict crossing: weight strictly below the median is < half
+        under = (
+            g.filter(F.col("l_extendedprice") < med)
+            .agg(F.coalesce(F.sum("l_quantity"), F.lit(0.0)))
+            .first()[0]
+        )
+        assert under < tot / 2
+
+
+def test_entropy_bounded_by_log_vocab(spark, sf_dir):
+    import math
+
+    rows = ALL["corpus_token_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy <= math.log(r.n_terms) + 1e-9
+        assert 0 <= r.norm_entropy <= 1 + 1e-9
+
+
+def test_vocab_growth_monotone_and_total(spark, sf_dir):
+    """Cumulative curves are monotone; the final point equals the exact
+    corpus totals (token count and distinct-vocabulary size)."""
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.operators import dedup as D
+
+    rows = sorted(
+        ALL["vocab_growth_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens >= a.cum_tokens
+        assert b.cum_vocab >= a.cum_vocab
+    tok = D.with_tokens(load(spark, sf_dir, "documents")).select(
+        F.explode("tokens").alias("t")
+    )
+    assert rows[-1].cum_tokens == tok.count()
+    assert rows[-1].cum_vocab == tok.distinct().count()
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark, sf_dir):
+    """Per user: exactly one current row, intervals are disjoint and
+    adjacent (each valid_to equals the next valid_from), and adjacent
+    segments never carry the same event_type."""
+    df = ALL["scd2_dimension_build"].fn(spark, sf_dir)
+    pdf = df.toPandas()
+    assert (pdf.groupby("user_id")["is_current"].sum() == 1).all()
+    for _uid, g in list(pdf.groupby("user_id"))[:50]:
+        g = g.sort_values("valid_from")
+        assert g["is_current"].iloc[-1]
+        for i in range(len(g) - 1):
+            assert g["valid_to"].iloc[i] == g["valid_from"].iloc[i + 1]
+            assert g["event_type"].iloc[i] != g["event_type"].iloc[i + 1]
