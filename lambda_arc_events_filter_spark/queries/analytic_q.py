@@ -1307,3 +1307,231 @@ def orders_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "price_cents", "date_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: late-shipment priority mix by return flag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_late_priority_mix",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "agg"),
+)
+def q12_late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority mix, adapted to the fixture
+    schema): lineitems shipped more than 60 days after their order date,
+    split per return flag into high- vs low-priority order counts via
+    conditional CASE sums — the two-counters-in-one-pass aggregation
+    pattern every SLA dashboard uses.
+
+    Plan shape: the shuffle joins orders⨝lineitem on orderkey once; the
+    late-shipment predicate is a post-join filter (it references both
+    sides) evaluated inside the join stage, and the CASE sums partial-
+    aggregate map-side — three groups total cross the final exchange.
+    """
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share (conditional-ratio aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-04-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    GROUP BY ALL
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one quarter's revenue
+    earned by promo-type parts — a conditional sum divided by the
+    unconditional sum in the same aggregate pass, the canonical
+    numerator/denominator-in-one-scan ratio metric.
+
+    Plan shape: the quarter filter pushes to the lineitem scan; part
+    (2 k rows) broadcasts, so the only exchange is the single-group
+    final aggregate — two doubles cross the wire.  The ratio divides
+    two sums of IDENTICAL operand sets in both engines, then rounds to
+    4, so cross-engine float-order drift (~1e-15 relative) cannot reach
+    the compared digits.
+    """
+    lo = F.lit("1997-04-01").cast("timestamp")
+    hi = F.lit("1997-07-01").cast("timestamp")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-predicate revenue (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 5 AND 25
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 25 AND 45)
+    GROUP BY ALL
+    """,
+    tags=("join", "agg", "pushdown"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
+    over an OR of three (brand AND size-range AND quantity-range)
+    conjuncts — the classic test of an optimizer's handling of
+    disjunctions that straddle a join.
+
+    Plan shape Catalyst produces (and the plan test pins): the
+    single-side factors of the OR are extracted and pushed BELOW the
+    join — ``p_brand IN (…) AND p_size BETWEEN 1 AND 40`` prunes the
+    part scan and ``l_quantity BETWEEN 1 AND 45`` prunes lineitem —
+    while the full cross-side disjunction evaluates as the join's
+    residual condition.  Without that CNF extraction every lineitem row
+    would reach the join; with it the scans already dropped the
+    never-matching bulk.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#3") & s.between(1, 15) & q.between(1, 15))
+        | ((b == "Brand#12") & s.between(5, 25) & q.between(10, 25))
+        | ((b == "Brand#23") & s.between(20, 40) & q.between(25, 45))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: idle high-balance customers (anti-join + scalar subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_idle_customer_balance",
+    oracle="""
+    WITH thresh AS (
+      SELECT round(avg(c_acctbal), 2) AS t FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, thresh
+    WHERE c_acctbal > t
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers whose balance
+    beats the positive-balance average yet have never placed an URGENT
+    order, counted and totalled per market segment — a scalar aggregate
+    subquery feeding a filter plus a predicated NOT EXISTS anti-join.
+    (The fixture's ~10 orders/customer makes the classic "never ordered"
+    set empty at every SF; the priority predicate keeps the identical
+    plan shape with a non-trivial result.)
+
+    Plan shape: the scalar average computes on the customer table alone
+    and enters the main plan as a broadcast one-row cross input (Spark's
+    scalar-subquery execution); the NOT EXISTS lowers to a left-anti
+    hash join on custkey against only orders' key column (column pruning
+    reaches the scan).  The threshold rounds to 2 decimals in BOTH
+    engines before the comparison: balances carry 2-decimal precision,
+    so a cross-engine flip would need the true average within ~1e-12 of
+    a 0.005 rounding boundary — the documented float-tie floor.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("t")
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -550,3 +550,91 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").over(wc).cast("long").alias("cum_tokens"),
         F.sum("news").over(wc).cast("long").alias("cum_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle overlap (UpSet-style corpus contamination matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_overlap",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') t
+                 FROM documents),
+    pos AS (SELECT doc_id, source, unnest(t) w, generate_subscripts(t, 1) i
+            FROM tok),
+    sh AS (SELECT DISTINCT a.source, a.w || ' ' || b.w || ' ' || c.w AS s
+           FROM pos a
+           JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    pair AS (SELECT x.source AS source_a, y.source AS source_b,
+                    CAST(count(*) AS BIGINT) AS shared_shingles
+             FROM sh x JOIN sh y ON x.s = y.s AND x.source < y.source
+             GROUP BY 1, 2)
+    SELECT source_a, source_b, shared_shingles,
+           na.n AS n_a, nb.n AS n_b,
+           round(shared_shingles * 1.0
+                 / (na.n + nb.n - shared_shingles), 6) AS jaccard
+    FROM pair
+    JOIN n na ON source_a = na.source
+    JOIN n nb ON source_b = nb.source
+    """,
+    tags=("llm", "dedup", "corpus"),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus sources: each source's
+    distinct 3-gram shingle set, then shared-shingle counts and Jaccard
+    for every source pair — the UpSet-style contamination matrix that
+    tells a pretraining pipeline which crawls duplicate each other
+    BEFORE doc-level dedup spends compute on them.
+
+    Scale shape: identical to the dedup inverted index — shingles via
+    the codegen window path (``operators/dedup.py::shingle_postings``,
+    8-byte hashed keys), distinct per source, then pairs GENERATED
+    THROUGH the shingle-key equi-join (each shingle emits only the
+    source pairs that actually share it) — never a |sources|² × set
+    comparison.  The final aggregate is ≤ C(|sources|, 2) rows.  The
+    oracle forms the same pairs from string shingles; counts agree up
+    to the documented 64-bit xxhash collision bound (~1e-9/corpus).
+    """
+    from lambda_arc_events_filter_spark.operators.dedup import (
+        shingle_postings,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("tokens")
+    )
+    post = shingle_postings(d, "doc_id", n=3, extra_cols=("source",))
+    src_sh = post.select("source", "sk").distinct()
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    x = src_sh.select(F.col("source").alias("source_a"), "sk")
+    y = src_sh.select(F.col("source").alias("source_b"), "sk")
+    pairs = (
+        x.join(y, "sk")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    na = F.broadcast(
+        sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    )
+    nb = F.broadcast(
+        sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    )
+    shared = F.col("shared_shingles")
+    return (
+        pairs.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            F.round(
+                shared * 1.0 / (F.col("n_a") + F.col("n_b") - shared), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -895,3 +895,77 @@ def corpus_filter_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("long").alias("chars_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster representative selection (the dedup WRITER's keep list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIR_CTE},
+    sym AS (SELECT id_a a, id_b b FROM edge
+            UNION ALL SELECT id_b, id_a FROM edge),
+    reach(src, dst) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+    ),
+    cc AS (SELECT src AS doc_id, min(dst) AS cluster_id
+           FROM reach GROUP BY src),
+    ranked AS (
+      SELECT cc.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           min(CASE WHEN rk = 1 THEN doc_id END)  AS rep_doc_id,
+           CAST(count(*) AS BIGINT)               AS cluster_size,
+           CAST(count(*) - 1 AS BIGINT)           AS n_dropped,
+           max(n_chars)                           AS rep_chars,
+           CAST(sum(n_chars) AS BIGINT)           AS total_chars
+    FROM ranked
+    GROUP BY cluster_id
+    """,
+    tags=("llm", "curation", "dedup"),
+    plan_cache=False,  # builds on the iterative CC labels (checkpointed)
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering that an actual dedup WRITER executes:
+    for each near-dup cluster (transitive closure over exact Jaccard
+    ≥0.5 pairs, ``dedup_connected_components``), elect one surviving
+    representative — longest document wins, doc_id breaks ties — and
+    account for what the merge drops (cluster size, discarded docs,
+    retained vs total characters).
+
+    Representative election is a single ``max_by`` over a
+    (n_chars, -doc_id) struct in the same hash aggregate that counts
+    the cluster — no second window pass, no join-back; the only
+    corpus-scale exchange is the one the clustering already paid.  The
+    deterministic quality key is what makes the keep-list reproducible
+    run-over-run — the property a 100 TB dedup rewrite needs so a
+    resumed job doesn't flip representatives mid-corpus.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
+        "_one", F.lit(1)
+    )
+    pairs = D.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="_one", threshold=0.5
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).join(docs, "doc_id")
+    quality = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_nid"))
+    return member.groupBy("cluster_id").agg(
+        F.max_by("doc_id", quality).alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        F.max("n_chars").alias("rep_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

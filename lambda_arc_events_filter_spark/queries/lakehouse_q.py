@@ -686,3 +686,189 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH st AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type IN ('signup', 'error')
+    ),
+    s1 AS (SELECT user_id, ts, event_type FROM st WHERE rn = 1),
+    ordd AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    seg AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM ordd
+    ),
+    spans AS (
+      SELECT user_id, min(event_type) AS state, min(ts) AS valid_from,
+             lead(min(ts)) OVER (PARTITION BY user_id ORDER BY seg_id)
+               AS valid_to
+      FROM seg GROUP BY user_id, seg_id
+    ),
+    facts AS (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase')
+    SELECT coalesce(s.state, 'none') AS state,
+           CAST(count(*) AS BIGINT)  AS n_purchases,
+           round(sum(f.value), 2)    AS volume,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM facts f
+    LEFT JOIN spans s
+      ON f.user_id = s.user_id AND s.valid_from <= f.ts
+     AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+    GROUP BY 1
+    """,
+    tags=("join", "scale", "maintenance"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension: purchase facts
+    joined to the state interval (built from each user's signup/error
+    history, ``scd2_dimension_build`` mechanics) that was valid AT the
+    purchase timestamp — "what plan/health state was this user in when
+    they bought" — then rolled up per prevailing state.
+
+    The naive interval join (valid_from <= ts < valid_to) range-explodes;
+    because SCD2 spans TILE time gaplessly per key, the interval
+    predicate is equivalent to "latest span start ≤ ts", which is an
+    AS-OF join — one union + one window pass per user
+    (``operators/asof.py``), no range join, no explosion.  Same-instant
+    dimension duplicates are collapsed first (max event_id wins, both
+    engines), so the as-of carry is deterministic even if a fixture
+    lands two state events on one microsecond.
+    """
+    from lambda_arc_events_filter_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    st = e.filter(F.col("event_type").isin("signup", "error"))
+    w_ts = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    s1 = (
+        st.withColumn("rn", F.row_number().over(w_ts))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts")
+    chg = F.when(
+        ~F.lag("event_type").over(w_ord).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    seg = s1.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("seg_id"),
+    )
+    spans = seg.groupBy("user_id", "seg_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t"), "value"
+    )
+    dim = spans.select("user_id", F.col("valid_from").alias("t"), "state")
+    joined = asof_join(
+        facts, dim, key="user_id", time_col="t", value_cols=["state"]
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("_asof_state"), F.lit("none")).alias("state")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("volume"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table fingerprint (drift/replication checksum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_fingerprint_checksum",
+    oracle="""
+    WITH rows_h AS (
+      SELECT o_orderstatus,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(
+                     o_orderkey || '|' || o_orderpriority || '|'
+                       || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                     ''),
+                   c -> ascii(c))),
+                 (a, b) -> (a * 31 + b) % 2147483647) AS h
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(sum(h) AS BIGINT)        AS sum_hash,
+           bit_xor(h)                    AS xor_hash,
+           CAST(min(h) AS BIGINT)        AS min_hash,
+           CAST(max(h) AS BIGINT)        AS max_hash
+    FROM rows_h
+    GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "agg"),
+)
+def table_fingerprint_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint, the replication/drift check
+    behind ``table_reconcile_diff``: each row canonicalizes to a string,
+    hashes to a 31-bit polynomial digest, and per-partition-key
+    commutative aggregates (sum, xor, min/max, count) summarize the
+    table so two copies compare in O(groups) — row order, file order,
+    and partitioning all wash out.
+
+    Every aggregate is map-side combinable, so at 100 TB the checksum
+    costs one scan plus a groups-sized exchange; comparing engine
+    snapshots (or engine vs oracle, as the driver does here) needs no
+    sort and no full-table diff.  The digest is the repo's cross-engine
+    rolling hash (``operators/text.py::fingerprint_expr`` arithmetic) —
+    at production scale you'd swap in xxhash64 for speed, but its seed
+    is engine-specific, which is exactly what a CROSS-engine checksum
+    cannot use (the in-engine aggregation structure is unchanged).
+    ``o_totalprice`` canonicalizes through DECIMAL(18,2): decimal→string
+    renders identically in both engines at every magnitude, where raw
+    double formatting diverges (Spark flips to scientific notation past
+    1e7).
+    """
+    o = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    h = F.expr(
+        "aggregate(split(canon, ''), 0L,"
+        " (a, c) -> pmod(a * 31 + ascii(c), 2147483647))"
+    )
+    return (
+        o.select("o_orderstatus", canon.alias("canon"))
+        .select("o_orderstatus", h.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("sum_hash"),
+            F.expr("bit_xor(h)").alias("xor_hash"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+    )

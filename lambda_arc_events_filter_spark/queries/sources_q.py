@@ -589,3 +589,77 @@ def custom_source_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record quarantine accounting (dead-letter ingestion path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_quarantine_accounting",
+    oracle="""
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 17 = 0
+                  THEN substr(props, 1, length(props) - 1)
+                  ELSE props END AS p
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(p)
+                  THEN CAST(json_extract(p, '$.k') AS INTEGER) END AS k
+      FROM raw
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                    AS n_total,
+           CAST(count(k) AS BIGINT)                    AS n_parsed,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           round(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6)                        AS quarantine_rate,
+           round(avg(k), 6)                            AS avg_k
+    FROM parsed
+    GROUP BY event_type
+    """,
+    tags=("source", "functions"),
+)
+def json_quarantine_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for a JSON ingest feed (the A2 decode path
+    under fault): a deterministic 1-in-17 slice of payloads is truncated
+    mid-object (simulating the clipped Kinesis records the reference's
+    filter Lambda would see), every record still flows through one
+    ``from_json`` pass, and the malformed ones surface as NULL
+    extractions — counted, rated, and excluded from the value aggregate
+    per event type, never dropped silently or crashing the batch.
+
+    This is Spark's PERMISSIVE-mode contract done columnar: parse errors
+    become nulls inline (no Python, no exception path, no second scan),
+    so the quarantine decision costs nothing beyond the parse every row
+    pays anyway.  At 100 TB the same plan holds — one scan, map-side
+    combinable counters; the dead-letter SINK variant is this query's
+    filter inverted (``k IS NULL``) writing to a quarantine path.
+    ``avg_k`` divides an integer sum by a count, so both engines divide
+    identical operands.
+    """
+    e = load(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 17 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    k = F.from_json(p, "k INT").getField("k")
+    quarantined = F.when(F.col("k").isNull(), 1).otherwise(0)
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("k").alias("n_parsed"),
+            F.sum(quarantined).cast("long").alias("n_quarantined"),
+            F.round(F.sum(quarantined) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "quarantine_rate"
+            ),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )

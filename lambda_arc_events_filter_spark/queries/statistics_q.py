@@ -999,3 +999,152 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_median_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (min_by/max_by positional aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('day', ts) AS day, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id)            AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC)  AS rn_d
+      FROM events
+    )
+    SELECT event_type, day,
+           round(min(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6)                             AS high,
+           round(min(value), 6)                             AS low,
+           round(min(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT)                         AS n_events,
+           round(sum(value), 2)                             AS volume
+    FROM r
+    GROUP BY event_type, day
+    """,
+    tags=("agg", "timeseries"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per event type per day: open = value of the
+    earliest event in the bar, close = the latest, plus high/low/count/
+    volume — the time-series downsampling every monitoring and market
+    system runs.
+
+    The engine computes open/close with ``min_by``/``max_by`` ordered by
+    a (ts, event_id) STRUCT — positional aggregates in the same single
+    hash-aggregate pass as high/low/sum, one shuffle of six scalars per
+    bar, no window pass and no self-join.  The struct ordering key makes
+    same-microsecond ties deterministic (lexicographic struct comparison
+    falls through to event_id), which is what lets an order-dependent
+    aggregate survive the driver's cross-engine hash check at all.  The
+    oracle has no min_by-with-composite-key, so it ranks both directions
+    with row_number and picks rank-1 values — same result, two window
+    sorts instead of one agg pass (the reason min_by is the scale path).
+    """
+    e = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: event-type co-occurrence lift (market-basket shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_assoc_lift",
+    oracle="""
+    WITH base AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY 1),
+    p AS (SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                 CAST(count(*) AS BIGINT) AS support_count
+          FROM base a JOIN base b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT antecedent, consequent, support_count,
+           round(support_count * 1.0 / n_users, 6)      AS support,
+           round(support_count * 1.0 / sa.c, 6)         AS confidence,
+           round((support_count * 1.0 * n_users) / (sa.c * sb.c), 6) AS lift
+    FROM p
+    CROSS JOIN n
+    JOIN s sa ON antecedent = sa.event_type
+    JOIN s sb ON consequent = sb.event_type
+    """,
+    tags=("agg", "join", "events"),
+)
+def events_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over user event baskets: for every pair of
+    event types, support (co-occurring users / all users), confidence
+    (P(consequent | antecedent)), and lift (observed co-occurrence over
+    the independence expectation) — the market-basket statistics behind
+    recommendation and anomaly rules.
+
+    Scale shape: the only corpus-scale work is the DISTINCT
+    (user, event_type) projection — one hash aggregate.  The pair join
+    keys on user_id over baskets of at most |event_types| (5) rows, so
+    the self-join emits ≤ C(5,2)·users pairs and aggregates to ≤ 10
+    rows; singles and the user count broadcast back onto pairs under
+    AQE.  Every ratio divides INTEGER counts, so both engines divide
+    identical operands — no float-order drift to round away (the
+    round(…, 6) pins the display precision, not the comparison).
+    """
+    e = load(spark, sf_dir, "events")
+    base = e.select("user_id", "event_type").distinct()
+    n_users = e.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    singles = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = base.select(
+        F.col("user_id"), F.col("event_type").alias("antecedent")
+    )
+    b = base.select(F.col("user_id"), F.col("event_type").alias("consequent"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("antecedent") < F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("support_count"))
+    )
+    sa = F.broadcast(
+        singles.select(
+            F.col("event_type").alias("antecedent"), F.col("c").alias("ca")
+        )
+    )
+    sb = F.broadcast(
+        singles.select(
+            F.col("event_type").alias("consequent"), F.col("c").alias("cb")
+        )
+    )
+    sc = F.col("support_count")
+    return (
+        pairs.join(F.broadcast(n_users))
+        .join(sa, "antecedent")
+        .join(sb, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "support_count",
+            F.round(sc * 1.0 / F.col("n_users"), 6).alias("support"),
+            F.round(sc * 1.0 / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                (sc * 1.0 * F.col("n_users")) / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+    )
