@@ -719,7 +719,15 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign, flat = _semdedup_index(spark, sf_dir)
     m = assign.join(flat, "vec_id")
     dim = _SEMDEDUP_DIM
-    a = m.select(
+    # Pair generation: PROBE side spread across the cores (the checkpointed
+    # index collapses to 1 partition — without the repartition every pair
+    # evaluates on a single task: measured 0.87 s → 0.45 s), BUILD side
+    # broadcast (the whole index is ~1 MB; a shuffle join on 8 cluster
+    # keys would both move the 65-column rows and cap parallelism at 8).
+    # At corpus scale this becomes the IVF shape: cell-partition the
+    # corpus and broadcast per-cell blocks, never a global wide shuffle.
+    width = m.sparkSession.sparkContext.defaultParallelism
+    a = m.repartition(width).select(
         F.col("cluster"),
         F.col("vec_id").alias("ia"),
         *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)],
@@ -731,7 +739,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.expr(" + ".join(f"a{i} * b{i}" for i in range(dim)))
     pairs = (
-        a.join(b, "cluster")
+        a.join(F.broadcast(b), "cluster")
         .filter(F.col("ia") < F.col("ib"))
         .withColumn("_cos", F.round(cos, 6))
         .filter(F.col("_cos") >= 0.35)
