@@ -1535,3 +1535,75 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical revenue shares (percent-of-parent OLAP view)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_share_hierarchy",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+      FROM lineitem
+      JOIN orders   ON o_orderkey  = l_orderkey
+      JOIN customer ON c_custkey   = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, n_name,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
+             AS pct_of_region,
+           round(revenue / sum(revenue) OVER (), 6) AS pct_of_global
+    FROM rev
+    """,
+    tags=("join", "window", "agg"),
+)
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent revenue decomposition along the geographic
+    hierarchy (nation → region → global): each nation's revenue with its
+    share of its region and of the world — the drill-down view every
+    OLAP hierarchy renders.
+
+    One corpus-scale star join + nation-grain aggregate (the dimensions
+    all broadcast); both share denominators are windows over the
+    25-row nation summary, so the percent-of-parent math costs nothing
+    at any scale.  Nation revenue rounds to 6 BEFORE the share windows:
+    the window then sums identical rounded operands in both engines,
+    leaving drift (~1e-16 relative) far below the round-6 output.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_global = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w_region), 6
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w_global), 6
+        ).alias("pct_of_global"),
+    )

@@ -638,3 +638,66 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate against the corpus's own head vocabulary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c FROM tok GROUP BY term
+        ORDER BY c DESC, term LIMIT 30)
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)                       AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6)                           AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "corpus"),
+)
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's top-30
+    head vocabulary — the coverage check run before freezing a tokenizer
+    vocab (a doc full of OOV tokens will fragment into garbage pieces).
+
+    The vocabulary is a TakeOrdered head (deterministic c-then-term
+    cut) broadcast into a left join against the exploded token stream;
+    OOV-ness is the null side of that join, counted per doc in the same
+    aggregate that counts tokens.  At 100 TB the vocab stays
+    Zipf-bounded and broadcast-able; the token stream shuffles once, on
+    doc_id.  The rate divides two integers — no float drift.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(30)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )

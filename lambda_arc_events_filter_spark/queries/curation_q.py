@@ -977,3 +977,122 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("n_chars").alias("rep_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment pairs (subset-duplication the Jaccard gate misses)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH
+    {_PAIR_CTE.replace("edge AS", "_edge_unused AS")}
+    SELECT id_a, id_b,
+           CAST(c AS BIGINT) AS shared_shingles,
+           round(c * 1.0 / least(nx.n, ny.n), 6) AS containment
+    FROM pair
+    JOIN n nx ON id_a = nx.doc_id
+    JOIN n ny ON id_b = ny.doc_id
+    WHERE c * 1.0 / least(nx.n, ny.n) >= 0.9
+    """,
+    tags=("llm", "curation", "dedup"),
+    plan_cache=False,  # probes the checkpointed postings relation
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT pairs: shared-shingle count normalized by the
+    SMALLER document's shingle set (≥0.9), catching the
+    quote/wrapper/excerpt duplication that symmetric Jaccard dilutes
+    away — a short doc fully embedded in a long one scores
+    containment ≈ 1 but Jaccard ≈ |short|/|long| and sails through a
+    0.5 gate.  The standard companion gate in web-corpus dedup
+    (Broder's containment coefficient).
+
+    Identical machinery to ``dedup_ngram_jaccard`` — the same inverted
+    shingle-postings index generates candidates through the posting-key
+    equi-join (never all-pairs), only the normalization differs.  Same
+    100 TB posture: cost tracks posting-list mass; hot postings get the
+    ``max_doc_freq`` cap.
+    """
+    from lambda_arc_events_filter_spark.operators import dedup as D
+
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    post = D.shingle_postings(d, "doc_id", n=3, with_sizes=True)
+    a = post.select(
+        F.col("_id").alias("id_a"), "sk", F.col("_n").alias("na")
+    )
+    b = post.select(
+        F.col("_id").alias("id_b"), "sk", F.col("_n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "sk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    containment = F.col("shared_shingles") * 1.0 / F.least("na", "nb")
+    return (
+        pairs.filter(containment >= 0.9)
+        .select(
+            "id_a",
+            "id_b",
+            "shared_shingles",
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree distribution (dedup blast-radius accounting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_degree_stats",
+    oracle=f"""
+    WITH
+    {_PAIR_CTE},
+    sym AS (SELECT id_a AS node FROM edge
+            UNION ALL SELECT id_b FROM edge),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY node)
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM deg GROUP BY degree
+    """,
+    tags=("llm", "curation", "dedup"),
+    plan_cache=False,  # shares the checkpointed postings via pair build
+)
+def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph (Jaccard ≥ 0.5
+    edges): how many documents have k near-duplicates — the
+    blast-radius histogram a dedup rollout reads BEFORE deleting
+    (a fat tail means template families where transitive clustering
+    will merge far more than pairwise counts suggest; it is also the
+    skew forecast for the connected-components iterations).
+
+    After the pair build (shared inverted-index machinery), degrees are
+    one symmetric projection + two tiny aggregates — the graph summary
+    costs nothing beyond the edges.  min/max node per degree pin the
+    histogram deterministically for the value-hash.
+    """
+    from lambda_arc_events_filter_spark.operators import dedup as D
+
+    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
+        "_one", F.lit(1)
+    )
+    pairs = D.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="_one", threshold=0.5
+    )
+    sym = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -923,3 +923,285 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("double_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    cohort_n AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+                 FROM first_seen GROUP BY 1),
+    rev AS (
+      SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+               AS age_days,
+             e.value
+      FROM events e JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    daily AS (
+      SELECT cohort_day, CAST(age_days AS BIGINT) AS age_days,
+             round(sum(value), 6) AS rev_day
+      FROM rev GROUP BY 1, 2
+    )
+    SELECT d.cohort_day, d.age_days, n.cohort_size,
+           round(sum(d.rev_day) OVER (PARTITION BY d.cohort_day
+                                      ORDER BY d.age_days), 2)
+             AS cum_revenue,
+           round(sum(d.rev_day) OVER (PARTITION BY d.cohort_day
+                                      ORDER BY d.age_days)
+                 / n.cohort_size, 6) AS cum_ltv_per_user
+    FROM daily d JOIN cohort_n n USING (cohort_day)
+    """,
+    tags=("events", "window", "agg"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-seen day,
+    purchase revenue accumulated along cohort age — the cum-LTV surface
+    (cohort × age) growth teams read payback periods off, and the
+    companion to ``events_retention_cohorts``'s activity view.
+
+    Three map-side-combinable aggregates (first-seen, cohort size, daily
+    revenue) then ONE running window over the tiny (cohort × age) grid —
+    the corpus-scale work never touches a window.  Daily revenue rounds
+    to 6 BEFORE the cumulative sum so both engines accumulate identical
+    operands in identical frame order.
+    """
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    cohort_n = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("long")
+            .alias("age_days"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("rev_day"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev_day").over(w)
+    return (
+        daily.join(F.broadcast(cohort_n), "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "cohort_size",
+            F.round(cum, 2).alias("cum_revenue"),
+            F.round(cum / F.col("cohort_size"), 6).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel attribution (first-touch / last-touch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             first_value(event_type) OVER w          AS first_touch,
+             sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               OVER w                                AS np_seen
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    attributed AS (
+      SELECT user_id, ts, event_id, event_type, value, first_touch,
+             coalesce(max(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END)
+                        OVER (PARTITION BY user_id, np_seen
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 'none')
+               AS last_touch
+      FROM seq
+    )
+    SELECT first_touch, last_touch,
+           CAST(count(*) AS BIGINT)  AS n_purchases,
+           round(sum(value), 2)      AS attributed_revenue
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window"),
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: each purchase credited to
+    the user's FIRST-ever touch (channel that acquired them) and to the
+    LAST non-purchase touch preceding it (channel that converted them),
+    revenue rolled up per (first, last) pair.
+
+    Last-touch without IGNORE NULLS (which DuckDB windows lack): a
+    running count of non-purchase events buckets each row with the most
+    recent non-purchase event (the counter increments ON it), so a
+    max-over-(user, bucket) window recovers that event's type — the same
+    carry-by-grouping trick ``events_resample_ffill`` uses.  Both window
+    passes share the (user_id) exchange; purchases with no prior touch
+    attribute to 'none'.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    np_mark = F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.sum(np_mark).over(w).alias("np_seen"),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "np_seen")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_touch = F.coalesce(
+        F.max(
+            F.when(F.col("event_type") != "purchase", F.col("event_type"))
+        ).over(w2),
+        F.lit("none"),
+    )
+    return (
+        seq.withColumn("last_touch", last_touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capped running balance (order-dependent state — the applyInPandas case)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_capped_running_balance",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN value
+                  WHEN event_type = 'error'    THEN -value
+                  ELSE 0 END AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    bal(user_id, rn, b, floored) AS (
+      SELECT user_id, rn, greatest(0, delta),
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, greatest(0, bal.b + s.delta),
+             bal.floored + CASE WHEN bal.b + s.delta < 0 THEN 1 ELSE 0 END
+      FROM bal JOIN seq s ON s.user_id = bal.user_id
+                         AND s.rn = bal.rn + 1
+    ),
+    last AS (SELECT user_id, max(rn) AS mr FROM bal GROUP BY 1)
+    SELECT b.user_id,
+           CAST(l.mr AS BIGINT)                                 AS n_events,
+           round(max(CASE WHEN b.rn = l.mr THEN b.b END), 6)    AS final_balance,
+           round(max(b.b), 6)                                   AS max_balance,
+           CAST(max(CASE WHEN b.rn = l.mr THEN b.floored END) AS BIGINT)
+             AS n_floored
+    FROM bal b JOIN last l USING (user_id)
+    GROUP BY b.user_id, l.mr
+    """,
+    tags=("events", "udf", "stateful"),
+)
+def events_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-capped running balance per user (purchases credit, errors
+    debit, balance clamps at zero): final balance, peak balance, and how
+    often the floor hit — the inventory/credit-ledger recurrence whose
+    clamp makes each step depend on the PREVIOUS step's clamped value.
+
+    This is the honest ``applyInPandas`` case: the clamp breaks the
+    prefix-sum algebra (max(0, ·) does not distribute over +), so no
+    window/scan composition expresses it — the reference point for when
+    the repo's "built-ins first" rule yields to a grouped-map UDF
+    (SURVEY.md §2 B71; the streaming twin is
+    ``stream_stateful_conversions``).  Arrow moves each user's rows into
+    pandas once, the fold runs in numpy, and only the 5-column per-user
+    summary returns.  Keys partition the work exactly like any
+    groupBy — at 100 TB the shuffle is the same one sessionization pays,
+    and state is O(1) per key.  The oracle replays the identical fold as
+    a recursive CTE; both engines add the same doubles in the same
+    order, so the floats agree bit-for-bit (rounding happens JVM-side
+    with Spark's HALF_UP — matching DuckDB's round — not in numpy).
+    """
+    e = load(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .when(F.col("event_type") == "error", -F.col("value"))
+        .otherwise(F.lit(0.0))
+    )
+    src = e.select("user_id", "ts", "event_id", delta.alias("delta"))
+
+    def fold_balance(pdf):  # closure: workers can't import the repo pkg
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        b = 0.0
+        mx = 0.0
+        floored = 0
+        for d in pdf["delta"].to_numpy():
+            nb = b + float(d)
+            if nb < 0.0:
+                nb = 0.0
+                floored += 1
+            if nb > mx:
+                mx = nb
+            b = nb
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "final_balance": [b],
+                "max_balance": [mx],
+                "n_floored": [floored],
+            }
+        )
+
+    out = src.groupBy("user_id").applyInPandas(
+        fold_balance,
+        schema=(
+            "user_id long, n_events long, final_balance double,"
+            " max_balance double, n_floored long"
+        ),
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("final_balance", 6).alias("final_balance"),
+        F.round("max_balance", 6).alias("max_balance"),
+        "n_floored",
+    )

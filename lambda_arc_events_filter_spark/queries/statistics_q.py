@@ -1148,3 +1148,67 @@ def events_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between event type and weekday
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mutual_information",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o) AS r FROM cell GROUP BY 1),
+    ct AS (SELECT dow, sum(o) AS c FROM cell GROUP BY 1),
+    n  AS (SELECT sum(o) AS n FROM cell)
+    SELECT cell.event_type, cell.dow,
+           CAST(cell.o AS BIGINT) AS n_events,
+           round(cell.o * 1.0 / n.n, 6) AS p_joint,
+           round(cell.o * 1.0 / n.n
+                 * ln(cell.o * 1.0 * n.n / (rt.r * ct.c)), 6)
+             AS mi_contrib
+    FROM cell JOIN rt USING (event_type) JOIN ct USING (dow), n
+    """,
+    tags=("agg", "stats"),
+)
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week, reported as
+    per-cell contributions p(x,y)·ln(p(x,y)/(p(x)p(y))) whose sum is
+    I(type; weekday) — the information-theoretic sibling of
+    ``events_chi_square_independence`` (χ² measures deviation mass, MI
+    measures it in nats; both share the contingency machinery).
+
+    One corpus-scale cell aggregate; marginals and the total are
+    aggregates OF the 35-cell table, broadcast back — the same
+    contingency shape as the χ² query.  Every ratio inside the log is
+    pure integer arithmetic widened to double in the same operand order
+    in both engines, so only ln() itself is platform math (both use
+    IEEE double ln; drift ~1 ulp, 10 orders below the round-6 cut).
+    """
+    e = load(spark, sf_dir, "events")
+    cell = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cell.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = cell.agg(F.sum("o").alias("n"))
+    o, r, c, nn = (F.col(x) for x in ("o", "r", "c", "n"))
+    return (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            o.cast("long").alias("n_events"),
+            F.round(o * 1.0 / nn, 6).alias("p_joint"),
+            F.round(
+                o * 1.0 / nn * F.log(o * 1.0 * nn / (r * c)), 6
+            ).alias("mi_contrib"),
+        )
+    )
