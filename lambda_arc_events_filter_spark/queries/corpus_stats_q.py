@@ -701,3 +701,71 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard balance audit (skew forecast for the training-shard writer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_shard_balance",
+    oracle="""
+    WITH s AS (
+      SELECT (doc_id * 2654435761) % 16 AS shard, n_chars
+      FROM documents
+    ),
+    per AS (
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM s GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_docs) AS nd, sum(total_chars) AS nc,
+                   count(*) AS k FROM per)
+    SELECT per.shard, per.n_docs, per.total_chars,
+           round(per.n_docs * 1.0 * tot.k / tot.nd, 6)      AS doc_skew,
+           round(per.total_chars * 1.0 * tot.k / tot.nc, 6) AS char_skew
+    FROM per, tot
+    """,
+    tags=("llm", "corpus", "maintenance"),
+)
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for the 16-way content-hash shard assignment
+    (``corpus_shard_assignment``'s Knuth multiplicative hash): per-shard
+    document and character mass, each as a ratio to the uniform
+    expectation — the skew forecast a shard writer checks BEFORE a
+    100 TB write, because a 1.5× hot shard becomes the straggler task
+    of every epoch that reads the shards.
+
+    One map + one 16-group aggregate; the expectation denominators are
+    a 1-row aggregate OF the shard table, broadcast back.  All ratios
+    divide integers — cross-engine exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            ((F.col("doc_id") * 2654435761) % 16).alias("shard"), "n_chars"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("nd"),
+        F.sum("total_chars").alias("nc"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs") * 1.0 * F.col("k") / F.col("nd"), 6).alias(
+            "doc_skew"
+        ),
+        F.round(
+            F.col("total_chars") * 1.0 * F.col("k") / F.col("nc"), 6
+        ).alias("char_skew"),
+    )

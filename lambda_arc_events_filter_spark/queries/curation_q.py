@@ -1096,3 +1096,62 @@ def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph triangle census (cluster-density diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH
+    {_PAIR_CTE},
+    tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM edge e1
+      JOIN edge e2 ON e2.id_a = e1.id_b
+      JOIN edge e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_triangles,
+           CAST(count(DISTINCT a) AS BIGINT)   AS n_apex_nodes,
+           CAST(coalesce(min(a), -1) AS BIGINT) AS min_apex,
+           CAST(coalesce(max(c), -1) AS BIGINT) AS max_closer
+    FROM tri
+    """,
+    tags=("llm", "curation", "dedup"),
+    plan_cache=False,  # shares the checkpointed postings via pair build
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph: counts a<b<c node triples
+    with all three Jaccard ≥0.5 edges present — the cluster-density
+    diagnostic separating tight duplicate FAMILIES (template farms,
+    mirrored sites: triangle-rich) from incidental pairwise matches
+    (triangle-free chains), which predicts how aggressively transitive
+    CC merging will behave before running it.
+
+    The canonical two-join triangle enumeration on the ordered edge
+    list (a<b guaranteed by the pair build): edges ⋈ edges on the
+    shared middle node, closed by a membership join — each join keys on
+    a node id, so at scale it shuffles the edge list (≪ corpus) and
+    never touches documents.  Ordering kills the 6× double-count.
+    """
+    from lambda_arc_events_filter_spark.operators import dedup as D
+
+    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
+        "_one", F.lit(1)
+    )
+    edge = D.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="_one", threshold=0.5
+    ).select("id_a", "id_b")
+    e1 = edge.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edge.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edge.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.count_distinct("a").cast("long").alias("n_apex_nodes"),
+        F.coalesce(F.min("a"), F.lit(-1)).cast("long").alias("min_apex"),
+        F.coalesce(F.max("c"), F.lit(-1)).cast("long").alias("max_closer"),
+    )

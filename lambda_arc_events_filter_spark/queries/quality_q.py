@@ -1205,3 +1205,84 @@ def events_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("max_balance", 6).alias("max_balance"),
         "n_floored",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate per day (single-event sessions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, session_id,
+             min(date_trunc('day', ts)) AS day,
+             count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate
+    FROM per_sess
+    GROUP BY day
+    """,
+    tags=("events", "window"),
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: sessions (30-minute inactivity gaps, the
+    ``events_sessionize_gaps`` segmentation) that contain exactly one
+    event, as a share of all sessions starting that day — the
+    engagement-quality headline metric on every web dashboard.
+
+    Same gaps-and-islands machinery as sessionization (lag + running
+    sum on one user_id exchange), then two tiny aggregates; day
+    attribution is the session's FIRST event day, so a midnight-
+    spanning session counts once.  The rate divides integers.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_session)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per_sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.round(F.sum(bounce) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "bounce_rate"
+        ),
+    )

@@ -1212,3 +1212,187 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-entity trend slopes (grouped regression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_trend",
+    oracle="""
+    WITH x AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) / 1000000 AS DOUBLE) AS t,
+             value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)            AS n_purchases,
+           round(regr_slope(value, t) * 86400, 6) AS slope_per_day,
+           round(regr_r2(value, t), 6)         AS r2,
+           CASE WHEN count(*) < 3 THEN 'insufficient'
+                WHEN regr_slope(value, t) > 0 THEN 'rising'
+                ELSE 'flat_or_falling' END      AS trend
+    FROM x
+    GROUP BY user_id
+    """,
+    tags=("agg", "stats", "events"),
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-value trend: OLS slope (per day) and R² of value
+    against event time, with a coarse trend label — the grouped
+    regression every account-health dashboard computes, and the grouped
+    companion to ``agg_regression_suite``'s global OLS.
+
+    ``regr_slope``/``regr_r2`` are single-pass moment aggregates
+    (sums of t, v, t², tv) — map-side combinable, k rows out, no
+    window and no per-group sort at any scale.  Time enters as epoch
+    SECONDS in double (µs precision ÷ 1e6 — exactly representable),
+    identically derived in both engines; the slope scales to per-day
+    after aggregation.  The trend label compares the unrounded slope.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    x = e.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(1000000.0)).alias("t"),
+        "value",
+    )
+    slope = F.regr_slope("value", "t")
+    return x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(slope * 86400, 6).alias("slope_per_day"),
+        F.round(F.regr_r2("value", "t"), 6).alias("r2"),
+        F.when(F.count(F.lit(1)) < 3, "insufficient")
+        .when(slope > 0, "rising")
+        .otherwise("flat_or_falling")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+               AS BIGINT) AS t_next_us
+      FROM events
+    ),
+    held AS (
+      SELECT user_id, value,
+             (t_next_us - t_us) AS dur_us
+      FROM seq WHERE t_next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                       AS n_intervals,
+           CAST(sum(dur_us) AS BIGINT)                    AS total_us,
+           round(avg(value), 6)                           AS simple_avg,
+           round(sum(value * (dur_us * 1.0)) / sum(dur_us * 1.0), 6)
+             AS time_weighted_avg
+    FROM held
+    GROUP BY user_id
+    """,
+    tags=("window", "stats", "events"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    holds until the user's next event, weighted by that holding
+    duration — the correct average for irregularly-sampled state
+    (a value held 3 hours should count 100× one held 2 minutes, which
+    the naive mean ignores; compare ``simple_avg``).
+
+    One lead() window per user for the holding interval (the
+    sessionization exchange), then a map-side-combinable weighted sum.
+    Durations are integer MICROSECONDS (exact in both engines); the
+    weighted sum widens them to double in the same operand order, and
+    the final ratio rounds to 6 — drift bounded the same way as every
+    aggregate ratio in the suite.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    seq = e.select(
+        "user_id",
+        "value",
+        t.alias("t_us"),
+        F.lead(t).over(w).alias("t_next_us"),
+    ).filter(F.col("t_next_us").isNotNull())
+    dur = F.col("t_next_us") - F.col("t_us")
+    held = seq.select("user_id", "value", dur.alias("dur_us"))
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").cast("long").alias("total_us"),
+        F.round(F.avg("value"), 6).alias("simple_avg"),
+        F.round(
+            F.sum(F.col("value") * (F.col("dur_us") * 1.0))
+            / F.sum(F.col("dur_us") * 1.0),
+            6,
+        ).alias("time_weighted_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-(type, day) latency-style percentile bands
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_bands",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT)                   AS n_events,
+           round(quantile_cont(value, 0.5), 6)        AS p50,
+           round(quantile_cont(value, 0.9), 6)        AS p90,
+           round(quantile_cont(value, 0.99), 6)       AS p99
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "stats", "events"),
+)
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 value bands per (event type, day) — the SLO
+    band chart every latency dashboard renders, at the grain where
+    approximate sketches are overkill and exactness is cheap (each
+    band cell holds a few hundred values).
+
+    Runs on ``functions/stats.py::group_percentile_cont`` — the same
+    dual-strategy exact-percentile operator as ``agg_stats``, here with
+    a composite (type, day) key: 150 small groups instead of 3 large
+    ones, which is precisely the regime where the ``group`` strategy's
+    one-window plan wins and the range-partitioned plan is the 100 TB
+    fallback.  Interpolation arithmetic (linear between adjacent order
+    statistics) is the same formula DuckDB's quantile_cont applies to
+    the same sorted doubles.
+    """
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return group_percentile_cont(
+        e,
+        ["event_type", "day"],
+        "value",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        extra_aggs=[F.count(F.lit(1)).alias("n_events")],
+    ).select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )

@@ -1,0 +1,103 @@
+"""Property tests for the round-3 sixth wave: grouped trend regression,
+TWAP, bounce rate, triangle census, shard balance, per-group value bands."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pyspark.sql.functions as F
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import specs
+
+ALL = specs()
+
+
+def test_user_trend_labels_match_slope_sign(spark, sf_dir):
+    for r in ALL["events_user_trend"].fn(spark, sf_dir).collect():
+        if r.n_purchases < 3:
+            assert r.trend == "insufficient"
+        elif r.slope_per_day > 0:
+            assert r.trend == "rising"
+        # slope == 0 after rounding can still label either way on the
+        # unrounded value; only assert the strict cases
+        elif r.slope_per_day < 0:
+            assert r.trend == "flat_or_falling"
+        assert r.r2 is None or -1e-9 <= r.r2 <= 1 + 1e-9
+
+
+def test_twap_lies_within_value_range(spark, sf_dir):
+    """A duration-weighted mean is a convex combination of the interval
+    values — it must lie within each user's [min, max] value range."""
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in ALL["events_time_weighted_avg"].fn(spark, sf_dir).collect():
+        lo, hi = bounds[r.user_id]
+        assert lo - 1e-6 <= r.time_weighted_avg <= hi + 1e-6
+        assert lo - 1e-6 <= r.simple_avg <= hi + 1e-6
+        assert r.total_us > 0
+
+
+def test_bounce_rate_consistent_with_sessionization(spark, sf_dir):
+    rows = ALL["events_bounce_rate"].fn(spark, sf_dir).collect()
+    assert all(0.0 <= r.bounce_rate <= 1.0 for r in rows)
+    assert all(r.n_bounces <= r.n_sessions for r in rows)
+    n_sessions = sum(r.n_sessions for r in rows)
+    # session count must match the sessionization query's session count
+    sess = ALL["events_sessionize_gaps"].fn(spark, sf_dir).count()
+    assert n_sessions == sess
+
+
+def test_triangle_census_matches_bruteforce(spark, sf_dir):
+    from lambda_arc_events_filter_spark.operators import dedup as D
+
+    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
+        "_one", F.lit(1)
+    )
+    edges = {
+        (r.id_a, r.id_b)
+        for r in D.exact_jaccard_pairs(
+            d, id_col="doc_id", block_col="_one", threshold=0.5
+        ).collect()
+    }
+    nodes = sorted({n for e in edges for n in e})
+    brute = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    row = ALL["dedup_graph_triangles"].fn(spark, sf_dir).collect()[0]
+    assert row.n_triangles == brute
+
+
+def test_shard_balance_conserves_mass(spark, sf_dir):
+    rows = ALL["corpus_shard_balance"].fn(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.total_chars for r in rows) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    k = len(rows)
+    # skew ratios average to 1 across shards (by construction)
+    assert abs(sum(r.doc_skew for r in rows) / k - 1.0) < 1e-3
+
+
+def test_value_bands_are_ordered_and_within_range(spark, sf_dir):
+    rows = ALL["events_value_bands"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99
+    bounds = {
+        (r.event_type, r.day): (r.lo, r.hi)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[(r.event_type, r.day)]
+        assert lo - 1e-6 <= r.p50 and r.p99 <= hi + 1e-6
