@@ -37,6 +37,13 @@ os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
 # only the two pair-join-heavy queries prefer 32).  A cluster submit
 # overrides via SPARK_GRAFT_CPUS; setdefault never overrides the caller.
 os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+# AQE off for the benched session: every adaptive exchange is a stage
+# barrier, and at sf0.1 that barrier dominates sub-second queries
+# (q01 0.42 -> 0.19 s measured; see session.py).  The plans are static
+# here anyway — dims are explicitly broadcast and shuffle width is
+# pre-sized — so AQE has nothing to re-plan.  Cluster runs keep the
+# default (AQE on), where runtime re-planning earns its barriers.
+os.environ.setdefault("SPARK_GRAFT_AQE", "false")
 
 from lambda_arc_events_filter_spark.registry import specs
 from lambda_arc_events_filter_spark.session import get_spark

