@@ -696,3 +696,64 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return closed.withColumn("rk", rk).filter(F.col("rk") <= 3)
+
+
+@register(
+    "stream_session_timeout_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    ), wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    per AS (
+      SELECT user_id, sess_id,
+             min(ts)                      AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(count(*) AS BIGINT)     AS n_events,
+             round(sum(value), 4)         AS total_value,
+             max(sess_id) OVER (PARTITION BY user_id) AS last_sess
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM per, wm
+    WHERE sess_id < last_sess OR session_end < wm.w
+    """,
+    tags=("streaming", "session", "stateful"),
+)
+def stream_session_timeout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55 with EVENT-TIME TIMEOUTS: custom stateful sessionization where
+    idle sessions are closed by the watermark, not by more data
+    (``streaming/stateful.py::session_stats_timeout``) — the state-
+    eviction mechanic ``session_window`` gets from the engine, rebuilt on
+    the arbitrary-state API where YOU own the deadline
+    (``setTimeoutTimestamp`` re-armed per update, ``hasTimedOut`` emits
+    and removes).
+
+    The oracle splits the two emission paths exactly: every non-final
+    session of a user is data-closed (its successor event emits it
+    inline, watermark-independent); a user's FINAL session appears only
+    if the final watermark (max ts − 10 min) passed its end.  Spark
+    fires an event-time timeout when the watermark strictly exceeds the
+    registered deadline, hence ``session_end < wm`` (vs ``<=`` for the
+    declarative session_window's own append gate).
+    """
+    s = events_stream(spark, sf_dir)
+    from lambda_arc_events_filter_spark.streaming.stateful import (
+        session_stats_timeout,
+    )
+
+    sessions = session_stats_timeout(
+        s.withWatermark("ts", "10 minutes").select(
+            "user_id", "ts", "event_id", "value"
+        )
+    )
+    return run_to_memory(sessions, "sess_timeout", mode="append")

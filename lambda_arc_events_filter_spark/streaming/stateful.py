@@ -169,3 +169,101 @@ def user_value_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def session_stats_timeout(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME TIMEOUT eviction — the
+    ``GroupStateTimeout.EventTimeTimeout`` surface of B55 that the other
+    stateful operators don't exercise: a session that sees no successor
+    event is closed by the WATERMARK crossing its (last event + gap)
+    deadline, not by more data arriving.  Without timeouts an idle key's
+    state lives forever and its session never emits — the difference
+    between a demo and an operator that runs on an unbounded feed.
+
+    Two emission paths, both append-semantics:
+    - data-closed: a new event ≥ gap after the last one emits the prior
+      session inline and restarts state;
+    - timeout-closed: ``state.hasTimedOut`` fires once the watermark
+      passes ``last_ts + gap`` (``setTimeoutTimestamp`` re-armed on every
+      update), emitting the trailing session and REMOVING the state —
+      O(1) state per active key, zero state for idle keys.
+
+    Input must carry ``withWatermark`` on ``ts``.  Session interval
+    matches ``session_window``'s end-exclusive convention: an event at
+    exactly last_ts + gap starts a NEW session.  Closure rule as
+    elsewhere in this module.
+    """
+    gap_us = gap_s * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def row(start, last, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start],
+                    "session_end": [last + pd.Timedelta(seconds=gap_s)],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield row(start, last, n, total)
+            return
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                ts = r["ts"]
+                # pandas Timedelta .value is ns; compare in µs
+                if last is not None and (ts - last).value // 1000 >= gap_us:
+                    out.append(row(start, last, n, total))
+                    start, n, total = ts, 0, 0.0
+                if start is None:
+                    start = ts
+                n += 1
+                total += float(r["value"])
+                last = ts
+        state.update((start, last, n, total))
+        state.setTimeoutTimestamp(
+            int(last.value // 1_000_000) + gap_s * 1000
+        )
+        for o in out:
+            yield o
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

