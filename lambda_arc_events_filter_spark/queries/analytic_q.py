@@ -1607,3 +1607,169 @@ def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") / F.sum("revenue").over(w_global), 6
         ).alias("pct_of_global"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (count-of-counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    tags=("join", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed k
+    qualifying orders, for every k — the count-of-counts histogram whose
+    left join MUST preserve order-less customers (their k = 0 bucket is
+    the business signal: inactive accounts).
+
+    Plan shape: LEFT join with the predicate ON the join (not WHERE —
+    a WHERE would silently turn the outer join inner and drop the zero
+    bucket), first-level aggregate on custkey reusing the join's
+    clustering, then a second tiny aggregate over the counts.
+    ``count(o_orderkey)`` counts non-null matches only — the exact
+    semantic the outer join exists to feed.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by period revenue (agg + scalar max)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the maximum over all suppliers — an aggregate feeding a
+    scalar-max subquery over ITSELF, the classic "view used twice"
+    shape Q15 defines via CREATE VIEW.
+
+    The revenue relation is built once and consumed by both the filter
+    and the scalar max; Spark plans the max as a one-row broadcast
+    against the re-used aggregate.  Revenue rounds to 2 BEFORE both the
+    max and the equality, so the tie surface is exact cents in both
+    engines — equality on unrounded float sums would be a cross-engine
+    coin flip, the same lesson as every threshold in this suite.
+    """
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (HAVING-gated IN subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 210
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON o_custkey  = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "subquery", "topk"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds a threshold, re-joined to customers and lineitems
+    for the full picture, top-20 by order value — the HAVING-filtered
+    aggregate used as an IN-subquery over the SAME fact table.
+
+    Plan shape: the ``big`` aggregate reduces lineitem to qualifying
+    orderkeys (a tiny set), which lowers to a LEFT SEMI join pruning
+    the second lineitem pass; the final ORDER+LIMIT collapses to
+    TakeOrderedAndProject.  Quantity sums are integral-valued doubles
+    (fixture quantities are whole numbers), so the >210 gate and the
+    rounded output are float-drift-free in both engines.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 210)
+        .select("l_orderkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -8,6 +8,7 @@ from itertools import combinations
 import pyspark.sql.functions as F
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.plans import inspect as I
 from lambda_arc_events_filter_spark.registry import specs
 
 ALL = specs()
@@ -101,3 +102,45 @@ def test_value_bands_are_ordered_and_within_range(spark, sf_dir):
     for r in rows:
         lo, hi = bounds[(r.event_type, r.day)]
         assert lo - 1e-6 <= r.p50 and r.p99 <= hi + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 / Q15 / Q18 shapes
+# ---------------------------------------------------------------------------
+
+
+def test_q13_preserves_zero_order_customers(spark, sf_dir):
+    """The LEFT join's reason to exist: the k=0 bucket must count every
+    customer with no qualifying orders, and buckets must partition the
+    customer table."""
+    rows = ALL["q13_customer_distribution"].fn(spark, sf_dir).collect()
+    total = sum(r.custdist for r in rows)
+    assert total == load(spark, sf_dir, "customer").count()
+    # the zero bucket must equal customers with NO qualifying order —
+    # computed independently (may legitimately be 0 at tiny SF where
+    # every customer has ~10 orders)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    expected_zero = c.join(
+        o, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).count()
+    got_zero = sum(r.custdist for r in rows if r.c_count == 0)
+    assert got_zero == expected_zero
+
+
+def test_q15_returns_exactly_the_max(spark, sf_dir):
+    rows = ALL["q15_top_supplier"].fn(spark, sf_dir).collect()
+    assert rows
+    revs = {r.total_rev for r in rows}
+    assert len(revs) == 1  # all returned suppliers tie at the max
+
+
+def test_q18_semi_join_and_take_ordered(spark, sf_dir):
+    df = ALL["q18_large_orders"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert I.uses_take_ordered(df)
+    for r in df.collect():
+        assert r.total_qty > 210
