@@ -1773,3 +1773,480 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part (correlated min over a join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (SELECT l_partkey, min(unit_cost) AS mc FROM cost GROUP BY 1)
+    SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, unit_cost
+    FROM part
+    JOIN cost ON l_partkey = p_partkey
+    JOIN best USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE unit_cost = mc AND p_size <= 10
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier, adapted: the fixture has no
+    partsupp, so observed unit cost = avg(price/qty) per (part, supplier)
+    from lineitem): for each small part, every supplier achieving the
+    part's minimum unit cost, with their nation — the correlated-min
+    pattern (aggregate joined back against its own per-key minimum).
+
+    Plan shape: one (part, supplier) aggregate; its per-part min is a
+    second tiny aggregate broadcast back; supplier/nation dims broadcast.
+    Unit cost rounds to 4 BEFORE both the min and the equality — the
+    same cents-exact tie discipline as q15.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("mc"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        p.join(cost, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(best), "l_partkey")
+        .filter(F.col("unit_cost") == F.col("mc"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "n_name", "unit_cost"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region by year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6)
+             AS market_share,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS region_rev
+    FROM lineitem
+    JOIN orders   ON o_orderkey  = l_orderkey
+    JOIN customer ON c_custkey   = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN supplier ON s_suppkey   = l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY 1
+    """,
+    tags=("join", "agg"),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of the revenue from AMERICA-
+    region customers, the fraction supplied by one nation's suppliers,
+    per order year — the conditional-share-of-total over a 7-table join
+    with the nation dimension joined TWICE under different roles
+    (customer's nation gates the region; supplier's nation is the
+    numerator condition).
+
+    Catalyst handles the self-joined dimension by alias; all dims
+    broadcast, so the only shuffles are lineitem⨝orders and the
+    customer join.  The share divides two sums over identical operand
+    sets (numerator a CASE-masked subset), rounded to 6.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(rev),
+                6,
+            ).alias("market_share"),
+            F.round(F.sum(rev), 2).alias("region_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 - l_tax)), 2)
+             AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey   = l_partkey
+    JOIN supplier ON s_suppkey   = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey  = l_orderkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "agg"),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, adapted: no partsupp supplycost in
+    the fixture, so profit = revenue net of discount and tax): profit on
+    name-matched parts by supplier nation and order year — the
+    5-table join whose dimension filter (p_name LIKE) is the main
+    selectivity lever.
+
+    The LIKE pushes to the part scan; part/supplier/nation broadcast;
+    lineitem⨝orders shuffles once on orderkey.  Profit rounds to 2 at
+    the (nation, year) grain.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 - F.col("l_tax"))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important inventory lines (HAVING vs global scalar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             round(sum(l_extendedprice * l_quantity), 2) AS part_value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT 0.002 * sum(part_value) FROM val)
+    """,
+    tags=("agg", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock, adapted: traded value from lineitem
+    instead of partsupp stock): parts whose traded value within a
+    supplier-nation slice exceeds a fixed fraction of the slice's total
+    — an aggregate filtered against a scalar aggregate OF ITSELF, like
+    q15 but with a fractional threshold (the "important inventory"
+    gate).
+
+    The value relation is one shuffle; its global sum is a 1-row
+    broadcast; the fraction comparison happens on values rounded to 2
+    first, so the threshold line is cents-deterministic in both
+    engines (the scalar multiplies identically-rounded operands).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    val = (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+            ).alias("part_value")
+        )
+    )
+    thresh = val.agg((0.002 * F.sum("part_value")).alias("t"))
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("t"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier diversity with NOT-IN exclusion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many DISTINCT
+    qualifying suppliers serve each (brand, type, size) bucket,
+    excluding flagged suppliers through a NOT IN subquery (the
+    fixture's negative-balance suppliers stand in for Q16's complaint
+    list).
+
+    The NOT IN lowers to a null-aware anti join (the supplier key list
+    is non-null here, so it degenerates to a plain anti join — compare
+    ``in_subquery_three_valued`` for the null-bearing case); part-side
+    attribute filters push to the scan, and the distinct count runs as
+    the standard two-level aggregate.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue (correlated avg gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY 1
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT)             AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg USING (l_partkey)
+    WHERE p_brand = 'Brand#3' AND l_quantity < half_avg
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if orders
+    below half a part's average quantity were not taken — the correlated
+    per-part average gating the same table's rows.
+
+    Decorrelated the way Catalyst itself would: the per-part average is
+    one aggregate joined back on partkey (AQE/static broadcast — it is
+    part-cardinality-sized).  The threshold is exactly reproducible
+    cross-engine: quantities are integral doubles, so their per-part
+    sums are EXACT regardless of order, and sum/count then ×0.5 is the
+    same IEEE operation sequence in both engines — the float gate needs
+    no rounding guard at all (documented contrast with every
+    non-integral threshold in the suite).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    pavg = l.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pavg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: qualifying suppliers via nested IN chains
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_promo_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 300)
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+    tags=("join", "subquery"),
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (qualifying suppliers, adapted: shipped PROMO
+    volume instead of partsupp availability): suppliers in one region
+    who moved more than a threshold volume of promo-type parts — two
+    stacked IN subqueries, one carrying its own join+HAVING aggregate.
+
+    Both INs lower to left-semi joins: the heavy one reduces lineitem
+    to a qualifying-supplier key set first (aggregate before the semi,
+    never the reverse), the regional one is a broadcast semi against
+    25 nation rows.  Volume sums are integral-double exact.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    heavy = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_suppkey")
+    )
+    region_nations = load(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 2
+    ).select("n_nationkey")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(
+            F.broadcast(region_nations),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+            "left_semi",
+        )
+        .select(
+            "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who alone held up multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders      ON o_orderkey   = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): late lineitems on
+    finished multi-supplier orders where the supplier was the ONLY late
+    one — EXISTS plus NOT EXISTS over the same fact table, the hardest
+    decorrelation shape in the TPC-H suite.
+
+    Rather than two correlated passes, the engine computes one
+    per-order summary — distinct suppliers and distinct LATE suppliers
+    (late = shipped >90 days after the order date, evaluable inside the
+    same orders join) — and gates l1 rows on (n_supp ≥ 2 AND
+    n_late_supp = 1): given the row itself is late, "exactly one late
+    supplier" IS "no OTHER late supplier".  Set-semantics equivalent to
+    the oracle's EXISTS pair, one aggregation instead of two
+    correlated scans — the rewrite a decorrelating optimizer aims for.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_order = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+        )
+    )
+    s = load(spark, sf_dir, "supplier")
+    l1 = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(late)
+        .join(
+            per_order,
+            (F.col("ok") == F.col("l_orderkey"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1),
+        )
+    )
+    return (
+        l1.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

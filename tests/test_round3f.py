@@ -144,3 +144,91 @@ def test_q18_semi_join_and_take_ordered(spark, sf_dir):
     assert I.uses_take_ordered(df)
     for r in df.collect():
         assert r.total_qty > 210
+
+
+def test_q16_excludes_flagged_suppliers(spark, sf_dir):
+    """No excluded (negative-balance) supplier may contribute to any
+    bucket's distinct count — rebuild one bucket's supplier set and
+    intersect with the exclusion list."""
+    bad = {
+        r.s_suppkey
+        for r in load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .collect()
+    }
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    kept_suppliers = {
+        r.l_suppkey
+        for r in l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(~F.col("l_suppkey").isin(list(bad)) if bad else F.lit(True))
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert not (kept_suppliers & bad)
+    assert ALL["q16_supplier_diversity"].fn(spark, sf_dir).count() > 0
+
+
+def test_q21_counts_only_sole_late_suppliers(spark, sf_dir):
+    """Independent replay of the EXISTS/NOT EXISTS semantics: for every
+    counted supplier, each contributing order must have ≥2 suppliers and
+    exactly one late one (them)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    joined = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    ).collect()
+    import collections
+    import datetime
+
+    per_order = collections.defaultdict(lambda: (set(), set()))
+    for r in joined:
+        supp, late_s = per_order[r.l_orderkey]
+        supp.add(r.l_suppkey)
+        if r.l_shipdate > r.o_orderdate + datetime.timedelta(days=90):
+            late_s.add(r.l_suppkey)
+    expected = collections.Counter()
+    sup_names = {
+        r.s_suppkey: r.s_name
+        for r in load(spark, sf_dir, "supplier").collect()
+    }
+    for r in joined:
+        supp, late_s = per_order[r.l_orderkey]
+        if (
+            r.l_shipdate > r.o_orderdate + datetime.timedelta(days=90)
+            and len(supp) >= 2
+            and late_s == {r.l_suppkey}
+        ):
+            expected[sup_names[r.l_suppkey]] += 1
+    got = {
+        r.s_name: r.numwait
+        for r in ALL["q21_waiting_suppliers"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_q17_threshold_is_exact_cross_formulation(spark, sf_dir):
+    """The correlated-avg gate replayed through Spark SQL's native
+    correlated scalar subquery must match the decorrelated join form."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:6]
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"l_{suffix}")
+    load(spark, sf_dir, "part").createOrReplaceTempView(f"p_{suffix}")
+    sql = spark.sql(f"""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM l_{suffix} JOIN p_{suffix} ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3' AND l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM l_{suffix} l2
+          WHERE l2.l_partkey = p_partkey)
+    """).collect()[0]
+    df = ALL["q17_small_quantity_revenue"].fn(spark, sf_dir).collect()[0]
+    spark.catalog.dropTempView(f"l_{suffix}")
+    spark.catalog.dropTempView(f"p_{suffix}")
+    assert (sql.avg_yearly, sql.n_lines) == (df.avg_yearly, df.n_lines)
