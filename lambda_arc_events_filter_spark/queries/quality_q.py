@@ -1286,3 +1286,62 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounce_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup (recursive-CTE replacement via pointer doubling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hierarchy_doc_rollup",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 10 THEN NULL ELSE doc_id // 2 END AS parent,
+             n_chars
+      FROM documents
+    ),
+    walk(doc_id, cur, root_id, depth, path_value) AS (
+      SELECT doc_id, parent,
+             CASE WHEN parent IS NULL THEN doc_id END,
+             0, n_chars
+      FROM h
+      UNION ALL
+      SELECT w.doc_id, h2.parent,
+             CASE WHEN h2.parent IS NULL THEN w.cur END,
+             w.depth + 1, w.path_value + h2.n_chars
+      FROM walk w JOIN h h2 ON h2.doc_id = w.cur
+      WHERE w.root_id IS NULL
+    )
+    SELECT doc_id,
+           CAST(root_id AS BIGINT)    AS root_id,
+           CAST(depth AS BIGINT)      AS depth,
+           CAST(path_value AS BIGINT) AS path_value
+    FROM walk WHERE root_id IS NOT NULL
+    """,
+    tags=("graph", "iterative"),
+    plan_cache=False,  # pointer-doubling rounds checkpoint per round
+)
+def hierarchy_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy closure without a recursive CTE: documents arranged in a
+    synthetic forest (parent = doc_id/2; ids under 10 are roots), each
+    node resolved to its root, depth, and ancestor-path character rollup
+    — the BOM-explosion / org-chart query class, solved with the
+    pointer-doubling operator (``operators/graph.py::ancestor_rollup``,
+    O(log depth) self-join rounds — the reason a 1M-level chain is 20
+    shuffles, not 1M).
+
+    The oracle IS a recursive CTE (DuckDB has one; Spark does not) —
+    exactly the feature-gap this operator closes, checked value-exact.
+    """
+    from lambda_arc_events_filter_spark.operators.graph import ancestor_rollup
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") < 10, F.lit(None).cast("long"))
+        .otherwise(F.expr("doc_id div 2"))
+        .alias("parent"),
+        "n_chars",
+    )
+    return ancestor_rollup(d, "doc_id", "parent", "n_chars")

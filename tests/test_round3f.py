@@ -232,3 +232,29 @@ def test_q17_threshold_is_exact_cross_formulation(spark, sf_dir):
     spark.catalog.dropTempView(f"l_{suffix}")
     spark.catalog.dropTempView(f"p_{suffix}")
     assert (sql.avg_yearly, sql.n_lines) == (df.avg_yearly, df.n_lines)
+
+
+def test_ancestor_rollup_matches_python_walk(spark, sf_dir):
+    """Pointer doubling must equal a direct per-node upward walk, and
+    converge in O(log depth) rounds (implicitly: the operator's round
+    cap would raise/strand rows otherwise — all roots resolved)."""
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+
+    def parent(d):
+        return None if d < 10 else d // 2
+
+    got = {
+        r.doc_id: (r.root_id, r.depth, r.path_value)
+        for r in ALL["hierarchy_doc_rollup"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs)
+    for d in docs:
+        depth, val, cur = 0, docs[d], d
+        while parent(cur) is not None:
+            cur = parent(cur)
+            depth += 1
+            val += docs[cur]
+        assert got[d] == (cur, depth, val), (d, got[d], (cur, depth, val))
