@@ -1,0 +1,235 @@
+"""Feature-engineering queries — the ML-prep surface between the corpus
+operators and a training job: null imputation, categorical one-hot
+encoding, and fixed-width hashed bag-of-words vectors.
+
+Each stays pure-Catalyst (arrays built with sequence/transform, hashes
+via the repo's cross-engine rolling hash) so the same feature definitions
+run batch and streaming, and each carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Null imputation (group statistics fill)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "impute_missing_values",
+    oracle="""
+    WITH holes AS (
+      SELECT event_id, event_type, user_id,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             round(avg(value), 6)           AS mean_v,
+             round(quantile_cont(value, 0.5), 6) AS median_v
+      FROM holes GROUP BY event_type
+    )
+    SELECT h.event_id, h.event_type,
+           h.value IS NULL                       AS was_missing,
+           round(coalesce(h.value, s.mean_v), 6)   AS value_mean_filled,
+           round(coalesce(h.value, s.median_v), 6) AS value_median_filled
+    FROM holes h JOIN stats s USING (event_type)
+    """,
+    tags=("ml", "agg"),
+)
+def impute_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-statistic null imputation — the first transform of almost
+    every feature pipeline: a deterministic 1-in-13 slice of values is
+    nulled (simulating sensor dropouts), then filled with the event
+    type's mean and median computed over the SURVIVING values.
+
+    Means/medians aggregate per group (the median via the same exact
+    sort-based operator family as ``agg_stats``) and broadcast back —
+    never a window over the corpus; the fill itself is a coalesce in
+    the join projection.  Both fill statistics round to 6 BEFORE the
+    coalesce so filled and original values share one precision story.
+    """
+    e = load(spark, sf_dir, "events")
+    holes = e.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    stats = group_percentile_cont(
+        holes,
+        ["event_type"],
+        "value",
+        {"median_v": 0.5},
+        extra_aggs=[F.round(F.avg("value"), 6).alias("mean_v")],
+    ).select(
+        "event_type", "mean_v", F.round("median_v", 6).alias("median_v")
+    )
+    return (
+        holes.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").isNull().alias("was_missing"),
+            F.round(F.coalesce("value", "mean_v"), 6).alias(
+                "value_mean_filled"
+            ),
+            F.round(F.coalesce("value", "median_v"), 6).alias(
+                "value_median_filled"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical one-hot encoding
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "features_onehot_encode",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'click'    THEN '1' ELSE '0' END ||
+           CASE WHEN event_type = 'error'    THEN '1' ELSE '0' END ||
+           CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END ||
+           CASE WHEN event_type = 'signup'   THEN '1' ELSE '0' END ||
+           CASE WHEN event_type = 'view'     THEN '1' ELSE '0' END
+             AS type_onehot,
+           CAST(date_part('dow', ts) AS BIGINT) AS dow,
+           CASE WHEN value > 100 THEN 1 ELSE 0 END AS label_high_value
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("ml",),
+)
+def features_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical one-hot encoding against a FIXED vocabulary (the five
+    event types, ordered) plus a weekday ordinal and a binarized label —
+    the feature row a GBDT/logreg trainer consumes.
+
+    The fixed vocabulary is the production-correct choice (an inferred
+    one re-orders features between runs and silently breaks a serving
+    model); encoding is a pure projection — arrays of CASE indicators,
+    zero shuffles, fused into the scan.  StringIndexer/OneHotEncoder in
+    MLlib fit-then-transform; this is the transform half with the fit
+    pinned, which is what a feature STORE materializes.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    # the indicator vector travels as a bit STRING: the driver's
+    # canonicalizer cannot hash array cells, and a '10010' string is the
+    # same fixed-vocabulary contract (position = category)
+    onehot = F.concat(
+        *[
+            F.when(F.col("event_type") == t, "1").otherwise("0")
+            for t in _EVENT_TYPES
+        ]
+    )
+    return e.select(
+        "event_id",
+        onehot.alias("type_onehot"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.when(F.col("value") > 100, 1).otherwise(0).alias(
+            "label_high_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed bag-of-words (fixed-width feature hashing)
+# ---------------------------------------------------------------------------
+
+_HASH_BUCKETS = 32
+
+
+@register(
+    "features_hashed_bow",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 100
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(term, ''),
+                   c -> ascii(c))),
+                 (a, b) -> (a * 31 + b) % 2147483647) % {_HASH_BUCKETS}
+               AS bucket
+      FROM tok
+    ),
+    counts AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT doc_id, list(bucket) AS bs, list(c) AS cs,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(0, {_HASH_BUCKETS}),
+               b -> CAST(coalesce(cs[list_position(bs, b)], 0) AS VARCHAR)),
+             ',') AS bow,
+           n_tokens
+    FROM packed
+    """,
+    tags=("ml", "llm"),
+)
+def features_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width hashed bag-of-words (HashingTF's trick, done in pure
+    Catalyst so it is oracle-able): each token hashes into one of 32
+    buckets via the repo's cross-engine rolling hash, per-document
+    bucket counts densify into a fixed-length array — the
+    vocabulary-free text featurization that needs no fitted dictionary
+    and never changes width when the corpus grows.
+
+    Explode → (doc, bucket) count (map-side combinable) → one
+    sequence/transform projection rebuilds the dense vector from the
+    sparse counts — no UDF, no MLlib fit state.  MLlib's HashingTF uses
+    murmur3, which DuckDB cannot replay; the rolling hash keeps the
+    whole feature definition engine-portable (the distribution property
+    is the same: deterministic, roughly uniform).
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    bucket = F.expr(
+        "pmod(aggregate(split(term, ''), 0L,"
+        f" (a, c) -> pmod(a * 31 + ascii(c), 2147483647)), {_HASH_BUCKETS})"
+    )
+    counts = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # dense vector serialized as a comma string (the driver canonicalizer
+    # cannot hash array cells; the fixed width keeps position = bucket)
+    dense = F.expr(
+        f"concat_ws(',', transform(sequence(0, {_HASH_BUCKETS - 1}),"
+        " b -> cast(coalesce(element_at(m, cast(b as bigint)), 0L)"
+        " as string)))"
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("c")))
+            ).alias("m"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .select("doc_id", dense.alias("bow"), "n_tokens")
+    )

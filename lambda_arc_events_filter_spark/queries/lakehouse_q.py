@@ -872,3 +872,163 @@ def table_fingerprint_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("max_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta algebra, both sides changing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("maintenance", "join", "scale"),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN-view maintenance under deltas on BOTH inputs:
+    with orders split into base ∪ Δo and customers into base ∪ Δc, the
+    view delta is the three-term product expansion
+
+        ΔV = Δo⋈C_base ∪ O_base⋈Δc ∪ Δo⋈Δc
+
+    and the refreshed view is V_base ∪ ΔV — the incremental-view
+    algebra (Blakeley et al.) every warehouse refresh job relies on,
+    here proven equal to the from-scratch join by the oracle.
+
+    The cost asymmetry is the point at 100 TB: the base⋈base term is
+    NEVER recomputed — every delta term joins a small relation against
+    a base (broadcast when the delta is small), so refresh cost tracks
+    |Δ|, not |V|.  The aggregate over the refreshed view is the
+    driver-visible fingerprint of the maintained state.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    do = F.col("o_orderkey") % 11 == 0
+    dc = F.col("c_custkey") % 7 == 0
+    o_base, o_delta = o.filter(~do), o.filter(do)
+    c_base, c_delta = c.filter(~dc), c.filter(dc)
+    on = F.col("c_custkey") == F.col("o_custkey")
+    proj = ["c_mktsegment", "o_totalprice"]
+    v_base = o_base.join(c_base, on).select(*proj)
+    dv = (
+        o_delta.join(c_base, on)
+        .select(*proj)
+        .unionByName(o_base.join(F.broadcast(c_delta), on).select(*proj))
+        .unionByName(o_delta.join(F.broadcast(c_delta), on).select(*proj))
+    )
+    return (
+        v_base.unionByName(dv)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC log application (insert / update / delete with tombstones)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_apply_log",
+    oracle="""
+    WITH log AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 10 = 0           THEN 'D'
+                  WHEN c_custkey % 10 IN (1, 2)     THEN 'U'
+             END AS op,
+             round(c_acctbal + 100, 2) AS new_bal
+      FROM customer
+      WHERE c_custkey % 10 IN (0, 1, 2)
+    ),
+    inserts AS (
+      SELECT c_custkey + 1000000 AS c_custkey,
+             c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 2 AS bal_cents
+      FROM customer WHERE c_custkey % 10 = 3
+    ),
+    survivors AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(round(CASE WHEN l.op = 'U' THEN l.new_bal
+                             ELSE round(c.c_acctbal, 2) END * 100)
+               AS BIGINT)                                AS bal_cents
+      FROM customer c LEFT JOIN log l ON l.k = c.c_custkey
+      WHERE l.op IS DISTINCT FROM 'D'
+    ),
+    final AS (
+      SELECT * FROM survivors UNION ALL SELECT * FROM inserts
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)              AS n_customers,
+           round(sum(bal_cents) / 100.0, 2)      AS total_balance
+    FROM final GROUP BY c_mktsegment
+    """,
+    tags=("maintenance", "join"),
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture application: a synthesized I/U/D log (every
+    10th customer deleted, two slices updated, one slice re-inserted
+    under new keys) applied to the customer snapshot — the Debezium-
+    style merge every lakehouse table runs on ingest, extending the
+    upsert-only ``batch_merge_upsert`` with the DELETE/tombstone path.
+
+    Deletes are an anti-semantics LEFT join filter (null-safe: only an
+    explicit 'D' kills the row — a missing log row must NOT), updates
+    resolve in the same join's projection, inserts union in after.  One
+    shuffle on the key; at 100 TB the log side is the small broadcast
+    and copy-on-write rewrites only matched files (the
+    ``manifest_file_pruning`` machinery upstream of this merge).
+    """
+    c = load(spark, sf_dir, "customer")
+    mod = F.col("c_custkey") % 10
+    log = c.filter(mod.isin(0, 1, 2)).select(
+        F.col("c_custkey").alias("k"),
+        F.when(mod == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("new_bal"),
+    )
+    # balances carry as integer CENTS through the merge: a sum of ~300
+    # two-decimal doubles drifts ~1e-12 across engines, which flipped the
+    # final round at a half-cent boundary (observed at sf0.01); integer
+    # accumulation is exact at any scale and any order
+    # the halving happens IN integer cents (floor div): round(x/2, 2)
+    # manufactures true .xx5 halves, where Spark's BigDecimal-string
+    # HALF_UP and DuckDB's binary-value rounding disagree by a cent
+    inserts = c.filter(mod == 3).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_mktsegment",
+        F.expr("cast(round(c_acctbal * 100) as long) div 2").alias(
+            "bal_cents"
+        ),
+    )
+    survivors = (
+        c.join(F.broadcast(log), F.col("k") == F.col("c_custkey"), "left")
+        .filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(
+                F.when(F.col("op") == "U", F.col("new_bal")).otherwise(
+                    F.round(F.col("c_acctbal"), 2)
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+    return (
+        survivors.unionByName(inserts)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("total_balance"),
+        )
+    )

@@ -258,3 +258,68 @@ def test_ancestor_rollup_matches_python_walk(spark, sf_dir):
             depth += 1
             val += docs[cur]
         assert got[d] == (cur, depth, val), (d, got[d], (cur, depth, val))
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering + lakehouse maintenance wave
+# ---------------------------------------------------------------------------
+
+
+def test_impute_fills_exactly_the_nulled_slice(spark, sf_dir):
+    rows = ALL["impute_missing_values"].fn(spark, sf_dir).collect()
+    n_missing = sum(1 for r in rows if r.was_missing)
+    expected = (
+        load(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0).count()
+    )
+    assert n_missing == expected
+    for r in rows:
+        if not r.was_missing:
+            assert r.value_mean_filled == r.value_median_filled
+
+
+def test_onehot_is_valid_indicator(spark, sf_dir):
+    for r in ALL["features_onehot_encode"].fn(spark, sf_dir).collect():
+        assert len(r.type_onehot) == 5
+        assert r.type_onehot.count("1") == 1
+        assert 0 <= r.dow <= 6
+        assert r.label_high_value in (0, 1)
+
+
+def test_hashed_bow_conserves_token_mass(spark, sf_dir):
+    for r in ALL["features_hashed_bow"].fn(spark, sf_dir).collect():
+        vec = [int(x) for x in r.bow.split(",")]
+        assert len(vec) == 32
+        assert sum(vec) == r.n_tokens
+
+
+def test_incremental_join_equals_full_recompute(spark, sf_dir):
+    """The three-term delta expansion must reproduce the from-scratch
+    join exactly (the oracle asserts values; this asserts the identity
+    against Spark's own full join, independent of DuckDB)."""
+    got = {
+        r.c_mktsegment: (r.n_rows, r.total_price)
+        for r in ALL["incremental_join_maintenance"].fn(spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    full = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("t"),
+        )
+    )
+    for r in full.collect():
+        assert got[r.c_mktsegment] == (r.n, r.t)
+
+
+def test_cdc_apply_respects_op_semantics(spark, sf_dir):
+    """Deletes shrink, inserts add, and the net count change is exactly
+    inserts − deletes."""
+    rows = ALL["cdc_apply_log"].fn(spark, sf_dir).collect()
+    c = load(spark, sf_dir, "customer")
+    n_base = c.count()
+    n_del = c.filter(F.col("c_custkey") % 10 == 0).count()
+    n_ins = c.filter(F.col("c_custkey") % 10 == 3).count()
+    assert sum(r.n_customers for r in rows) == n_base - n_del + n_ins
