@@ -757,3 +757,71 @@ def stream_session_timeout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(sessions, "sess_timeout", mode="append")
+
+
+@register(
+    "stream_quarantine_counts",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    raw AS (
+      SELECT ts, event_type,
+             CASE WHEN event_id % 17 = 0
+                  THEN substr(props, 1, length(props) - 1)
+                  ELSE props END AS p
+      FROM events
+    ),
+    parsed AS (
+      SELECT ts, event_type,
+             CASE WHEN json_valid(p)
+                  THEN CAST(json_extract(p, '$.k') AS INTEGER) END AS k
+      FROM raw
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)  AS n_total,
+           CAST(count(k) AS BIGINT)  AS n_parsed,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined
+    FROM parsed, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "source"),
+)
+def stream_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-A fault path IN the stream: the same deterministic 1-in-17
+    payload truncation as ``json_quarantine_accounting``, but flowing
+    through the live pipeline — PERMISSIVE ``from_json`` turns parse
+    failures into NULLs inline, and the watermarked tumbling window
+    reports (total, parsed, quarantined) per hour per type in append
+    mode.  This is what the reference's Lambda filter needed an error
+    branch and a DLQ for; here the dead letters are a column predicate,
+    counted in the same stateful aggregate as the healthy rows, with
+    state evicted by the same watermark.
+    """
+    s = events_stream(spark, sf_dir)
+    p = F.when(
+        F.col("event_id") % 17 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    k = F.from_json(p, "k INT").getField("k")
+    agg = (
+        s.select("ts", "event_type", k.alias("k"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("k").alias("n_parsed"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quarantined"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_total",
+            "n_parsed",
+            "n_quarantined",
+        )
+    )
+    return run_to_memory(agg, "quarantine", mode="append", state_partitions=2)
