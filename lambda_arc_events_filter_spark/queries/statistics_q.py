@@ -1396,3 +1396,111 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p90", 6).alias("p90"),
         F.round("p99", 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix (one-pass moment aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           round(corr(l_quantity, l_discount), 6)      AS qty_discount,
+           round(corr(l_quantity, l_tax), 6)           AS qty_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS price_discount,
+           round(corr(l_extendedprice, l_tax), 6)      AS price_tax,
+           round(corr(l_discount, l_tax), 6)           AS discount_tax
+    FROM lineitem
+    """,
+    tags=("agg", "stats"),
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the four lineitem measures —
+    the feature-redundancy screen run before any modeling step — all
+    six pairs in ONE aggregation pass (each corr is a set of co-moment
+    accumulators; Spark fuses them into a single hash-aggregate over a
+    single scan, versus six separate passes of a naive loop).
+
+    Co-moment aggregates are map-side combinable, so at 100 TB this is
+    exactly one scan + one 1-row exchange no matter how many pairs; the
+    full p×p matrix for wide feature tables is the same plan with
+    p(p−1)/2 accumulator sets.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_quantity", "l_discount", "qty_discount"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_extendedprice", "l_discount", "price_discount"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_discount", "l_tax", "discount_tax"),
+    ]
+    return l.agg(
+        *[F.round(F.corr(a, b), 6).alias(n) for a, b, n in pairs]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit (fraud/data-quality screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM digits)
+    SELECT d AS first_digit,
+           CAST(count(*) AS BIGINT)                   AS n_observed,
+           round(count(*) * 1.0 / n.total, 6)         AS p_observed,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 6)     AS p_benford,
+           round(count(*) * 1.0 / n.total
+                 - ln(1.0 + 1.0 / d) / ln(10.0), 6)   AS deviation
+    FROM digits, n
+    GROUP BY d, n.total
+    """,
+    tags=("agg", "stats", "maintenance"),
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit frequencies against log10(1 + 1/d) — the classic
+    forensic/data-quality screen for fabricated or truncated monetary
+    data (synthetically uniform fixtures deviate loudly, which is
+    itself the demonstration).
+
+    First digits extract via integer → string (no float formatting in
+    the digit path); one 9-group aggregate + a broadcast total.  The
+    observed/expected ratios divide integers and a closed-form
+    constant, rounded to 6.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    digits = o.select(d.alias("d"))
+    n = digits.agg(F.count(F.lit(1)).alias("total"))
+    p_benford = F.round(F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)), 6)
+    return (
+        digits.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_observed"))
+        .join(F.broadcast(n))
+        .select(
+            F.col("d").alias("first_digit"),
+            "n_observed",
+            F.round(F.col("n_observed") * 1.0 / F.col("total"), 6).alias(
+                "p_observed"
+            ),
+            p_benford.alias("p_benford"),
+            F.round(
+                F.col("n_observed") * 1.0 / F.col("total")
+                - F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)),
+                6,
+            ).alias("deviation"),
+        )
+    )
