@@ -2250,3 +2250,62 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Order inter-arrival statistics (repeat-purchase cadence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    gaps AS (SELECT o_custkey, CAST(gap_d AS BIGINT) AS gap_d
+             FROM seq WHERE gap_d IS NOT NULL)
+    SELECT o_custkey AS c_custkey,
+           CAST(count(*) AS BIGINT)    AS n_gaps,
+           CAST(min(gap_d) AS BIGINT)  AS min_gap_days,
+           CAST(max(gap_d) AS BIGINT)  AS max_gap_days,
+           round(avg(gap_d), 6)        AS avg_gap_days
+    FROM gaps
+    GROUP BY o_custkey
+    HAVING count(*) >= 5
+    """,
+    tags=("window", "agg"),
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per customer: the day gaps between
+    consecutive orders (lag window), summarized min/max/mean for
+    customers with enough history — the inter-arrival analysis behind
+    churn prediction and reorder-reminder timing.
+
+    One lag() pass on the custkey exchange, then a map-side-combinable
+    aggregate over integer day gaps (datediff of date-truncated
+    timestamps — exact in both engines, avg divides integers).  The
+    ≥5-gap HAVING keeps the cadence estimate meaningful and the result
+    deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+    ).cast("long")
+    gaps = o.select("o_custkey", gap.alias("gap_d")).filter(
+        F.col("gap_d").isNotNull()
+    )
+    return (
+        gaps.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_d").alias("min_gap_days"),
+            F.max("gap_d").alias("max_gap_days"),
+            F.round(F.avg("gap_d"), 6).alias("avg_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )

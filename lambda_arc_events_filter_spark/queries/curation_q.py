@@ -1155,3 +1155,116 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.min("a"), F.lit(-1)).cast("long").alias("min_apex"),
         F.coalesce(F.max("c"), F.lit(-1)).cast("long").alias("max_closer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup rate per source (within- vs cross-source duplication)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle=f"""
+    WITH
+    {_PAIR_CTE},
+    src AS (SELECT doc_id, source FROM documents),
+    lab AS (
+      SELECT e.id_a, e.id_b, sa.source AS src_a, sb.source AS src_b
+      FROM edge e
+      JOIN src sa ON e.id_a = sa.doc_id
+      JOIN src sb ON e.id_b = sb.doc_id
+    ),
+    touched AS (
+      SELECT src_a AS source, id_a AS doc_id FROM lab
+      UNION
+      SELECT src_b, id_b FROM lab
+    ),
+    per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+      FROM touched GROUP BY source
+    ),
+    pair_mix AS (
+      SELECT src_a AS source,
+             CAST(sum(CASE WHEN src_a = src_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within,
+             CAST(sum(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross
+      FROM lab GROUP BY src_a
+    ),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source)
+    SELECT t.source, t.n_docs,
+           coalesce(p.n_dup_docs, 0)  AS n_dup_docs,
+           round(coalesce(p.n_dup_docs, 0) * 1.0 / t.n_docs, 6) AS dup_rate,
+           coalesce(m.n_within, 0)    AS n_within_pairs,
+           coalesce(m.n_cross, 0)     AS n_cross_pairs
+    FROM tot t
+    LEFT JOIN per_src p USING (source)
+    LEFT JOIN pair_mix m USING (source)
+    """,
+    tags=("llm", "curation", "dedup"),
+    plan_cache=False,  # shares the checkpointed postings via pair build
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication accountability per source: what fraction of each
+    source's documents sit in a near-dup pair, split into within-source
+    pairs (a crawler re-fetching itself — fix the crawler) and
+    cross-source pairs (genuine syndication — fix the mix) — the
+    attribution view that turns a dedup report into an actionable one.
+
+    One label join of the pair set against the (doc, source) dimension,
+    then three tiny aggregates left-joined onto the per-source totals
+    (sources with zero dups surface with rate 0, not silently missing).
+    Pair-side attribution follows id_a's source, matching the oracle.
+    """
+    from lambda_arc_events_filter_spark.operators import dedup as D2
+
+    d = D2.with_tokens(load(spark, sf_dir, "documents")).withColumn(
+        "_one", F.lit(1)
+    )
+    edge = D2.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="_one", threshold=0.5
+    ).select("id_a", "id_b")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    lab = edge.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    touched = (
+        lab.select(F.col("src_a").alias("source"), F.col("id_a").alias("doc_id"))
+        .unionByName(
+            lab.select(
+                F.col("src_b").alias("source"), F.col("id_b").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    per_src = touched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dup_docs")
+    )
+    pair_mix = lab.groupBy(F.col("src_a").alias("source")).agg(
+        F.sum(F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within"),
+        F.sum(F.when(F.col("src_a") != F.col("src_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross"),
+    )
+    tot = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        tot.join(per_src, "source", "left")
+        .join(pair_mix, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.coalesce("n_within", F.lit(0)).cast("long").alias(
+                "n_within_pairs"
+            ),
+            F.coalesce("n_cross", F.lit(0)).cast("long").alias("n_cross_pairs"),
+        )
+    )

@@ -1345,3 +1345,72 @@ def hierarchy_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return ancestor_rollup(d, "doc_id", "parent", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Peak detection over the hourly event-rate series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_detection",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT hr, n,
+             lag(n)  OVER (ORDER BY hr) AS prev_n,
+             lead(n) OVER (ORDER BY hr) AS next_n
+      FROM hourly
+    )
+    SELECT hr, n,
+           prev_n, next_n,
+           CASE WHEN n > prev_n AND n >= next_n THEN 'peak'
+                WHEN n < prev_n AND n <= next_n THEN 'valley'
+                ELSE 'slope' END AS shape
+    FROM flagged
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+    """,
+    tags=("events", "window", "timeseries"),
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peak/valley detection over the hourly event-rate series: an
+    hour is a peak when it beats its predecessor and at-least-ties its
+    successor (the asymmetric tie rule makes plateau edges
+    deterministic) — the traffic-burst detector behind alerting
+    thresholds and capacity planning.
+
+    The corpus-scale work is the hourly rollup (map-side combinable);
+    the lag/lead classification runs over the tiny hourly series in a
+    single-partition window — a few hundred rows at any corpus size,
+    because the series length is bounded by the TIME RANGE, not the
+    event count.  All comparisons are integer counts.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("hr")
+    flagged = hourly.select(
+        "hr",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    shape = (
+        F.when(
+            (F.col("n") > F.col("prev_n")) & (F.col("n") >= F.col("next_n")),
+            "peak",
+        )
+        .when(
+            (F.col("n") < F.col("prev_n")) & (F.col("n") <= F.col("next_n")),
+            "valley",
+        )
+        .otherwise("slope")
+    )
+    return flagged.filter(
+        F.col("prev_n").isNotNull() & F.col("next_n").isNotNull()
+    ).select("hr", "n", "prev_n", "next_n", shape.alias("shape"))
