@@ -1785,7 +1785,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+             (2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+              + CAST(sum(l_quantity) AS BIGINT))
+             // (2 * CAST(sum(l_quantity) AS BIGINT)) / 10000.0
+               AS unit_cost
       FROM lineitem GROUP BY 1, 2
     ),
     best AS (SELECT l_partkey, min(unit_cost) AS mc FROM cost GROUP BY 1)
@@ -1808,13 +1811,36 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one (part, supplier) aggregate; its per-part min is a
     second tiny aggregate broadcast back; supplier/nation dims broadcast.
-    Unit cost rounds to 4 BEFORE both the min and the equality — the
-    same cents-exact tie discipline as q15.
+    Unit cost is a ratio of EXACT sums (integer cents over integral
+    quantities) rounded to 4 before both the min and the equality, so
+    the winner set is deterministic cross-engine at any scale.
     """
     l = load(spark, sf_dir, "lineitem")
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
+    # unit cost = Σprice / Σqty (volume-weighted), accumulated EXACTLY:
+    # price sums in integer cents, quantity sums are integral doubles —
+    # so the ratio is the same IEEE division in both engines.  The
+    # earlier avg-of-ratios form drifted at the 4th decimal on sf0.1
+    # groups and flipped min-equality winners (stress-sweep finding).
+    # unit cost = Σprice/Σqty at 4 decimals, computed ENTIRELY in
+    # integers with explicit half-up division ((2a+q) div 2q): the
+    # rational Σcents/Σqty terminates on .xxxx5 often enough that even
+    # identical doubles round apart (Spark rounds the shortest decimal
+    # string, DuckDB the binary value — COVERAGE.md divergence class,
+    # caught by the sf0.1 stress sweep twice on this query).
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "_cents"
+            ),
+            F.sum("l_quantity").cast("long").alias("_q"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                F.expr("(2 * _cents * 100 + _q) div (2 * _q)") / 10000.0
+            ).alias("unit_cost"),
         )
     )
     best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("mc"))

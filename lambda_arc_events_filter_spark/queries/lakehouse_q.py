@@ -350,7 +350,8 @@ def bloom_filter_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica AS (
       SELECT o_orderkey, o_orderstatus, o_orderpriority,
              CASE WHEN o_orderkey % 101 = 0
-                  THEN round(o_totalprice * 1.01, 2)
+                  THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 101
+                        // 100) / 100.0
                   ELSE o_totalprice END AS o_totalprice
       FROM orders WHERE o_orderkey % 97 <> 0
       UNION ALL
@@ -371,13 +372,14 @@ def bloom_filter_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS diff_class,
              CASE WHEN b.o_orderkey IS NOT NULL
                    AND r.o_orderkey IS NOT NULL
-                  THEN abs(r.o_totalprice - b.o_totalprice)
-                  ELSE 0 END AS drift_abs
+                  THEN CAST(round(abs(r.o_totalprice - b.o_totalprice)
+                                  * 100) AS BIGINT)
+                  ELSE 0 END AS drift_cents
       FROM base b FULL OUTER JOIN replica r USING (o_orderkey)
     )
     SELECT diff_class,
-           CAST(count(*) AS BIGINT)  AS n,
-           round(sum(drift_abs), 2)  AS total_drift
+           CAST(count(*) AS BIGINT)          AS n,
+           round(sum(drift_cents) / 1e2, 2)  AS total_drift
     FROM j GROUP BY diff_class
     """,
     tags=("source", "scale", "audit"),
@@ -411,7 +413,14 @@ def table_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.when(
                 F.col("o_orderkey") % 101 == 0,
-                F.round(F.col("o_totalprice") * 1.01, 2),
+                # +1% drift synthesized in integer cents: round(x*1.01, 2)
+                # creates true half-cent boundaries where the engines'
+                # rounding mechanisms split (COVERAGE.md divergence class)
+                F.expr(
+                    "cast(round(o_totalprice * 100) as bigint) * 101"
+                    " div 100"
+                )
+                / 100.0,
             )
             .otherwise(F.col("o_totalprice"))
             .alias("o_totalprice"),
@@ -445,16 +454,22 @@ def table_reconcile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("match")
     )
+    # drift accumulates in integer CENTS (both totals are 2-decimal, so
+    # their difference is too): round(sum(double), 2) flipped a half-cent
+    # boundary on the sf0.1 stress sweep — the structural fix COVERAGE.md
+    # documents, same as cdc_apply_log
     drift = F.when(
         F.col("b.o_orderkey").isNotNull() & F.col("r.o_orderkey").isNotNull(),
-        F.abs(F.col("r.o_totalprice") - F.col("b.o_totalprice")),
-    ).otherwise(F.lit(0.0))
+        F.round(
+            F.abs(F.col("r.o_totalprice") - F.col("b.o_totalprice")) * 100
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     return (
-        j.select(diff_class.alias("diff_class"), drift.alias("drift_abs"))
+        j.select(diff_class.alias("diff_class"), drift.alias("drift_cents"))
         .groupBy("diff_class")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("drift_abs"), 2).alias("total_drift"),
+            F.round(F.sum("drift_cents") / 1e2, 2).alias("total_drift"),
         )
     )
 

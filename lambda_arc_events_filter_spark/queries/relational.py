@@ -32,13 +32,18 @@ from lambda_arc_events_filter_spark.registry import register
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                    AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                                             AS sum_charge,
+           round(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2, 2)
+                                                             AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                     AS BIGINT)) / 1e4, 2)                   AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * (1 + l_tax) * 1e6)
+                     AS BIGINT)) / 1e6, 2)                   AS sum_charge,
            round(avg(l_quantity), 6)                         AS avg_qty,
-           round(avg(l_extendedprice), 6)                    AS avg_price,
-           round(avg(l_discount), 6)                         AS avg_disc,
+           round(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT))
+                 / 1e2 / count(*), 6)                        AS avg_price,
+           round(sum(CAST(round(l_discount * 1e2) AS BIGINT))
+                 / 1e2 / count(*), 6)                        AS avg_disc,
            count(*)                                          AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,20 +53,37 @@ from lambda_arc_events_filter_spark.registry import register
     tags=("agg", "flagship"),
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pricing summary report: filtered scan → 6-group hash aggregate."""
+    """Pricing summary report: filtered scan → 6-group hash aggregate.
+
+    Money aggregates accumulate in SCALED INTEGERS (cents / 1e-4 / 1e-6
+    units — every measure is an exact short decimal, so ``round(x·10^k)``
+    recovers its exact integer form and the sum is order-independent in
+    both engines).  Plain ``round(sum(double), 2)`` passed for two rounds
+    at sf0.01 but flipped a half-cent boundary on the 54 k-row groups of
+    the sf0.1 stress sweep — with ~600 k rows the sum's last retained
+    digit sits within float-order drift of .005 often enough to bite.
+    Quantity sums stay plain doubles: integral values ≤2^53 sum exactly
+    in any order.
+    """
     l = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    base_c = F.sum(F.round(F.col("l_extendedprice") * 1e2).cast("long"))
+    disc_c = F.sum(F.round(disc_price * 1e4).cast("long"))
+    charge_c = F.sum(F.round(charge * 1e6).cast("long"))
+    discount_c = F.sum(F.round(F.col("l_discount") * 1e2).cast("long"))
+    n = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(base_c / 1e2, 2).alias("sum_base_price"),
+            F.round(disc_c / 1e4, 2).alias("sum_disc_price"),
+            F.round(charge_c / 1e6, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(base_c / 1e2 / n, 6).alias("avg_price"),
+            F.round(discount_c / 1e2 / n, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
