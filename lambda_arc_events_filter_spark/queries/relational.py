@@ -1004,3 +1004,94 @@ def unpivot_revenue_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="component",
         valueColumnName="amount",
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+             AS n_bulk,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 FILTER (WHERE l_discount = 0) / 1e2, 2) AS rev_undiscounted,
+           round(avg(l_tax) FILTER (WHERE l_quantity > 25), 6)
+             AS avg_tax_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "functions"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER-clause aggregation: per-aggregate predicates inside
+    ONE grouping pass — several differently-filtered metrics without
+    self-joining or re-scanning (the idiom behind every multi-metric
+    scorecard).  Spark expresses it as CASE-masked aggregates, which is
+    exactly what a FILTER clause compiles to; the money sum rides the
+    scaled-integer discipline.  avg FILTER counts only matching rows in
+    its denominator — the semantic difference from avg(CASE...0) the
+    masked form must get right (mask with NULL, not 0).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    bulk = F.col("l_quantity") > 25
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(bulk, 1)).alias("n_bulk"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_discount") == 0,
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                )
+            )
+            / 1e2,
+            2,
+        ).alias("rev_undiscounted"),
+        F.round(F.avg(F.when(bulk, F.col("l_tax"))), 6).alias("avg_tax_bulk"),
+    )
+
+
+@register(
+    "window_exclude_current_row",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round((sum(value) OVER w - value)
+                 / nullif(count(*) OVER w - 1, 0), 6) AS peer_avg,
+           round(value - (sum(value) OVER w - value)
+                 / nullif(count(*) OVER w - 1, 0), 6) AS vs_peers
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregation EXCLUDING the current row (SQL:2011 EXCLUDE
+    CURRENT ROW, which neither engine implements natively): each event's
+    value against the average of its ±5 temporal neighbors — the
+    self-excluding peer baseline every anomaly score wants (including
+    yourself in your own baseline dampens exactly the outliers you're
+    looking for).
+
+    The emulation is algebraic, not syntactic: (frame_sum − value) /
+    (frame_count − 1) over the standard inclusive frame — one window
+    pass, same cost as the vanilla moving average, NULL at singleton
+    frames via nullif.  Identical formula in both engines, so the
+    division is deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, 5)
+    )
+    peers_sum = F.sum("value").over(w) - F.col("value")
+    peers_n = F.count(F.lit(1)).over(w) - 1
+    peer_avg = peers_sum / F.nullif(peers_n, F.lit(0))
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(peer_avg, 6).alias("peer_avg"),
+        F.round(F.col("value") - peer_avg, 6).alias("vs_peers"),
+    )
