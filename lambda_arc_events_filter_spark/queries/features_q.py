@@ -233,3 +233,65 @@ def features_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", dense.alias("bow"), "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Min-max / z-score feature scaling per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "features_minmax_scale",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             min(value) AS lo, max(value) AS hi,
+             round(avg(value), 6) AS mu,
+             round(stddev_samp(value), 6) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.lo) / nullif(s.hi - s.lo, 0), 6)
+             AS value_minmax,
+           round((e.value - s.mu) / nullif(s.sigma, 0), 6)
+             AS value_zscore
+    FROM events e JOIN stats s USING (event_type)
+    """,
+    tags=("ml", "agg"),
+)
+def features_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling, both standard recipes in one pass:
+    min-max to [0,1] and the z-score — the normalization step between
+    raw measures and any distance-based or gradient-based model
+    (unscaled features let one column dominate the loss surface).
+
+    Group statistics aggregate once and broadcast back (k rows — never
+    a window over the corpus, the same two-scan shape as the anomaly
+    z-score query); constant groups yield NULL via nullif rather than a
+    division error.  μ and σ round to 6 BEFORE the scaling arithmetic
+    so both engines transform with identical operands.
+    """
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0)),
+                6,
+            ).alias("value_minmax"),
+            F.round(
+                (F.col("value") - F.col("mu"))
+                / F.nullif(F.col("sigma"), F.lit(0)),
+                6,
+            ).alias("value_zscore"),
+        )
+    )

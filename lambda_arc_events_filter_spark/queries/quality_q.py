@@ -1414,3 +1414,66 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(
         F.col("prev_n").isNotNull() & F.col("next_n").isNotNull()
     ).select("hr", "n", "prev_n", "next_n", shape.alias("shape"))
+
+
+# ---------------------------------------------------------------------------
+# Batch-mode session_window (the declarative API, no stream required)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "batch_session_window_agg",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts)                      AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT)     AS n_events,
+           round(sum(value), 4)         AS total_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    tags=("window", "session", "events"),
+)
+def batch_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` in BATCH mode: the same declarative gap-session
+    aggregate the streaming query uses (B53), over a static DataFrame —
+    no stream, no watermark, no state store.  This is the API surface
+    that makes backfill trivially consistent with the live pipeline:
+    identical session semantics from identical code, which the manual
+    gaps-and-islands twin (``events_sessionize_gaps``) can only promise
+    by convention.
+
+    Batch session_window plans as a partial/final session-merge
+    aggregate on one user_id exchange — same cost envelope as the
+    islands construction, with the merge logic engine-maintained.  The
+    oracle is the islands SQL; end = last event + gap, end-exclusive,
+    matching ``session_window.end``.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
