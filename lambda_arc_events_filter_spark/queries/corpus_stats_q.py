@@ -769,3 +769,74 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_chars") * 1.0 * F.col("k") / F.col("nc"), 6
         ).alias("char_skew"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context concordance (KWIC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_kwic_concordance",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    ctx AS (
+      SELECT doc_id, i, w,
+             lag(w, 2)  OVER win AS l2,
+             lag(w, 1)  OVER win AS l1,
+             lead(w, 1) OVER win AS r1,
+             lead(w, 2) OVER win AS r2
+      FROM tok
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS position,
+           coalesce(l2, '') || ' ' || coalesce(l1, '') AS left_ctx,
+           w AS keyword,
+           coalesce(r1, '') || ' ' || coalesce(r2, '') AS right_ctx
+    FROM ctx
+    WHERE w = 'merge' AND doc_id < 50
+    """,
+    tags=("llm", "text"),
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of a target term
+    with its ±2-token context window — the corpus-linguistics KWIC view,
+    and operationally the snippet extractor behind search-result
+    highlighting and targeted-term auditing (how is this word actually
+    used across the corpus?).
+
+    Positional explode + one lag/lead window per doc (the shingling
+    exchange); the keyword filter lands AFTER the window so context
+    tokens survive, but Spark still prunes everything else about the
+    row.  Missing context at document edges renders as empty string via
+    coalesce, deterministically in both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    win = Window.partitionBy("doc_id").orderBy("i")
+    ctx = tok.select(
+        "doc_id",
+        "i",
+        "w",
+        F.lag("w", 2).over(win).alias("l2"),
+        F.lag("w", 1).over(win).alias("l1"),
+        F.lead("w", 1).over(win).alias("r1"),
+        F.lead("w", 2).over(win).alias("r2"),
+    )
+    return ctx.filter((F.col("w") == "merge") & (F.col("doc_id") < 50)).select(
+        "doc_id",
+        F.col("i").cast("long").alias("position"),
+        F.concat_ws(
+            " ", F.coalesce("l2", F.lit("")), F.coalesce("l1", F.lit(""))
+        ).alias("left_ctx"),
+        F.col("w").alias("keyword"),
+        F.concat_ws(
+            " ", F.coalesce("r1", F.lit("")), F.coalesce("r2", F.lit(""))
+        ).alias("right_ctx"),
+    )

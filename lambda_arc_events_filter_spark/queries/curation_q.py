@@ -1268,3 +1268,67 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cross", F.lit(0)).cast("long").alias("n_cross_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-hop neighborhood size (dedup-graph influence radius)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_two_hop",
+    oracle=f"""
+    WITH
+    {_PAIR_CTE},
+    sym AS (SELECT id_a AS a, id_b AS b FROM edge
+            UNION ALL SELECT id_b, id_a FROM edge),
+    two_hop AS (
+      SELECT s1.a AS node, s2.b AS nb
+      FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+      WHERE s2.b <> s1.a
+      UNION
+      SELECT a, b FROM sym
+    )
+    SELECT node AS doc_id,
+           CAST(count(DISTINCT nb) AS BIGINT) AS n_within_two_hops
+    FROM two_hop
+    GROUP BY node
+    """,
+    tags=("llm", "curation", "dedup"),
+    plan_cache=False,  # shares the checkpointed postings via pair build
+)
+def dedup_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size per document in the near-dup graph: how
+    many documents are reachable within two similarity edges — the
+    influence-radius metric that predicts each document's transitive
+    merge set BEFORE running full connected components (degree counts
+    direct edges; two-hop counts the friends-of-friends a CC merge will
+    actually pull in).
+
+    One symmetric self-join of the edge list on the shared middle node
+    (the same adjacency composition the triangle census uses), deduped
+    against direct neighbors via UNION-distinct, then a distinct count
+    per node — all edge-list-sized relations, never touching documents.
+    """
+    from lambda_arc_events_filter_spark.operators import dedup as D3
+
+    d = D3.with_tokens(load(spark, sf_dir, "documents")).withColumn(
+        "_one", F.lit(1)
+    )
+    edge = D3.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="_one", threshold=0.5
+    ).select("id_a", "id_b")
+    sym = edge.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(edge.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    s2 = sym.select(F.col("a").alias("mid"), F.col("b").alias("nb"))
+    two_hop = (
+        sym.join(s2, F.col("b") == F.col("mid"))
+        .filter(F.col("nb") != F.col("a"))
+        .select("a", "nb")
+        .union(sym.select("a", F.col("b").alias("nb")))
+        .distinct()
+    )
+    return two_hop.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count_distinct("nb").cast("long").alias("n_within_two_hops")
+    )

@@ -295,3 +295,114 @@ def features_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (leakage-safe cross-validation splits)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "features_kfold_assign",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_id, user_id, event_type, value,
+             (user_id * 2654435761) % 5 AS fold
+      FROM events
+    )
+    SELECT CAST(fold AS BIGINT)          AS fold,
+           CAST(count(*) AS BIGINT)      AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 6)
+             AS label_rate
+    FROM assigned
+    GROUP BY fold
+    """,
+    tags=("ml", "agg"),
+)
+def features_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment keyed by USER
+    (Knuth multiplicative hash), with per-fold size and label-rate
+    checks — the split every evaluation depends on, made leakage-safe
+    by construction: hashing the user id (not the event id) guarantees
+    all of a user's events land in ONE fold, so no user straddles
+    train and validation.
+
+    Hash-based folds are the production-correct choice over rand():
+    reproducible across runs, engines, and re-partitions (the same
+    reason ``corpus_sample_stratified`` hashes).  The label-rate column
+    is the stratification audit — folds should agree to within
+    sampling noise.
+    """
+    e = load(spark, sf_dir, "events")
+    assigned = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        ((F.col("user_id") * 2654435761) % 5).alias("fold"),
+    )
+    return assigned.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.round(
+            F.avg(F.when(F.col("value") > 100, 1.0).otherwise(0.0)), 6
+        ).alias("label_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "features_target_encode",
+    oracle="""
+    WITH lab AS (
+      SELECT event_id, event_type,
+             CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, sum(y) AS sy, count(*) AS n
+      FROM lab GROUP BY event_type
+    )
+    SELECT l.event_id, l.event_type,
+           round((g.sy - l.y) / nullif(g.n - 1, 0), 6) AS te_loo,
+           round(g.sy / g.n, 6)                        AS te_naive
+    FROM lab l JOIN g USING (event_type)
+    """,
+    tags=("ml", "agg"),
+)
+def features_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical feature
+    replaced by the mean label of its category EXCLUDING the row itself
+    ((Σy − y)/(n−1)) — the standard high-cardinality-categorical
+    encoding, with the self-exclusion that separates it from naive mean
+    encoding (naive leaks each row's own label into its feature; the
+    naive column is emitted alongside to show the delta).
+
+    One group aggregate broadcast back, the exclusion algebraic in the
+    join projection — no window, no second pass; y sums are exact (0/1
+    indicators), so the LOO ratio divides identical operands in both
+    engines.
+    """
+    e = load(spark, sf_dir, "events")
+    y = F.when(F.col("value") > 100, 1.0).otherwise(0.0)
+    lab = e.select("event_id", "event_type", y.alias("y"))
+    g = lab.groupBy("event_type").agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        lab.join(F.broadcast(g), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("sy") - F.col("y"))
+                / F.nullif(F.col("n") - 1, F.lit(0)),
+                6,
+            ).alias("te_loo"),
+            F.round(F.col("sy") / F.col("n"), 6).alias("te_naive"),
+        )
+    )

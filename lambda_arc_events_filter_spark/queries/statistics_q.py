@@ -1504,3 +1504,67 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal adjustment (hour-of-day profile removal + trend)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_adjust",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    profile AS (
+      SELECT CAST(hour(hr) AS BIGINT) AS hod, round(avg(n), 6) AS seasonal
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.hr, h.n, p.seasonal,
+           round(h.n - p.seasonal, 6) AS deseasonalized,
+           round(avg(h.n) OVER (ORDER BY h.hr
+                                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING),
+                 6) AS trend_24h
+    FROM hourly h JOIN profile p ON CAST(hour(h.hr) AS BIGINT) = p.hod
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition of the hourly event-rate series:
+    subtract each hour-of-day's average (the seasonal profile) to get
+    the deseasonalized residual, alongside a centered 24-hour moving
+    average as the trend — the STL-lite every traffic dashboard runs
+    before anomaly thresholds (a 3 a.m. spike and a noon spike are
+    different events at the same absolute rate).
+
+    Corpus-scale work is one hourly rollup; the 24-row seasonal profile
+    broadcasts back and the trend window runs over the time-bounded
+    series (like ``events_peak_detection``).  Counts are integers, the
+    profile mean divides integers — deterministic throughout.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    profile = hourly.groupBy(
+        F.hour("hr").cast("long").alias("hod")
+    ).agg(F.round(F.avg("n"), 6).alias("seasonal"))
+    w = Window.orderBy("hr").rowsBetween(-11, 12)
+    return (
+        hourly.join(
+            F.broadcast(profile),
+            F.hour(F.col("hr")).cast("long") == F.col("hod"),
+        )
+        .select(
+            "hr",
+            "n",
+            "seasonal",
+            F.round(F.col("n") - F.col("seasonal"), 6).alias(
+                "deseasonalized"
+            ),
+            F.round(F.avg("n").over(w), 6).alias("trend_24h"),
+        )
+    )
