@@ -1,0 +1,178 @@
+"""Degenerate-input behavior of the composite operators: empty relations,
+singleton groups, and no-match shapes.  At 100 TB every one of these
+occurs daily (an empty delta batch, a key with one row, a filter that
+matches nothing) — an operator that throws or silently mis-shapes on
+them is a pager, not a library."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lambda_arc_events_filter_spark.catalog import load
+
+
+def _empty_like(df):
+    return df.filter(F.lit(False))
+
+
+def test_asof_join_empty_right_keeps_left_with_nulls(spark, sf_dir):
+    from lambda_arc_events_filter_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("t"), "value"
+    ).limit(50)
+    dim = _empty_like(
+        e.select("user_id", "t", F.col("value").alias("state"))
+    )
+    out = asof_join(e, dim, key="user_id", time_col="t", value_cols=["state"])
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["_asof_state"] is None for r in rows)
+
+
+def test_asof_join_empty_left_yields_empty(spark, sf_dir):
+    from lambda_arc_events_filter_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("t"), "value"
+    )
+    out = asof_join(
+        _empty_like(e), e.select("user_id", "t", F.col("value").alias("v")),
+        key="user_id", time_col="t", value_cols=["v"],
+    )
+    assert out.count() == 0
+
+
+def test_banded_range_join_no_overlap_is_empty_not_error(spark, sf_dir):
+    from lambda_arc_events_filter_spark.operators.range_join import (
+        banded_range_join,
+    )
+
+    e = load(spark, sf_dir, "events")
+    left = e.select("event_id", "ts").limit(20)
+    # right-side events a century away from every left window
+    right = e.select(
+        F.col("event_id").alias("rid"),
+        (F.col("ts") + F.expr("INTERVAL 36500 DAYS")).alias("rts"),
+    ).limit(20)
+    out = banded_range_join(left, right, "ts", "rts", width_seconds=3600)
+    assert out.count() == 0
+
+
+def test_connected_components_no_edges(spark):
+    from lambda_arc_events_filter_spark.operators.graph import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty, src="id_a", dst="id_b").count() == 0
+
+
+def test_connected_components_self_loop_single_pair(spark):
+    from lambda_arc_events_filter_spark.operators.graph import (
+        connected_components,
+    )
+
+    one = spark.createDataFrame([(7, 9)], "id_a long, id_b long")
+    rows = {
+        r.node: r.label
+        for r in connected_components(one, src="id_a", dst="id_b").collect()
+    }
+    assert rows == {7: 7, 9: 7}
+
+
+def test_ancestor_rollup_forest_of_roots_only(spark):
+    from lambda_arc_events_filter_spark.operators.graph import ancestor_rollup
+
+    nodes = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20)], "id long, parent long, v long"
+    )
+    rows = {
+        r.id: (r.root_id, r.depth, r.path_value)
+        for r in ancestor_rollup(nodes, "id", "parent", "v").collect()
+    }
+    assert rows == {1: (1, 0, 10), 2: (2, 0, 20)}
+
+
+def test_ancestor_rollup_deep_chain(spark):
+    """A strictly linear 40-deep chain — pointer doubling must resolve it
+    in its logarithmic round budget (the loop cap would strand rows
+    otherwise)."""
+    from lambda_arc_events_filter_spark.operators.graph import ancestor_rollup
+
+    n = 40
+    nodes = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None, 1) for i in range(n)],
+        "id long, parent long, v long",
+    )
+    rows = {
+        r.id: (r.root_id, r.depth, r.path_value)
+        for r in ancestor_rollup(nodes, "id", "parent", "v").collect()
+    }
+    for i in range(n):
+        assert rows[i] == (0, i, i + 1), (i, rows[i])
+
+
+def test_group_percentile_single_row_groups(spark):
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 7.0)], "k string, v double"
+    )
+    rows = {
+        r.k: (r.p50, r.p95)
+        for r in group_percentile_cont(
+            df, ["k"], "v", {"p50": 0.5, "p95": 0.95}
+        ).collect()
+    }
+    assert rows == {"a": (5.0, 5.0), "b": (7.0, 7.0)}
+
+
+def test_kmeans_more_clusters_than_points(spark):
+    """k exceeding the corpus must not error: every point seeds its own
+    cluster and assignments are the identity."""
+    from lambda_arc_events_filter_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [4.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r.cluster
+        for r in kmeans_lloyd(
+            df, "vec_id", "embedding", k=8, iters=2
+        ).collect()
+    }
+    assert rows == {0: 0, 1: 1, 2: 2}
+
+
+def test_exact_jaccard_pairs_no_shared_shingles(spark):
+    from lambda_arc_events_filter_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    d = D.with_tokens(docs).withColumn("_one", F.lit(1))
+    out = D.exact_jaccard_pairs(
+        d, id_col="doc_id", block_col="_one", threshold=0.1
+    )
+    assert out.count() == 0
+
+
+def test_salted_join_empty_big_side(spark, sf_dir):
+    from lambda_arc_events_filter_spark.operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = salted_join(
+        _empty_like(o), c, on="c_custkey", salt_col="o_orderkey"
+    )
+    assert out.count() == 0
