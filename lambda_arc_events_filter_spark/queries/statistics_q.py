@@ -1568,3 +1568,246 @@ def events_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n").over(w), 6).alias("trend_24h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM control chart (statistical process control)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_control",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, round(avg(x), 6) AS mu FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.x,
+           round(sum(round(d.x - b.mu, 6))
+                 OVER (PARTITION BY d.event_type ORDER BY d.day), 6)
+             AS cusum,
+           abs(sum(round(d.x - b.mu, 6))
+               OVER (PARTITION BY d.event_type ORDER BY d.day)) > 50
+             AS out_of_control
+    FROM daily d JOIN base b USING (event_type)
+    """,
+    tags=("stats", "timeseries", "window"),
+)
+def events_cusum_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart per event type: the running sum of daily-mean
+    deviations from the series baseline, flagged when it leaves the
+    control band — the SPC change detector that catches slow drifts a
+    per-point z-score never sees (each point stays in-spec while the
+    cumulative deviation marches out).
+
+    Corpus-scale work is the daily rollup; baseline is a per-type
+    broadcast; the cumulative window runs over the time-bounded daily
+    series.  Each deviation rounds to 6 BEFORE the cumulative sum, so
+    both engines accumulate identical operands in identical frame order
+    — the same discipline as the cohort-LTV cumsum.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    base = daily.groupBy("event_type").agg(
+        F.round(F.avg("x"), 6).alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.round(F.col("x") - F.col("mu"), 6)
+    cusum = F.sum(dev).over(w)
+    return (
+        daily.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "x",
+            F.round(cusum, 6).alias("cusum"),
+            (F.abs(cusum) > 50).alias("out_of_control"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (the recurrence as an ordered HOF fold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, x,
+             list(x) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS xs
+      FROM daily
+    )
+    SELECT day, x,
+           round(list_reduce(xs, (s, v) -> 0.3 * v + 0.7 * s), 6) AS ewma
+    FROM seq
+    """,
+    tags=("stats", "timeseries", "window"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily value series
+    (α = 0.3): s_t = αx_t + (1−α)s_{t−1} — the smoother behind every
+    monitoring baseline, whose RECURRENCE does not fit a frame
+    aggregate (each output needs the previous OUTPUT, not the previous
+    input).
+
+    The engine runs the recurrence as an ordered higher-order fold:
+    ``collect_list`` over the running frame hands each row its ordered
+    prefix, and ``aggregate`` folds it left-to-right — O(n²) in series
+    length, which is the right trade for a TIME-BOUNDED series (≤ a few
+    hundred points at any corpus size; the corpus-scale work remains
+    the daily rollup).  An unbounded-length recurrence would move to
+    the ``events_capped_running_balance`` applyInPandas shape instead —
+    the cutover is series length, and both ends are covered.  The fold
+    order and the dyadic-friendly α keep both engines' arithmetic
+    sequence identical; DuckDB's list_reduce seeds with the first
+    element, so the Spark fold does the same (slice + head seed).
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = daily.select(
+        "day", "x", F.collect_list("x").over(w).alias("xs")
+    )
+    ewma = F.expr(
+        "aggregate(slice(xs, 2, size(xs) - 1), xs[0],"
+        " (s, v) -> cast(0.3 * v + 0.7 * s as double))"
+    )
+    return seq.select("day", "x", F.round(ewma, 6).alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (feature-drift monitoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_psi_drift",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value, ts,
+             ntile(2) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS half
+      FROM events
+    ),
+    edges AS (
+      SELECT event_type,
+             quantile_cont(value, [0.2, 0.4, 0.6, 0.8]) AS qs
+      FROM ranked WHERE half = 1 GROUP BY event_type
+    ),
+    binned AS (
+      SELECT r.event_type, r.half,
+             CASE WHEN r.value < e.qs[1] THEN 0
+                  WHEN r.value < e.qs[2] THEN 1
+                  WHEN r.value < e.qs[3] THEN 2
+                  WHEN r.value < e.qs[4] THEN 3
+                  ELSE 4 END AS bin
+      FROM ranked r JOIN edges e USING (event_type)
+    ),
+    counts AS (
+      SELECT event_type, half, bin, count(*) AS c
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT event_type, half, sum(c) AS n FROM counts GROUP BY 1, 2),
+    props AS (
+      SELECT c.event_type, c.bin,
+             max(CASE WHEN c.half = 1 THEN c.c * 1.0 / t.n END) AS p,
+             max(CASE WHEN c.half = 2 THEN c.c * 1.0 / t.n END) AS q
+      FROM counts c JOIN tot t ON c.event_type = t.event_type
+                              AND c.half = t.half
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           round(sum((p - q) * ln(p / q)), 6) AS psi,
+           CAST(count(*) AS BIGINT)           AS n_bins
+    FROM props
+    GROUP BY event_type
+    """,
+    tags=("stats", "ml"),
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    each event type's timeline: quintile bin edges FIT on the first
+    half, both halves scored against them, PSI = Σ(p−q)·ln(p/q) — the
+    standard model-monitoring drift score (rule of thumb: >0.1 watch,
+    >0.25 retrain), built exactly like production: bins frozen on the
+    reference window, never refit on the comparison window.
+
+    The time split uses ntile over (ts, event_id) — deterministic halves
+    — and the quintile edges come from the exact percentile machinery.
+    Bin proportions divide integer counts; both engines compare values
+    against IDENTICAL edge values, so bin membership only flips if an
+    edge lands exactly on a data value, where `<` is identical anyway.
+    """
+    e = load(spark, sf_dir, "events")
+    w_half = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ranked = e.select(
+        "event_type", "value", F.ntile(2).over(w_half).alias("half")
+    )
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    edges = group_percentile_cont(
+        ranked.filter(F.col("half") == 1),
+        ["event_type"],
+        "value",
+        {"q1": 0.2, "q2": 0.4, "q3": 0.6, "q4": 0.8},
+    )
+    binned = (
+        ranked.join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            "half",
+            F.when(F.col("value") < F.col("q1"), 0)
+            .when(F.col("value") < F.col("q2"), 1)
+            .when(F.col("value") < F.col("q3"), 2)
+            .when(F.col("value") < F.col("q4"), 3)
+            .otherwise(4)
+            .alias("bin"),
+        )
+    )
+    counts = binned.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("event_type", "half").agg(F.sum("c").alias("n"))
+    props = (
+        counts.join(tot, ["event_type", "half"])
+        .groupBy("event_type", "bin")
+        .agg(
+            F.max(
+                F.when(F.col("half") == 1, F.col("c") * 1.0 / F.col("n"))
+            ).alias("p"),
+            F.max(
+                F.when(F.col("half") == 2, F.col("c") * 1.0 / F.col("n"))
+            ).alias("q"),
+        )
+    )
+    return props.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
