@@ -1811,3 +1811,260 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (time-to-conversion with censoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_survival_km",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             min(date_trunc('day', ts)) AS first_day,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN date_trunc('day', ts) END) AS conv_day,
+             max(date_trunc('day', ts)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN conv_day IS NOT NULL
+                  THEN date_diff('day', first_day, conv_day)
+                  ELSE date_diff('day', first_day, last_day) END AS t,
+             (conv_day IS NOT NULL) AS converted
+      FROM spans
+    ),
+    per_t AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS exits
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(sum(exits) OVER (ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk
+      FROM per_t
+    )
+    SELECT t, d, n_at_risk,
+           CASE WHEN min(1.0 - d * 1.0 / n_at_risk)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 0
+                THEN 0.0
+                ELSE round(exp(sum(ln(CASE WHEN d < n_at_risk
+                                          THEN 1.0 - d * 1.0 / n_at_risk
+                                          ELSE 1.0 END))
+                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM risk
+    WHERE d > 0
+    """,
+    tags=("stats", "events"),
+)
+def users_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: users who
+    never purchase are right-CENSORED at their last observed day — the
+    estimator that makes churn/conversion timing analysis honest
+    (dropping censored users biases survival down; counting them as
+    never-converting biases it up; KM does neither).
+
+    S(t) = Π_{t_i ≤ t} (1 − dᵢ/nᵢ) computes as exp(Σ ln(·)) — the
+    cumulative-PRODUCT-as-window trick (no product aggregate exists in
+    either engine); the at-risk counts nᵢ come from a reverse-ordered
+    cumulative sum of exits.  All counts are integers, every ratio
+    divides identical operands, the log/exp round-trip is the only
+    platform math (~1 ulp, far below round-6).  Corpus-scale work is
+    one per-user aggregate; the curve itself is day-granular and
+    time-bounded.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("conv_day"),
+        F.max(day).alias("last_day"),
+    )
+    t = F.when(
+        F.col("conv_day").isNotNull(),
+        F.datediff("conv_day", "first_day"),
+    ).otherwise(F.datediff("last_day", "first_day"))
+    durations = spans.select(
+        t.cast("long").alias("t"), F.col("conv_day").isNotNull().alias("conv")
+    )
+    per_t = durations.groupBy("t").agg(
+        F.sum(F.when(F.col("conv"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count(F.lit(1)).alias("exits"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        F.sum("exits").over(w_desc).cast("long").alias("n_at_risk"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the final event time can have d == n (everyone remaining converts):
+    # that factor is exactly 0 and ln(0) ERRORS in DuckDB (−inf in Spark)
+    # — zero factors go through as a neutral 1 inside the log-sum and a
+    # running-min guard pins survival to 0.0 from that point on
+    factor = 1.0 - F.col("d") * 1.0 / F.col("n_at_risk")
+    log_surv = F.sum(
+        F.log(
+            F.when(F.col("d") < F.col("n_at_risk"), factor).otherwise(
+                F.lit(1.0)
+            )
+        )
+    ).over(w_asc)
+    surv = F.when(F.min(factor).over(w_asc) == 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(log_surv), 6)
+    )
+    return risk.withColumn("survival", surv).filter(
+        F.col("d") > 0
+    ).select("t", "d", "n_at_risk", "survival")
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    WITH mid AS (
+      SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+              + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS m_us
+      FROM events
+    ),
+    cells AS (
+      SELECT (user_id % 2 = 0)                        AS treated,
+             (CAST(epoch_us(ts) AS BIGINT) >= mid.m_us) AS post,
+             round(avg(value), 6) AS mean_v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events, mid
+      GROUP BY 1, 2
+    )
+    SELECT
+      max(CASE WHEN treated AND post THEN mean_v END)      AS treated_post,
+      max(CASE WHEN treated AND NOT post THEN mean_v END)  AS treated_pre,
+      max(CASE WHEN NOT treated AND post THEN mean_v END)  AS control_post,
+      max(CASE WHEN NOT treated AND NOT post THEN mean_v END) AS control_pre,
+      round((max(CASE WHEN treated AND post THEN mean_v END)
+             - max(CASE WHEN treated AND NOT post THEN mean_v END))
+            - (max(CASE WHEN NOT treated AND post THEN mean_v END)
+               - max(CASE WHEN NOT treated AND NOT post THEN mean_v END)),
+            6) AS did_estimate
+    FROM cells
+    """,
+    tags=("stats", "events"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treated cohort (even user ids — the
+    deterministic stand-in for a rollout group) vs control, before vs
+    after the timeline midpoint; the DiD estimate is (ΔTreated −
+    ΔControl) — the workhorse quasi-experimental estimator that
+    subtracts out both group-level baselines and common time shocks.
+
+    One 4-cell aggregate over the corpus (the 2×2 design IS the query),
+    the midpoint a 1-row broadcast.  Cell means round to 6 before the
+    arithmetic, so the estimate combines identical operands in both
+    engines.
+    """
+    e = load(spark, sf_dir, "events")
+    # midpoint in integer MICROSECONDS — timestamp interval arithmetic
+    # differs across engines; (min+max) div 2 on epoch longs is exact
+    mid = e.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias(
+            "m_us"
+        )
+    )
+    cells = (
+        e.join(F.broadcast(mid))
+        .groupBy(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (F.unix_micros("ts") >= F.col("m_us")).alias("post"),
+        )
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cell = lambda tr, po: F.max(  # noqa: E731
+        F.when((F.col("treated") == tr) & (F.col("post") == po), F.col("mean_v"))
+    )
+    return cells.agg(
+        cell(True, True).alias("treated_post"),
+        cell(True, False).alias("treated_pre"),
+        cell(False, True).alias("control_post"),
+        cell(False, False).alias("control_pre"),
+        F.round(
+            (cell(True, True) - cell(True, False))
+            - (cell(False, True) - cell(False, False)),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest (seasonal-naive baseline scored on holdout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hr, n,
+             lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr) AS pred
+      FROM hourly
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                       AS n_scored,
+           round(avg(abs(n - pred)), 6)                   AS mae,
+           round(avg(abs(n - pred) * 1.0 / n), 6)         AS mape,
+           round(sqrt(avg(power(n - pred, 2))), 6)        AS rmse
+    FROM scored WHERE pred IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("stats", "timeseries"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest of the seasonal-naive baseline (predict each
+    hour with the same hour yesterday), scored MAE / MAPE / RMSE per
+    event type — the evaluation harness every forecasting effort needs
+    FIRST, because a model that cannot beat lag-24 is not a model.
+
+    The hourly rollup is the corpus-scale pass; prediction is one lag
+    window over the time-bounded series; errors aggregate from integer
+    counts (sqrt/power are the only platform math, ~1 ulp under the
+    round-6).  Walk-forward honesty comes free: lag-24 never sees the
+    future.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    scored = hourly.withColumn("pred", F.lag("n", 24).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("n") - F.col("pred")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.avg(F.abs(err) * 1.0 / F.col("n")), 6).alias("mape"),
+        F.round(F.sqrt(F.avg(F.pow(err, 2))), 6).alias("rmse"),
+    )
