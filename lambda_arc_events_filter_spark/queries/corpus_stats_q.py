@@ -840,3 +840,89 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.coalesce("r1", F.lit("")), F.coalesce("r2", F.lit(""))
         ).alias("right_ctx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters with Misra-Gries candidates + exact verification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokens_heavy_hitters_mg",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT term,
+           CAST(count(*) AS BIGINT)           AS freq,
+           round(count(*) * 1.0 / tot.n, 6)   AS frac
+    FROM tok, tot
+    GROUP BY term, tot.n
+    HAVING count(*) * 1.0 / tot.n > 0.02
+    """,
+    tags=("llm", "corpus", "udf"),
+    plan_cache=False,  # per-partition summaries rebuilt per call
+)
+def tokens_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters above a 2 % frequency threshold, found the
+    DISTRIBUTED-SKETCH way with an EXACT answer: per-partition
+    Misra-Gries summaries (k counters, Arrow-batched) nominate
+    candidates, then only the candidates are exactly recounted and
+    threshold-filtered.
+
+    Why this is more than a groupBy: the MG guarantee (any term with
+    true frequency > n/k survives every partition summary and the
+    merge) means the candidate set provably contains every true heavy
+    hitter, while the EXACT recount discards false nominees — so the
+    output equals the plain-aggregation oracle bit-for-bit even though
+    no full-vocabulary aggregate ever materializes.  At 100 TB that is
+    the difference between shuffling k counters per partition and
+    shuffling a web-scale vocabulary; the recount join touches only
+    |candidates| keys.  Candidate sets vary with partitioning; the
+    VERIFIED output does not — the determinism lives in the exact
+    phase, exactly like the LSH-then-verify dedup contract.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    k = 128  # counters per partition: guarantees recall above n/128
+
+    def mg_partition(batches):  # closure (worker-importable)
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        import pandas as pd
+
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    candidates = (
+        tok.mapInPandas(mg_partition, schema="term string")
+        .distinct()
+    )
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        tok.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.join(F.broadcast(tot))
+        .filter(F.col("freq") * 1.0 / F.col("n") > 0.02)
+        .select(
+            "term",
+            "freq",
+            F.round(F.col("freq") * 1.0 / F.col("n"), 6).alias("frac"),
+        )
+    )

@@ -323,3 +323,27 @@ def test_cdc_apply_respects_op_semantics(spark, sf_dir):
     n_del = c.filter(F.col("c_custkey") % 10 == 0).count()
     n_ins = c.filter(F.col("c_custkey") % 10 == 3).count()
     assert sum(r.n_customers for r in rows) == n_base - n_del + n_ins
+
+
+def test_mg_heavy_hitters_invariant_to_partitioning(spark, sf_dir):
+    """The MG candidate set varies with the partition layout; the
+    exact-verified OUTPUT must not.  Compare against a plain-aggregation
+    recount under a different partitioning."""
+    out = {
+        (r.term, r.freq)
+        for r in ALL["tokens_heavy_hitters_mg"].fn(spark, sf_dir).collect()
+    }
+    tok = (
+        load(spark, sf_dir, "documents")
+        .repartition(13)  # different layout than the query's scan
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    n = tok.count()
+    exact = {
+        (r.term, r.freq)
+        for r in tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * 1.0 / n > 0.02)
+        .collect()
+    }
+    assert out == exact
