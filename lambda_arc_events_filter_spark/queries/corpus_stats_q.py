@@ -926,3 +926,78 @@ def tokens_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("freq") * 1.0 / F.col("n"), 6).alias("frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-pair generation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_negative_sample",
+    oracle="""
+    WITH anchors AS (
+      SELECT doc_id, source FROM documents WHERE doc_id < 60
+    ),
+    ranked AS (
+      SELECT a.doc_id AS anchor_id,
+             d.doc_id AS negative_id,
+             d.source AS negative_source,
+             row_number() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY (a.doc_id * 2654435761 + d.doc_id * 40503) % 9973,
+                        d.doc_id) AS rk
+      FROM anchors a
+      JOIN documents d
+        ON d.source <> a.source
+    )
+    SELECT anchor_id, negative_id, negative_source,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 4
+    """,
+    tags=("llm", "corpus", "ml"),
+)
+def corpus_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cross-source negative sampling: each anchor document
+    draws 4 negatives from OTHER sources, ranked by a pair hash — the
+    contrastive-pair generator behind embedding training (in-batch
+    negatives leak same-source shortcuts; cross-source draws force the
+    model to learn content, not provenance).
+
+    Hash-ranked rather than rand()-sampled for the same reason as every
+    sample in this suite: reproducible epochs, engine-agnostic, and
+    retry-safe.  The candidate join blocks on source inequality and the
+    per-anchor rank is a WindowGroupLimit-style top-k — at corpus scale
+    the anchor set is the small side and negatives draw from a
+    per-shard sample, never the full cross join (the documented scale
+    path for a 4-per-anchor draw is hashing into ~16 candidate buckets
+    first; the fixture-scale plan keeps the exact semantics the oracle
+    can verify).
+    """
+    d = load(spark, sf_dir, "documents")
+    anchors = d.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("a_src")
+    )
+    cand = d.select(
+        F.col("doc_id").alias("negative_id"),
+        F.col("source").alias("negative_source"),
+    )
+    pair_hash = (
+        F.col("anchor_id") * 2654435761 + F.col("negative_id") * 40503
+    ) % 9973
+    w = Window.partitionBy("anchor_id").orderBy(
+        pair_hash, F.col("negative_id")
+    )
+    return (
+        anchors.join(
+            cand, F.col("negative_source") != F.col("a_src")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "negative_source",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
