@@ -2068,3 +2068,98 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(err) * 1.0 / F.col("n")), 6).alias("mape"),
         F.round(F.sqrt(F.avg(F.pow(err, 2))), 6).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed and winsorized means (robust location estimators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_robust_means",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*)    OVER (PARTITION BY event_type)    AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type, value, rn, n,
+             CAST(floor(n * 0.10) AS BIGINT)     AS lo_k,
+             n - CAST(floor(n * 0.10) AS BIGINT) AS hi_k
+      FROM r
+    ),
+    lo_v AS (SELECT event_type, value AS lo_val FROM cuts
+             WHERE rn = lo_k + 1),
+    hi_v AS (SELECT event_type, value AS hi_val FROM cuts WHERE rn = hi_k)
+    SELECT c.event_type,
+           round(avg(c.value), 6) AS plain_mean,
+           round(avg(CASE WHEN c.rn > c.lo_k AND c.rn <= c.hi_k
+                          THEN c.value END), 6) AS trimmed_mean,
+           round(avg(CASE WHEN c.rn <= c.lo_k THEN l.lo_val
+                          WHEN c.rn >  c.hi_k THEN h.hi_val
+                          ELSE c.value END), 6) AS winsorized_mean
+    FROM cuts c
+    JOIN lo_v l USING (event_type)
+    JOIN hi_v h USING (event_type)
+    GROUP BY c.event_type
+    """,
+    tags=("stats", "agg"),
+)
+def events_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimators per event type: the 10 %-trimmed mean
+    (drop each tail) and the winsorized mean (CLAMP each tail to the cut
+    values instead of dropping — keeps n, caps influence), beside the
+    plain mean they correct — the estimators that survive the heavy
+    tails plain averages drown in (companion to ``events_mad_outlier``
+    on the dispersion side).
+
+    One rank window per group (deterministic (value, event_id) order),
+    cut indices in integer arithmetic from the group count, the two cut
+    VALUES joined back as per-group scalars — then all three means in
+    one aggregate.  At scale the rank pass is the same machinery as the
+    exact percentiles; the 'range' strategy applies identically if a
+    single group outgrows a task.
+    """
+    e = load(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cuts = r.select(
+        "event_type",
+        "value",
+        "rn",
+        F.floor(F.col("n") * 0.10).cast("long").alias("lo_k"),
+        (F.col("n") - F.floor(F.col("n") * 0.10)).cast("long").alias("hi_k"),
+    )
+    lo_v = cuts.filter(F.col("rn") == F.col("lo_k") + 1).select(
+        "event_type", F.col("value").alias("lo_val")
+    )
+    hi_v = cuts.filter(F.col("rn") == F.col("hi_k")).select(
+        "event_type", F.col("value").alias("hi_val")
+    )
+    inside = (F.col("rn") > F.col("lo_k")) & (F.col("rn") <= F.col("hi_k"))
+    wins = (
+        F.when(F.col("rn") <= F.col("lo_k"), F.col("lo_val"))
+        .when(F.col("rn") > F.col("hi_k"), F.col("hi_val"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        cuts.join(F.broadcast(lo_v), "event_type")
+        .join(F.broadcast(hi_v), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("plain_mean"),
+            F.round(F.avg(F.when(inside, F.col("value"))), 6).alias(
+                "trimmed_mean"
+            ),
+            F.round(F.avg(wins), 6).alias("winsorized_mean"),
+        )
+    )
