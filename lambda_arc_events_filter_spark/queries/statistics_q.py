@@ -2163,3 +2163,144 @@ def events_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(wins), 6).alias("winsorized_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (extreme-value heaviness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_tail_index",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice AS x,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rk
+      FROM orders
+    ),
+    xk AS (SELECT x AS x_k FROM ranked WHERE rk = 101)
+    SELECT CAST(count(*) AS BIGINT)                       AS k_used,
+           round(min(r.x), 2)                             AS x_threshold,
+           round(avg(ln(r.x / xk.x_k)), 6)                AS mean_log_excess,
+           round(1.0 / avg(ln(r.x / xk.x_k)), 6)          AS hill_alpha
+    FROM ranked r, xk
+    WHERE r.rk <= 100
+    """,
+    tags=("stats", "agg"),
+)
+def orders_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail index over the top-100 order totals:
+    α̂ = 1 / mean(ln(x_i / x_{k+1})) — the extreme-value-theory measure
+    of how heavy the upper tail is (α < 2: variance effectively
+    infinite, sampling and capacity planning must change regime).  The
+    practical question it answers: can the biggest orders be treated as
+    outliers, or are they the distribution?
+
+    Top-k+1 via a deterministic rank (value desc, key tiebreak) —
+    TakeOrdered-class work, never a full sort retained; the log-excess
+    mean runs over 100 rows against the broadcast threshold order
+    statistic.  Both engines divide identical doubles inside ln().
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    ranked = o.select(
+        F.col("o_totalprice").alias("x"), F.row_number().over(w).alias("rk")
+    )
+    xk = ranked.filter(F.col("rk") == 101).select(
+        F.col("x").alias("x_k")
+    )
+    top = ranked.filter(F.col("rk") <= 100)
+    log_excess = F.log(F.col("x") / F.col("x_k"))
+    return top.join(F.broadcast(xk)).agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.round(F.min("x"), 2).alias("x_threshold"),
+        F.round(F.avg(log_excess), 6).alias("mean_log_excess"),
+        F.round(1.0 / F.avg(log_excess), 6).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient + concentration shares (revenue inequality)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*)    OVER ()                           AS n,
+             sum(cents)  OVER ()                           AS total
+      FROM rev
+    ),
+    flagged AS (
+      SELECT cents, i, n, total,
+             i > n - CAST(floor(n / 10) AS BIGINT) AS top_decile
+      FROM ranked
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(max(total) / 1e2, 2) AS total_revenue,
+           round((2.0 * sum(i * cents)) / (max(n) * 1.0 * max(total))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           round(sum(CASE WHEN top_decile THEN cents ELSE 0 END)
+                 * 1.0 / max(total), 6) AS top_decile_share
+    FROM flagged
+    """,
+    tags=("stats", "agg"),
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across customers: the Gini coefficient
+    (G = 2Σi·xᵢ/(n·Σx) − (n+1)/n over rank-ordered revenues) and the
+    top-decile share — the inequality metrics behind key-account risk
+    ("how much business walks out if the top 10 % churn") and the
+    economic view of the same skew the salted-join operator handles
+    physically.
+
+    Revenues accumulate in integer cents (the structural rounding
+    discipline), ranks are a deterministic (cents, custkey) window, and
+    every product i·xᵢ is integer×integer summed exactly — the Gini
+    arithmetic is fully exact until the final two divisions of identical
+    operands.  One aggregate + one rank window over the per-customer
+    relation (≪ orders), never the fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    w_rank = Window.orderBy("cents", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+    ).withColumn(
+        "top_decile",
+        F.col("i") > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
+    )
+    n, total = F.max("n"), F.max("total")
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(total / 1e2, 2).alias("total_revenue"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("cents")))
+            / (n * 1.0 * total)
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("top_decile"), F.col("cents")).otherwise(0))
+            * 1.0
+            / total,
+            6,
+        ).alias("top_decile_share"),
+    )
