@@ -2304,3 +2304,170 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    tot AS (
+      SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM s
+    ),
+    steps AS (
+      SELECT value,
+             sum(is_a)     OVER (ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(1 - is_a) OVER (ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS cb
+      FROM s
+    ),
+    at_points AS (
+      SELECT value, max(ca) AS ca, max(cb) AS cb
+      FROM steps GROUP BY value
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_a,
+           CAST(tot.nb AS BIGINT) AS n_b,
+           round(max(abs(ca * 1.0 * tot.nb - cb * 1.0 * tot.na))
+                 / (tot.na * 1.0 * tot.nb), 6) AS ks_d
+    FROM at_points, tot
+    GROUP BY tot.na, tot.nb
+    """,
+    tags=("stats", "agg"),
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase and
+    view value distributions: D = sup|F̂ₐ − F̂ᵦ| — the shape-sensitive
+    distribution comparison that catches what mean tests miss (same
+    mean, different spread), completing the comparison toolkit beside
+    Welch (means), χ²/MI (categorical), and PSI (binned drift).
+
+    The supremum is attained at sample points, so one ordered pass
+    suffices: running per-sample counts at each distinct value, then
+    max of |ca·nb − cb·na| kept in INTEGERS (cross-multiplied — no
+    per-step float division) and divided once at the end.  Exact up to
+    that single division of identical operands.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_a"
+        ),
+    )
+    tot = s.agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = s.select(
+        "value",
+        F.sum("is_a").over(w).alias("ca"),
+        F.sum(1 - F.col("is_a")).over(w).alias("cb"),
+    )
+    at_points = steps.groupBy("value").agg(
+        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    )
+    return (
+        at_points.join(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") * 1.0 * F.col("nb")
+                        - F.col("cb") * 1.0 * F.col("na")
+                    )
+                )
+                / (F.col("na") * 1.0 * F.col("nb")),
+                6,
+            ).alias("ks_d")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "ks_d",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    ranked AS (
+      SELECT is_a,
+             avg(rn) OVER (PARTITION BY value) AS avg_rank
+      FROM (SELECT value, is_a,
+                   row_number() OVER (ORDER BY value) AS rn
+            FROM s)
+    )
+    SELECT CAST(sum(is_a) AS BIGINT)                       AS n_a,
+           CAST(sum(1 - is_a) AS BIGINT)                   AS n_b,
+           round(sum(CASE WHEN is_a = 1 THEN avg_rank END), 1)
+                                                           AS rank_sum_a,
+           round(sum(CASE WHEN is_a = 1 THEN avg_rank END)
+                 - sum(is_a) * (sum(is_a) + 1.0) / 2, 1)   AS u_a
+    FROM ranked
+    """,
+    tags=("stats", "agg"),
+)
+def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between purchase and view
+    values: ranks replace magnitudes, ties share their average rank,
+    U = R₁ − n₁(n₁+1)/2 — the nonparametric location test that ignores
+    the heavy tails Welch's t inherits (its KS sibling above compares
+    whole shapes; U asks only "which group tends larger").
+
+    Ranks come from one global row_number (deterministic value order)
+    with tie groups averaged by a value-partitioned window — average
+    ranks are k+0.5-exact dyadics, their sums exact in doubles below
+    2^53, so every output is exact before the final half-integer
+    rounding.  The machinery is the same rank pass as the exact
+    percentiles; at scale the 'range' strategy substitutes identically.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = e.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_a"
+        ),
+    )
+    w_rank = Window.orderBy("value")
+    rn = s.select(
+        "value", "is_a", F.row_number().over(w_rank).alias("rn")
+    )
+    ranked = rn.select(
+        "is_a",
+        F.avg("rn").over(Window.partitionBy("value")).alias("avg_rank"),
+    )
+    na = F.sum("is_a")
+    ra = F.sum(F.when(F.col("is_a") == 1, F.col("avg_rank")))
+    return ranked.agg(
+        na.cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        F.round(ra, 1).alias("rank_sum_a"),
+        F.round(ra - na * (na + 1.0) / 2, 1).alias("u_a"),
+    )
