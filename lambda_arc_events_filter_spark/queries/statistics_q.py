@@ -2471,3 +2471,107 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ra, 1).alias("rank_sum_a"),
         F.round(ra - na * (na + 1.0) / 2, 1).alias("u_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial: haversine distance + nearest-hub assignment
+# ---------------------------------------------------------------------------
+
+#: (name, lat, lon) — fixed hub sites, part of the query definition
+_HUBS = [
+    ("toronto", 43.65, -79.38),
+    ("london", 51.51, -0.13),
+    ("singapore", 1.35, 103.82),
+    ("sydney", -33.87, 151.21),
+]
+
+
+@register(
+    "users_geo_nearest_hub",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             ((user_id * 2654435761) % 16000) / 100.0 - 80.0  AS lat,
+             ((user_id * 40503) % 36000) / 100.0 - 180.0      AS lon
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    hubs(hub, hlat, hlon) AS (VALUES
+      ('toronto', 43.65, -79.38), ('london', 51.51, -0.13),
+      ('singapore', 1.35, 103.82), ('sydney', -33.87, 151.21)
+    ),
+    dists AS (
+      SELECT p.user_id, h.hub,
+             round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(h.hlat - p.lat) / 2), 2)
+               + cos(radians(p.lat)) * cos(radians(h.hlat))
+                 * pow(sin(radians(h.hlon - p.lon) / 2), 2))), 3) AS km
+      FROM pts p CROSS JOIN hubs h
+    ),
+    nearest AS (
+      SELECT user_id, hub, km,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY km, hub) AS rk
+      FROM dists
+    )
+    SELECT hub,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(km), 3)        AS avg_km,
+           round(max(km), 3)        AS max_km
+    FROM nearest WHERE rk = 1
+    GROUP BY hub
+    """,
+    tags=("stats", "geo"),
+)
+def users_geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial assignment: users (at deterministic hash-derived
+    coordinates — the fixture has no geo columns, so the derivation is
+    part of the query definition) routed to their nearest of four hubs
+    by haversine great-circle distance, with per-hub load and reach —
+    the serving-region assignment every latency-sensitive deployment
+    computes, and the geo member of the argmin-over-candidates family
+    (kmeans assigns to centroids; this assigns on a sphere).
+
+    Haversine runs as pure codegen trig (both engines IEEE double
+    sin/cos/asin — ~1 ulp, then rounded to 3 before the argmin so the
+    winner is tie-disciplined like every argmin in the suite, hub name
+    as tiebreak).  The hub table is a 4-row broadcast; at scale this is
+    a map-only pass over the user dimension.
+    """
+    e = load(spark, sf_dir, "events")
+    pts = e.select("user_id").distinct().select(
+        "user_id",
+        (((F.col("user_id") * 2654435761) % 16000) / 100.0 - 80.0).alias(
+            "lat"
+        ),
+        (((F.col("user_id") * 40503) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    hubs = pts.sparkSession.createDataFrame(
+        _HUBS, "hub string, hlat double, hlon double"
+    )
+    hav = F.round(
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("hlat") - F.col("lat")) / 2), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("hlat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("hlon") - F.col("lon")) / 2), 2
+                )
+            )
+        ),
+        3,
+    )
+    dists = pts.crossJoin(F.broadcast(hubs)).select(
+        "user_id", "hub", hav.alias("km")
+    )
+    w = Window.partitionBy("user_id").orderBy("km", "hub")
+    nearest = dists.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return nearest.groupBy("hub").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("km"), 3).alias("avg_km"),
+        F.round(F.max("km"), 3).alias("max_km"),
+    )
