@@ -73,6 +73,70 @@ def whole_stage_codegen_ids(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", final)))
 
 
+def empty_partition_window_specs(df: DataFrame) -> list[str]:
+    """Window specs with NO partition columns — each one is a WindowExec
+    over SinglePartition (the "No Partition Defined" warning): every row
+    of its input relation moves to ONE task.  Legitimate only for
+    relations bounded by construction (a ``limit(k)``, a calendar
+    series); a scale cliff for anything that grows with the data.
+    Returns one offending ``windowspecdefinition(...)`` snippet per hit.
+
+    Parsing contract (pinned by test_rank_helpers): in formatted plans a
+    window spec renders its partition columns first (bare expressions),
+    then sort expressions (marked ``ASC``/``DESC``), then the
+    ``specifiedwindowframe``.  A spec whose first argument is a sort
+    expression or the frame itself has an empty partition spec.
+    """
+    plan = formatted_plan(df)
+    bad: list[str] = []
+    marker = "windowspecdefinition("
+    idx = 0
+    while True:
+        at = plan.find(marker, idx)
+        if at < 0:
+            break
+        idx = at + len(marker)
+        # first argument: up to the first top-level comma
+        depth = 0
+        first_arg = ""
+        for ch in plan[idx : idx + 400]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")" and depth == 0:
+                break
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            first_arg += ch
+        if first_arg.startswith("specifiedwindowframe") or (
+            " ASC" in first_arg or " DESC" in first_arg
+        ):
+            bad.append(plan[at : at + 160])
+    return bad
+
+
+def executed_range_exchanges(df: DataFrame) -> tuple[int, int]:
+    """(materialized, reused) rangepartitioning exchange counts in the
+    FINAL executed plan — pins the exchange-reuse invariant that
+    ``functions/rank.py`` depends on for correctness.  Executes the query.
+    """
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the initial plan after the final one; keep
+    # only the final section (up to the "+- == Initial Plan ==" divider).
+    final = final.split("Initial Plan")[0]
+    mat = reused = 0
+    for line in final.splitlines():
+        if "rangepartitioning" not in line:
+            continue
+        if "ReusedExchange" in line:
+            reused += 1
+        elif "Exchange rangepartitioning" in line:
+            mat += 1
+    return mat, reused
+
+
 def has_python_in_plan(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return any(

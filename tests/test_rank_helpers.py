@@ -1,0 +1,152 @@
+"""functions/rank.py: range-partitioned global-order primitives.
+
+Each helper is checked VALUE-FOR-VALUE against the single-partition
+window it replaces, plus the plan invariants the module depends on:
+exactly one materialized range exchange (the reuse invariant that makes
+``repartitionByRange``'s sampled boundaries consistent across branches)
+and no empty-partition window spec in the output plan.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from lambda_arc_events_filter_spark.functions.rank import (
+    global_order_stats,
+    range_bounded_frame,
+)
+from lambda_arc_events_filter_spark.plans import inspect as I
+
+
+@pytest.fixture(scope="module")
+def rdf(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 500), rng.random()) for i in range(10_000)]
+    return spark.createDataFrame(rows, "id long, v long, x double").repartition(8)
+
+
+def _rows(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_rank_and_running_match_single_partition_window(rdf):
+    out = global_order_stats(
+        rdf.select("v", "id", "x"),
+        ["v", "id"],
+        rank="rk",
+        running={"cum": ("v", "sum"), "mx": ("x", "max")},
+    )
+    w = Window.orderBy("v", "id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = rdf.select(
+        "v",
+        "id",
+        "x",
+        F.row_number().over(w).alias("rk"),
+        F.sum("v").over(wr).alias("cum"),
+        F.max("x").over(wr).alias("mx"),
+    )
+    cols = ("v", "id", "x", "rk", "cum", "mx")
+    assert _rows(out, *cols) == _rows(ref, *cols)
+
+
+def test_exclusive_desc_running_min(rdf):
+    out = global_order_stats(
+        rdf.select("v", "id", "x"),
+        [("v", "desc"), "id"],
+        running={"xm": ("x", "min")},
+        exclusive=True,
+    )
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ref = rdf.select("v", "id", "x", F.min("x").over(w).alias("xm"))
+    cols = ("v", "id", "x", "xm")
+    assert _rows(out, *cols) == _rows(ref, *cols)
+
+
+def test_key_join_back_carries_payload(rdf):
+    out = global_order_stats(rdf, ["v", "id"], rank="rk", key=["id"])
+    ref = rdf.select(
+        "id", "v", "x", F.row_number().over(Window.orderBy("v", "id")).alias("rk")
+    )
+    cols = ("id", "v", "x", "rk")
+    assert _rows(out, *cols) == _rows(ref, *cols)
+
+
+def test_payload_without_key_is_rejected(rdf):
+    with pytest.raises(ValueError, match="non-core"):
+        global_order_stats(rdf, ["v", "id"], rank="rk")
+
+
+def test_single_materialized_range_exchange(rdf):
+    """The correctness invariant: both branches must share ONE sampled
+    range exchange (ReusedExchange), or per-partition offsets rebase the
+    wrong rows."""
+    out = global_order_stats(
+        rdf.select("v", "id"), ["v", "id"], rank="rk", running={"cum": ("v", "sum")}
+    )
+    mat, reused = I.executed_range_exchanges(out)
+    assert mat == 1, f"expected exactly 1 materialized range exchange, got {mat}"
+    assert reused >= 1
+
+
+def test_helper_plans_have_no_empty_partition_window(rdf):
+    out = global_order_stats(
+        rdf.select("v", "id"), ["v", "id"], rank="rk", running={"cum": ("v", "sum")}
+    )
+    assert I.empty_partition_window_specs(out) == []
+    out2 = range_bounded_frame(
+        rdf, ["v", "id"], 1, 1, {"lg": lambda w: F.lag("x").over(w)}
+    )
+    assert I.empty_partition_window_specs(out2) == []
+
+
+def test_empty_partition_lint_flags_global_window(rdf):
+    bad = rdf.select("v", F.row_number().over(Window.orderBy("v", "id")).alias("r"))
+    assert I.empty_partition_window_specs(bad), "lint must flag the global window"
+
+
+def test_bounded_frame_lag_lead_sliding(rdf):
+    out = range_bounded_frame(
+        rdf,
+        ["v", "id"],
+        before=2,
+        after=3,
+        exprs={
+            "lg": lambda w: F.lag("v", 2).over(w),
+            "ld": lambda w: F.lead("x", 3).over(w),
+            "sl": lambda w: F.sum("v").over(w.rowsBetween(-2, 3)),
+        },
+    )
+    w = Window.orderBy("v", "id")
+    ref = rdf.select(
+        "id",
+        "v",
+        "x",
+        F.lag("v", 2).over(w).alias("lg"),
+        F.lead("x", 3).over(w).alias("ld"),
+        F.sum("v").over(w.rowsBetween(-2, 3)).alias("sl"),
+    )
+    cols = ("id", "v", "x", "lg", "ld", "sl")
+    assert _rows(out, *cols) == _rows(ref, *cols)
+
+
+def test_bounded_frame_tiny_relation(spark):
+    """Fewer rows than partitions: ghosts at every boundary still resolve."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(5)], "i long, n long")
+    out = range_bounded_frame(
+        df, ["i"], 1, 1, {"p": lambda w: F.lag("n").over(w), "q": lambda w: F.lead("n").over(w)}
+    )
+    ref = df.select(
+        "i",
+        "n",
+        F.lag("n").over(Window.orderBy("i")).alias("p"),
+        F.lead("n").over(Window.orderBy("i")).alias("q"),
+    )
+    cols = ("i", "n", "p", "q")
+    assert _rows(out, *cols) == _rows(ref, *cols)
