@@ -46,7 +46,7 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
 os.environ.setdefault("SPARK_GRAFT_AQE", "false")
 
 from lambda_arc_events_filter_spark.registry import specs
-from lambda_arc_events_filter_spark.session import get_spark
+from lambda_arc_events_filter_spark.session import fixture_conf, get_spark
 
 #: Headline set — one per major operator family (extended as families land).
 HEADLINE = [
@@ -117,10 +117,31 @@ def _materialize(name: str, df) -> None:
         df.collect()
 
 
+def _measure_floor(spark) -> dict[str, float]:
+    """Local-mode per-query floor: the wall cost of dispatching and
+    collecting an EMPTY single-stage plan through each result path.
+    This is the part of a sub-second query's wall time that measures the
+    harness (DAG submit, scheduler round-trip, collect/Arrow setup), not
+    the engine's compute — it amortizes to ~0 at real data volumes.
+    Reported alongside wall so the artifact carries both the honest wall
+    ratio and the compute-only ratio (wall − floor)."""
+    floors: dict[str, float] = {}
+    for path in ("collect", "toPandas"):
+        empty = spark.range(0)
+        getattr(empty, path)()  # warm the path
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            getattr(spark.range(0), path)()
+            ts.append(time.time() - t0)
+        floors[path] = round(min(ts), 4)
+    return floors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    spark = get_spark("bench", extra_conf=fixture_conf())
     all_specs = specs()
     names = [n for n in HEADLINE if n in all_specs]
     if len(sys.argv) > 1:  # optional substring filter for local iteration
@@ -141,6 +162,18 @@ def main() -> None:
         reps[name].append(time.time() - t0)
     timings = {n: round(min(ts), 4) for n, ts in reps.items()}
     total = round(sum(timings.values()), 4)
+    floors = _measure_floor(spark)
+    compute_only = {
+        n: round(
+            max(
+                0.0,
+                timings[n]
+                - floors["toPandas" if n in _ARROW_RESULTS else "collect"],
+            ),
+            4,
+        )
+        for n in names
+    }
     print(
         json.dumps(
             {
@@ -149,6 +182,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # local-mode dispatch/collect floor per result path and the
+                # floor-subtracted per-query seconds (see _measure_floor);
+                # "value" stays the honest wall total.
+                "floor": floors,
+                "queries_compute_only": compute_only,
+                "compute_only_total": round(sum(compute_only.values()), 4),
+                # result materialization is per-query (Arrow→pandas for
+                # >10k-row results, plain collect otherwise — see
+                # _ARROW_RESULTS); recorded so the protocol is reproducible
+                "arrow_results": sorted(_ARROW_RESULTS & set(names)),
             }
         )
     )

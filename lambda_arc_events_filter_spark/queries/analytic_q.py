@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.rank import global_order_stats
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -886,10 +887,11 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic in a pinned order (revenue desc, partkey)
     — engines disagree on float summation ASSOCIATION (segment-tree vs
     streaming window sums), but not on integer addition, so the A/B
-    boundary cannot flip on a last-ulp drift.  The global-order window is
-    the one genuinely serial step; at 100 TB it becomes a range-partition
-    by revenue + partition-offset rebase (the exact-percentile 'range'
-    strategy this engine already ships in ``functions/stats.py``).
+    boundary cannot flip on a last-ulp drift — including across the
+    range-partition combine.  The running total RUNS range-partitioned
+    (``functions/rank.py``: repartitionByRange + per-partition running
+    sum + broadcast offset rebase): no single-partition window, no
+    serial step; the grand total is a 1-row broadcast.
     """
     li = load(spark, sf_dir, "lineitem")
     # quantize PER ROW, sum integers: a per-part float sum then a single
@@ -904,18 +906,15 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("cents")
     )
-    order = Window.orderBy(F.col("cents").desc(), "l_partkey")
-    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # total over the SAME ordering (full frame) so Catalyst evaluates both
-    # sums in one Window operator over one sort — a Window.partitionBy()
-    # total would be a second window pass
-    wt = order.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    tot = pr.agg(F.sum("cents").alias("total_cents"))
     share = F.col("cum_cents") * 1.0 / F.col("total_cents")
     return (
-        pr.withColumn("cum_cents", F.sum("cents").over(w))
-        .withColumn("total_cents", F.sum("cents").over(wt))
+        global_order_stats(
+            pr,
+            [("cents", "desc"), "l_partkey"],
+            running={"cum_cents": ("cents", "sum")},
+        )
+        .join(F.broadcast(tot))
         .select(
             "l_partkey",
             F.round(F.col("cents") / 100.0, 2).alias("revenue"),
@@ -1184,11 +1183,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintile is inverted so 5 = most recent).
 
     Shape: one hash(custkey) aggregate over orders, then three global
-    rank windows over the |customers| relation — at 100 TB the base
-    aggregate is the only corpus-scale stage; the scoring runs on the
-    aggregated relation, and each rank window is a range-partitionable
-    global sort (functions/stats.py's range strategy is the documented
-    cliff-free path).
+    ranks over the |customers| relation — at 100 TB the base aggregate
+    is the only corpus-scale stage; each rank runs range-partitioned
+    (``functions/rank.py``: repartitionByRange + per-partition
+    row_number + broadcast offset rebase, joined back on custkey), so
+    the scoring involves no single-partition window; the customer count
+    is a 1-row broadcast.
     """
     o = load(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("max_d"))
@@ -1209,18 +1209,26 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    n = Window.partitionBy()
+    cnt_row = base.agg(F.count(F.lit(1)).alias("_cnt"))
+    ranked = base
+    for metric in ("recency_days", "frequency", "monetary_cents"):
+        ranked = global_order_stats(
+            ranked, [metric, "c_custkey"], rank=f"_rn_{metric}", key=["c_custkey"]
+        )
+    ranked = ranked.join(F.broadcast(cnt_row))
 
-    def quintile(order_col):
-        rn = F.row_number().over(Window.orderBy(order_col, "c_custkey"))
-        cnt = F.count(F.lit(1)).over(n)
-        return F.floor((rn - 1) * 5.0 / cnt).cast("long") + 1
+    def quintile(metric):
+        rn = F.col(f"_rn_{metric}")
+        return F.floor((rn - 1) * 5.0 / F.col("_cnt")).cast("long") + 1
 
-    scored = base.select(
-        "*",
-        (6 - quintile(F.col("recency_days"))).alias("r_score"),
-        quintile(F.col("frequency")).alias("f_score"),
-        quintile(F.col("monetary_cents")).alias("m_score"),
+    scored = ranked.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (6 - quintile("recency_days")).alias("r_score"),
+        quintile("frequency").alias("f_score"),
+        quintile("monetary_cents").alias("m_score"),
     )
     segment = (
         F.when(
@@ -1281,13 +1289,14 @@ def orders_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     freshest offers, best price/performance points).
 
     The naive formulation is a quadratic NOT EXISTS self-join; the
-    engine computes it in one analytic pass: sort by price (integer
-    cents), take the running max of date over the RANGE frame ending 1
-    cent before the current row (value-based frame, so equal-price rows
-    never see each other — strict dominance preserved exactly), and keep
-    rows whose date ties-or-beats every strictly-cheaper order.  One
-    global sort — range-partitionable at scale, the same posture as
-    every rank pass — versus the self-join's |orders|² pair stream.
+    engine computes it analytically: collapse to one row per distinct
+    price (max date — map-side combinable, and a row per PRICE makes
+    "strictly cheaper" an exclusive ROWS frame, preserving strict
+    dominance exactly like the oracle's value-based RANGE frame), take
+    the range-partitioned exclusive running max (``functions/rank.py``
+    — no single-partition window, no serial sort), and join the
+    per-price frontier bound back to the orders on price.  Versus the
+    self-join's |orders|² pair stream this is two shuffles by price.
     """
     o = load(spark, sf_dir, "orders")
     s = o.select(
@@ -1295,12 +1304,15 @@ def orders_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
         F.floor(F.unix_timestamp("o_orderdate")).cast("long").alias("date_sec"),
     )
-    w = (
-        Window.orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
+    per_price = s.groupBy("price_cents").agg(F.max("date_sec").alias("mx"))
+    bound = global_order_stats(
+        per_price,
+        ["price_cents"],
+        running={"best_cheaper": ("mx", "max")},
+        exclusive=True,
+    ).select("price_cents", "best_cheaper")
     return (
-        s.withColumn("best_cheaper", F.max("date_sec").over(w))
+        s.join(bound, "price_cents")
         .filter(
             F.col("best_cheaper").isNull()
             | (F.col("best_cheaper") <= F.col("date_sec"))
@@ -1595,17 +1607,17 @@ def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_region = Window.partitionBy("r_name")
-    w_global = Window.partitionBy()
-    return rev.select(
+    # the global denominator is a 1-row broadcast, not a partition-less
+    # window (which would move the relation to a single task)
+    tot = rev.agg(F.sum("revenue").alias("_g"))
+    return rev.join(F.broadcast(tot)).select(
         "r_name",
         "n_name",
         F.round("revenue", 2).alias("revenue"),
         F.round(
             F.col("revenue") / F.sum("revenue").over(w_region), 6
         ).alias("pct_of_region"),
-        F.round(
-            F.col("revenue") / F.sum("revenue").over(w_global), 6
-        ).alias("pct_of_global"),
+        F.round(F.col("revenue") / F.col("_g"), 6).alias("pct_of_global"),
     )
 
 

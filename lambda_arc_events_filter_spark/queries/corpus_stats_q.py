@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.rank import global_order_stats
 from lambda_arc_events_filter_spark.operators import dedup as D
 from lambda_arc_events_filter_spark.registry import register
 
@@ -520,9 +521,15 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quadratic state): each term contributes exactly once at its FIRST
     document (min(doc_id) per term — one explode→min aggregate), so
     cumulative vocabulary = running sum of per-doc first-use counts.
-    The decile rollup leaves a 10-row frame; the final running sums are
-    single-partition window work on 10 rows.  Both engines ntile over
-    the identical unique doc_id order — deterministic.
+    The decile label reproduces ntile(10) ARITHMETICALLY from the
+    range-partitioned global rank (``functions/rank.py``) and the doc
+    count n: with q = n div 10, r = n mod 10, the first r buckets hold
+    q+1 rows — bucket(i) = ceil(i/(q+1)) while i ≤ r(q+1), else
+    r + ceil((i − r(q+1))/q); integer-exact, identical to both engines'
+    ntile convention, and free of any single-partition window.  The
+    final cumsum over the 10-row decile frame is a triangular self-join
+    (≤ 100 pairs) — window-free.  Both engines order by the identical
+    unique doc_id — deterministic.
     """
     d = D.with_tokens(load(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode("tokens").alias("tok"))
@@ -534,21 +541,49 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = doc_tok.join(doc_new, "doc_id", "left").select(
         "doc_id", "n_tok", F.coalesce("new_terms", F.lit(0)).alias("new_terms")
     )
-    dec = per_doc.select(
-        F.ntile(10).over(Window.orderBy("doc_id")).cast("int").alias("decile"),
-        "n_tok",
-        "new_terms",
+    n_row = per_doc.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = global_order_stats(
+        per_doc, ["doc_id"], rank="_i", key=["doc_id"]
+    ).join(F.broadcast(n_row))
+    # ntile(10) arithmetic: q = n div 10, r = n mod 10, t = r*(q+1);
+    # bucket(i) = ceil(i/(q+1)) for i ≤ t else r + ceil((i-t)/q), with
+    # integer ceil-div spelled (a + b - 1) div b — exact at any n
+    qq = (F.col("_n") - F.col("_n") % 10) / 10  # double but integral
+    dec = (
+        ranked.withColumn("_q", F.floor(qq).cast("long"))
+        .withColumn("_r", (F.col("_n") % 10).cast("long"))
+        .withColumn("_t", F.col("_r") * (F.col("_q") + 1))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("_i") <= F.col("_t"),
+                F.floor(
+                    (F.col("_i") + F.col("_q"))
+                    / (F.col("_q") + 1)
+                ),
+            )
+            .otherwise(
+                F.col("_r")
+                + F.floor(
+                    (F.col("_i") - F.col("_t") + F.col("_q") - 1)
+                    / F.col("_q")
+                )
+            )
+            .cast("int"),
+        )
     )
     per_dec = dec.groupBy("decile").agg(
         F.sum("n_tok").alias("toks"), F.sum("new_terms").alias("news")
     )
-    wc = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return per_dec.select(
-        "decile",
-        F.sum("toks").over(wc).cast("long").alias("cum_tokens"),
-        F.sum("news").over(wc).cast("long").alias("cum_vocab"),
+    # 10-row cumulative sums via a triangular self-join — window-free
+    a, b = per_dec.alias("a"), per_dec.alias("b")
+    return (
+        a.join(b, F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(
+            F.sum("b.toks").cast("long").alias("cum_tokens"),
+            F.sum("b.news").cast("long").alias("cum_vocab"),
+        )
     )
 
 

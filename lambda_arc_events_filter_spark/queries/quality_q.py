@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.rank import range_bounded_frame
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1384,21 +1385,28 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds and capacity planning.
 
     The corpus-scale work is the hourly rollup (map-side combinable);
-    the lag/lead classification runs over the tiny hourly series in a
-    single-partition window — a few hundred rows at any corpus size,
-    because the series length is bounded by the TIME RANGE, not the
-    event count.  All comparisons are integer counts.
+    the lag/lead classification runs over the tiny hourly series — a few
+    hundred rows at any corpus size, because the series length is
+    bounded by the TIME RANGE, not the event count — via the
+    range-partitioned ghost-row frame, so no single-partition window
+    appears anywhere in the plan.  All comparisons are integer counts.
     """
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("hr")
-    flagged = hourly.select(
-        "hr",
-        "n",
-        F.lag("n").over(w).alias("prev_n"),
-        F.lead("n").over(w).alias("next_n"),
+    # lag/lead over the range-partitioned hourly series with ghost-row
+    # overlap (functions/rank.py) — the series is time-bounded, but the
+    # plan stays free of single-partition windows either way
+    flagged = range_bounded_frame(
+        hourly,
+        ["hr"],
+        1,
+        1,
+        {
+            "prev_n": lambda w: F.lag("n").over(w),
+            "next_n": lambda w: F.lead("n").over(w),
+        },
     )
     shape = (
         F.when(

@@ -17,6 +17,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.rank import (
+    global_order_stats,
+    range_bounded_frame,
+)
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1552,9 +1556,18 @@ def events_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = hourly.groupBy(
         F.hour("hr").cast("long").alias("hod")
     ).agg(F.round(F.avg("n"), 6).alias("seasonal"))
-    w = Window.orderBy("hr").rowsBetween(-11, 12)
+    # the ±12h sliding mean runs over the range-partitioned hourly series
+    # with ghost-row overlap (functions/rank.py) — the series is
+    # time-bounded, but the plan stays single-partition-free either way
+    trended = range_bounded_frame(
+        hourly,
+        ["hr"],
+        11,
+        12,
+        {"trend_raw": lambda w: F.avg("n").over(w.rowsBetween(-11, 12))},
+    )
     return (
-        hourly.join(
+        trended.join(
             F.broadcast(profile),
             F.hour(F.col("hr")).cast("long") == F.col("hod"),
         )
@@ -1565,7 +1578,7 @@ def events_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") - F.col("seasonal"), 6).alias(
                 "deseasonalized"
             ),
-            F.round(F.avg("n").over(w), 6).alias("trend_24h"),
+            F.round(F.col("trend_raw"), 6).alias("trend_24h"),
         )
     )
 
@@ -1739,7 +1752,9 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT event_type,
-           round(sum((p - q) * ln(p / q)), 6) AS psi,
+           round(sum(((coalesce(p, 0) + 1e-6) - (coalesce(q, 0) + 1e-6))
+                     * ln((coalesce(p, 0) + 1e-6)
+                          / (coalesce(q, 0) + 1e-6))), 6) AS psi,
            CAST(count(*) AS BIGINT)           AS n_bins
     FROM props
     GROUP BY event_type
@@ -1804,11 +1819,15 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
+    # ε-smoothing: a bin with zero mass in either half yields NULL p or q;
+    # without the floor its (p−q)·ln(p/q) term would silently drop from
+    # the sum — understating PSI precisely when drift is most extreme (a
+    # bin emptying out).  coalesce-to-0 + 1e-6 floor keeps every bin's
+    # term finite and counted, mirrored token-for-token in the oracle.
+    p_s = F.coalesce(F.col("p"), F.lit(0.0)) + 1e-6
+    q_s = F.coalesce(F.col("q"), F.lit(0.0)) + 1e-6
     return props.groupBy("event_type").agg(
-        F.round(
-            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
-            6,
-        ).alias("psi"),
+        F.round(F.sum((p_s - q_s) * F.log(p_s / q_s)), 6).alias("psi"),
         F.count(F.lit(1)).alias("n_bins"),
     )
 
@@ -1900,33 +1919,41 @@ def users_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("conv"), 1).otherwise(0)).cast("long").alias("d"),
         F.count(F.lit(1)).alias("exits"),
     )
-    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = per_t.select(
-        "t",
-        "d",
-        F.sum("exits").over(w_desc).cast("long").alias("n_at_risk"),
-    )
-    w_asc = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # both cumulative passes (reverse at-risk count, forward log-survival)
+    # run range-partitioned (functions/rank.py) — the duration axis is
+    # day-granular and time-bounded, but the plan stays free of
+    # single-partition windows either way.  The cross-partition combine
+    # re-associates the double log-sum (±1 ulp vs a sequential fold, far
+    # inside the round-6 guard; the at-risk count is integer-exact).
+    risk = global_order_stats(
+        per_t,
+        [("t", "desc")],
+        running={"n_at_risk": ("exits", "sum")},
+        key=["t"],
+    ).withColumn("n_at_risk", F.col("n_at_risk").cast("long"))
     # the final event time can have d == n (everyone remaining converts):
     # that factor is exactly 0 and ln(0) ERRORS in DuckDB (−inf in Spark)
     # — zero factors go through as a neutral 1 inside the log-sum and a
     # running-min guard pins survival to 0.0 from that point on
     factor = 1.0 - F.col("d") * 1.0 / F.col("n_at_risk")
-    log_surv = F.sum(
+    enriched = risk.withColumn("factor", factor).withColumn(
+        "lg",
         F.log(
-            F.when(F.col("d") < F.col("n_at_risk"), factor).otherwise(
+            F.when(F.col("d") < F.col("n_at_risk"), F.col("factor")).otherwise(
                 F.lit(1.0)
             )
-        )
-    ).over(w_asc)
-    surv = F.when(F.min(factor).over(w_asc) == 0, F.lit(0.0)).otherwise(
-        F.round(F.exp(log_surv), 6)
+        ),
     )
-    return risk.withColumn("survival", surv).filter(
+    run = global_order_stats(
+        enriched,
+        ["t"],
+        running={"log_surv": ("lg", "sum"), "min_f": ("factor", "min")},
+        key=["t"],
+    )
+    surv = F.when(F.col("min_f") == 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("log_surv")), 6)
+    )
+    return run.withColumn("survival", surv).filter(
         F.col("d") > 0
     ).select("t", "d", "n_at_risk", "survival")
 
@@ -2197,26 +2224,36 @@ def orders_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     practical question it answers: can the biggest orders be treated as
     outliers, or are they the distribution?
 
-    Top-k+1 via a deterministic rank (value desc, key tiebreak) —
-    TakeOrdered-class work, never a full sort retained; the log-excess
-    mean runs over 100 rows against the broadcast threshold order
-    statistic.  Both engines divide identical doubles inside ln().
+    Top-k+1 via ``orderBy(desc).limit(101)`` — plans
+    TakeOrderedAndProject (per-partition heap of 101, merge on the
+    driver-side reduce; never a full sort, never a single-partition
+    window; pinned by test_plans).  The whole computation is then
+    aggregates over the bounded 101-row relation: sorted desc by x, the
+    101st row has x = min(x) = x_k (the threshold order statistic), its
+    own log-excess term is ln(x_k/x_k) = 0, so the top-100 sum equals
+    the top-101 sum and the divisor is count−1; x_threshold (min over
+    the top-100) is the second-smallest of the 101, and under a tie at
+    the boundary every candidate for exclusion carries the identical x —
+    so all aggregates are rank-free.  Both engines divide identical
+    doubles inside ln().
     """
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    ranked = o.select(
-        F.col("o_totalprice").alias("x"), F.row_number().over(w).alias("rk")
+    top101 = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(101)
     )
-    xk = ranked.filter(F.col("rk") == 101).select(
-        F.col("x").alias("x_k")
-    )
-    top = ranked.filter(F.col("rk") <= 100)
+    xk = top101.agg(F.min("x").alias("x_k"))
     log_excess = F.log(F.col("x") / F.col("x_k"))
-    return top.join(F.broadcast(xk)).agg(
-        F.count(F.lit(1)).alias("k_used"),
-        F.round(F.min("x"), 2).alias("x_threshold"),
-        F.round(F.avg(log_excess), 6).alias("mean_log_excess"),
-        F.round(1.0 / F.avg(log_excess), 6).alias("hill_alpha"),
+    k = F.count(F.lit(1)) - 1
+    mean_log = F.sum(log_excess) / k
+    return top101.join(F.broadcast(xk)).agg(
+        k.cast("long").alias("k_used"),
+        F.round(F.sort_array(F.collect_list("x")).getItem(1), 2).alias(
+            "x_threshold"
+        ),
+        F.round(mean_log, 6).alias("mean_log_excess"),
+        F.round(1.0 / mean_log, 6).alias("hill_alpha"),
     )
 
 
@@ -2264,11 +2301,13 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     physically.
 
     Revenues accumulate in integer cents (the structural rounding
-    discipline), ranks are a deterministic (cents, custkey) window, and
+    discipline), ranks are a deterministic (cents, custkey) order, and
     every product i·xᵢ is integer×integer summed exactly — the Gini
     arithmetic is fully exact until the final two divisions of identical
-    operands.  One aggregate + one rank window over the per-customer
-    relation (≪ orders), never the fact table.
+    operands.  One aggregate over orders, then the rank over the
+    per-customer relation (≪ orders, but GROWS with the data) runs
+    range-partitioned (``functions/rank.py``) — no single-partition
+    window anywhere; n/total are a 1-row broadcast.
     """
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
@@ -2276,16 +2315,18 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    w_rank = Window.orderBy("cents", "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(w_rank).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("cents").over(w_all).alias("total"),
-    ).withColumn(
-        "top_decile",
-        F.col("i") > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    ranked = (
+        global_order_stats(
+            rev.select("cents", "o_custkey"), ["cents", "o_custkey"], rank="i"
+        )
+        .join(F.broadcast(tot))
+        .withColumn(
+            "top_decile",
+            F.col("i") > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
+        )
     )
     n, total = F.max("n"), F.max("total")
     return ranked.agg(
@@ -2350,11 +2391,14 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, different spread), completing the comparison toolkit beside
     Welch (means), χ²/MI (categorical), and PSI (binned drift).
 
-    The supremum is attained at sample points, so one ordered pass
-    suffices: running per-sample counts at each distinct value, then
-    max of |ca·nb − cb·na| kept in INTEGERS (cross-multiplied — no
-    per-step float division) and divided once at the end.  Exact up to
-    that single division of identical operands.
+    The supremum is attained at sample points, so per-VALUE counts
+    suffice: group the fact table down to one row per distinct value
+    (map-side combinable — the only corpus-scale stage), then the
+    running CDF counts come from the range-partitioned running sum
+    (``functions/rank.py``) — the fact table never feeds a
+    single-partition window.  max|ca·nb − cb·na| stays in INTEGERS
+    (cross-multiplied — no per-step float division) and divides once at
+    the end.  Exact up to that single division of identical operands.
     """
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
@@ -2365,19 +2409,15 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_a"
         ),
     )
-    tot = s.agg(
-        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    g = s.groupBy("value").agg(
+        F.sum("is_a").alias("a_inc"),
+        F.sum(1 - F.col("is_a")).alias("b_inc"),
     )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    tot = g.agg(
+        F.sum("a_inc").alias("na"), F.sum("b_inc").alias("nb")
     )
-    steps = s.select(
-        "value",
-        F.sum("is_a").over(w).alias("ca"),
-        F.sum(1 - F.col("is_a")).over(w).alias("cb"),
-    )
-    at_points = steps.groupBy("value").agg(
-        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    at_points = global_order_stats(
+        g, ["value"], running={"ca": ("a_inc", "sum"), "cb": ("b_inc", "sum")}
     )
     return (
         at_points.join(F.broadcast(tot))
@@ -2439,12 +2479,15 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy tails Welch's t inherits (its KS sibling above compares
     whole shapes; U asks only "which group tends larger").
 
-    Ranks come from one global row_number (deterministic value order)
-    with tie groups averaged by a value-partitioned window — average
-    ranks are k+0.5-exact dyadics, their sums exact in doubles below
-    2^53, so every output is exact before the final half-integer
-    rounding.  The machinery is the same rank pass as the exact
-    percentiles; at scale the 'range' strategy substitutes identically.
+    A tie group occupying ranks [C_prev+1, C_prev+cnt] has average rank
+    C_prev + (cnt+1)/2, so ranks never need materializing per ROW: group
+    the fact table to one row per distinct value (cnt, ca — the only
+    corpus-scale stage, map-side combinable), take the range-partitioned
+    running count (``functions/rank.py`` — no single-partition window
+    over the fact table or anything else), and each group contributes
+    ca·avg_rank to the rank sum.  Average ranks are k+0.5-exact dyadics
+    and every product/sum stays an exact dyadic below 2^52, so both
+    engines agree bit-for-bit before the final half-integer rounding.
     """
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
@@ -2455,19 +2498,18 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_a"
         ),
     )
-    w_rank = Window.orderBy("value")
-    rn = s.select(
-        "value", "is_a", F.row_number().over(w_rank).alias("rn")
+    g = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_a").alias("ca")
     )
-    ranked = rn.select(
-        "is_a",
-        F.avg("rn").over(Window.partitionBy("value")).alias("avg_rank"),
+    run = global_order_stats(
+        g, ["value"], running={"cum": ("cnt", "sum")}, key=["value"]
     )
-    na = F.sum("is_a")
-    ra = F.sum(F.when(F.col("is_a") == 1, F.col("avg_rank")))
-    return ranked.agg(
+    avg_rank = (F.col("cum") - F.col("cnt")) + (F.col("cnt") + 1.0) / 2
+    na = F.sum("ca")
+    ra = F.sum(F.col("ca") * avg_rank)
+    return run.agg(
         na.cast("long").alias("n_a"),
-        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt") - F.col("ca")).cast("long").alias("n_b"),
         F.round(ra, 1).alias("rank_sum_a"),
         F.round(ra - na * (na + 1.0) / 2, 1).alias("u_a"),
     )
@@ -2501,10 +2543,10 @@ _HUBS = [
     ),
     dists AS (
       SELECT p.user_id, h.hub,
-             round(2 * 6371.0 * asin(sqrt(
+             round(2 * 6371.0 * asin(sqrt(least(1.0,
                pow(sin(radians(h.hlat - p.lat) / 2), 2)
                + cos(radians(p.lat)) * cos(radians(h.hlat))
-                 * pow(sin(radians(h.hlon - p.lon) / 2), 2))), 3) AS km
+                 * pow(sin(radians(h.hlon - p.lon) / 2), 2)))), 3) AS km
       FROM pts p CROSS JOIN hubs h
     ),
     nearest AS (
@@ -2548,16 +2590,24 @@ def users_geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = pts.sparkSession.createDataFrame(
         _HUBS, "hub string, hlat double, hlon double"
     )
+    # clamp the haversine argument at 1.0: near-antipodal pairs can float-
+    # round fractionally above 1, turning asin(sqrt(x)) into NaN in both
+    # engines — mirrored as least(1.0, ...) in the oracle
     hav = F.round(
         2
         * 6371.0
         * F.asin(
             F.sqrt(
-                F.pow(F.sin(F.radians(F.col("hlat") - F.col("lat")) / 2), 2)
-                + F.cos(F.radians("lat"))
-                * F.cos(F.radians("hlat"))
-                * F.pow(
-                    F.sin(F.radians(F.col("hlon") - F.col("lon")) / 2), 2
+                F.least(
+                    F.lit(1.0),
+                    F.pow(
+                        F.sin(F.radians(F.col("hlat") - F.col("lat")) / 2), 2
+                    )
+                    + F.cos(F.radians("lat"))
+                    * F.cos(F.radians("hlat"))
+                    * F.pow(
+                        F.sin(F.radians(F.col("hlon") - F.col("lon")) / 2), 2
+                    ),
                 )
             )
         ),

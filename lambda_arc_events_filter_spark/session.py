@@ -17,6 +17,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def fixture_conf() -> dict[str, str]:
+    """Toy-scale sizing for the sf0.001-0.1 parquet FIXTURES — pass as
+    ``get_spark(extra_conf=fixture_conf())`` from tests/tools/bench only.
+
+    Fixture tables are single-digit-MB files: the 128m cluster default
+    packs each into ONE scan task, and AQE's 64m advisory coalesces
+    CPU-heavy but byte-light stages (HOF shingling, signature arithmetic,
+    pair joins) to one task.  1m splits a compacted multi-row-group file
+    (catalog._ingested_path) across the local cores; 4m keeps local
+    post-shuffle parallelism.  Cluster deployments use the defaults in
+    ``get_spark`` (SCALE.md §confs).
+    """
+    return {
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+            "SPARK_GRAFT_AQE_ADVISORY_BYTES", "4m"
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "lambda-arc-events-filter-spark",
     master: str | None = None,
@@ -43,17 +65,16 @@ def get_spark(
         ),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # AQE coalesces by BYTES; at small scale factors CPU-heavy stages
-        # (HOF shingling, signature arithmetic, pair joins) are byte-light
-        # and would collapse to one task under the 64m default.  4m keeps
-        # local parallelism; on a real cluster raise it back toward 64m.
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
-        # Same local-vs-cluster sizing logic for SCANS: fixture tables are
-        # single-digit-MB files, which the 128m default packs into ONE task.
-        # 1m splits a compacted multi-row-group file (catalog._ingested_path)
-        # across the local cores; on a real cluster raise it back to 128m+.
+        # DEFAULTS ARE THE CLUSTER VALUES.  The 64m advisory and 128m scan
+        # split are right for real data volumes; the FIXTURE harnesses
+        # (bench.py / tests / tools) opt INTO toy-scale sizing explicitly
+        # via fixture_conf() below — a bare get_spark() must never bake
+        # toy-scale settings into a production-shaped session.
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+            "SPARK_GRAFT_AQE_ADVISORY_BYTES", "64m"
+        ),
         "spark.sql.files.maxPartitionBytes": os.environ.get(
-            "SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"
         ),
         "spark.sql.cbo.enabled": "true",
         "spark.sql.cbo.joinReorder.enabled": "true",

@@ -7,7 +7,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from lambda_arc_events_filter_spark.session import get_spark  # noqa: E402
+from lambda_arc_events_filter_spark.session import fixture_conf, get_spark  # noqa: E402
 from lambda_arc_events_filter_spark.testing import duck_connection  # noqa: E402
 
 # Small SF for fast unit runs; the driver's own gate runs sf0.01.
@@ -16,7 +16,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    s = get_spark(
+        "tests",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        extra_conf=fixture_conf(),
+    )
     yield s
 
 

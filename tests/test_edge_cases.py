@@ -176,3 +176,25 @@ def test_salted_join_empty_big_side(spark, sf_dir):
         _empty_like(o), c, on="c_custkey", salt_col="o_orderkey"
     )
     assert out.count() == 0
+
+
+def test_ancestor_rollup_cycle_raises_strict(spark):
+    """A cycle can never resolve: strict mode (default) must fail loudly
+    instead of emitting root_id=NULL rows with partial accumulators."""
+    import pytest as _pytest
+
+    from lambda_arc_events_filter_spark.operators.graph import ancestor_rollup
+
+    nodes = spark.createDataFrame(
+        [(1, 2, 10), (2, 1, 20), (3, None, 30)], "id long, parent long, v long"
+    )
+    with _pytest.raises(ValueError, match="unresolved"):
+        ancestor_rollup(nodes, "id", "parent", "v", max_depth=4).collect()
+    # non-strict passes the stranded pair through with NULL roots
+    out = {
+        r["id"]: r["root_id"]
+        for r in ancestor_rollup(
+            nodes, "id", "parent", "v", max_depth=4, strict=False
+        ).collect()
+    }
+    assert out[3] == 3 and out[1] is None and out[2] is None

@@ -255,3 +255,31 @@ def test_lateral_join_decorrelates_to_window(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert "LateralJoin" not in plan, "lateral must be decorrelated"
     assert not I.has_python_in_plan(df)
+
+
+# Queries whose plan legitimately keeps a partition-less window, each with
+# the structural reason the relation CANNOT grow with data volume.  Any
+# other query sprouting one is a scale regression and fails the lint.
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    # sequential EWMA recurrence over the DAILY rollup: series length is
+    # bounded by the calendar span, and a recurrence cannot re-associate
+    # without changing float results (statistics_q.events_ewma_daily).
+    "events_ewma_daily",
+}
+
+
+def test_no_single_partition_window_over_unbounded_relation(spark, sf_dir):
+    """Registry-wide lint: a Window with an empty partition spec plans as
+    WindowExec over SinglePartition — every input row moves to ONE task.
+    The range-partitioned helpers (functions/rank.py) exist so no query
+    needs one; the allowlist above carries the only justified exceptions."""
+    skip_tags = {"streaming", "source", "sink", "iterative"}
+    offenders = {}
+    for name, s in ALL.items():
+        if skip_tags & set(s.tags) or name in _BOUNDED_GLOBAL_WINDOW_OK:
+            continue
+        df = s.fn(spark, sf_dir)
+        bad = I.empty_partition_window_specs(df)
+        if bad:
+            offenders[name] = bad[0]
+    assert not offenders, f"single-partition windows: {offenders}"

@@ -13,14 +13,14 @@ import sys
 import time
 
 from lambda_arc_events_filter_spark.registry import specs
-from lambda_arc_events_filter_spark.session import get_spark
+from lambda_arc_events_filter_spark.session import fixture_conf, get_spark
 from lambda_arc_events_filter_spark.testing import check_query, duck_connection
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
-    spark = get_spark("check")
+    spark = get_spark("check", extra_conf=fixture_conf())
     con = duck_connection(sf_dir)
 
     all_specs = specs()
