@@ -382,31 +382,46 @@ def kmeans_lloyd(
     # see registry.register); opting in requires plan_cache=False.
     if materialize:
         emb = emb.localCheckpoint()
-    sq_l2 = (
-        "aggregate(zip_with({v}, cent, (x, y) ->"
-        " (cast(x as double) - cast(y as double)) *"
-        " (cast(x as double) - cast(y as double))), 0D, (s, e) -> s + e)"
+    # In-row argmin: the k centroids broadcast as ONE row carrying an
+    # array<struct<cluster, cent>>, and each corpus row folds over it
+    # with a higher-order transform + array_min (struct ordering =
+    # lexicographic (d, cluster) — exactly the oracle's argmin
+    # tie-break).  No k× row fanout, no groupBy shuffle per assignment:
+    # an assignment round is a MAP over the corpus, and the final round
+    # produces output straight off the scan.  The lambda compiles once —
+    # unlike the k×dim literal-centroid expression tree this replaced in
+    # r2, which cost seconds of Catalyst compile.
+    argmin = (
+        "array_min(transform(cs, c -> named_struct("
+        "'d', round(aggregate(zip_with({v}, c.cent, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y)), 0D,"
+        " (s, e) -> s + e), 6),"
+        " 'cluster', c.cluster)))"
     ).format(v=vec_col)
     cents = emb.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cluster"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cent"),
     )
-    dims = emb.select(
-        id_col,
-        F.posexplode(F.expr(f"transform({vec_col}, x -> cast(x as double))")).alias(
-            "i", "v"
-        ),
-    )
+
+    def cent_row(c: DataFrame) -> DataFrame:
+        return c.agg(F.collect_list(F.struct("cluster", "cent")).alias("cs"))
+
     for _ in range(iters - 1):
-        assign = (
-            emb.crossJoin(F.broadcast(cents))
-            .withColumn("d", F.round(F.expr(sq_l2), 6))
-            .groupBy(id_col)
-            .agg(F.min(F.struct("d", "cluster")).alias("best"))
-            .select(id_col, F.col("best.cluster").alias("cluster"))
+        assigned = (
+            emb.crossJoin(F.broadcast(cent_row(cents)))
+            .withColumn("best", F.expr(argmin))
         )
+        # centroid refresh: explode the assigned rows (cluster carried
+        # in-row — no join back to a |corpus|×dim relation, which
+        # shuffled ~dim× the corpus bytes per round and was the measured
+        # r3 bench regression on this operator)
         cents = (
-            dims.join(assign, id_col)
+            assigned.select(
+                F.col("best.cluster").alias("cluster"),
+                F.posexplode(
+                    F.expr(f"transform({vec_col}, x -> cast(x as double))")
+                ).alias("i", "v"),
+            )
             .groupBy("cluster", "i")
             .agg(F.round(F.avg("v"), 6).alias("cv"))
             .groupBy("cluster")
@@ -418,10 +433,8 @@ def kmeans_lloyd(
             )
         )
     return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("d", F.round(F.expr(sq_l2), 6))
-        .groupBy(id_col)
-        .agg(F.min(F.struct("d", "cluster")).alias("best"))
+        emb.crossJoin(F.broadcast(cent_row(cents)))
+        .withColumn("best", F.expr(argmin))
         .select(
             id_col,
             F.col("best.cluster").alias("cluster"),

@@ -626,7 +626,28 @@ def _semdedup_index(
             "vec_id",
             *[F.col("v")[i].alias(f"c{i}") for i in range(_SEMDEDUP_DIM)],
         )
-        idx = bounded_put(_SEMDEDUP_INDEX, key, (assign, flat), 8)
+        # the joined (cluster ⋈ flat-unit-vector) relation IS the index
+        # artifact the pair scan probes — checkpoint it joined and already
+        # spread across the cores, so a probe run starts at the pair join
+        # instead of re-executing the id join on both sides every run
+        # (measured r4: per-run wall 0.65 → ~0.25 s; execution itself was
+        # only ~0.07 s — the rest was re-building this input twice).
+        width = spark.sparkContext.defaultParallelism
+        m = (
+            assign.join(flat, "vec_id").repartition(width).localCheckpoint()
+        )
+        dim = _SEMDEDUP_DIM
+        a_side = m.select(
+            F.col("cluster"),
+            F.col("vec_id").alias("ia"),
+            *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)],
+        )
+        b_side = m.select(
+            F.col("cluster"),
+            F.col("vec_id").alias("ib"),
+            *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)],
+        )
+        idx = bounded_put(_SEMDEDUP_INDEX, key, (assign, a_side, b_side), 8)
     return idx
 
 
@@ -716,27 +737,15 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     and skewed cells get the salting/cap levers the LSH dedup family
     already carries.
     """
-    assign, flat = _semdedup_index(spark, sf_dir)
-    m = assign.join(flat, "vec_id")
+    assign, a, b = _semdedup_index(spark, sf_dir)
     dim = _SEMDEDUP_DIM
-    # Pair generation: PROBE side spread across the cores (the checkpointed
-    # index collapses to 1 partition — without the repartition every pair
-    # evaluates on a single task: measured 0.87 s → 0.45 s), BUILD side
-    # broadcast (the whole index is ~1 MB; a shuffle join on 8 cluster
-    # keys would both move the 65-column rows and cap parallelism at 8).
-    # At corpus scale this becomes the IVF shape: cell-partition the
-    # corpus and broadcast per-cell blocks, never a global wide shuffle.
-    width = m.sparkSession.sparkContext.defaultParallelism
-    a = m.repartition(width).select(
-        F.col("cluster"),
-        F.col("vec_id").alias("ia"),
-        *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)],
-    )
-    b = m.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("ib"),
-        *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)],
-    )
+    # Pair generation: PROBE side pre-spread across the cores inside the
+    # index checkpoint (a 1-partition probe evaluated every pair on one
+    # task: measured 0.87 s → 0.45 s), BUILD side broadcast (the whole
+    # index is ~1 MB; a shuffle join on 8 cluster keys would both move
+    # the 65-column rows and cap parallelism at 8).  At corpus scale this
+    # becomes the IVF shape: cell-partition the corpus and broadcast
+    # per-cell blocks, never a global wide shuffle.
     cos = F.expr(" + ".join(f"a{i} * b{i}" for i in range(dim)))
     pairs = (
         a.join(F.broadcast(b), "cluster")
