@@ -192,6 +192,24 @@ def global_order_stats(
     return out
 
 
+def ntile_from_rank(rank_col: Column, n_col: Column, buckets: int) -> Column:
+    """Reproduce ``ntile(buckets)`` arithmetically from a 1-based global
+    rank and the row count — integer-exact and identical to the Spark /
+    DuckDB ntile convention (with q = n div buckets and r = n mod
+    buckets, the first r buckets hold q+1 rows): bucket(i) = ceil(i/(q+1))
+    while i ≤ r(q+1), else r + ceil((i − r(q+1))/q).  Lets a decile/
+    quantile label ride the range-partitioned rank instead of a
+    single-partition ntile window."""
+    q = F.floor((n_col - n_col % buckets) / buckets).cast("long")
+    r = (n_col % buckets).cast("long")
+    t = r * (q + 1)
+    return (
+        F.when(rank_col <= t, F.floor((rank_col + q) / (q + 1)))
+        .otherwise(r + F.floor((rank_col - t + q - 1) / q))
+        .cast("int")
+    )
+
+
 def range_bounded_frame(
     df: DataFrame,
     order_by: OrderBy,

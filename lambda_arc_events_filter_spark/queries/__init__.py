@@ -16,6 +16,7 @@ from lambda_arc_events_filter_spark.queries import (  # noqa: F401
     llm_q,
     quality_q,
     relational,
+    round4_q,
     sources_q,
     statistics_q,
     streaming_q,

@@ -19,7 +19,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
-from lambda_arc_events_filter_spark.functions.rank import global_order_stats
+from lambda_arc_events_filter_spark.functions.rank import (
+    global_order_stats,
+    ntile_from_rank,
+)
 from lambda_arc_events_filter_spark.operators import dedup as D
 from lambda_arc_events_filter_spark.registry import register
 
@@ -545,32 +548,8 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_order_stats(
         per_doc, ["doc_id"], rank="_i", key=["doc_id"]
     ).join(F.broadcast(n_row))
-    # ntile(10) arithmetic: q = n div 10, r = n mod 10, t = r*(q+1);
-    # bucket(i) = ceil(i/(q+1)) for i ≤ t else r + ceil((i-t)/q), with
-    # integer ceil-div spelled (a + b - 1) div b — exact at any n
-    qq = (F.col("_n") - F.col("_n") % 10) / 10  # double but integral
-    dec = (
-        ranked.withColumn("_q", F.floor(qq).cast("long"))
-        .withColumn("_r", (F.col("_n") % 10).cast("long"))
-        .withColumn("_t", F.col("_r") * (F.col("_q") + 1))
-        .withColumn(
-            "decile",
-            F.when(
-                F.col("_i") <= F.col("_t"),
-                F.floor(
-                    (F.col("_i") + F.col("_q"))
-                    / (F.col("_q") + 1)
-                ),
-            )
-            .otherwise(
-                F.col("_r")
-                + F.floor(
-                    (F.col("_i") - F.col("_t") + F.col("_q") - 1)
-                    / F.col("_q")
-                )
-            )
-            .cast("int"),
-        )
+    dec = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("_i"), F.col("_n"), 10)
     )
     per_dec = dec.groupBy("decile").agg(
         F.sum("n_tok").alias("toks"), F.sum("new_terms").alias("news")

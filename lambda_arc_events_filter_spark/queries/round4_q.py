@@ -1,0 +1,972 @@
+"""Round-4 operator wave (SURVEY.md §2 E-addendum): iterative graph
+ranking, banded spatial joins, distributed resampling statistics, robust
+regression, retrieval scoring, two-cohort survival comparison, vector
+product quantization, and skew diagnostics.
+
+Every query keeps the engine's structural disciplines: no partition-less
+windows (global order goes through ``functions/rank.py``), integer or
+rounded-before-compare arithmetic wherever an argmin/threshold could flip
+on float drift, banded equi-joins instead of cross products, broadcast
+for every bounded side, and map-side-combinable aggregates on the fact
+scans.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.rank import global_order_stats
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# E1: PageRank over the nation-to-nation trade graph (iterative)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nations_trade_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem
+      JOIN orders   ON o_orderkey  = l_orderkey
+      JOIN customer ON c_custkey   = o_custkey
+      JOIN supplier ON s_suppkey   = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    n AS (SELECT count(*) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    pr0 AS (SELECT node, 1.0 / n.n AS pr FROM nodes, n),
+    pr1 AS (
+      SELECT nd.node,
+             round(0.15 / n.n + 0.85 * coalesce(sum(p.pr * e.w / o.ow), 0),
+                   9) AS pr
+      FROM nodes nd CROSS JOIN n
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN pr0 p   ON p.node = e.src
+      LEFT JOIN outw o  ON o.src = e.src
+      GROUP BY nd.node, n.n
+    ),
+    pr2 AS (
+      SELECT nd.node,
+             round(0.15 / n.n + 0.85 * coalesce(sum(p.pr * e.w / o.ow), 0),
+                   9) AS pr
+      FROM nodes nd CROSS JOIN n
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN pr1 p   ON p.node = e.src
+      LEFT JOIN outw o  ON o.src = e.src
+      GROUP BY nd.node, n.n
+    )
+    SELECT node AS nation, round(pr, 6) AS pagerank FROM pr2
+    """,
+    tags=("graph", "iterative", "agg"),
+)
+def nations_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, two synchronous iterations from
+    the uniform vector) over the nation→nation trade graph: an edge
+    supplier-nation → customer-nation weighted by shipped lineitems —
+    "which markets does trade flow INTO when you follow the supply
+    chain" — the canonical iterative-graph operator (the reference class
+    has none; this is the join-agg fixpoint pattern every distributed
+    PageRank uses).
+
+    Scale shape: edge construction is the only fact-scale stage (one
+    join-tree + count aggregate, dims broadcast); each PR iteration is a
+    join-aggregate on the EDGE relation keyed by dst — rank mass never
+    materializes per fact row, and the rank vector (|nodes| rows)
+    broadcasts into each round.  Dangling mass follows the
+    ignore-dangling convention (documented; oracle identical).  Ranks
+    round to 9 between rounds so both engines iterate on identical
+    inputs, and to 6 at the end.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                                 F.col("n_name").alias("src"))),
+            "s_nationkey",
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                                 F.col("n_name").alias("dst"))),
+            "c_nationkey",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(F.broadcast(outw), "src")
+    pr = nodes.join(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(2):
+        contrib = (
+            ew.join(F.broadcast(pr), F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("mass"))
+        )
+        pr = (
+            nodes.join(F.broadcast(n_row))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.round(
+                    0.15 / F.col("n")
+                    + 0.85 * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("nation"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2/E3: banded spatial self-join + grid density (geo family)
+# ---------------------------------------------------------------------------
+
+#: deterministic hash-derived user coordinates — the fixture has no geo
+#: columns, so the derivation is part of the query definition (shared
+#: with users_geo_nearest_hub in statistics_q)
+_PTS_SQL = """
+    SELECT user_id,
+           ((user_id * 2654435761) % 16000) / 100.0 - 80.0  AS lat,
+           ((user_id * 40503) % 36000) / 100.0 - 180.0      AS lon
+    FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+
+def _user_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select("user_id").distinct().select(
+        "user_id",
+        (((F.col("user_id") * 2654435761) % 16000) / 100.0 - 80.0).alias(
+            "lat"
+        ),
+        (((F.col("user_id") * 40503) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def _haversine_km(lat_a, lon_a, lat_b, lon_b):
+    # clamp at 1.0: near-antipodal pairs can float-round above 1 and NaN
+    # the asin (same guard as users_geo_nearest_hub)
+    arg = F.least(
+        F.lit(1.0),
+        F.pow(F.sin(F.radians(lat_b - lat_a) / 2), 2)
+        + F.cos(F.radians(lat_a))
+        * F.cos(F.radians(lat_b))
+        * F.pow(F.sin(F.radians(lon_b - lon_a) / 2), 2),
+    )
+    return 2 * 6371.0 * F.asin(F.sqrt(arg))
+
+
+@register(
+    "users_geo_radius_join",
+    oracle="""
+    WITH pts AS ({pts})
+    SELECT a.user_id AS user_a,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           round(min(2 * 6371.0 * asin(sqrt(least(1.0,
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2))))), 3)
+             AS nearest_km
+    FROM pts a JOIN pts b
+      ON a.user_id <> b.user_id
+    WHERE round(2 * 6371.0 * asin(sqrt(least(1.0,
+            pow(sin(radians(b.lat - a.lat) / 2), 2)
+            + cos(radians(a.lat)) * cos(radians(b.lat))
+              * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3) <= 500.0
+    GROUP BY a.user_id
+    """.format(pts=_PTS_SQL),
+    tags=("geo", "join", "scale"),
+)
+def users_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join: for every user, how many other users sit within
+    500 km, and how close is the nearest — the proximity primitive behind
+    matchmaking, store-siting, and exposure modeling.
+
+    The oracle states the quadratic truth (all |users|² haversines); the
+    engine computes the identical result with LATITUDE BANDING: points
+    land in 5°(≈556 km > R)-tall latitude bands, the probe side also
+    visits its two neighbor bands (explode ×3), and only same-band pairs
+    pay the haversine — a pure equi-join on the band key.  Latitude
+    banding is exact for ANY radius ≤ the band height (a pair differing
+    by more than one band is > R apart by latitude alone) and — unlike
+    lon×lat grid cells — needs no pole-side cell widening, because one
+    degree of LATITUDE is ≈111 km everywhere.  The distance rounds to 3
+    before the ≤ compare (both engines), so the cut line is engine-exact.
+    At 100 TB the band key is the shuffle key; skewed bands get the
+    salting levers the equi-join family already carries.
+    """
+    pts = _user_points(spark, sf_dir)
+    band = F.floor(F.col("lat") / 5.0).cast("long")
+    a = pts.select("user_id", "lat", "lon", band.alias("band"))
+    b = pts.select(
+        F.col("user_id").alias("ub"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.explode(
+            F.array(band - 1, band.cast("long"), band + 1)
+        ).alias("band"),
+    )
+    km = F.round(
+        _haversine_km(F.col("lat"), F.col("lon"), F.col("blat"), F.col("blon")),
+        3,
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("user_id") != F.col("ub"))
+        .withColumn("km", km)
+        .filter(F.col("km") <= 500.0)
+        .groupBy(F.col("user_id").alias("user_a"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.round(F.min("km"), 3).alias("nearest_km"),
+        )
+    )
+
+
+@register(
+    "users_geo_grid_density",
+    oracle="""
+    WITH pts AS ({pts})
+    SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cell_lat,
+           CAST(floor(lon / 10.0) AS BIGINT) AS cell_lon,
+           CAST(count(*) AS BIGINT)          AS n_users,
+           round(avg(lat), 4)                AS centroid_lat,
+           round(avg(lon), 4)                AS centroid_lon
+    FROM pts
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """.format(pts=_PTS_SQL),
+    tags=("geo", "agg"),
+)
+def users_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial binning: user density per 10°×10° grid cell with cell
+    centroids, sparse cells dropped — the heat-map / coverage rollup, and
+    the cell-assignment half of every grid-blocked spatial algorithm
+    (the radius join above uses the 1-D version as its join key).  One
+    map-side-combinable aggregate over the user dimension."""
+    pts = _user_points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            F.floor(F.col("lat") / 10.0).cast("long").alias("cell_lat"),
+            F.floor(F.col("lon") / 10.0).cast("long").alias("cell_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("lat"), 4).alias("centroid_lat"),
+            F.round(F.avg("lon"), 4).alias("centroid_lon"),
+        )
+        .filter(F.col("n_users") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4: Poisson bootstrap confidence interval (distributed resampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_poisson_bootstrap_ci",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    reps AS (SELECT unnest(generate_series(0, 31)) AS b),
+    draws AS (
+      SELECT r.b, s.value,
+             CASE WHEN (s.event_id * 2654435761 + r.b * 40503) % 10000 < 3679
+                    THEN 0
+                  WHEN (s.event_id * 2654435761 + r.b * 40503) % 10000 < 7358
+                    THEN 1
+                  WHEN (s.event_id * 2654435761 + r.b * 40503) % 10000 < 9197
+                    THEN 2
+                  WHEN (s.event_id * 2654435761 + r.b * 40503) % 10000 < 9810
+                    THEN 3
+                  ELSE 4 END AS k
+      FROM s CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT b, round(sum(k * value) / sum(k), 6) AS m
+      FROM draws GROUP BY b HAVING sum(k) > 0
+    ),
+    arr AS (SELECT list_sort(list(m)) AS ms, count(*) AS nb FROM means)
+    SELECT (SELECT round(avg(value), 6) FROM s)      AS point_mean,
+           CAST(nb AS BIGINT)                        AS n_replicas,
+           round(ms[CAST(floor((nb - 1) * 0.025) AS BIGINT) + 1], 6)
+                                                     AS ci_lo,
+           round(ms[CAST(ceil((nb - 1) * 0.975) AS BIGINT) + 1], 6)
+                                                     AS ci_hi
+    FROM arr
+    """,
+    tags=("stats", "agg", "scale"),
+)
+def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean purchase value: each row's
+    weight in replica b is an independent ≈Poisson(1) draw, so a replica
+    is computable with ONE map-side-combinable aggregate — the
+    distributed-systems bootstrap (the classic n-out-of-n resample needs
+    a global sample per replica; the Poisson approximation is what every
+    large-scale A/B platform ships).  The 95% band is the 2.5/97.5
+    replica-mean order statistics.
+
+    Determinism: the "random" draw is a pure-arithmetic hash of
+    (event_id, replica) thresholded at the Poisson(1) CDF in basis
+    points — both engines compute the identical integer, so the replica
+    weights match exactly.  Scale shape: explode ×32 replicas on the
+    filtered fact scan, aggregate by replica (map-side combine), then a
+    32-row order statistic via sort_array — no window, no second scan.
+    """
+    s = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "value")
+    h = (F.col("event_id") * 2654435761 + F.col("b") * 40503) % 10000
+    k = (
+        F.when(h < 3679, 0)
+        .when(h < 7358, 1)
+        .when(h < 9197, 2)
+        .when(h < 9810, 3)
+        .otherwise(4)
+    )
+    draws = s.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn("k", k)
+    means = (
+        draws.groupBy("b")
+        .agg(
+            (F.sum(F.col("k") * F.col("value")) / F.sum("k")).alias("raw"),
+            F.sum("k").alias("nk"),
+        )
+        .filter(F.col("nk") > 0)
+        .select(F.round("raw", 6).alias("m"))
+    )
+    point = s.agg(F.round(F.avg("value"), 6).alias("point_mean"))
+    arr = means.agg(
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    lo_i = F.floor((F.col("nb") - 1) * 0.025).cast("int")
+    hi_i = F.ceil((F.col("nb") - 1) * 0.975).cast("int")
+    return arr.join(F.broadcast(point)).select(
+        "point_mean",
+        F.col("nb").cast("long").alias("n_replicas"),
+        F.round(F.element_at(F.col("ms"), lo_i + 1), 6).alias("ci_lo"),
+        F.round(F.element_at(F.col("ms"), hi_i + 1), 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5: Theil-Sen robust trend (median-of-slopes regression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+               AS t,
+             round(avg(value), 6) AS y
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT round((b.y - a.y) / (b.t - a.t), 9) AS s
+      FROM daily a JOIN daily b ON b.t > a.t
+    ),
+    arr AS (SELECT list_sort(list(s)) AS ss, count(*) AS n FROM slopes),
+    med AS (
+      SELECT CASE WHEN n % 2 = 1 THEN ss[(n + 1) // 2]
+                  ELSE (ss[n // 2] + ss[n // 2 + 1]) / 2 END AS slope
+      FROM arr
+    ),
+    icepts AS (
+      SELECT round(d.y - m.slope * d.t, 9) AS i0
+      FROM daily d CROSS JOIN med m
+    ),
+    iarr AS (SELECT list_sort(list(i0)) AS ii, count(*) AS n FROM icepts)
+    SELECT round(m.slope, 6) AS slope_per_day,
+           round(CASE WHEN iarr.n % 2 = 1 THEN ii[(iarr.n + 1) // 2]
+                      ELSE (ii[iarr.n // 2] + ii[iarr.n // 2 + 1]) / 2 END,
+                 6) AS intercept,
+           CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days
+    FROM med m, iarr
+    """,
+    tags=("stats", "timeseries"),
+)
+def daily_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator over the daily mean-value series: slope =
+    median of all pairwise slopes, intercept = median of (yᵢ − m·tᵢ) —
+    the robust trend line (up to ~29% outlier contamination) that least
+    squares can't give you; the right trend for metric series with
+    incident spikes.
+
+    The pairwise-slope relation is quadratic in the SERIES length, which
+    is calendar-bounded (≈n² ≤ a few M for a decade of days) — the
+    corpus-scale work stays in the daily rollup.  Pairs come from a
+    range self-join (b.t > a.t, an equi-free banded join on a bounded
+    relation); medians are order statistics over collected bounded
+    arrays (no window, no sort of anything unbounded).  Slopes round to
+    9 before the median so both engines order identical values; the
+    median interpolation is spelled identically in both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+        )
+        .cast("long")
+        .alias("t")
+    ).agg(F.round(F.avg("value"), 6).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        F.round(
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.t") - F.col("a.t")), 9
+        ).alias("s")
+    )
+
+    def median_expr(arr_col, n_col):
+        odd = arr_col[((n_col + 1) / 2).cast("int") - 1]
+        even = (
+            arr_col[(n_col / 2).cast("int") - 1]
+            + arr_col[(n_col / 2).cast("int")]
+        ) / 2
+        return F.when(n_col % 2 == 1, odd).otherwise(even)
+
+    sl = slopes.agg(
+        F.sort_array(F.collect_list("s")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(median_expr(F.col("ss"), F.col("n")).alias("slope"))
+    icepts = daily.join(F.broadcast(sl)).select(
+        F.round(F.col("y") - F.col("slope") * F.col("t"), 9).alias("i0"),
+        "slope",
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        icepts.groupBy("slope")
+        .agg(
+            F.sort_array(F.collect_list("i0")).alias("ii"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .join(F.broadcast(n_days))
+        .select(
+            F.round("slope", 6).alias("slope_per_day"),
+            F.round(median_expr(F.col("ii"), F.col("n")), 6).alias(
+                "intercept"
+            ),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6: BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+#: fixed query terms — part of the query definition (corpus vocabulary is
+#: synthetic; these are mid-frequency content words)
+_BM25_TERMS = ("join", "filter", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(len) AS avglen FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE w IN ('join', 'filter', 'scan') GROUP BY 1, 2
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * (t.tf * (1.2 + 1))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.len / s.avglen)))
+               AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM tf t
+      JOIN df d USING (w)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score, n_terms_hit
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("llm", "text", "topk"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed 3-term query (k1=1.2,
+    b=0.75, the Robertson defaults): idf·tf saturation with document-
+    length normalization — the retrieval-scoring baseline every search
+    and RAG stack starts from (tfidf's top-terms sibling answers "what
+    characterizes this doc"; BM25 answers "which docs match this
+    query").
+
+    Scale shape: term frequencies come from ONE explode→filter→count
+    aggregate restricted to the query terms (the filter prunes the token
+    stream before the shuffle); doc lengths are a second map-side
+    aggregate; df and the corpus stats are broadcast 1-row/3-row
+    relations; the final top-20 is TakeOrderedAndProject on the rounded
+    score with doc_id tiebreak.  No window, no join wider than the
+    query-term hit list.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("len").alias("avglen")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term = idf * (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1 - _BM25_B + _BM25_B * F.col("len") / F.col("avglen"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# E7: two-cohort log-rank test (survival family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_logrank_test",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             min(date_trunc('day', ts)) AS first_day,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN date_trunc('day', ts) END) AS conv_day,
+             max(date_trunc('day', ts)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS g,
+             CAST(CASE WHEN conv_day IS NOT NULL
+                  THEN date_diff('day', first_day, conv_day)
+                  ELSE date_diff('day', first_day, last_day) END AS BIGINT)
+               AS t,
+             (conv_day IS NOT NULL) AS conv
+      FROM spans
+    ),
+    per_t AS (
+      SELECT t,
+             sum(CASE WHEN g = 1 AND conv THEN 1 ELSE 0 END) AS d1,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)          AS x1,
+             sum(CASE WHEN g = 0 AND conv THEN 1 ELSE 0 END) AS d0,
+             sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)          AS x0
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d1, d0,
+             sum(x1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n1,
+             sum(x0) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n0
+      FROM per_t
+    ),
+    terms AS (
+      SELECT d1, d0, n1, n0,
+             (d1 + d0) * 1.0 * n1 / (n1 + n0) AS e1,
+             CASE WHEN n1 + n0 > 1 THEN
+               (d1 + d0) * 1.0 * (n1 * 1.0 / (n1 + n0))
+                 * (1 - n1 * 1.0 / (n1 + n0))
+                 * (n1 + n0 - d1 - d0) / (n1 + n0 - 1)
+             ELSE 0 END AS v
+      FROM risk WHERE d1 + d0 > 0
+    )
+    SELECT CAST(sum(d1) AS BIGINT)       AS observed_1,
+           round(sum(e1), 6)             AS expected_1,
+           CAST(sum(d0) AS BIGINT)       AS observed_0,
+           round(sum(d1 + d0 - e1), 6)   AS expected_0,
+           round(pow(sum(d1 - e1), 2) / sum(v), 6) AS chi_square
+    FROM terms
+    """,
+    tags=("stats", "agg"),
+)
+def users_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two user cohorts (even vs odd user id — the
+    deterministic rollout-group stand-in): at every conversion time,
+    compare cohort 1's observed conversions with the count expected if
+    both cohorts shared one hazard; χ² = (Σ(O−E))²/ΣV — THE standard
+    test for "do these survival curves differ", completing the
+    Kaplan-Meier family (``users_survival_km`` estimates one curve; this
+    compares two).
+
+    The at-risk counts are reverse running sums over the day-granular
+    duration axis, computed range-partitioned for both cohorts in ONE
+    ``functions/rank.py`` pass (two running aggregates share the range
+    exchange) — no partition-less window, fact-scale work confined to
+    the per-user span aggregate.  All at-risk/observed quantities are
+    integers; the E/V terms divide integers in an identical expression
+    tree in both engines, rounded to 6 at the end.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    spans = e.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+            "conv_day"
+        ),
+        F.max(day).alias("last_day"),
+    )
+    t = F.when(
+        F.col("conv_day").isNotNull(), F.datediff("conv_day", "first_day")
+    ).otherwise(F.datediff("last_day", "first_day"))
+    durations = spans.select(
+        (F.col("user_id") % 2).alias("g"),
+        t.cast("long").alias("t"),
+        F.col("conv_day").isNotNull().alias("conv"),
+    )
+    one = F.lit(1)
+    per_t = durations.groupBy("t").agg(
+        F.sum(F.when((F.col("g") == 1) & F.col("conv"), one).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 1, one).otherwise(0)).alias("x1"),
+        F.sum(F.when((F.col("g") == 0) & F.col("conv"), one).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("g") == 0, one).otherwise(0)).alias("x0"),
+    )
+    risk = global_order_stats(
+        per_t,
+        [("t", "desc")],
+        running={"n1": ("x1", "sum"), "n0": ("x0", "sum")},
+        key=["t"],
+    )
+    n = F.col("n1") + F.col("n0")
+    d = F.col("d1") + F.col("d0")
+    p1 = F.col("n1") * 1.0 / n
+    e1 = d * 1.0 * F.col("n1") / n
+    v = F.when(
+        n > 1, d * 1.0 * p1 * (1 - p1) * (n - d) / (n - 1)
+    ).otherwise(F.lit(0.0))
+    terms = risk.filter(d > 0).select(
+        "d1", "d0", e1.alias("e1"), v.alias("v")
+    )
+    return terms.agg(
+        F.sum("d1").cast("long").alias("observed_1"),
+        F.round(F.sum("e1"), 6).alias("expected_1"),
+        F.sum("d0").cast("long").alias("observed_0"),
+        F.round(F.sum(F.col("d1") + F.col("d0") - F.col("e1")), 6).alias(
+            "expected_0"
+        ),
+        F.round(
+            F.pow(F.sum(F.col("d1") - F.col("e1")), 2) / F.sum("v"), 6
+        ).alias("chi_square"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8: Lorenz curve (decile revenue concentration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    dec AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM rev
+    ),
+    per_dec AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(cents) AS dc
+      FROM dec GROUP BY 1
+    ),
+    tot AS (SELECT sum(dc) AS total FROM per_dec)
+    SELECT CAST(decile AS INTEGER) AS decile, n_customers,
+           round(dc / 100.0, 2) AS decile_revenue,
+           round(dc * 1.0 / tot.total, 6) AS decile_share,
+           round(sum(dc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 * 1.0 / tot.total, 6) AS cum_share
+    FROM per_dec, tot
+    """,
+    tags=("stats", "agg"),
+)
+def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue: customers ranked poorest-first,
+    the cumulative revenue share at each population decile — the curve
+    whose area deficit IS the Gini that ``customer_revenue_gini``
+    reports as a scalar; this emits the 10 points an inequality chart
+    plots.
+
+    Integer-cents revenue, range-partitioned global rank with the
+    arithmetic ntile reproduction (``functions/rank.py::ntile_from_rank``
+    — no single-partition window over the growing customer relation),
+    then the 10-row cumulative share via a triangular self-join.  Every
+    sum is exact integer addition; the two share divisions are the only
+    float steps.
+    """
+    from lambda_arc_events_filter_spark.functions.rank import ntile_from_rank
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    n_row = rev.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = global_order_stats(
+        rev.select("cents", "o_custkey"), ["cents", "o_custkey"], rank="_i"
+    ).join(F.broadcast(n_row))
+    per_dec = (
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("_i"), F.col("_n"), 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("dc"),
+        )
+    )
+    tot = per_dec.agg(F.sum("dc").alias("total"))
+    a, b = per_dec.alias("a"), per_dec.alias("b")
+    cum = (
+        a.join(b, F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(F.sum("b.dc").alias("cum_dc"))
+    )
+    return (
+        per_dec.join(cum, "decile")
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("dc") / 100.0, 2).alias("decile_revenue"),
+            F.round(F.col("dc") * 1.0 / F.col("total"), 6).alias(
+                "decile_share"
+            ),
+            F.round(F.col("cum_dc") * 1.0 / F.col("total"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9: product-quantization code assignment (vector compression)
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 4  # subvectors per embedding
+_PQ_SUBDIM = 16  # dims per subvector (embeddings are 64-wide)
+_PQ_CODES = 4  # codes per subspace (codebook = vec_id 0..3's slices)
+
+
+@register(
+    "embedding_pq_assign",
+    oracle="""
+    WITH ed AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT CAST(vec_id AS INTEGER) AS code, i, v AS cv
+      FROM ed WHERE vec_id < 4
+    ),
+    dist AS (
+      SELECT e.vec_id, (e.i - 1) // 16 AS sv, c.code,
+             round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d
+      FROM ed e JOIN cents c USING (i)
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, sv, code, d FROM (
+        SELECT vec_id, sv, code, d,
+               row_number() OVER (PARTITION BY vec_id, sv
+                                  ORDER BY d, code) AS rn
+        FROM dist) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(((max(CASE WHEN sv = 0 THEN code END) * 4
+               + max(CASE WHEN sv = 1 THEN code END)) * 4
+               + max(CASE WHEN sv = 2 THEN code END)) * 4
+               + max(CASE WHEN sv = 3 THEN code END) AS BIGINT) AS pq_code,
+           round(max(CASE WHEN sv = 0 THEN d END)
+               + max(CASE WHEN sv = 1 THEN d END)
+               + max(CASE WHEN sv = 2 THEN d END)
+               + max(CASE WHEN sv = 3 THEN d END), 6) AS recon_error
+    FROM best GROUP BY vec_id
+    """,
+    tags=("llm", "vector"),
+)
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim embedding splits into 4
+    contiguous 16-dim subvectors, each assigned to its nearest of 4
+    sub-codebook entries (slices of vec_id 0..3 — the deterministic
+    fixture codebook, as for k-means seeding) — emitting the packed
+    8-bit PQ code and the reconstruction error.  PQ is how billion-scale
+    ANN indexes (FAISS IVF-PQ) compress vectors 32×; this is the encode
+    pass.
+
+    Same in-row argmin shape as ``kmeans_lloyd``: the codebook broadcasts
+    as ONE row of per-subspace (code, slice) arrays, each corpus row
+    folds over its 4 subspaces with array_min over (dist, code) structs
+    (sub-distances rounded to 6 BEFORE the argmin — the engine-exact tie
+    discipline) — a pure map over the corpus, no fanout, no shuffle.
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub_cols = [
+        F.expr(
+            f"transform(slice(embedding, {s * _PQ_SUBDIM + 1}, {_PQ_SUBDIM}),"
+            " x -> cast(x as double))"
+        ).alias(f"s{s}")
+        for s in range(_PQ_SUBS)
+    ]
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .select(F.col("vec_id").cast("int").alias("code"), *sub_cols)
+        .agg(
+            *[
+                F.collect_list(F.struct("code", f"s{s}")).alias(f"cb{s}")
+                for s in range(_PQ_SUBS)
+            ]
+        )
+    )
+    q = emb.select("vec_id", *sub_cols).crossJoin(F.broadcast(cb))
+    best_exprs = [
+        F.expr(
+            f"array_min(transform(cb{s}, c -> named_struct("
+            f"'d', round(aggregate(zip_with(s{s}, c.s{s},"
+            " (x, y) -> (x - y) * (x - y)), 0D, (a, e) -> a + e), 6),"
+            " 'code', c.code)))"
+        ).alias(f"b{s}")
+        for s in range(_PQ_SUBS)
+    ]
+    picked = q.select("vec_id", *best_exprs)
+    code = (
+        (
+            (F.col("b0.code") * _PQ_CODES + F.col("b1.code")) * _PQ_CODES
+            + F.col("b2.code")
+        )
+        * _PQ_CODES
+        + F.col("b3.code")
+    )
+    err = (
+        F.col("b0.d") + F.col("b1.d") + F.col("b2.d") + F.col("b3.d")
+    )
+    return picked.select(
+        "vec_id",
+        code.cast("long").alias("pq_code"),
+        F.round(err, 6).alias("recon_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E10: shuffle-key skew audit (ops diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_key_skew_audit",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT)   AS total
+      FROM per_key
+    )
+    SELECT user_id, n AS n_events,
+           round(n * 1.0 / tot.total, 6)            AS share,
+           round(n * 1.0 * tot.n_keys / tot.total, 4) AS x_avg_key,
+           tot.n_keys
+    FROM per_key, tot
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+    tags=("scale", "agg", "topk"),
+)
+def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit over the events fact's natural join key
+    (user_id): the 10 heaviest keys with their share of all rows and
+    their load relative to the average key — the diagnostic a platform
+    runs BEFORE choosing the salting factor the ``join_salted_skew``
+    operator then applies (x_avg_key ≈ the minimum salt width that
+    levels that key).
+
+    One map-side-combinable count per key, a 1-row broadcast of the
+    totals, TakeOrderedAndProject for the top-10 — the audit costs one
+    scan regardless of corpus size.
+    """
+    e = load(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("total")
+    )
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n") * 1.0 * F.col("n_keys") / F.col("total"), 4
+            ).alias("x_avg_key"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+    )
