@@ -970,3 +970,455 @@ def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# E11: CUPED-adjusted A/B comparison (variance reduction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cuped_adjusted_ab",
+    oracle="""
+    WITH mid AS (
+      SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+              + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS m_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS variant,
+             round(avg(CASE WHEN CAST(epoch_us(ts) AS BIGINT) < mid.m_us
+                            THEN value END), 6) AS x,
+             round(avg(CASE WHEN CAST(epoch_us(ts) AS BIGINT) >= mid.m_us
+                            THEN value END), 6) AS y
+      FROM events, mid
+      GROUP BY 1, 2
+    ),
+    both_p AS (
+      SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+    ),
+    theta AS (
+      SELECT round(covar_pop(x, y) / var_pop(x), 6) AS th,
+             round(avg(x), 6) AS mx
+      FROM both_p
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT)  AS n_users,
+           round(avg(y), 6)          AS mean_raw,
+           round(avg(y - theta.th * (x - theta.mx)), 6) AS mean_cuped,
+           round(var_pop(y), 6)      AS var_raw,
+           round(var_pop(y - theta.th * (x - theta.mx)), 6) AS var_cuped
+    FROM both_p, theta
+    GROUP BY variant, theta.th, theta.mx
+    """,
+    tags=("stats", "events", "agg"),
+)
+def events_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data): the A/B
+    metric (per-user post-period mean value, variants = user-id parity)
+    adjusted by the pre-period covariate — y' = y − θ(x − x̄) with
+    θ = cov(x,y)/var(x) — the variance-reduction technique every large
+    experimentation platform runs, typically cutting metric variance
+    30-50% so experiments need proportionally less traffic.  Output:
+    per-variant raw vs adjusted means and variances (the deliverable a
+    platform shows beside the lift).
+
+    The pre/post split is the replay midpoint (same deterministic
+    convention as ``events_diff_in_diff``); θ and x̄ are a 1-row
+    broadcast fit on BOTH variants pooled (standard, keeps the
+    adjustment unbiased under A/A).  Per-user means round to 6 before
+    the moments so both engines aggregate identical values; fact-scale
+    work is the one per-user aggregate.
+    """
+    e = load(spark, sf_dir, "events")
+    mid = e.agg(
+        (
+            (
+                F.min("ts").cast("double") * 1_000_000
+                + F.max("ts").cast("double") * 1_000_000
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("m_us")
+    )
+    us = F.col("ts").cast("double") * 1_000_000
+    per_user = (
+        e.join(F.broadcast(mid))
+        .groupBy(
+            "user_id", (F.col("user_id") % 2).alias("variant")
+        )
+        .agg(
+            F.round(
+                F.avg(F.when(us < F.col("m_us"), F.col("value"))), 6
+            ).alias("x"),
+            F.round(
+                F.avg(F.when(us >= F.col("m_us"), F.col("value"))), 6
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    theta = per_user.agg(
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("th"),
+        F.round(F.avg("x"), 6).alias("mx"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    return (
+        per_user.join(F.broadcast(theta))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_raw"),
+            F.round(F.avg(adj), 6).alias("mean_cuped"),
+            F.round(F.var_pop("y"), 6).alias("var_raw"),
+            F.round(F.var_pop(adj), 6).alias("var_cuped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E12: k-anonymity audit (governance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(floor(value / 50.0) AS BIGINT)      AS value_band,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_risky_groups,
+           CAST(sum(n) AS BIGINT)                         AS n_rows,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                                                          AS n_risky_rows,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+                                                          AS risky_row_pct,
+           CAST(min(n) AS BIGINT)                         AS min_group_size
+    FROM qi
+    """,
+    tags=("agg", "audit"),
+)
+def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (event_type, day, 50-unit value band): how many QI equivalence
+    classes — and what fraction of ROWS — are re-identifiable because
+    fewer than k records share their tuple.  The release-gate check a
+    governance pipeline runs before publishing an "anonymized" extract;
+    the row-level risky fraction is the number that decides
+    generalize-vs-suppress.
+
+    Two nested map-side-combinable aggregates (QI group sizes, then the
+    audit scalars) — one scan, integer arithmetic throughout, a single
+    division for the percentage.
+    """
+    e = load(spark, sf_dir, "events")
+    qi = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    risky = F.when(F.col("n") < 5, F.col("n")).otherwise(0)
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(risky).cast("long").alias("n_risky_rows"),
+        F.round(F.sum(risky) * 1.0 / F.sum("n"), 6).alias("risky_row_pct"),
+        F.min("n").cast("long").alias("min_group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E13: embedding whitening / standardization audit (vector family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_whitening_stats",
+    oracle="""
+    WITH ed AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    dim_stats AS (
+      SELECT i, round(avg(v), 6) AS mu,
+             round(stddev_pop(v), 6) AS sd
+      FROM ed GROUP BY i
+    ),
+    z AS (
+      SELECT e.vec_id, (e.v - d.mu) / d.sd AS z
+      FROM ed e JOIN dim_stats d USING (i)
+    )
+    SELECT vec_id,
+           round(sqrt(sum(z * z)), 6) AS z_norm,
+           round(max(abs(z)), 6)      AS max_abs_z,
+           CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                                      AS n_outlier_dims
+    FROM z GROUP BY vec_id
+    """,
+    tags=("llm", "vector", "agg"),
+)
+def embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening (z-scoring) of the embedding corpus and
+    the per-vector audit it feeds: the standardized norm, the largest
+    |z| component, and the count of >3σ dimensions — the preprocessing +
+    outlier screen run before PCA/whitened-cosine retrieval, and the
+    vector-valued sibling of ``features_minmax_scale``.
+
+    The 64-row per-dimension moment table broadcasts back into one
+    corpus pass (explode → join-on-dim → re-aggregate by vec) —
+    fact-scale work is two scans, no shuffle wider than |dims| keys.
+    Moments round to 6 before the z-division so both engines standardize
+    with identical operands.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("i0", "v"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+    dim_stats = ed.groupBy("i").agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_pop("v"), 6).alias("sd"),
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return (
+        ed.join(F.broadcast(dim_stats), "i")
+        .withColumn("z", z)
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("z") * F.col("z"))), 6).alias(
+                "z_norm"
+            ),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+            F.sum(F.when(F.abs("z") > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outlier_dims"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E14: higher-moment aggregates from mergeable power sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_moments_by_flag",
+    oracle="""
+    WITH ps AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(l_extendedprice)                                   AS s1,
+             sum(l_extendedprice * l_extendedprice)                 AS s2,
+             sum(l_extendedprice * l_extendedprice * l_extendedprice)
+                                                                    AS s3,
+             sum(l_extendedprice * l_extendedprice * l_extendedprice
+                 * l_extendedprice)                                 AS s4
+      FROM lineitem GROUP BY 1
+    ),
+    mom AS (
+      SELECT l_returnflag, n,
+             s1 / n AS m1,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM ps
+    )
+    SELECT l_returnflag, n,
+           round(m1, 4)                      AS mean_price,
+           round(sqrt(m2), 4)                AS std_pop,
+           round(m3 / pow(m2, 1.5), 6)       AS skewness_pop,
+           round(m4 / (m2 * m2) - 3, 6)      AS excess_kurtosis
+    FROM mom
+    """,
+    tags=("agg", "stats", "scale"),
+)
+def lineitem_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag, computed
+    from RAW POWER SUMS (Σx..Σx⁴) — the mergeable-sketch formulation:
+    power sums combine across shards/partitions by plain addition, so
+    the whole computation is one map-side-combinable aggregate at any
+    scale (engines' built-in skewness/kurtosis differ in sample-vs-
+    population convention and update order; spelling the central-moment
+    algebra identically in both engines makes the result
+    engine-portable, the same discipline as the regression suite).
+
+    Higher moments are float-delicate (catastrophic cancellation when
+    mean³ ≫ variance): prices ~5e4 keep Σx⁴ ≈ 1e25 within double range
+    with ~1e-9 relative headroom, and both engines difference the same
+    magnitudes, so the round-6 shape comparison holds.  For extreme-
+    scale data the same query runs on shifted values (x − c) — the
+    standard conditioning move — without changing the plan shape.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    ps = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = F.col("s3") / F.col("n") - 3 * m1 * (F.col("s2") / F.col("n")) + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * m1 * m1 * (F.col("s2") / F.col("n"))
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return ps.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(m1, 4).alias("mean_price"),
+        F.round(F.sqrt(m2), 4).alias("std_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E15: RAKE-style keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("a", "the")
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.w, t.i
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS i) t
+    ),
+    runs AS (
+      SELECT doc_id, w, i,
+             sum(CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM tok
+    ),
+    phrases AS (
+      SELECT doc_id, run_id,
+             string_agg(w, ' ' ORDER BY i) AS phrase,
+             count(*) AS plen
+      FROM runs WHERE w NOT IN ('a', 'the')
+      GROUP BY 1, 2
+    ),
+    words AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases
+    ),
+    wscore AS (
+      SELECT w, round(sum(plen) * 1.0 / count(*), 6) AS score
+      FROM words GROUP BY w
+    ),
+    pw AS (
+      SELECT p.phrase, unnest(string_split(p.phrase, ' ')) AS w
+      FROM (SELECT DISTINCT phrase FROM phrases WHERE plen BETWEEN 2 AND 4) p
+    ),
+    pscore AS (
+      SELECT pw.phrase,
+             round(sum(ws.score), 6) AS score
+      FROM pw JOIN wscore ws USING (w)
+      GROUP BY pw.phrase
+    ),
+    pfreq AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM phrases WHERE plen BETWEEN 2 AND 4 GROUP BY phrase
+    )
+    SELECT s.phrase, f.n_occurrences, s.score
+    FROM pscore s JOIN pfreq f USING (phrase)
+    ORDER BY s.score DESC, s.phrase
+    LIMIT 15
+    """,
+    tags=("llm", "text", "topk"),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyphrase extraction (Rose et al. 2010, public):
+    candidate phrases are maximal stopword-free token runs (stopwords =
+    the corpus's function words), each word scores degree/frequency over
+    phrase co-occurrence, a phrase scores the sum of its word scores —
+    the classic unsupervised keyword extractor (tfidf ranks single
+    terms; RAKE surfaces multi-word phrases).  Top-15 phrases of length
+    2-4 with corpus occurrence counts.
+
+    Phrase segmentation is pure relational machinery — positions from
+    posexplode, run ids from a per-document running stopword count (a
+    doc-keyed window, never global), phrases from a per-run ordered
+    string_agg — no regex splitting, so both engines segment
+    identically.  Word scores are a broadcast-sized relation (|vocab|);
+    the final top-15 is TakeOrderedAndProject on the rounded score.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    is_stop = F.col("w").isin(*_RAKE_STOPWORDS)
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = tok.withColumn(
+        "run_id", F.sum(F.when(is_stop, 1).otherwise(0)).over(w_run)
+    )
+    phrases = (
+        runs.filter(~is_stop)
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, w))),"
+                    " p -> p.w)"
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    )
+    wscore = words.groupBy("w").agg(
+        F.round(F.sum("plen") * 1.0 / F.count(F.lit(1)), 6).alias("score")
+    )
+    cand = phrases.filter(F.col("plen").between(2, 4))
+    pfreq = cand.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pw = (
+        cand.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    )
+    pscore = (
+        pw.join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(F.round(F.sum("score"), 6).alias("score"))
+    )
+    return (
+        pscore.join(pfreq, "phrase")
+        .select("phrase", "n_occurrences", "score")
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(15)
+    )
