@@ -84,6 +84,11 @@ HEADLINE = [
     "interval_overlap_join",
     "lineitem_pareto_abc",
     "semdedup_cluster_prune",
+    # round-4 wave: one per new family (E-addendum)
+    "users_geo_radius_join",
+    "text_rake_keyphrases",
+    "embedding_pq_assign",
+    "lineitem_moments_by_flag",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
