@@ -148,7 +148,11 @@ def global_order_stats(
     for alias, (base, kind) in running.items():
         agg, _ = _AGGS[kind]
         aggs.append(agg(base).alias(f"_pt_{alias}"))
-    sizes = rp.groupBy("_pid").agg(*aggs)
+    # coalesce(1): the summary is ≤ num_partitions rows, and a single
+    # partition SATISFIES the offsets window's clustering requirement —
+    # Catalyst then plans the window with no exchange (one fewer stage
+    # per helper call; measured ~40 ms at fixture scale)
+    sizes = rp.groupBy("_pid").agg(*aggs).coalesce(1)
 
     # running offsets over ascending _pid on the TINY summary relation.
     # Keyed by a constant expression DERIVED from _pid so Catalyst cannot

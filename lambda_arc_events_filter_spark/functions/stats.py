@@ -77,19 +77,24 @@ def group_percentile_cont(
     pytest asserts their equality:
 
     - ``group``: one window partitioned by the group key.  Each group
-      sorts in ONE task — optimal while a group fits a task's sort
-      budget (fixture scale: 3 × 200k-row groups, ~0.5 s total; the
-      range plan pays ~0.5 s more in stage constants here).
+      sorts in ONE task — fine while a group fits a task's sort budget,
+      a cliff when it doesn't.
     - ``range``: range-partitioned global rank (below).  The 100 TB
       posture — a group never meets a single task, so there is no
-      per-group cliff.  Set the env var to ``range`` on a real cluster,
-      exactly like the shuffle/dedup-width knobs in SCALE.md §confs.
+      per-group cliff — and, as of the round-4 re-measurement, ALSO the
+      faster plan at sf0.1 (agg_stats 0.60 → 0.47 s, equi-depth
+      histogram 0.33 → 0.16 s, PSI 0.63 → 0.38 s: per-group sorting
+      capped parallelism at |groups| tasks, which the range plan's extra
+      stage constants now more than pay for).  ``range`` is therefore
+      the DEFAULT (the cluster-sane-default polarity, like session.py's
+      scan sizing); ``group`` remains selectable for tiny-relation
+      callers via the env var.
     """
     import os
 
     spark = df.sparkSession
     if strategy is None:
-        strategy = os.environ.get("SPARK_GRAFT_PERCENTILE_STRATEGY", "group")
+        strategy = os.environ.get("SPARK_GRAFT_PERCENTILE_STRATEGY", "range")
     if strategy not in ("group", "range"):
         raise ValueError(f"unknown percentile strategy {strategy!r}")
     keys = list(keys)
