@@ -150,3 +150,32 @@ def test_bounded_frame_tiny_relation(spark):
     )
     cols = ("i", "n", "p", "q")
     assert _rows(out, *cols) == _rows(ref, *cols)
+
+
+def test_empty_input_yields_empty_output(spark):
+    df = spark.createDataFrame([], "v long, id long")
+    out = global_order_stats(df, ["v", "id"], rank="rk", running={"c": ("v", "sum")})
+    assert out.count() == 0
+    out2 = range_bounded_frame(
+        df, ["v", "id"], 1, 1, {"p": lambda w: F.lag("v").over(w)}
+    )
+    assert out2.count() == 0
+
+
+def test_single_partition_request(rdf):
+    out = global_order_stats(
+        rdf.select("v", "id"), ["v", "id"], rank="rk", num_partitions=1
+    )
+    ref = rdf.select("v", "id", F.row_number().over(Window.orderBy("v", "id")).alias("rk"))
+    assert _rows(out, "v", "id", "rk") == _rows(ref, "v", "id", "rk")
+
+
+def test_running_sum_with_negative_values(spark):
+    """Running sums (unlike max-of-running for totals) must be correct
+    when partial sums dip negative across partition boundaries."""
+    rows = [(i, (-1) ** i * (i % 97)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = global_order_stats(df, ["id"], running={"c": ("v", "sum")}, num_partitions=16)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.select("id", "v", F.sum("v").over(w).alias("c"))
+    assert _rows(out, "id", "v", "c") == _rows(ref, "id", "v", "c")
