@@ -768,3 +768,44 @@ def binaryfile_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("long").alias("n_bytes"),
         F.lower(F.substring(F.hex("content"), 1, 16)).alias("head_hex"),
     )
+
+
+@register(
+    "xml_roundtrip_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)  AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    WHERE l_quantity >= 45
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "sink"),
+)
+def xml_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3-family XML codec path (Spark 4's built-in XML source): write
+    filtered lineitems to XML, re-read with an explicit schema,
+    aggregate in integer cents — proving the XML round-trip preserves
+    longs/doubles exactly (values render as text and parse back; the
+    cents discipline makes the comparison rounding-free).  The scan is
+    per-file parallel like the CSV/JSON paths; schema is never
+    inferred."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    path = readers.scratch_dir("xml_rt")
+    readers.write_xml(
+        li.select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"),
+        path,
+    )
+    back = readers.read_xml(
+        spark,
+        path,
+        "l_orderkey long, l_returnflag string, l_quantity double,"
+        " l_extendedprice double",
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )

@@ -57,3 +57,26 @@ def read_orc(spark: SparkSession, path: str, schema: StructType | str) -> DataFr
 
 def scratch_dir(prefix: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex[:8]}")
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> str:
+    """XML sink (Spark 4 built-in source — no external package).  One
+    element per row under ``row_tag``; files split per partition, so the
+    layout stays parallel-scannable like the other text codecs."""
+    df.write.mode(mode).option("rowTag", row_tag).format("xml").save(path)
+    return path
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType | str, row_tag: str = "row"
+) -> DataFrame:
+    """XML scan with explicit schema (never inferred — an inference pass
+    is a full read, same rule as every other source here)."""
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .format("xml")
+        .load(path)
+    )
