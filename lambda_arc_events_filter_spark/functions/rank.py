@@ -31,15 +31,17 @@ and the single-materialized-exchange plan shape.
 Callers MUST pass a TOTAL order (include a unique tiebreak key).  Same
 machinery as ``functions/stats.py::group_percentile_cont``'s ``range``
 strategy, generalized to rank + running sum/max/min with inclusive or
-exclusive frames, and to bounded lag/lead/sliding frames (ghost-row
-overlap).
+exclusive frames; bounded lag/lead/sliding frames build on the global
+rank via rank-shifted equi-joins (``global_order_neighbors`` — chosen
+over a ghost-row partition shift, whose one-partition reach silently
+loses neighbors across empty/sparse range partitions; regression-tested).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Mapping, Sequence
+from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: running-aggregate kinds → (aggregator, cross-partition offset combiner)
@@ -214,61 +216,80 @@ def ntile_from_rank(rank_col: Column, n_col: Column, buckets: int) -> Column:
     )
 
 
-def range_bounded_frame(
+def global_order_neighbors(
     df: DataFrame,
     order_by: OrderBy,
-    before: int,
-    after: int,
-    exprs: Mapping[str, Callable[[WindowSpec], Column]],
+    *,
+    key: Sequence[str] | None = None,
+    lags: Mapping[str, tuple[str, int]] | None = None,
+    leads: Mapping[str, tuple[str, int]] | None = None,
+    frames: Mapping[str, tuple[str, str, int, int]] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Bounded-frame window functions (lag/lead/sliding aggregates) over a
-    global order without a single-partition WindowExec.
+    """lag/lead and bounded ROWS-frame aggregates over a global (total)
+    order without a single-partition WindowExec, exact for ANY offset.
 
-    Every expression in ``exprs`` (alias → fn(window_spec) → Column, e.g.
-    ``lambda w: F.lag("n").over(w)`` or
-    ``lambda w: F.avg("x").over(w.rowsBetween(-11, 12))``) must read only
-    rows within ``before`` rows behind / ``after`` rows ahead of the
-    current row.
+    ``lags`` / ``leads``: alias → (column, k).  ``frames``: alias →
+    (column, kind, lo, hi) with kind in {sum, max, min, avg, count} and a
+    rows-frame [lo, hi] relative to the current row (lo ≤ 0 ≤ hi or any
+    bounded pair).  ``key`` as in :func:`global_order_stats`.
 
-    Mechanism: range-partition on the (total) order, then give each
-    partition "ghost" copies of its neighbours' edge rows — the last
-    ``before`` rows of the previous partition and the first ``after``
-    rows of the next, a per-partition CONSTANT number of duplicated rows,
-    independent of data volume — evaluate the frame locally, and drop
-    the ghosts.  All union branches carry the identical full schema, so
-    the exchange-reuse invariant (module docstring) holds structurally
-    here without a core projection.
+    Mechanism: the range-partitioned global rank ``g`` (above) makes a
+    row's frame a RANK INTERVAL, so lag(k) is an equi-join on ``g − k``
+    and a bounded frame is an explode of the (hi−lo+1) relative offsets
+    joined on the shifted rank and re-aggregated — shuffles keyed by the
+    dense rank, never a single-partition exchange, and immune to the
+    sparse-partition hazard a ghost-row shift has (a neighbor more than
+    one range partition away is still one rank away).  Frame aggregates
+    combine hash-aggregate-style; integer inputs are exact, double
+    inputs carry the usual ±1 ulp association caveat vs a sequential
+    window evaluation.
     """
-    if before < 0 or after < 0:
-        raise ValueError("before/after are non-negative row counts")
-    num_partitions = _default_partitions(df, num_partitions)
-    cols, _ = _parse_order(order_by)
+    lags = dict(lags or {})
+    leads = dict(leads or {})
+    frames = dict(frames or {})
+    if not (lags or leads or frames):
+        raise ValueError("need at least one of lags=/leads=/frames=")
+    for alias, (_, kind, lo, hi) in frames.items():
+        if kind not in ("sum", "max", "min", "avg", "count"):
+            raise ValueError(f"unknown frame kind {kind!r} for {alias!r}")
+        if lo > hi:
+            raise ValueError(f"frame lo > hi for {alias!r}")
 
-    rp = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranked = global_order_stats(
+        df, order_by, rank="_g", key=key, num_partitions=num_partitions
     )
-    w_loc = Window.partitionBy("_pid").orderBy(*cols)
-    marked = rp.withColumn("_lrn", F.row_number().over(w_loc)).withColumn(
-        "_pn", F.count(F.lit(1)).over(Window.partitionBy("_pid"))
-    )
-    own = marked.withColumn("_ghost", F.lit(False))
-    unioned = own
-    if before > 0:  # last `before` rows also serve the NEXT partition
-        unioned = unioned.unionByName(
-            marked.filter(F.col("_lrn") > F.col("_pn") - before)
-            .withColumn("_pid", F.col("_pid") + 1)
-            .withColumn("_ghost", F.lit(True))
+    out = ranked
+    for alias, (col, k) in lags.items():
+        nb = ranked.select(
+            (F.col("_g") + k).alias("_g"), F.col(col).alias(alias)
         )
-    if after > 0:  # first `after` rows also serve the PREVIOUS partition
-        unioned = unioned.unionByName(
-            marked.filter(F.col("_lrn") <= after)
-            .withColumn("_pid", F.col("_pid") - 1)
-            .withColumn("_ghost", F.lit(True))
+        out = out.join(nb, "_g", "left")
+    for alias, (col, k) in leads.items():
+        nb = ranked.select(
+            (F.col("_g") - k).alias("_g"), F.col(col).alias(alias)
         )
-
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    out = unioned
-    for alias, fn in exprs.items():
-        out = out.withColumn(alias, fn(w))
-    return out.filter(~F.col("_ghost")).drop("_pid", "_lrn", "_pn", "_ghost")
+        out = out.join(nb, "_g", "left")
+    if frames:
+        lo_all = min(lo for (_, _, lo, _) in frames.values())
+        hi_all = max(hi for (_, _, _, hi) in frames.values())
+        fan = ranked.select(
+            "_g", F.explode(F.sequence(F.lit(lo_all), F.lit(hi_all))).alias("_o")
+        ).select((F.col("_g") + F.col("_o")).alias("_gn"), "_g", "_o")
+        cols_needed = {col for (col, _, _, _) in frames.values()}
+        nb = ranked.select(F.col("_g").alias("_gn"), *sorted(cols_needed))
+        joined = fan.join(nb, "_gn")
+        aggs = []
+        for alias, (col, kind, lo, hi) in frames.items():
+            in_frame = (F.col("_o") >= lo) & (F.col("_o") <= hi)
+            agg_fn = {
+                "sum": F.sum,
+                "max": F.max,
+                "min": F.min,
+                "avg": F.avg,
+                "count": F.count,
+            }[kind]
+            aggs.append(agg_fn(F.when(in_frame, F.col(col))).alias(alias))
+        frame_vals = joined.groupBy("_g").agg(*aggs)
+        out = out.join(frame_vals, "_g", "left")
+    return out.drop("_g")

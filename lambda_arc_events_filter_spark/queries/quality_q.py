@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
-from lambda_arc_events_filter_spark.functions.rank import range_bounded_frame
+from lambda_arc_events_filter_spark.functions.rank import global_order_neighbors
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1395,18 +1395,15 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("n"))
-    # lag/lead over the range-partitioned hourly series with ghost-row
-    # overlap (functions/rank.py) — the series is time-bounded, but the
-    # plan stays free of single-partition windows either way
-    flagged = range_bounded_frame(
+    # lag/lead over the range-partitioned global hour rank (rank-shifted
+    # equi-joins, functions/rank.py) — the series is time-bounded, but
+    # the plan stays free of single-partition windows either way
+    flagged = global_order_neighbors(
         hourly,
         ["hr"],
-        1,
-        1,
-        {
-            "prev_n": lambda w: F.lag("n").over(w),
-            "next_n": lambda w: F.lead("n").over(w),
-        },
+        key=["hr"],
+        lags={"prev_n": ("n", 1)},
+        leads={"next_n": ("n", 1)},
     )
     shape = (
         F.when(

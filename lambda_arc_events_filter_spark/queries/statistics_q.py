@@ -18,8 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.rank import (
+    global_order_neighbors,
     global_order_stats,
-    range_bounded_frame,
 )
 from lambda_arc_events_filter_spark.registry import register
 
@@ -1556,15 +1556,16 @@ def events_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = hourly.groupBy(
         F.hour("hr").cast("long").alias("hod")
     ).agg(F.round(F.avg("n"), 6).alias("seasonal"))
-    # the ±12h sliding mean runs over the range-partitioned hourly series
-    # with ghost-row overlap (functions/rank.py) — the series is
-    # time-bounded, but the plan stays single-partition-free either way
-    trended = range_bounded_frame(
+    # the ±12h sliding mean runs over the range-partitioned global hour
+    # rank (offset-explode + rank equi-join, functions/rank.py) — the
+    # series is time-bounded, but the plan stays single-partition-free
+    # either way; counts are integers, so the re-associated average is
+    # exact
+    trended = global_order_neighbors(
         hourly,
         ["hr"],
-        11,
-        12,
-        {"trend_raw": lambda w: F.avg("n").over(w.rowsBetween(-11, 12))},
+        key=["hr"],
+        frames={"trend_raw": ("n", "avg", -11, 12)},
     )
     return (
         trended.join(

@@ -16,8 +16,8 @@ import pytest
 from pyspark.sql import Window
 
 from lambda_arc_events_filter_spark.functions.rank import (
+    global_order_neighbors,
     global_order_stats,
-    range_bounded_frame,
 )
 from lambda_arc_events_filter_spark.plans import inspect as I
 
@@ -100,8 +100,8 @@ def test_helper_plans_have_no_empty_partition_window(rdf):
         rdf.select("v", "id"), ["v", "id"], rank="rk", running={"cum": ("v", "sum")}
     )
     assert I.empty_partition_window_specs(out) == []
-    out2 = range_bounded_frame(
-        rdf, ["v", "id"], 1, 1, {"lg": lambda w: F.lag("x").over(w)}
+    out2 = global_order_neighbors(
+        rdf, ["v", "id"], key=["id"], lags={"lg": ("x", 1)}
     )
     assert I.empty_partition_window_specs(out2) == []
 
@@ -112,16 +112,13 @@ def test_empty_partition_lint_flags_global_window(rdf):
 
 
 def test_bounded_frame_lag_lead_sliding(rdf):
-    out = range_bounded_frame(
+    out = global_order_neighbors(
         rdf,
         ["v", "id"],
-        before=2,
-        after=3,
-        exprs={
-            "lg": lambda w: F.lag("v", 2).over(w),
-            "ld": lambda w: F.lead("x", 3).over(w),
-            "sl": lambda w: F.sum("v").over(w.rowsBetween(-2, 3)),
-        },
+        key=["id"],
+        lags={"lg": ("v", 2)},
+        leads={"ld": ("x", 3)},
+        frames={"sl": ("v", "sum", -2, 3)},
     )
     w = Window.orderBy("v", "id")
     ref = rdf.select(
@@ -139,8 +136,8 @@ def test_bounded_frame_lag_lead_sliding(rdf):
 def test_bounded_frame_tiny_relation(spark):
     """Fewer rows than partitions: ghosts at every boundary still resolve."""
     df = spark.createDataFrame([(i, i * 10) for i in range(5)], "i long, n long")
-    out = range_bounded_frame(
-        df, ["i"], 1, 1, {"p": lambda w: F.lag("n").over(w), "q": lambda w: F.lead("n").over(w)}
+    out = global_order_neighbors(
+        df, ["i"], key=["i"], lags={"p": ("n", 1)}, leads={"q": ("n", 1)}
     )
     ref = df.select(
         "i",
@@ -156,8 +153,8 @@ def test_empty_input_yields_empty_output(spark):
     df = spark.createDataFrame([], "v long, id long")
     out = global_order_stats(df, ["v", "id"], rank="rk", running={"c": ("v", "sum")})
     assert out.count() == 0
-    out2 = range_bounded_frame(
-        df, ["v", "id"], 1, 1, {"p": lambda w: F.lag("v").over(w)}
+    out2 = global_order_neighbors(
+        df, ["v", "id"], lags={"p": ("v", 1)}
     )
     assert out2.count() == 0
 
@@ -179,3 +176,16 @@ def test_running_sum_with_negative_values(spark):
     w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ref = df.select("id", "v", F.sum("v").over(w).alias("c"))
     assert _rows(out, "id", "v", "c") == _rows(ref, "id", "v", "c")
+
+
+def test_neighbors_survive_sparse_partitions(spark):
+    """Regression: a lag/lead distance spanning EMPTY or under-populated
+    range partitions must still resolve (the ghost-shift design this
+    replaced lost neighbors more than one partition away)."""
+    for n, k, parts in [(10, 3, 32), (50, 5, 32), (7, 2, 16)]:
+        df = spark.createDataFrame([(i, i * 10) for i in range(n)], "i long, n long")
+        out = global_order_neighbors(
+            df, ["i"], key=["i"], lags={"p": ("n", k)}, num_partitions=parts
+        )
+        ref = df.select("i", "n", F.lag("n", k).over(Window.orderBy("i")).alias("p"))
+        assert _rows(out, "i", "n", "p") == _rows(ref, "i", "n", "p"), (n, k, parts)
