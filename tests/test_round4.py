@@ -195,3 +195,46 @@ def test_logrank_identical_cohorts_chi2_zero(spark):
         .collect()[0]
     )
     assert r["o1"] == pytest.approx(r["e1"], abs=1e-12)
+
+
+def test_radius_join_plans_hash_not_nested_loop(spark, sf_dir):
+    """The whole point of latitude banding: the radius predicate must ride
+    an equi-join on the band key, never a BroadcastNestedLoopJoin."""
+    from lambda_arc_events_filter_spark.plans import inspect as I
+    from lambda_arc_events_filter_spark.registry import specs
+
+    df = specs()["users_geo_radius_join"].fn(spark, sf_dir)
+    assert not I.uses_nested_loop_join(df), I.formatted_plan(df)[:2000]
+
+
+def test_bm25_and_skew_audit_plan_take_ordered(spark, sf_dir):
+    from lambda_arc_events_filter_spark.plans import inspect as I
+    from lambda_arc_events_filter_spark.registry import specs
+
+    for name in ("text_bm25_search", "events_key_skew_audit", "text_rake_keyphrases"):
+        df = specs()[name].fn(spark, sf_dir)
+        assert I.uses_take_ordered(df), f"{name} must plan TakeOrderedAndProject"
+
+
+def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
+    """Iterations must broadcast the |nodes| rank vector, never shuffle
+    the edge relation by rank."""
+    from lambda_arc_events_filter_spark.plans import inspect as I
+    from lambda_arc_events_filter_spark.registry import specs
+
+    df = specs()["nations_trade_pagerank"].fn(spark, sf_dir)
+    assert I.uses_broadcast_join(df)
+    assert not I.has_python_in_plan(df)
+
+
+def test_pq_assign_is_map_only_over_corpus(spark, sf_dir):
+    """PQ encode: broadcast codebook + in-row argmin — the corpus must
+    not exchange at all (scan → project → output)."""
+    from lambda_arc_events_filter_spark.plans import inspect as I
+    from lambda_arc_events_filter_spark.registry import specs
+
+    df = specs()["embedding_pq_assign"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    # the only exchange allowed is the 1-row codebook broadcast
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
