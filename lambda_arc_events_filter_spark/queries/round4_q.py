@@ -1422,3 +1422,159 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# E17: deterministic epoch shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 1  # epoch number — part of the query definition
+_SHARD_SIZE = 1000
+
+
+@register(
+    "corpus_epoch_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + {seed} * 40503) % 1000000007 AS hv
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY hv, doc_id) AS epoch_pos
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(epoch_pos AS BIGINT)                     AS epoch_pos,
+           CAST((epoch_pos - 1) // {shard} AS BIGINT)    AS shard,
+           CAST((epoch_pos - 1) % {shard} AS BIGINT)     AS shard_offset
+    FROM pos
+    """.format(seed=_SHUFFLE_SEED, shard=_SHARD_SIZE),
+    tags=("llm", "corpus", "scale"),
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training epoch N: every document
+    gets a pseudo-random position (hash of (doc_id, epoch), totally
+    ordered with the id tiebreak) and the (shard, offset) it lands at —
+    the reproducible data-order assignment an LLM training run needs
+    (same epoch → same order on any cluster, any partition count; next
+    epoch → new seed, new permutation; a restart can seek to any
+    (shard, offset)).
+
+    The position is the range-partitioned global rank over the hash
+    order (``functions/rank.py`` — no single-partition window over the
+    corpus, no global sort materialized); shard/offset are pure
+    arithmetic on the rank.  The hash is engine-portable integer
+    arithmetic, so both engines produce the identical permutation.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    h = d.withColumn(
+        "hv",
+        (F.col("doc_id") * 2654435761 + _SHUFFLE_SEED * 40503) % 1000000007,
+    )
+    pos = global_order_stats(h, ["hv", "doc_id"], rank="epoch_pos")
+    return pos.select(
+        "doc_id",
+        "epoch_pos",
+        ((F.col("epoch_pos") - 1) / _SHARD_SIZE).cast("long").alias("shard"),
+        ((F.col("epoch_pos") - 1) % _SHARD_SIZE).cast("long").alias(
+            "shard_offset"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E18: k-anonymity generalization ladder (audit → repair)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_k_anonymity_generalize",
+    oracle="""
+    WITH b50 AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(floor(value / 50.0) AS BIGINT) AS b, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    m50  AS (SELECT event_type, day, min(n) AS mn FROM b50 GROUP BY 1, 2),
+    b100 AS (SELECT event_type, day, CAST(floor(b / 2.0) AS BIGINT) AS b,
+                    sum(n) AS n FROM b50 GROUP BY 1, 2, 3),
+    m100 AS (SELECT event_type, day, min(n) AS mn FROM b100 GROUP BY 1, 2),
+    b200 AS (SELECT event_type, day, CAST(floor(b / 2.0) AS BIGINT) AS b,
+                    sum(n) AS n FROM b100 GROUP BY 1, 2, 3),
+    m200 AS (SELECT event_type, day, min(n) AS mn FROM b200 GROUP BY 1, 2),
+    b400 AS (SELECT event_type, day, CAST(floor(b / 2.0) AS BIGINT) AS b,
+                    sum(n) AS n FROM b200 GROUP BY 1, 2, 3),
+    m400 AS (SELECT event_type, day, min(n) AS mn FROM b400 GROUP BY 1, 2)
+    SELECT m50.event_type, m50.day,
+           CAST(CASE WHEN m50.mn >= 5 THEN 50
+                     WHEN m100.mn >= 5 THEN 100
+                     WHEN m200.mn >= 5 THEN 200
+                     WHEN m400.mn >= 5 THEN 400
+                     ELSE 0 END AS BIGINT)      AS chosen_band_width,
+           CAST(m50.mn AS BIGINT)               AS min_n_at_50,
+           CAST(m400.mn AS BIGINT)              AS min_n_at_400,
+           (m400.mn < 5)                        AS still_risky_at_400
+    FROM m50
+    JOIN m100 USING (event_type, day)
+    JOIN m200 USING (event_type, day)
+    JOIN m400 USING (event_type, day)
+    """,
+    tags=("agg", "audit"),
+)
+def events_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair step behind the k-anonymity audit: per (event_type,
+    day) release cell, the NARROWEST value-band width (50 → 100 → 200 →
+    400, each a 2× coarsening) at which every band inside the cell
+    reaches k=5 — the generalization-ladder decision a disclosure-control
+    pipeline applies instead of suppressing rows (width 0 = even 400
+    stays risky: suppress or widen further).
+
+    One fact-scale aggregate at the FINEST band; every coarser level
+    rolls up from the previous by integer halving of the band id
+    (floor-div composition: floor(floor(v/50)/2) ≡ floor(v/100)), so the
+    ladder costs three tiny re-aggregations over |cells × bands| rows,
+    never a second scan — the sketch-rollup shape.  All counts integer.
+    """
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mins = []
+    cur = b
+    for _w in (50, 100, 200, 400):
+        if _w != 50:
+            cur = cur.groupBy(
+                "event_type",
+                "day",
+                F.floor(F.col("b") / 2.0).cast("long").alias("b"),
+            ).agg(F.sum("n").alias("n"))
+        mins.append(
+            cur.groupBy("event_type", "day").agg(
+                F.min("n").alias(f"mn{_w}")
+            )
+        )
+    m50, m100, m200, m400 = mins
+    out = (
+        m50.join(m100, ["event_type", "day"])
+        .join(m200, ["event_type", "day"])
+        .join(m400, ["event_type", "day"])
+    )
+    chosen = (
+        F.when(F.col("mn50") >= 5, 50)
+        .when(F.col("mn100") >= 5, 100)
+        .when(F.col("mn200") >= 5, 200)
+        .when(F.col("mn400") >= 5, 400)
+        .otherwise(0)
+    )
+    return out.select(
+        "event_type",
+        "day",
+        chosen.cast("long").alias("chosen_band_width"),
+        F.col("mn50").cast("long").alias("min_n_at_50"),
+        F.col("mn400").cast("long").alias("min_n_at_400"),
+        (F.col("mn400") < 5).alias("still_risky_at_400"),
+    )
