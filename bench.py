@@ -44,6 +44,10 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
 # pre-sized — so AQE has nothing to re-plan.  Cluster runs keep the
 # default (AQE on), where runtime re-planning earns its barriers.
 os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+# Dedup pipeline width: 4 is the measured fixture-scale sweet spot (see
+# operators/dedup.py); the library default is cluster parallelism, so the
+# toy-scale value is an explicit harness opt-in here.
+os.environ.setdefault("SPARK_GRAFT_DEDUP_PARTITIONS", "4")
 
 from lambda_arc_events_filter_spark.registry import specs
 from lambda_arc_events_filter_spark.session import fixture_conf, get_spark

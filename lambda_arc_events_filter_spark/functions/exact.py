@@ -1,0 +1,63 @@
+"""Exact cross-engine decimal rounding for integer ratios.
+
+The divergence class this kills (COVERAGE.md "second divergence class"):
+``round(a / b, k)`` where ``a`` and ``b`` are exact integers can land on a
+TRUE decimal half at position k+1 (e.g. ``3201/100/32 = 1.0003125``).
+The nearest double generally sits a hair off the half, and the engines'
+rounding mechanisms then split: Spark's ``Round`` re-reads the double's
+shortest decimal string (BigDecimal HALF_UP → .xx5 rounds up) while
+DuckDB rounds the binary value (below the half → rounds down).  This is
+not float drift — it diverges with probability ~1 whenever the reduced
+denominator is of the form 2^a·5^b, which group counts regularly hit.
+
+Fix: never round the double.  Compute the rounded ratio in integer
+arithmetic — ``round_half_up(a/b · 10^k) = (2·a·10^k + b) div (2·b)`` for
+positive a, b — and divide by 10^k at the very end.  The result is an
+exact k-decimal value, bit-identical in any engine.
+
+Overflow headroom: the intermediate is ``2·a·10^(k-s)``; with BIGINT this
+caps a (the value in 10^s units) at ~4.6e18/10^(k-s).  For money-in-cents
+averaged to 6 decimals (k-s=4) that is ~4.6e14 cents per group — ~46
+billion dollars — fine for fixture and bench scale; a 100 TB deployment
+pushing past it would move the accumulator to DECIMAL(38) (same formula,
+Spark and DuckDB both support it) at a small codegen cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+
+def round_int_ratio(a: Column, b: Column, k: int, a_scale: int = 0) -> Column:
+    """Half-up ``round(a / b, k)`` for non-negative integer columns, exact
+    in integer arithmetic.
+
+    ``a`` holds the numerator value scaled by ``10^a_scale`` (e.g. money
+    in cents → a_scale=2); ``b`` is the positive integer denominator
+    (typically a group count).  Returns a double that is an exact
+    k-decimal value, identical in Spark and DuckDB.  Requires
+    ``k >= a_scale``.
+    """
+    if k < a_scale:
+        raise ValueError(f"k={k} must be >= a_scale={a_scale}")
+    up = 10 ** (k - a_scale)
+    a = a.cast("long")
+    b = b.cast("long")
+    micro = F.lit(2) * a * F.lit(up) + b
+    # IntegralDivide ("div") stays in LONG space — a double-division
+    # detour would lose bits past 2^53, which sf0.1 money sums already
+    # exceed once scaled by 10^4.
+    scaled = F.call_function("div", micro, F.lit(2) * b)
+    return scaled / F.lit(float(10**k))
+
+
+def round_int_ratio_sql(a: str, b: str, k: int, a_scale: int = 0) -> str:
+    """DuckDB twin of :func:`round_int_ratio` (same integer formula)."""
+    if k < a_scale:
+        raise ValueError(f"k={k} must be >= a_scale={a_scale}")
+    up = 10 ** (k - a_scale)
+    return (
+        f"(CAST((2 * CAST({a} AS BIGINT) * {up} + CAST({b} AS BIGINT)) AS BIGINT)"
+        f" // (2 * CAST({b} AS BIGINT))) / {10 ** k}.0"
+    )

@@ -175,10 +175,14 @@ def shingle_postings(
     # 32-task stage pays ~0.2 s of pure dispatch over single-digit-MB data.
     # Measured at sf0.1 (minhash+jaccard wall): 32 ≈ 3-4× slower than 8;
     # 8 → 5.0 s, 4 → 4.0-4.3 s, 2 → 5.1 s (compute-starved).  4 is the
-    # sweet spot at fixture scale.  At the 100 TB design point set
-    # SPARK_GRAFT_DEDUP_PARTITIONS to cluster parallelism (the shape is
-    # unchanged: one shuffle by doc id, then map-side work).
-    par = int(os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS", "4"))
+    # sweet spot at FIXTURE scale — and only there, so it is an explicit
+    # harness opt-in (bench.py / tools / tests set the env var), never the
+    # default: a bare cluster session that forgot the knob gets cluster
+    # parallelism, which is the right width when the corpus is real (the
+    # shape is unchanged: one shuffle by doc id, then map-side work).
+    par = int(
+        os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS", "0")
+    ) or max(4, df.sparkSession.sparkContext.defaultParallelism)
     # Repartition the NARROW (id, tokens) relation by id before exploding:
     # the fixture corpus is one parquet row-group, so without this the
     # posexplode (the heaviest map) runs on a single task; partitioning by

@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -39,11 +40,12 @@ from lambda_arc_events_filter_spark.registry import register
            round(sum(CAST(round(l_extendedprice * (1 - l_discount)
                                 * (1 + l_tax) * 1e6)
                      AS BIGINT)) / 1e6, 2)                   AS sum_charge,
-           round(avg(l_quantity), 6)                         AS avg_qty,
-           round(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT))
-                 / 1e2 / count(*), 6)                        AS avg_price,
-           round(sum(CAST(round(l_discount * 1e2) AS BIGINT))
-                 / 1e2 / count(*), 6)                        AS avg_disc,
+           (2 * CAST(sum(l_quantity) AS BIGINT) * 1000000 + count(*))
+                 // (2 * count(*)) / 1000000.0               AS avg_qty,
+           (2 * sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) * 10000
+                 + count(*)) // (2 * count(*)) / 1000000.0   AS avg_price,
+           (2 * sum(CAST(round(l_discount * 1e2) AS BIGINT)) * 10000
+                 + count(*)) // (2 * count(*)) / 1000000.0   AS avg_disc,
            count(*)                                          AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -64,6 +66,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit sits within float-order drift of .005 often enough to bite.
     Quantity sums stay plain doubles: integral values ≤2^53 sum exactly
     in any order.
+
+    The three ``avg_*`` columns are rounded by INTEGER half-up division
+    (``functions/exact.round_int_ratio``), never ``round(double, 6)``:
+    an integer ratio like ``3201¢ / 32`` is a TRUE decimal half at the
+    7th place, where Spark's string-based Round and DuckDB's binary
+    round split deterministically (found by
+    ``tests/test_properties.py::test_q01_half_boundary_parity``).
     """
     l = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -81,9 +90,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(base_c / 1e2, 2).alias("sum_base_price"),
             F.round(disc_c / 1e4, 2).alias("sum_disc_price"),
             F.round(charge_c / 1e6, 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(base_c / 1e2 / n, 6).alias("avg_price"),
-            F.round(discount_c / 1e2 / n, 6).alias("avg_disc"),
+            round_int_ratio(F.sum("l_quantity"), n, 6).alias("avg_qty"),
+            round_int_ratio(base_c, n, 6, a_scale=2).alias("avg_price"),
+            round_int_ratio(discount_c, n, 6, a_scale=2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

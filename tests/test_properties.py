@@ -589,3 +589,93 @@ def test_gaps_islands_streaks_match_python_recompute(spark, sf_dir):
         for r in events_gaps_and_islands(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Half-boundary rounding parity (VERDICT r3 item 8 / COVERAGE.md
+# "second divergence class"): money and count ratios that land on a TRUE
+# decimal half must round identically in Spark and DuckDB.  The sf0.1
+# stress sweep only catches these when a fixture regeneration happens to
+# produce a boundary; this guard MANUFACTURES boundaries every run.
+# ---------------------------------------------------------------------------
+
+money_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "N", "R"]),        # returnflag
+        st.sampled_from(["F", "O"]),             # linestatus
+        st.integers(1, 10_000_00),               # extendedprice cents
+        st.integers(0, 10),                      # discount cents (0.00-0.10)
+        st.integers(0, 8),                       # tax cents
+        st.integers(1, 50),                      # quantity
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _write_lineitem(tmpdir, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    ship = dt.datetime(1998, 1, 1)
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_partkey": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "l_suppkey": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([float(r[5]) for r in rows], pa.float64()),
+            "l_extendedprice": pa.array(
+                [r[2] / 100.0 for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array([r[3] / 100.0 for r in rows], pa.float64()),
+            "l_tax": pa.array([r[4] / 100.0 for r in rows], pa.float64()),
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
+            "l_shipdate": pa.array(
+                [ship] * n, pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/lineitem.parquet")
+
+
+@given(rows=money_rows)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_q01_half_boundary_parity(spark, rows):
+    """q01's averages on groups ENGINEERED onto true decimal halves agree
+    bit-for-bit between Spark and the DuckDB oracle.
+
+    Group ("H","A"): 32 rows, 3201 cents total → avg_price = 1.0003125,
+    a 7th-decimal half whose nearest double sits BELOW the half — the
+    exact input where string-rounding (Spark Round) and binary-rounding
+    (DuckDB) split unless the ratio is rounded in integer space.
+    Group ("H","B"): 640 rows, quantity sum 641 → avg_qty = 1.0015625,
+    the same trap for the quantity average.  Hypothesis fuzzes ordinary
+    rows on top.
+    """
+    import tempfile
+
+    import duckdb
+
+    from lambda_arc_events_filter_spark.registry import specs
+    from lambda_arc_events_filter_spark.testing import compare_pandas_strict
+
+    eng = [("H", "A", 101, 1, 0, 1)] + [("H", "A", 100, 0, 0, 1)] * 31
+    eng += [("H", "B", 100, 0, 0, 2)] + [("H", "B", 100, 0, 0, 1)] * 639
+    all_rows = eng + list(rows)
+    spec = specs()["q01_pricing_summary"]
+    with tempfile.TemporaryDirectory() as tmpdir:
+        _write_lineitem(tmpdir, all_rows)
+        spdf = spec.fn(spark, tmpdir).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmpdir}/lineitem.parquet')"
+        )
+        dpdf = con.sql(spec.oracle).df()
+        con.close()
+    assert compare_pandas_strict(spdf, dpdf) == []

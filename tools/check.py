@@ -9,8 +9,14 @@ Usage:  PYTHONPATH=. python tools/check.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# Fixture-scale dedup pipeline width (see operators/dedup.py — the
+# library default is cluster parallelism; the toy value is a harness
+# opt-in).
+os.environ.setdefault("SPARK_GRAFT_DEDUP_PARTITIONS", "4")
 
 from lambda_arc_events_filter_spark.registry import specs
 from lambda_arc_events_filter_spark.session import fixture_conf, get_spark
