@@ -36,28 +36,38 @@ def round_int_ratio(a: Column, b: Column, k: int, a_scale: int = 0) -> Column:
     ``a`` holds the numerator value scaled by ``10^a_scale`` (e.g. money
     in cents → a_scale=2); ``b`` is the positive integer denominator
     (typically a group count).  Returns a double that is an exact
-    k-decimal value, identical in Spark and DuckDB.  Requires
-    ``k >= a_scale``.
+    k-decimal value, identical in Spark and DuckDB.  ``k < a_scale``
+    (coarser rounding than the input scale) moves the 10-power onto the
+    denominator.
     """
-    if k < a_scale:
-        raise ValueError(f"k={k} must be >= a_scale={a_scale}")
-    up = 10 ** (k - a_scale)
     a = a.cast("long")
     b = b.cast("long")
-    micro = F.lit(2) * a * F.lit(up) + b
+    if k >= a_scale:
+        num = F.lit(2) * a * F.lit(10 ** (k - a_scale)) + b
+        den = F.lit(2) * b
+    else:  # coarser target scale: move the 10-power onto the denominator
+        down = 10 ** (a_scale - k)
+        num = F.lit(2) * a + b * F.lit(down)
+        den = F.lit(2) * b * F.lit(down)
     # IntegralDivide ("div") stays in LONG space — a double-division
     # detour would lose bits past 2^53, which sf0.1 money sums already
-    # exceed once scaled by 10^4.
-    scaled = F.call_function("div", micro, F.lit(2) * b)
+    # exceed once scaled by 10^4.  CASE WHEN keeps ANSI mode from
+    # raising on a zero denominator (NULL instead, matching the
+    # nullif() the SQL twin uses).
+    scaled = F.when(b != 0, F.call_function("div", num, den))
     return scaled / F.lit(float(10**k))
 
 
 def round_int_ratio_sql(a: str, b: str, k: int, a_scale: int = 0) -> str:
     """DuckDB twin of :func:`round_int_ratio` (same integer formula)."""
-    if k < a_scale:
-        raise ValueError(f"k={k} must be >= a_scale={a_scale}")
-    up = 10 ** (k - a_scale)
+    if k >= a_scale:
+        up = 10 ** (k - a_scale)
+        num = f"2 * CAST({a} AS BIGINT) * {up} + CAST({b} AS BIGINT)"
+        den = f"2 * CAST({b} AS BIGINT)"
+    else:
+        down = 10 ** (a_scale - k)
+        num = f"2 * CAST({a} AS BIGINT) + CAST({b} AS BIGINT) * {down}"
+        den = f"2 * CAST({b} AS BIGINT) * {down}"
     return (
-        f"(CAST((2 * CAST({a} AS BIGINT) * {up} + CAST({b} AS BIGINT)) AS BIGINT)"
-        f" // (2 * CAST({b} AS BIGINT))) / {10 ** k}.0"
+        f"(CAST(({num}) AS BIGINT) // nullif({den}, 0)) / {10 ** k}.0"
     )

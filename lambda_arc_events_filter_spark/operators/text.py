@@ -32,6 +32,29 @@ def token_count_expr(tokens_col: str = "tokens") -> Column:
     return F.size(F.col(tokens_col))
 
 
+def distinct_count_expr(tokens_col: str = "tokens") -> Column:
+    """Distinct-token count (integer numerator of the type-token ratio —
+    kept separate so callers can round the ratio in integer space,
+    functions/exact.py)."""
+    return F.size(F.array_distinct(F.col(tokens_col)))
+
+
+def stopword_count_expr(tokens_col: str = "tokens") -> Column:
+    """Stopword hit count (integer numerator of the stopword ratio)."""
+    arr = ",".join(f"'{w}'" for w in STOPWORDS)
+    return F.expr(
+        f"size(filter({tokens_col}, t -> array_contains(array({arr}), t)))"
+    )
+
+
+def total_token_len_expr(tokens_col: str = "tokens") -> Column:
+    """Total character length of all tokens (integer numerator of the
+    mean token length)."""
+    return F.expr(
+        f"aggregate({tokens_col}, 0L, (s, t) -> s + length(t))"
+    )
+
+
 def distinct_ratio_expr(tokens_col: str = "tokens") -> Column:
     """Type-token ratio: lexical diversity [0,1]."""
     return (

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import global_order_stats
 from lambda_arc_events_filter_spark.registry import register
 
@@ -254,7 +255,8 @@ def in_subquery_three_valued(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (SELECT count(*) AS n_rows FROM orders)
     SELECT col, n_rows, n_nonnull, n_distinct,
-           round(1.0 - n_nonnull * 1.0 / n_rows, 6) AS null_fraction
+           ((2 * (n_rows - n_nonnull) * 1000000 + n_rows) // (2 * n_rows))
+               / 1000000.0 AS null_fraction
     FROM (
       SELECT 'o_orderkey' AS col, base.n_rows,
              CAST(count(o_orderkey) AS BIGINT)          AS n_nonnull,
@@ -314,9 +316,13 @@ def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.col", "s.n_rows", "s.n_nonnull", "s.n_distinct")
+    # Integer half-up rounding (functions/exact.py): count/count ratios
+    # can land on true decimal halves where the engines' round() split.
     return stacked.withColumn(
         "null_fraction",
-        F.round(1.0 - F.col("n_nonnull") * 1.0 / F.col("n_rows"), 6),
+        round_int_ratio(
+            F.col("n_rows") - F.col("n_nonnull"), F.col("n_rows"), 6
+        ),
     )
 
 

@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import (
     global_order_stats,
     ntile_from_rank,
@@ -674,8 +675,8 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT)                       AS n_tokens,
            CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_oov,
-           round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 6)                           AS oov_rate
+           ((2 * sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000
+             + count(*)) // (2 * count(*))) / 1000000.0   AS oov_rate
     FROM tok t LEFT JOIN vocab v ON t.term = v.term
     GROUP BY t.doc_id
     """,
@@ -710,7 +711,7 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(oov).cast("long").alias("n_oov"),
-            F.round(F.sum(oov) * 1.0 / F.count(F.lit(1)), 6).alias(
+            round_int_ratio(F.sum(oov), F.count(F.lit(1)), 6).alias(
                 "oov_rate"
             ),
         )
@@ -738,8 +739,10 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(n_docs) AS nd, sum(total_chars) AS nc,
                    count(*) AS k FROM per)
     SELECT per.shard, per.n_docs, per.total_chars,
-           round(per.n_docs * 1.0 * tot.k / tot.nd, 6)      AS doc_skew,
-           round(per.total_chars * 1.0 * tot.k / tot.nc, 6) AS char_skew
+           ((2 * per.n_docs * tot.k * 1000000 + tot.nd) // (2 * tot.nd))
+               / 1000000.0                                  AS doc_skew,
+           ((2 * per.total_chars * tot.k * 1000000 + tot.nc)
+               // (2 * tot.nc)) / 1000000.0                 AS char_skew
     FROM per, tot
     """,
     tags=("llm", "corpus", "maintenance"),
@@ -776,11 +779,11 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         "n_docs",
         "total_chars",
-        F.round(F.col("n_docs") * 1.0 * F.col("k") / F.col("nd"), 6).alias(
-            "doc_skew"
-        ),
-        F.round(
-            F.col("total_chars") * 1.0 * F.col("k") / F.col("nc"), 6
+        round_int_ratio(
+            F.col("n_docs") * F.col("k"), F.col("nd"), 6
+        ).alias("doc_skew"),
+        round_int_ratio(
+            F.col("total_chars") * F.col("k"), F.col("nc"), 6
         ).alias("char_skew"),
     )
 
@@ -870,7 +873,8 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
     SELECT term,
            CAST(count(*) AS BIGINT)           AS freq,
-           round(count(*) * 1.0 / tot.n, 6)   AS frac
+           ((2 * count(*) * 1000000 + tot.n) // (2 * tot.n))
+               / 1000000.0                    AS frac
     FROM tok, tot
     GROUP BY term, tot.n
     HAVING count(*) * 1.0 / tot.n > 0.02
@@ -937,7 +941,7 @@ def tokens_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "freq",
-            F.round(F.col("freq") * 1.0 / F.col("n"), 6).alias("frac"),
+            round_int_ratio(F.col("freq"), F.col("n"), 6).alias("frac"),
         )
     )
 

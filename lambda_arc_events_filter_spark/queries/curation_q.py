@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.operators import dedup as D
 from lambda_arc_events_filter_spark.operators.graph import connected_components
 from lambda_arc_events_filter_spark.registry import register
@@ -39,8 +40,10 @@ from lambda_arc_events_filter_spark.registry import register
             FROM bgc GROUP BY 1)
     SELECT ws.doc_id,
            n_tokens,
-           round(top_cnt * 1.0 / n_tokens, 6)        AS top_word_frac,
-           round((n_bg - n_dist) * 1.0 / n_bg, 6)    AS dup_bigram_frac,
+           ((2 * top_cnt * 1000000 + n_tokens) // (2 * n_tokens))
+               / 1000000.0                           AS top_word_frac,
+           ((2 * (n_bg - n_dist) * 1000000 + n_bg) // (2 * n_bg))
+               / 1000000.0                           AS dup_bigram_frac,
            (n_tokens >= 20
             AND top_cnt * 1.0 / n_tokens <= 0.15
             AND (n_bg - n_dist) * 1.0 / n_bg <= 0.10) AS keep
@@ -95,8 +98,12 @@ def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_tokens"),
-            F.round(top_frac, 6).alias("top_word_frac"),
-            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            round_int_ratio(F.col("top_cnt"), F.col("n_tokens"), 6).alias(
+                "top_word_frac"
+            ),
+            round_int_ratio(
+                F.col("n_bg") - F.col("n_dist"), F.col("n_bg"), 6
+            ).alias("dup_bigram_frac"),
             (
                 (F.col("n_tokens") >= 20)
                 & (top_frac <= 0.15)
@@ -166,7 +173,8 @@ def pii_redaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            count(*)                       AS n_total,
            CAST(sum(kept) AS BIGINT)      AS n_kept,
-           round(avg(kept * 1.0), 6)      AS kept_frac
+           ((2 * sum(kept) * 1000000 + count(*)) // (2 * count(*)))
+               / 1000000.0                AS kept_frac
     FROM k GROUP BY 1, 2
     """,
     tags=("llm", "curation"),
@@ -195,7 +203,9 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum("kept").alias("n_kept"),
-            F.round(F.avg(F.col("kept") * 1.0), 6).alias("kept_frac"),
+            round_int_ratio(F.sum("kept"), F.count(F.lit(1)), 6).alias(
+                "kept_frac"
+            ),
         )
     )
 
@@ -222,7 +232,8 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shared.doc_id,
            n.n                      AS n_shingles,
            shared.c                 AS n_shared,
-           round(shared.c * 1.0 / n.n, 6) AS overlap_frac,
+           ((2 * shared.c * 1000000 + n.n) // (2 * n.n)) / 1000000.0
+                                    AS overlap_frac,
            shared.c * 1.0 / n.n >= 0.5    AS contaminated
     FROM shared JOIN n ON shared.doc_id = n.doc_id
     """,
@@ -253,7 +264,9 @@ def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_id").alias("doc_id"),
             F.col("_n").alias("n_shingles"),
             "n_shared",
-            F.round(F.col("n_shared") / F.col("_n"), 6).alias("overlap_frac"),
+            round_int_ratio(F.col("n_shared"), F.col("_n"), 6).alias(
+                "overlap_frac"
+            ),
             (F.col("n_shared") / F.col("_n") >= 0.5).alias("contaminated"),
         )
     )
@@ -448,12 +461,15 @@ def corpus_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            count(*) AS n_total,
            count(*) FILTER (WHERE value >= lo AND value <= hi) AS n_kept,
-           round(count(*) FILTER (WHERE value >= lo AND value <= hi)
-                 * 1.0 / count(*), 6) AS kept_frac,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6)))
-                      FILTER (WHERE value >= lo AND value <= hi) AS DOUBLE)
-                 / count(*) FILTER (WHERE value >= lo AND value <= hi),
-                 4) AS avg_kept
+           ((2 * count(*) FILTER (WHERE value >= lo AND value <= hi)
+                 * 1000000 + count(*)) // (2 * count(*))) / 1000000.0
+               AS kept_frac,
+           ((2 * CAST(sum(CAST(value AS DECIMAL(18,6)))
+                      FILTER (WHERE value >= lo AND value <= hi)
+                      * 1000000 AS BIGINT)
+             + count(*) FILTER (WHERE value >= lo AND value <= hi) * 100)
+            // nullif(2 * count(*) FILTER (WHERE value >= lo AND value <= hi)
+                      * 100, 0)) / 10000.0 AS avg_kept
     FROM events e JOIN b ON e.event_type = b.event_type
     WHERE value IS NOT NULL
     GROUP BY 1
@@ -492,15 +508,15 @@ def events_quantile_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.count(F.when(kept, 1)).alias("n_kept"),
-            F.round(
-                F.count(F.when(kept, 1)) * 1.0 / F.count(F.lit(1)), 6
+            round_int_ratio(
+                F.count(F.when(kept, 1)), F.count(F.lit(1)), 6
             ).alias("kept_frac"),
-            F.round(
-                F.sum(
-                    F.when(kept, F.col("value").cast("decimal(18,6)"))
-                ).cast("double")
-                / F.count(F.when(kept, 1)),
+            round_int_ratio(
+                F.sum(F.when(kept, F.col("value").cast("decimal(18,6)")))
+                * 1000000,
+                F.count(F.when(kept, 1)),
                 4,
+                a_scale=6,
             ).alias("avg_kept"),
         )
     )
@@ -1000,7 +1016,8 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     {_PAIR_CTE.replace("edge AS", "_edge_unused AS")}
     SELECT id_a, id_b,
            CAST(c AS BIGINT) AS shared_shingles,
-           round(c * 1.0 / least(nx.n, ny.n), 6) AS containment
+           ((2 * c * 1000000 + least(nx.n, ny.n))
+               // (2 * least(nx.n, ny.n))) / 1000000.0 AS containment
     FROM pair
     JOIN n nx ON id_a = nx.doc_id
     JOIN n ny ON id_b = ny.doc_id
@@ -1047,7 +1064,9 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             "shared_shingles",
-            F.round(containment, 6).alias("containment"),
+            round_int_ratio(
+                F.col("shared_shingles"), F.least("na", "nb"), 6
+            ).alias("containment"),
         )
     )
 
@@ -1204,7 +1223,8 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents GROUP BY source)
     SELECT t.source, t.n_docs,
            coalesce(p.n_dup_docs, 0)  AS n_dup_docs,
-           round(coalesce(p.n_dup_docs, 0) * 1.0 / t.n_docs, 6) AS dup_rate,
+           ((2 * coalesce(p.n_dup_docs, 0) * 1000000 + t.n_docs)
+               // (2 * t.n_docs)) / 1000000.0 AS dup_rate,
            coalesce(m.n_within, 0)    AS n_within_pairs,
            coalesce(m.n_cross, 0)     AS n_cross_pairs
     FROM tot t
@@ -1268,8 +1288,8 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
-            F.round(
-                F.coalesce("n_dup_docs", F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            round_int_ratio(
+                F.coalesce("n_dup_docs", F.lit(0)), F.col("n_docs"), 6
             ).alias("dup_rate"),
             F.coalesce("n_within", F.lit(0)).cast("long").alias(
                 "n_within_pairs"

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -368,8 +369,10 @@ def features_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lab GROUP BY event_type
     )
     SELECT l.event_id, l.event_type,
-           round((g.sy - l.y) / nullif(g.n - 1, 0), 6) AS te_loo,
-           round(g.sy / g.n, 6)                        AS te_naive
+           ((2 * CAST(g.sy - l.y AS BIGINT) * 1000000 + (g.n - 1))
+               // nullif(2 * (g.n - 1), 0)) / 1000000.0 AS te_loo,
+           ((2 * CAST(g.sy AS BIGINT) * 1000000 + g.n) // (2 * g.n))
+               / 1000000.0                              AS te_naive
     FROM lab l JOIN g USING (event_type)
     """,
     tags=("ml", "agg"),
@@ -398,11 +401,9 @@ def features_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round(
-                (F.col("sy") - F.col("y"))
-                / F.nullif(F.col("n") - 1, F.lit(0)),
-                6,
+            round_int_ratio(
+                F.col("sy") - F.col("y"), F.col("n") - 1, 6
             ).alias("te_loo"),
-            F.round(F.col("sy") / F.col("n"), 6).alias("te_naive"),
+            round_int_ratio(F.col("sy"), F.col("n"), 6).alias("te_naive"),
         )
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.cache import bounded_put
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.operators import dedup as D
 from lambda_arc_events_filter_spark.operators import similarity as S
 from lambda_arc_events_filter_spark.operators import text as T
@@ -452,16 +453,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang,
            len(sp)                                     AS n_tokens,
            len(regexp_extract_all(text, '[a-z]+'))     AS n_regex_tokens,
-           round(len(list_distinct(sp)) * 1.0 / len(sp), 6)  AS type_token_ratio,
-           round(list_reduce(list_transform(sp, x -> length(x) * 1.0),
-                 (a, b) -> a + b) / len(sp), 6)        AS mean_token_len,
-           round(len(list_filter(sp, x -> list_contains(
-                 ['a', 'the', 'and', 'of', 'to'], x))) * 1.0 / len(sp), 6)
-                                                       AS stopword_ratio,
-           round(0.5 * (len(list_distinct(sp)) * 1.0 / len(sp))
-               + 0.3 * (1 - len(list_filter(sp, x -> list_contains(
-                     ['a', 'the', 'and', 'of', 'to'], x))) * 1.0 / len(sp))
-               + 0.2 * least(len(sp) / 100.0, 1.0), 6) AS quality
+           ((2 * len(list_distinct(sp)) * 1000000 + len(sp))
+               // (2 * len(sp))) / 1000000.0           AS type_token_ratio,
+           ((2 * list_reduce(list_transform(sp, x -> length(x)),
+                 (a, b) -> a + b) * 1000000 + len(sp))
+               // (2 * len(sp))) / 1000000.0           AS mean_token_len,
+           ((2 * len(list_filter(sp, x -> list_contains(
+                 ['a', 'the', 'and', 'of', 'to'], x))) * 1000000 + len(sp))
+               // (2 * len(sp))) / 1000000.0           AS stopword_ratio,
+           ((2 * (500 * len(list_distinct(sp))
+                  + 300 * (len(sp) - len(list_filter(sp, x -> list_contains(
+                        ['a', 'the', 'and', 'of', 'to'], x))))
+                  + 2 * len(sp) * least(len(sp), 100)) * 1000000
+             + 1000 * len(sp)) // (2 * 1000 * len(sp))) / 1000000.0
+                                                       AS quality
     FROM t
     """,
     tags=("llm", "text"),
@@ -471,23 +476,30 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical diversity, stopword ratio, length — combined into one [0,1]
     score.  All per-row HOFs: a pure map stage at any scale."""
     d = D.with_tokens(load(spark, sf_dir, "documents"))
-    ttr = T.distinct_ratio_expr()
-    stop = T.stopword_ratio_expr()
+    nd = T.distinct_count_expr()
+    s_cnt = T.stopword_count_expr()
     n_tok = T.token_count_expr()
+    # Every ratio is integer/integer, so each is rounded in INTEGER
+    # space (functions/exact.py) — a doc with exactly 128 tokens and an
+    # odd numerator is a true 7th-decimal half where the engines'
+    # double-rounding mechanisms split.  The composite quality score is
+    # one exact rational: q = (500·d + 300·(n−s) + 2·n·min(n,100)) / 1000n.
+    q_num = (
+        F.lit(500) * nd
+        + F.lit(300) * (n_tok - s_cnt)
+        + F.lit(2) * n_tok * F.least(n_tok, F.lit(100))
+    )
     return d.select(
         "doc_id",
         "lang",
         n_tok.alias("n_tokens"),
         T.regex_token_count_expr().alias("n_regex_tokens"),
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(T.mean_token_len_expr(), 6).alias("mean_token_len"),
-        F.round(stop, 6).alias("stopword_ratio"),
-        F.round(
-            0.5 * ttr
-            + 0.3 * (1 - stop)
-            + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)),
-            6,
-        ).alias("quality"),
+        round_int_ratio(nd, n_tok, 6).alias("type_token_ratio"),
+        round_int_ratio(T.total_token_len_expr(), n_tok, 6).alias(
+            "mean_token_len"
+        ),
+        round_int_ratio(s_cnt, n_tok, 6).alias("stopword_ratio"),
+        round_int_ratio(q_num, F.lit(1000) * n_tok, 6).alias("quality"),
     )
 
 
@@ -793,10 +805,13 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     q AS (SELECT doc_id, lang, source,
                  len(sp) AS n_tokens,
-                 round(0.5 * (len(list_distinct(sp)) * 1.0 / len(sp))
-                     + 0.3 * (1 - len(list_filter(sp, x -> list_contains(
-                           ['a', 'the', 'and', 'of', 'to'], x))) * 1.0 / len(sp))
-                     + 0.2 * least(len(sp) / 100.0, 1.0), 6) AS quality,
+                 ((2 * (500 * len(list_distinct(sp))
+                        + 300 * (len(sp) - len(list_filter(sp,
+                              x -> list_contains(
+                                ['a', 'the', 'and', 'of', 'to'], x))))
+                        + 2 * len(sp) * least(len(sp), 100)) * 1000000
+                   + 1000 * len(sp)) // (2 * 1000 * len(sp))) / 1000000.0
+                     AS quality,
                  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
           FROM t)
     SELECT lang, source,
@@ -822,13 +837,17 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable on the content hash.
     """
     d = D.with_tokens(load(spark, sf_dir, "documents"))
-    ttr = T.distinct_ratio_expr()
-    stop = T.stopword_ratio_expr()
+    nd = T.distinct_count_expr()
+    s_cnt = T.stopword_count_expr()
     n_tok = T.token_count_expr()
-    quality = F.round(
-        0.5 * ttr
-        + 0.3 * (1 - stop)
-        + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)),
+    # Exact integer-space quality (same rational as text_quality_scores)
+    # — this query FILTERS on quality >= 0.5, so a single diverging
+    # rounding would change row membership, not just a cell value.
+    quality = round_int_ratio(
+        F.lit(500) * nd
+        + F.lit(300) * (n_tok - s_cnt)
+        + F.lit(2) * n_tok * F.least(n_tok, F.lit(100)),
+        F.lit(1000) * n_tok,
         6,
     )
     keep = d.withColumn(
@@ -977,7 +996,8 @@ _BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     SELECT doc_id, lang,
            len(toks)                                    AS n_tokens,
            len(list_distinct(toks))                     AS n_unique,
-           round(n_chars * 1.0 / len(toks), 6)          AS chars_per_token
+           ((2 * n_chars * 1000000 + len(toks))
+               // nullif(2 * len(toks), 0)) / 1000000.0 AS chars_per_token
     FROM t
     """,
     tags=("llm", "text"),
@@ -1001,7 +1021,9 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.round(F.col("n_chars") / F.size(toks), 6).alias("chars_per_token"),
+        round_int_ratio(F.col("n_chars"), F.size(toks), 6).alias(
+            "chars_per_token"
+        ),
     )
 
 

@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import global_order_neighbors
 from lambda_arc_events_filter_spark.registry import register
 
@@ -1240,8 +1241,8 @@ def events_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bounces,
-           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 6) AS bounce_rate
+           ((2 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+             + count(*)) // (2 * count(*))) / 1000000.0 AS bounce_rate
     FROM per_sess
     GROUP BY day
     """,
@@ -1283,7 +1284,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_sess.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum(bounce).cast("long").alias("n_bounces"),
-        F.round(F.sum(bounce) * 1.0 / F.count(F.lit(1)), 6).alias(
+        round_int_ratio(F.sum(bounce), F.count(F.lit(1)), 6).alias(
             "bounce_rate"
         ),
     )

@@ -35,11 +35,11 @@ from lambda_arc_events_filter_spark.registry import register
            sum(l_quantity)                                   AS sum_qty,
            round(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2, 2)
                                                              AS sum_base_price,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
-                     AS BIGINT)) / 1e4, 2)                   AS sum_disc_price,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+           ((2 * sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e4)
+                     AS BIGINT)) + 100) // 200) / 100.0      AS sum_disc_price,
+           ((2 * sum(CAST(round(l_extendedprice * (1 - l_discount)
                                 * (1 + l_tax) * 1e6)
-                     AS BIGINT)) / 1e6, 2)                   AS sum_charge,
+                     AS BIGINT)) + 10000) // 20000) / 100.0  AS sum_charge,
            (2 * CAST(sum(l_quantity) AS BIGINT) * 1000000 + count(*))
                  // (2 * count(*)) / 1000000.0               AS avg_qty,
            (2 * sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) * 10000
@@ -88,8 +88,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.round(base_c / 1e2, 2).alias("sum_base_price"),
-            F.round(disc_c / 1e4, 2).alias("sum_disc_price"),
-            F.round(charge_c / 1e6, 2).alias("sum_charge"),
+            round_int_ratio(disc_c, F.lit(1), 2, a_scale=4).alias(
+                "sum_disc_price"
+            ),
+            round_int_ratio(charge_c, F.lit(1), 2, a_scale=6).alias(
+                "sum_charge"
+            ),
             round_int_ratio(F.sum("l_quantity"), n, 6).alias("avg_qty"),
             round_int_ratio(base_c, n, 6, a_scale=2).alias("avg_price"),
             round_int_ratio(discount_c, n, 6, a_scale=2).alias("avg_disc"),

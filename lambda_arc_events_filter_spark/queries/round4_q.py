@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import global_order_stats
 from lambda_arc_events_filter_spark.registry import register
 
@@ -930,8 +931,10 @@ def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_key
     )
     SELECT user_id, n AS n_events,
-           round(n * 1.0 / tot.total, 6)            AS share,
-           round(n * 1.0 * tot.n_keys / tot.total, 4) AS x_avg_key,
+           ((2 * n * 1000000 + tot.total) // (2 * tot.total))
+               / 1000000.0                          AS share,
+           ((2 * n * tot.n_keys * 10000 + tot.total) // (2 * tot.total))
+               / 10000.0                            AS x_avg_key,
            tot.n_keys
     FROM per_key, tot
     ORDER BY n DESC, user_id
@@ -961,9 +964,9 @@ def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("n").alias("n_events"),
-            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
-            F.round(
-                F.col("n") * 1.0 * F.col("n_keys") / F.col("total"), 4
+            round_int_ratio(F.col("n"), F.col("total"), 6).alias("share"),
+            round_int_ratio(
+                F.col("n") * F.col("n_keys"), F.col("total"), 4
             ).alias("x_avg_key"),
             F.col("n_keys").cast("long").alias("n_keys"),
         )
@@ -1098,8 +1101,8 @@ def events_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n) AS BIGINT)                         AS n_rows,
            CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
                                                           AS n_risky_rows,
-           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
-                                                          AS risky_row_pct,
+           ((2 * sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000 + sum(n))
+             // (2 * sum(n))) / 1000000.0                 AS risky_row_pct,
            CAST(min(n) AS BIGINT)                         AS min_group_size
     FROM qi
     """,
@@ -1132,7 +1135,7 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_risky_groups"),
         F.sum("n").cast("long").alias("n_rows"),
         F.sum(risky).cast("long").alias("n_risky_rows"),
-        F.round(F.sum(risky) * 1.0 / F.sum("n"), 6).alias("risky_row_pct"),
+        round_int_ratio(F.sum(risky), F.sum("n"), 6).alias("risky_row_pct"),
         F.min("n").cast("long").alias("min_group_size"),
     )
 
@@ -1328,7 +1331,8 @@ _RAKE_STOPWORDS = ("a", "the")
       SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases
     ),
     wscore AS (
-      SELECT w, round(sum(plen) * 1.0 / count(*), 6) AS score
+      SELECT w, ((2 * sum(plen) * 1000000 + count(*)) // (2 * count(*)))
+                    / 1000000.0 AS score
       FROM words GROUP BY w
     ),
     pw AS (
@@ -1400,7 +1404,7 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("phrase", " ")).alias("w"), "plen"
     )
     wscore = words.groupBy("w").agg(
-        F.round(F.sum("plen") * 1.0 / F.count(F.lit(1)), 6).alias("score")
+        round_int_ratio(F.sum("plen"), F.count(F.lit(1)), 6).alias("score")
     )
     cand = phrases.filter(F.col("plen").between(2, 4))
     pfreq = cand.groupBy("phrase").agg(

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.operators.range_join import banded_range_join
 from lambda_arc_events_filter_spark.registry import register
 from lambda_arc_events_filter_spark.sources import readers
@@ -617,9 +618,11 @@ def custom_source_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(k) AS BIGINT)                    AS n_parsed,
            CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_quarantined,
-           round(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 6)                        AS quarantine_rate,
-           round(avg(k), 6)                            AS avg_k
+           ((2 * sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) * 1000000
+             + count(*)) // (2 * count(*))) / 1000000.0
+                                                       AS quarantine_rate,
+           ((2 * sum(k) * 1000000 + count(k)) // nullif(2 * count(k), 0))
+               / 1000000.0                             AS avg_k
     FROM parsed
     GROUP BY event_type
     """,
@@ -657,10 +660,10 @@ def json_quarantine_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
             F.count("k").alias("n_parsed"),
             F.sum(quarantined).cast("long").alias("n_quarantined"),
-            F.round(F.sum(quarantined) * 1.0 / F.count(F.lit(1)), 6).alias(
+            round_int_ratio(F.sum(quarantined), F.count(F.lit(1)), 6).alias(
                 "quarantine_rate"
             ),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            round_int_ratio(F.sum("k"), F.count("k"), 6).alias("avg_k"),
         )
     )
 

@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import (
     global_order_neighbors,
     global_order_stats,
@@ -1084,9 +1085,12 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             ON a.user_id = b.user_id AND a.event_type < b.event_type
           GROUP BY 1, 2)
     SELECT antecedent, consequent, support_count,
-           round(support_count * 1.0 / n_users, 6)      AS support,
-           round(support_count * 1.0 / sa.c, 6)         AS confidence,
-           round((support_count * 1.0 * n_users) / (sa.c * sb.c), 6) AS lift
+           ((2 * support_count * 1000000 + n_users) // (2 * n_users))
+               / 1000000.0                              AS support,
+           ((2 * support_count * 1000000 + sa.c) // (2 * sa.c))
+               / 1000000.0                              AS confidence,
+           ((2 * support_count * n_users * 1000000 + sa.c * sb.c)
+               // (2 * sa.c * sb.c)) / 1000000.0        AS lift
     FROM p
     CROSS JOIN n
     JOIN s sa ON antecedent = sa.event_type
@@ -1145,10 +1149,10 @@ def events_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "antecedent",
             "consequent",
             "support_count",
-            F.round(sc * 1.0 / F.col("n_users"), 6).alias("support"),
-            F.round(sc * 1.0 / F.col("ca"), 6).alias("confidence"),
-            F.round(
-                (sc * 1.0 * F.col("n_users")) / (F.col("ca") * F.col("cb")), 6
+            round_int_ratio(sc, F.col("n_users"), 6).alias("support"),
+            round_int_ratio(sc, F.col("ca"), 6).alias("confidence"),
+            round_int_ratio(
+                sc * F.col("n_users"), F.col("ca") * F.col("cb"), 6
             ).alias("lift"),
         )
     )
@@ -1172,7 +1176,8 @@ def events_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n  AS (SELECT sum(o) AS n FROM cell)
     SELECT cell.event_type, cell.dow,
            CAST(cell.o AS BIGINT) AS n_events,
-           round(cell.o * 1.0 / n.n, 6) AS p_joint,
+           ((2 * cell.o * 1000000 + n.n) // (2 * n.n)) / 1000000.0
+               AS p_joint,
            round(cell.o * 1.0 / n.n
                  * ln(cell.o * 1.0 * n.n / (rt.r * ct.c)), 6)
              AS mi_contrib
@@ -1210,7 +1215,7 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "dow",
             o.cast("long").alias("n_events"),
-            F.round(o * 1.0 / nn, 6).alias("p_joint"),
+            round_int_ratio(o, nn, 6).alias("p_joint"),
             F.round(
                 o * 1.0 / nn * F.log(o * 1.0 * nn / (r * c)), 6
             ).alias("mi_contrib"),
@@ -1462,7 +1467,8 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM digits)
     SELECT d AS first_digit,
            CAST(count(*) AS BIGINT)                   AS n_observed,
-           round(count(*) * 1.0 / n.total, 6)         AS p_observed,
+           ((2 * count(*) * 1000000 + n.total) // (2 * n.total))
+               / 1000000.0                            AS p_observed,
            round(ln(1.0 + 1.0 / d) / ln(10.0), 6)     AS p_benford,
            round(count(*) * 1.0 / n.total
                  - ln(1.0 + 1.0 / d) / ln(10.0), 6)   AS deviation
@@ -1497,7 +1503,7 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("d").alias("first_digit"),
             "n_observed",
-            F.round(F.col("n_observed") * 1.0 / F.col("total"), 6).alias(
+            round_int_ratio(F.col("n_observed"), F.col("total"), 6).alias(
                 "p_observed"
             ),
             p_benford.alias("p_benford"),

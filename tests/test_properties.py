@@ -679,3 +679,60 @@ def test_q01_half_boundary_parity(spark, rows):
         dpdf = con.sql(spec.oracle).df()
         con.close()
     assert compare_pandas_strict(spdf, dpdf) == []
+
+
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.integers(0, 10**13),   # numerator (scaled)
+            st.integers(1, 10**6),    # denominator
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(0, 6),
+    a_scale=st.integers(0, 6),
+)
+@settings(**SETTINGS)
+def test_round_int_ratio_matches_fraction_and_duckdb(spark, cases, k, a_scale):
+    """round_int_ratio ≡ Fraction-exact half-up rounding ≡ its DuckDB SQL
+    twin, for any scales — the cross-engine contract every rounded ratio
+    in the suite rests on."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from lambda_arc_events_filter_spark.functions.exact import (
+        round_int_ratio,
+        round_int_ratio_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], "i long, a long, b long"
+    )
+    got = {
+        r.i: r.v
+        for r in df.select(
+            "i", round_int_ratio(F.col("a"), F.col("b"), k, a_scale).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql_expr = round_int_ratio_sql("a", "b", k, a_scale)
+    duck = {
+        i: v
+        for i, v in con.execute(
+            "SELECT i, " + sql_expr + " FROM (SELECT "
+            "unnest(?) AS i, unnest(?) AS a, unnest(?) AS b)",
+            [
+                list(range(len(cases))),
+                [a for a, _ in cases],
+                [b for _, b in cases],
+            ],
+        ).fetchall()
+    }
+    con.close()
+    for i, (a, b) in enumerate(cases):
+        # exact half-up: floor(ratio·10^k + 1/2) / 10^k
+        ratio = Fraction(a, b * 10**a_scale)
+        expected = float((2 * ratio * 10**k + 1).__floordiv__(2)) / 10**k
+        assert got[i] == expected == duck[i], (a, b, k, a_scale)
