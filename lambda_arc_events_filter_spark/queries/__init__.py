@@ -10,6 +10,7 @@ from lambda_arc_events_filter_spark.queries import (  # noqa: F401
     analytic_q,
     corpus_stats_q,
     curation_q,
+    evaluation_q,
     features_q,
     functions_q,
     lakehouse_q,

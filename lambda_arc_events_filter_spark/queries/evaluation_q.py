@@ -1,0 +1,287 @@
+"""Model-evaluation analytics — the offline scoring loop of an ML platform
+(SURVEY.md §2 F-wave): ranking quality (AUC), calibration by score decile,
+and threshold operating points, all computed over the ``events`` fact with
+a deterministic hash score so both engines see the identical model.
+
+Scale shape shared by all three: ONE map-side-combinable aggregate over
+the fact table (group by the 1000-bucket score key), then all ordering /
+cumulation happens on the ≤1000-row grouped relation — rank arithmetic
+rides ``functions/rank.py`` (range-partitioned, no single-partition
+window over anything that grows), and every reported ratio is
+integer/integer rounded in integer space (``functions/exact.py``), so a
+fixture regeneration can never land on a cross-engine half-boundary.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
+from lambda_arc_events_filter_spark.functions.rank import (
+    global_order_stats,
+    ntile_from_rank,
+)
+from lambda_arc_events_filter_spark.registry import register
+
+#: Deterministic pseudo-model: score bucket k in [0, 1000) from the event
+#: id, label = high-value event.  Part of the query definitions.
+_SCORE_SQL = "(event_id * 2654435761) % 1000"
+_LABEL_SQL = "CASE WHEN value > 100 THEN 1 ELSE 0 END"
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        ((F.col("event_id") * 2654435761) % 1000).alias("k"),
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1: ROC AUC via tie-corrected rank sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_auc_rank",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_SCORE_SQL} AS k, {_LABEL_SQL} AS y FROM events
+    ),
+    g AS (SELECT k, count(*) AS cnt, sum(y) AS pos FROM s GROUP BY k),
+    r AS (SELECT k, cnt, pos, cnt - pos AS neg,
+                 sum(cnt) OVER (ORDER BY k) AS cum_cnt,
+                 sum(pos) OVER (ORDER BY k) AS cum_pos
+          FROM g),
+    t AS (SELECT sum((cum_cnt - cum_pos - (cnt - pos)) * pos) AS a,
+                 sum((cnt - pos) * pos)                       AS b,
+                 sum(pos)                                     AS n1,
+                 sum(cnt - pos)                               AS n0
+          FROM r)
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n0 AS BIGINT) AS n_neg,
+           ((2 * (2 * a + b) * 1000000 + 2 * n1 * n0)
+               // (2 * 2 * n1 * n0)) / 1000000.0 AS auc
+    FROM t
+    """,
+    tags=("ml", "stats", "scale"),
+)
+def score_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the hash score against the high-value label, by the
+    rank-sum identity with exact tie correction:
+    AUC = (Σ neg_below·pos_at + ½·Σ neg_at·pos_at) / (n₁·n₀) — the
+    probability a random positive outscores a random negative, ties at
+    half credit (the Mann-Whitney estimator ``events_mann_whitney_u``
+    tests; here it is the ranking metric).
+
+    No per-row ranks: one fact-scale group-by on the score bucket, the
+    cumulative counts via the range-partitioned running sum, and the
+    final AUC as ONE integer ratio (2A+B over 2n₁n₀) rounded in integer
+    space — every intermediate is an exact integer, so the engines agree
+    bit-for-bit at any scale.
+    """
+    g = _scored(spark, sf_dir).groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    run = global_order_stats(
+        g,
+        ["k"],
+        running={"cum_cnt": ("cnt", "sum"), "cum_pos": ("pos", "sum")},
+        key=["k"],
+    )
+    neg_at = F.col("cnt") - F.col("pos")
+    neg_below = (F.col("cum_cnt") - F.col("cum_pos")) - neg_at
+    t = run.agg(
+        F.sum(neg_below * F.col("pos")).alias("a"),
+        F.sum(neg_at * F.col("pos")).alias("b"),
+        F.sum("pos").alias("n1"),
+        F.sum(neg_at).alias("n0"),
+    )
+    return t.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        round_int_ratio(
+            F.lit(2) * F.col("a") + F.col("b"),
+            F.lit(2) * F.col("n1") * F.col("n0"),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2: calibration / lift table by score decile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_calibration_deciles",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, {_SCORE_SQL} AS k, {_LABEL_SQL} AS y FROM events
+    ),
+    dec AS (
+      SELECT k, y, ntile(10) OVER (ORDER BY k, event_id) AS decile FROM s
+    ),
+    per AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(y) AS BIGINT)   AS n_pos,
+             CAST(sum(k) AS BIGINT)   AS sum_k
+      FROM dec GROUP BY decile
+    ),
+    tot AS (SELECT sum(n_pos) AS total_pos FROM per)
+    SELECT CAST(per.decile AS INTEGER) AS decile, n_events, n_pos,
+           ((2 * sum_k * 1000 + n_events) // (2 * n_events)) / 1000000.0
+               AS avg_score,
+           ((2 * n_pos * 1000000 + n_events) // (2 * n_events))
+               / 1000000.0 AS pos_rate,
+           ((2 * (SELECT sum(p2.n_pos) FROM per p2
+                  WHERE p2.decile >= per.decile) * 1000000 + tot.total_pos)
+               // (2 * tot.total_pos)) / 1000000.0 AS cum_gain_from_top
+    FROM per, tot
+    """,
+    tags=("ml", "stats"),
+)
+def score_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / cumulative-gain table: events cut into score deciles
+    (decile 10 = highest scores), each decile's positive rate vs its
+    average score (calibration), plus the share of ALL positives captured
+    from the top down to this decile (the gains chart a targeting
+    campaign reads).
+
+    Deciles via the arithmetic ntile on the range-partitioned global rank
+    (``ntile_from_rank`` — never a single-partition ntile window over the
+    fact), per-decile stats in one aggregate, the 10-row cumulative gain
+    via a triangular self-join.  avg_score is the exact integer ratio
+    Σk / (1000·n); all ratios integer-rounded.
+    """
+    s = _scored(spark, sf_dir)
+    n_row = s.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = global_order_stats(
+        s, ["k", "event_id"], rank="_i", key=["event_id"]
+    ).join(F.broadcast(n_row))
+    per = (
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("_i"), F.col("_n"), 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+    tot = per.agg(F.sum("n_pos").alias("total_pos"))
+    a, b = per.alias("a"), per.alias("b")
+    cum = (
+        a.join(b, F.col("b.decile") >= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(F.sum("b.n_pos").alias("cum_pos_top"))
+    )
+    return (
+        per.join(cum, "decile")
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_events",
+            "n_pos",
+            round_int_ratio(
+                F.col("sum_k"), F.col("n_events"), 6, a_scale=3
+            ).alias("avg_score"),
+            round_int_ratio(F.col("n_pos"), F.col("n_events"), 6).alias(
+                "pos_rate"
+            ),
+            round_int_ratio(
+                F.col("cum_pos_top"), F.col("total_pos"), 6
+            ).alias("cum_gain_from_top"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3: threshold operating points (confusion matrix sweep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_threshold_metrics",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_SCORE_SQL} AS k, {_LABEL_SQL} AS y FROM events
+    ),
+    g AS (SELECT k, count(*) AS cnt, sum(y) AS pos FROM s GROUP BY k),
+    tot AS (SELECT sum(pos) AS all_pos, sum(cnt - pos) AS all_neg FROM g),
+    th AS (SELECT unnest(generate_series(100, 900, 100)) AS thr),
+    cm AS (
+      SELECT th.thr,
+             sum(CASE WHEN g.k >= th.thr THEN g.pos ELSE 0 END) AS tp,
+             sum(CASE WHEN g.k >= th.thr THEN g.cnt - g.pos ELSE 0 END) AS fp
+      FROM g CROSS JOIN th GROUP BY th.thr
+    )
+    SELECT CAST(cm.thr AS BIGINT)                 AS threshold,
+           CAST(tp AS BIGINT)                     AS tp,
+           CAST(fp AS BIGINT)                     AS fp,
+           CAST(tot.all_pos - tp AS BIGINT)       AS fn,
+           CAST(tot.all_neg - fp AS BIGINT)       AS tn,
+           ((2 * tp * 1000000 + (tp + fp)) // nullif(2 * (tp + fp), 0))
+               / 1000000.0                        AS precision,
+           ((2 * tp * 1000000 + tot.all_pos) // nullif(2 * tot.all_pos, 0))
+               / 1000000.0                        AS recall,
+           ((2 * (2 * tp) * 1000000 + (2 * tp + fp + tot.all_pos - tp))
+               // nullif(2 * (2 * tp + fp + tot.all_pos - tp), 0))
+               / 1000000.0                        AS f1
+    FROM cm, tot
+    """,
+    tags=("ml", "stats"),
+)
+def score_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep: confusion matrix + precision/recall/F1 at
+    nine score thresholds (0.1 … 0.9) — the table behind a
+    precision-recall tradeoff decision.
+
+    The fact table is aggregated ONCE (score-bucket group-by, ≤1000
+    rows); the 9-threshold sweep is a broadcast cross join against that
+    tiny grouped relation, so adding thresholds costs nothing at corpus
+    scale.  F1 = 2TP/(2TP+FP+FN) as a single integer ratio.
+    """
+    g = _scored(spark, sf_dir).groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    tot = g.agg(
+        F.sum("pos").alias("all_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("all_neg"),
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in range(100, 1000, 100)])
+    ).alias("thr")
+    cm = (
+        g.select("k", "cnt", "pos", th)
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("k") >= F.col("thr"), F.col("pos")).otherwise(0))
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("k") >= F.col("thr"), F.col("cnt") - F.col("pos")
+                ).otherwise(0)
+            ).alias("fp"),
+        )
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    all_pos, all_neg = F.col("all_pos"), F.col("all_neg")
+    fn = all_pos - tp
+    return cm.join(F.broadcast(tot)).select(
+        F.col("thr").cast("long").alias("threshold"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        (all_neg - fp).cast("long").alias("tn"),
+        round_int_ratio(tp, tp + fp, 6).alias("precision"),
+        round_int_ratio(tp, all_pos, 6).alias("recall"),
+        round_int_ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn, 6).alias(
+            "f1"
+        ),
+    )
