@@ -71,3 +71,23 @@ def round_int_ratio_sql(a: str, b: str, k: int, a_scale: int = 0) -> str:
     return (
         f"(CAST(({num}) AS BIGINT) // nullif({den}, 0)) / {10 ** k}.0"
     )
+
+
+def half_up_div(a: Column, b: Column) -> Column:
+    """``round_half_up(a / b)`` as a LONG, for non-negative integer
+    columns — the building block when a rounded scaled integer must stay
+    an integer for further exact arithmetic (interpolation weights,
+    nested ratios)."""
+    a = a.cast("long")
+    b = b.cast("long")
+    return F.when(
+        b != 0, F.call_function("div", F.lit(2) * a + b, F.lit(2) * b)
+    )
+
+
+def half_up_div_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`half_up_div`."""
+    return (
+        f"((2 * CAST({a} AS BIGINT) + CAST({b} AS BIGINT))"
+        f" // nullif(2 * CAST({b} AS BIGINT), 0))"
+    )

@@ -21,6 +21,7 @@ from lambda_arc_events_filter_spark.queries import (  # noqa: F401
     sources_q,
     statistics_q,
     streaming_q,
+    timeseries_q,
     udf_q,
     windows,
 )

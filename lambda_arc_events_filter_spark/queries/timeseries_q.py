@@ -1,0 +1,201 @@
+"""Time-series repair & detection — SURVEY.md §2 F-wave (F4-F5): CUSUM
+changepoint localization and calendar-spine gap-fill with exact linear
+interpolation.
+
+Scale shape shared by both: ONE map-side-combinable aggregate collapses
+the fact table to a calendar-bounded daily series (≤ #days rows no matter
+how many events per day), and every order-dependent step after that rides
+``functions/rank.py``'s range-partitioned helpers — no single-partition
+window touches anything that grows with the data.  All reported values
+are exact integers or integer-rounded ratios (``functions/exact.py``), so
+Spark and the DuckDB oracle agree bit-for-bit at any scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.exact import (
+    half_up_div,
+    half_up_div_sql,
+    round_int_ratio,
+    round_int_ratio_sql,
+)
+from lambda_arc_events_filter_spark.functions.rank import (
+    global_order_neighbors,
+    global_order_stats,
+)
+from lambda_arc_events_filter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# F4: CUSUM changepoint on the daily error-rate series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events
+      WHERE event_type = 'error' GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, sum(x) AS total FROM daily),
+    run AS (SELECT d,
+                   row_number() OVER (ORDER BY d) AS t,
+                   sum(x) OVER (ORDER BY d) AS s
+            FROM daily),
+    scored AS (
+      SELECT d, t, s, n, total, abs(n * s - t * total) AS cusum_scaled
+      FROM run, tot
+    )
+    SELECT d AS changepoint_day,
+           CAST(t AS BIGINT) AS prefix_days,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           {round_int_ratio_sql('s', 't', 6)} AS mean_before,
+           {round_int_ratio_sql('(total - s)', '(n - t)', 6)} AS mean_after
+    FROM scored ORDER BY cusum_scaled DESC, d ASC LIMIT 1
+    """,
+    tags=("timeseries", "stats", "scale"),
+)
+def daily_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely changepoint of the daily error-count series by the
+    CUSUM criterion: the split day t maximizing |S_t − (t/n)·S_n| — the
+    prefix whose mass deviates most from a homogeneous-rate fit (Page's
+    cumulative-sum statistic; ties broken to the earliest day).
+
+    Exactness: the statistic is compared in integer space as
+    |n·S_t − t·S_n| (no division until the final reported means), so the
+    argmax is deterministic across engines.  Scale: the fact table
+    collapses to ≤ #days rows in one combinable group-by; the running sum
+    rides the range-partitioned helper; the argmax plans as
+    TakeOrdered(1) on the daily relation — nothing downstream of the
+    first aggregate grows with the data.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    run = global_order_stats(
+        daily, ["d"], rank="t", running={"s": ("x", "sum")}, key=["d"]
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("total")
+    )
+    scored = run.join(F.broadcast(tot)).select(
+        "d",
+        "t",
+        "s",
+        "n",
+        "total",
+        F.abs(F.col("n") * F.col("s") - F.col("t") * F.col("total"))
+        .cast("long")
+        .alias("cusum_scaled"),
+    )
+    best = scored.orderBy(
+        F.col("cusum_scaled").desc(), F.col("d").asc()
+    ).limit(1)
+    return best.select(
+        F.col("d").alias("changepoint_day"),
+        F.col("t").cast("long").alias("prefix_days"),
+        F.col("n").cast("long").alias("n_days"),
+        "cusum_scaled",
+        round_int_ratio(F.col("s"), F.col("t"), 6).alias("mean_before"),
+        round_int_ratio(
+            F.col("total") - F.col("s"), F.col("n") - F.col("t"), 6
+        ).alias("mean_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5: calendar-spine gap fill with exact linear interpolation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_spine_interpolate",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    obs AS (SELECT * FROM daily WHERE day(d) % 7 NOT IN (0, 3, 4)),
+    nb AS (SELECT d, v,
+                  lead(d) OVER (ORDER BY d) AS nd,
+                  lead(v) OVER (ORDER BY d) AS nv
+           FROM obs),
+    sp AS (SELECT d, v, nv,
+                  CASE WHEN nd IS NULL THEN CAST(0 AS BIGINT)
+                       ELSE date_diff('day', d, nd) END AS gap,
+                  unnest(generate_series(0,
+                    CASE WHEN nd IS NULL THEN CAST(0 AS BIGINT)
+                         ELSE date_diff('day', d, nd) - 1 END)) AS p
+           FROM nb)
+    SELECT d + CAST(p AS INTEGER) AS day,
+           p = 0 AS observed,
+           CAST(CASE WHEN p = 0 THEN v ELSE
+             {half_up_div_sql('(v * (gap - p) + nv * p)', 'gap')}
+           END AS BIGINT) AS cents
+    FROM sp
+    """,
+    tags=("timeseries", "scale"),
+)
+def daily_spine_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill onto the daily calendar spine: the purchase-revenue
+    series is observed only on a deterministic subset of days
+    (day-of-month % 7 ∉ {0,3,4} — mixed 1- and 2-day holes), and every
+    missing day is reconstructed by exact linear interpolation between
+    its bracketing observations, half-up-rounded to whole cents
+    (``half_up_div`` — the interpolated value stays an exact integer).
+
+    Scale: no dense spine table is ever materialized or joined — each
+    consecutive pair of observed days GENERATES its covered interval
+    (``explode(sequence(0, gap-1))``), so every spine day is emitted
+    exactly once and the bracketing values travel with the row: zero
+    joins after the neighbor lookup, which itself is a rank-shifted
+    equi-join (``global_order_neighbors``), never a single-partition
+    window.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    obs = daily.filter(~(F.dayofmonth("d") % 7).isin(0, 3, 4))
+    nb = global_order_neighbors(
+        obs,
+        ["d"],
+        key=["d"],
+        leads={"next_d": ("d", 1), "next_v": ("v", 1)},
+    )
+    gap = F.when(
+        F.col("next_d").isNotNull(), F.datediff("next_d", "d")
+    ).otherwise(F.lit(0))
+    sp = nb.select("d", "v", "next_v", gap.alias("gap")).select(
+        "d",
+        "v",
+        "next_v",
+        "gap",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("gap") - 1, F.lit(0)))
+        ).alias("p"),
+    )
+    interp = half_up_div(
+        F.col("v") * (F.col("gap") - F.col("p"))
+        + F.col("next_v") * F.col("p"),
+        F.col("gap"),
+    )
+    return sp.select(
+        F.date_add(F.col("d"), F.col("p").cast("int")).alias("day"),
+        (F.col("p") == 0).alias("observed"),
+        F.when(F.col("p") == 0, F.col("v"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("cents"),
+    )
