@@ -1,32 +1,42 @@
-"""Range-partitioned global-order primitives.
+"""Banded global-order primitives.
 
 A ``Window.orderBy(...)`` with no partition spec plans as WindowExec over
 ``SinglePartition`` — ALL rows move to one task ("No Partition Defined"
 warning).  Fine for a relation bounded by construction (a ``limit(k)``, a
 calendar series); a scale bug for anything that grows with the data.
 
-These helpers compute the same order statistics with NO single-partition
-exchange, using the classic three-step decomposition:
+These helpers compute the same order statistics with no single-partition
+exchange AND exactly one shuffle of the fact relation:
 
-1. ``repartitionByRange`` on the total order — ascending key ranges land
-   on ascending partition ids, so partition-id order == global order;
-2. per-partition (parallel) rank / running aggregate;
-3. a per-partition summary relation (≤ ``num_partitions`` rows —
-   broadcast-sized at ANY data volume) gives each partition the offset
-   contributed by all partitions before it.
+1. cut the leading order column's domain into ~``num_partitions`` BANDS
+   at sampled quantile boundaries (one approxQuantile probe at plan
+   construction; accuracy only affects band balance, never correctness)
+   — the band id is a codegen'd comparison chain over plan LITERALS, so
+   any fixed boundary is order-consistent: every row of band i precedes
+   every row of band i+1 in the total order;
+2. per-band (parallel) rank / running aggregate — the band window's
+   clustering requirement is satisfied by ONE hash exchange;
+3. a per-band summary relation (≤ bands+2 rows — broadcast-sized at ANY
+   data volume) gives each band the offset contributed by all bands
+   before it.
 
-CORRECTNESS INVARIANT (exchange reuse).  The summary and the main branch
-both evaluate the range exchange; ``repartitionByRange`` SAMPLES, so two
-independent evaluations pick different boundaries and the per-partition
-offsets would rebase the wrong rows (measured: ~90 % of ranks off at 10k
-rows).  Spark only collapses the two evaluations into one physical
-exchange (ReusedExchange) when the subtrees are canonically IDENTICAL —
-which column pruning breaks if either branch carries a column the other
-does not.  Therefore the helper projects the input to a CORE relation
-(order columns + running bases, nothing else) so every branch requires
-every core column and pruning cannot diverge; payload columns re-attach
-by key afterwards.  ``tests/test_rank_helpers.py`` pins both the values
-and the single-materialized-exchange plan shape.
+Why not the textbook ``repartitionByRange`` + window-on-
+``spark_partition_id()``: Catalyst cannot prove range partitioning
+satisfies the window's ClusteredDistribution(_pid), so it stacks a SECOND
+full hash exchange on top of the range exchange — the fact relation
+shuffles twice (read off the executed plan, round 4).  It also forces a
+fragile exchange-reuse invariant (the range partitioner SAMPLES, so the
+summary branch must canonicalize to the SAME physical exchange or the
+offsets rebase the wrong rows — ~90 % of ranks silently off when column
+pruning diverged the branches).  Literal band boundaries dissolve both
+problems: one shuffle, and every branch recomputes the identical band id
+from the row itself, so no plan-shape invariant is load-bearing.  The
+summary branch never touches the fact shuffle at all — it is a
+map-combinable 2-column scan aggregate.
+
+Non-bandable leading order columns (strings, arrays) fall back to the
+range-partition path, which keeps the core-projection reuse invariant
+documented on ``_pid_order_stats``.
 
 Callers MUST pass a TOTAL order (include a unique tiebreak key).  Same
 machinery as ``functions/stats.py::group_percentile_cont``'s ``range``
@@ -54,9 +64,10 @@ _AGGS = {
 OrderBy = Sequence[str | tuple[str, str]]
 
 
-def _parse_order(order_by: OrderBy) -> tuple[list[Column], list[str]]:
+def _parse_order(order_by: OrderBy) -> tuple[list[Column], list[str], list[str]]:
     cols: list[Column] = []
     names: list[str] = []
+    directions: list[str] = []
     for o in order_by:
         if isinstance(o, str):
             name, direction = o, "asc"
@@ -66,13 +77,83 @@ def _parse_order(order_by: OrderBy) -> tuple[list[Column], list[str]]:
             raise ValueError(f"order direction must be asc|desc, got {direction!r}")
         cols.append(F.col(name).desc() if direction == "desc" else F.col(name))
         names.append(name)
-    return cols, names
+        directions.append(direction)
+    return cols, names, directions
+
+
+#: dtypes whose cast to double is order-preserving (monotonic), making the
+#: leading order column bandable.  Monotonicity is all banding needs: two
+#: values that collide after rounding land in the SAME band, never a
+#: misordered one.
+_NUMERIC_DTYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double"}
+)
+
+
+def _band_column(core: DataFrame, name: str, direction: str, n_bands: int):
+    """Band id for the leading order column, or None if not bandable.
+
+    Runs the one-off approxQuantile boundary probe (a GK-sketch scan of
+    the single pruned column; the driver receives ~n_bands doubles) and
+    returns a literal comparison chain assigning each row its band.  Band
+    ids ASCEND in the direction of the total order: nulls-first for asc
+    (band −1), nulls-last for desc (band n+1), matching Spark's window
+    null ordering.  NaN (sorts greater than any double) falls through
+    every ``<= bound`` test into the last ascending band.
+    """
+    dt = dict(core.dtypes)[name]
+    if dt in _NUMERIC_DTYPES or dt.startswith("decimal"):
+        conv = F.col(name).cast("double")
+    elif dt.startswith("timestamp"):
+        conv = F.col(name).cast("double")
+    elif dt == "date":
+        conv = F.col(name).cast("timestamp").cast("double")
+    else:
+        return None
+    qs = [i / n_bands for i in range(1, n_bands)]
+    if not qs:
+        return F.lit(0)
+    bounds = sorted(
+        {
+            b
+            for b in core.select(conv.alias("_v")).stat.approxQuantile(
+                "_v", qs, 0.01
+            )
+            if b == b  # drop NaN boundaries (all-NaN / empty columns)
+        }
+    )
+    n = len(bounds)
+    asc: Column = F.lit(n)
+    for i, b in reversed(list(enumerate(bounds))):
+        asc = F.when(conv <= F.lit(b), F.lit(i)).otherwise(asc)
+    if direction == "asc":
+        return F.when(F.col(name).isNull(), F.lit(-1)).otherwise(asc)
+    return F.when(F.col(name).isNull(), F.lit(n + 1)).otherwise(F.lit(n) - asc)
 
 
 def _default_partitions(df: DataFrame, num_partitions: int | None) -> int:
     if num_partitions is not None:
         return num_partitions
     return min(32, df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _materialize_if_derived(df: DataFrame) -> DataFrame:
+    """Lazily localCheckpoint ``df`` unless it is a bare scan chain.
+
+    The banded rank evaluates its input three times (boundary probe,
+    band-window branch, band-summary branch).  For a scan/filter/project
+    chain that is three cheap pruned parquet reads; for a DERIVED relation
+    (aggregate, join, window — e.g. Pareto's per-part revenue rollup) it
+    would triple the upstream work, so materialize once instead.  Derived
+    inputs to a global-order computation are group-level rollups — much
+    smaller than the fact relation — so caching them is safe at any scale,
+    whereas a raw fact projection is exactly what one should NOT pin to
+    executor storage at 100 TB; the bare-scan test separates the two."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    markers = ("Aggregate", "Join", "Window", "Deduplicate", "Generate")
+    if any(m in plan for m in markers):
+        return df.localCheckpoint(eager=False)
+    return df
 
 
 def global_order_stats(
@@ -112,7 +193,7 @@ def global_order_stats(
         if kind not in _AGGS:
             raise ValueError(f"unknown running kind {kind!r} for {alias!r}")
     num_partitions = _default_partitions(df, num_partitions)
-    cols, order_names = _parse_order(order_by)
+    cols, order_names, order_dirs = _parse_order(order_by)
     base_names = [c for c, _ in running.values()]
     core_names = list(dict.fromkeys(order_names + base_names))
 
@@ -130,10 +211,25 @@ def global_order_stats(
     else:
         key = None
         core = df.select(*core_names)  # fix column order
+    core = _materialize_if_derived(core)
 
-    rp = core.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    band = _band_column(core, order_names[0], order_dirs[0], num_partitions)
+    if band is not None:
+        # banded path: ONE fact shuffle (the hash exchange the band window
+        # requires).  The summary branch is a map-combinable aggregate over
+        # a second pruned SCAN — deterministic band literals mean the two
+        # branches need no shared physical exchange to agree.
+        rp = core.withColumn("_pid", band)
+        sizes_src = rp
+    else:
+        # fallback (non-bandable leading order column): range partition +
+        # partition-id window.  Costs a second fact shuffle, and the
+        # summary MUST reuse the sampled range exchange (core projection
+        # keeps both branches canonically identical — see module docstring).
+        rp = core.repartitionByRange(num_partitions, *cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        sizes_src = rp
     w_loc = Window.partitionBy("_pid").orderBy(*cols)
     hi = -1 if exclusive else Window.currentRow
     w_run = w_loc.rowsBetween(Window.unboundedPreceding, hi)
@@ -143,18 +239,16 @@ def global_order_stats(
         agg, _ = _AGGS[kind]
         local = local.withColumn(f"_lr_{alias}", agg(base).over(w_run))
 
-    # per-partition totals: ≤ num_partitions rows, broadcast at any scale.
-    # Derived from rp so its exchange subtree is canonically identical to
-    # local's (core projection ⇒ no prunable column on either side).
+    # per-band totals: ≤ bands+2 rows, broadcast at any scale.
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     for alias, (base, kind) in running.items():
         agg, _ = _AGGS[kind]
         aggs.append(agg(base).alias(f"_pt_{alias}"))
-    # coalesce(1): the summary is ≤ num_partitions rows, and a single
-    # partition SATISFIES the offsets window's clustering requirement —
-    # Catalyst then plans the window with no exchange (one fewer stage
-    # per helper call; measured ~40 ms at fixture scale)
-    sizes = rp.groupBy("_pid").agg(*aggs).coalesce(1)
+    # coalesce(1): the summary is ≤ bands+2 rows, and a single partition
+    # SATISFIES the offsets window's clustering requirement — Catalyst
+    # then plans the window with no exchange (one fewer stage per helper
+    # call; measured ~40 ms at fixture scale)
+    sizes = sizes_src.groupBy("_pid").agg(*aggs).coalesce(1)
 
     # running offsets over ascending _pid on the TINY summary relation.
     # Keyed by a constant expression DERIVED from _pid so Catalyst cannot

@@ -121,34 +121,70 @@ def group_percentile_cont(
     if num_partitions is None:
         num_partitions = min(32, spark.sparkContext.defaultParallelism)
 
+    # the banded plan evaluates ``nn`` several times (boundary probe, base
+    # aggregates, band window, band sizes) — cheap for a pruned scan chain,
+    # not for a derived input (PSI feeds a window-derived half-split here);
+    # materialize derived inputs once (see functions/rank.py)
+    from lambda_arc_events_filter_spark.functions.rank import (
+        _materialize_if_derived,
+    )
+
+    nn = _materialize_if_derived(nn)
+
     # one ordinary (map-side combinable, fully parallel) aggregation pass
     # for group sizes and any extra aggregates
     base = nn.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"), *extra_aggs)
 
-    # range-partition on (keys, value): each group spans a run of
-    # consecutive partitions, each partition holds a contiguous value range
-    rp = nn.select(*keys, value_col).repartitionByRange(
-        num_partitions, *keys, F.col(value_col)
+    # VALUE-BANDED global rank, ONE shuffle.  The obvious plan —
+    # ``repartitionByRange`` + a window keyed on ``spark_partition_id()`` —
+    # secretly shuffles the fact relation TWICE: Catalyst cannot prove that
+    # range partitioning satisfies the window's ClusteredDistribution(_pid),
+    # so it stacks ``Exchange hashpartitioning(_pid, keys)`` on top of
+    # ``Exchange rangepartitioning`` (read off the executed plan, round 4).
+    # Instead: cut the value domain into ~``num_partitions`` bands at
+    # sampled quantile boundaries, baked into the plan as a codegen'd
+    # comparison chain.  Any fixed boundary is order-consistent (every row
+    # with value ≤ b sorts before every row with value > b, per group), so
+    # band-local rank + per-(group, band) offsets equals the global
+    # per-group rank exactly — same semantics as the range partitioner
+    # (which likewise cannot split ties), at HALF the shuffle volume.  The
+    # boundary probe is one approxQuantile job (GK sketch, driver gets
+    # ~P doubles, accuracy only affects band balance, never correctness)
+    # that runs at plan-CONSTRUCTION time — build-once/probe-many callers
+    # and the plan cache pay it once, like a broadcast build.
+    bounds = sorted(
+        set(
+            nn.select(F.col(value_col).cast("double").alias("_v"))
+            .stat.approxQuantile(
+                "_v", [i / num_partitions for i in range(1, num_partitions)], 0.01
+            )
+        )
     )
-    rp = rp.withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_pid", *keys).orderBy(value_col)
-    ranked = rp.withColumn("_lr", F.row_number().over(w_local))
+    band: Column = F.lit(len(bounds))
+    for i, b in reversed(list(enumerate(bounds))):
+        band = F.when(F.col(value_col).cast("double") <= F.lit(b), i).otherwise(
+            band
+        )
+    bd = nn.select(*keys, value_col).withColumn("_band", band)
+    w_local = Window.partitionBy("_band", *keys).orderBy(value_col)
+    ranked = bd.withColumn("_lr", F.row_number().over(w_local))
 
-    # per-(partition, group) counts → running offset per group.  This
-    # relation is |partitions|·|groups| rows — broadcast-sized at any data
-    # volume.  NOTE: _pid ordering equals value ordering because the range
-    # partitioner assigns ascending key ranges to ascending partition ids.
-    sizes = ranked.groupBy("_pid", *keys).agg(F.max("_lr").alias("_cnt"))
+    # per-(band, group) counts → running offset per group.  This relation
+    # is |bands|·|groups| rows — broadcast-sized at any data volume — and
+    # is a sort-free map-combinable aggregate over a pruned 2-column scan
+    # (cheaper than re-running the ranked branch's sort just to read its
+    # row count).
+    sizes = bd.groupBy("_band", *keys).agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = (
         Window.partitionBy(*keys)
-        .orderBy("_pid")
+        .orderBy("_band")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = sizes.withColumn(
         "_off", F.sum("_cnt").over(w_off) - F.col("_cnt")
-    ).select("_pid", *keys, "_off")
+    ).select("_band", *keys, "_off")
     ranked = _join_null_safe(
-        ranked, offsets, ["_pid", *keys], broadcast=True
+        ranked, offsets, ["_band", *keys], broadcast=True
     ).withColumn("_rank", F.col("_lr") + F.col("_off"))
 
     # per-group straddling target ranks for every quantile, from counts

@@ -137,6 +137,19 @@ def executed_range_exchanges(df: DataFrame) -> tuple[int, int]:
     return mat, reused
 
 
+def executed_hash_exchanges(df: DataFrame) -> int:
+    """Count of materialized hashpartitioning exchanges in the FINAL
+    executed plan.  Executes the query."""
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("Initial Plan")[0]
+    return sum(
+        1
+        for line in final.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+
+
 def has_python_in_plan(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return any(

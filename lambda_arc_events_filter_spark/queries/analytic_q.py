@@ -912,6 +912,10 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("cents")
     )
+    # the per-part rollup feeds THREE consumers (the rank helper's banded
+    # branches and the grand-total aggregate): materialize it once instead
+    # of re-running the lineitem aggregation per consumer
+    pr = pr.localCheckpoint(eager=False)
     tot = pr.agg(F.sum("cents").alias("total_cents"))
     share = F.col("cum_cents") * 1.0 / F.col("total_cents")
     return (

@@ -83,16 +83,36 @@ def test_payload_without_key_is_rejected(rdf):
         global_order_stats(rdf, ["v", "id"], rank="rk")
 
 
-def test_single_materialized_range_exchange(rdf):
-    """The correctness invariant: both branches must share ONE sampled
-    range exchange (ReusedExchange), or per-partition offsets rebase the
-    wrong rows."""
+def test_banded_path_single_fact_shuffle(rdf):
+    """Numeric leading order column → the banded path: NO range exchange
+    (boundaries are plan literals) and at most two hash exchanges — the
+    fact relation's band-window shuffle plus the tiny post-partial-agg
+    summary shuffle."""
     out = global_order_stats(
         rdf.select("v", "id"), ["v", "id"], rank="rk", running={"cum": ("v", "sum")}
+    )
+    mat, _reused = I.executed_range_exchanges(out)
+    assert mat == 0, f"banded path must not range-partition, got {mat}"
+    hashes = I.executed_hash_exchanges(out)
+    assert hashes <= 2, f"expected ≤2 hash exchanges (fact + summary), got {hashes}"
+
+
+def test_fallback_single_materialized_range_exchange(rdf, spark):
+    """Non-bandable (string) leading order column → the range-partition
+    fallback, whose correctness invariant is that both branches share ONE
+    sampled range exchange (ReusedExchange) — otherwise per-partition
+    offsets rebase the wrong rows."""
+    sdf = rdf.select(F.format_string("k%05d", "id").alias("s"), "id", "v")
+    out = global_order_stats(
+        sdf.select("s", "id"), ["s", "id"], rank="rk"
     )
     mat, reused = I.executed_range_exchanges(out)
     assert mat == 1, f"expected exactly 1 materialized range exchange, got {mat}"
     assert reused >= 1
+    ref = sdf.select(
+        "s", "id", F.row_number().over(Window.orderBy("s", "id")).alias("rk")
+    )
+    assert _rows(out, "s", "id", "rk") == _rows(ref, "s", "id", "rk")
 
 
 def test_helper_plans_have_no_empty_partition_window(rdf):
