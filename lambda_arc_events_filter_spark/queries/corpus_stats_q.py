@@ -1019,3 +1019,80 @@ def corpus_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G2: Zipf rank-frequency slope (power-law fit of the vocabulary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokens_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+    top AS (
+      SELECT term, f FROM freq ORDER BY f DESC, term LIMIT 1000
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM top
+    ),
+    pts AS (SELECT ln(r) AS u, ln(f) AS v FROM ranked),
+    fit AS (
+      SELECT count(*) AS m, sum(u) AS su, sum(v) AS sv,
+             sum(u * u) AS suu, sum(u * v) AS suv
+      FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_terms,
+           round((m * suv - su * sv) / (m * suu - su * su), 6) AS zipf_slope,
+           round((sv - (m * suv - su * sv) / (m * suu - su * su) * su) / m,
+                 6) AS zipf_intercept
+    FROM fit
+    """,
+    tags=("llm", "text", "stats"),
+)
+def tokens_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 terms: OLS slope of ln(frequency)
+    against ln(rank) — the corpus-health scalar every tokenizer team
+    tracks (natural text sits near −1; a slope collapsing toward 0 means
+    boilerplate/duplication flattened the distribution, a steep tail
+    means vocabulary starvation).
+
+    Frequencies are one explode→groupBy aggregate; the top-1000 cut is
+    TakeOrderedAndProject (per-partition heaps, never a vocabulary-wide
+    sort), and ranks 1..1000 ride the banded global-order helper on the
+    BOUNDED 1000-row relation.  The OLS sums run over exactly 1000
+    doubles produced from identical integers in both engines; the ±1-ulp
+    association caveat is shared with the regression-aggregate family
+    (D23) and absorbed by round(·, 6).
+    """
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = freq.orderBy(F.col("f").desc(), "term").limit(1000)
+    ranked = global_order_stats(
+        top, [("f", "desc"), "term"], rank="r"
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("u"),
+        F.log(F.col("f").cast("double")).alias("v"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+    )
+    m, su, sv = F.col("m"), F.col("su"), F.col("sv")
+    slope = (m * F.col("suv") - su * sv) / (m * F.col("suu") - su * su)
+    return fit.select(
+        m.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sv - slope * su) / m, 6).alias("zipf_intercept"),
+    )

@@ -1400,6 +1400,12 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("plen"),
         )
     )
+    # the phrase relation (a per-run rollup, far smaller than the token
+    # explosion that builds it) feeds THREE consumers — word scores,
+    # candidate frequencies, and the distinct-phrase word join; without
+    # materialization the explode+window+collect_list pipeline executes
+    # three times (measured 0.56 -> 0.27 s at sf0.1)
+    phrases = phrases.localCheckpoint(eager=False)
     words = phrases.select(
         F.explode(F.split("phrase", " ")).alias("w"), "plen"
     )

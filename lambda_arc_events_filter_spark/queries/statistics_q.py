@@ -2632,3 +2632,166 @@ def users_geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("km"), 3).alias("avg_km"),
         F.round(F.max("km"), 3).alias("max_km"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G4: Count-Min sketch frequency estimation with exact verification
+# ---------------------------------------------------------------------------
+
+#: CMS geometry + hash family — part of the query definition.  The hashes
+#: are 2-universal (a·u + b mod P mod W) over PORTABLE int64 arithmetic so
+#: the DuckDB oracle reproduces the sketch bit-for-bit (engine-native
+#: hashes like xxhash64 differ across engines).
+_CMS_W = 256
+_CMS_P = 1_000_000_007
+_CMS_ROWS = [(9973, 7), (99991, 77), (999983, 777), (4999999, 7777)]
+
+
+@register(
+    "events_countmin_user_freq",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT unnest([0, 1, 2, 3]) AS j,
+             unnest([{", ".join(str(a) for a, _ in _CMS_ROWS)}]) AS a,
+             unnest([{", ".join(str(b) for _, b in _CMS_ROWS)}]) AS b
+    ),
+    sketch AS (
+      SELECT j, ((a * user_id + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events CROSS JOIN rows_ GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1
+      ORDER BY exact_n DESC, user_id LIMIT 20
+    ),
+    est AS (
+      SELECT e.user_id, e.exact_n, min(s.c) AS est_n
+      FROM exact e
+      CROSS JOIN rows_ r
+      JOIN sketch s
+        ON s.j = r.j
+       AND s.bucket = ((r.a * e.user_id + r.b) % {_CMS_P}) % {_CMS_W}
+      GROUP BY e.user_id, e.exact_n
+    )
+    SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
+    FROM est
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def events_countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public) over user
+    event frequencies: d=4 hash rows × w=256 counters, estimate = min of
+    a key's 4 counters, verified against exact counts for the 20 heaviest
+    users.  CMS never undercounts (overcount ≥ 0 by construction — the
+    estimate is exact count plus colliding mass), and this query reports
+    that error the way a capacity planner audits a sketch deployment.
+
+    The sketch build is ONE map-side-combinable aggregate over a 4-way
+    in-row explode (d·w = 1024 cells regardless of data volume — the
+    mergeability that makes CMS the distributed frequency sketch); the
+    probe side is a TakeOrdered top-20 joined against the broadcast-sized
+    sketch.  All arithmetic is portable int64 (a·u + b mod p mod w), so
+    unlike the HLL family this sketch IS oracle-exact: DuckDB rebuilds
+    the identical sketch and the driver hash-compares every cell-derived
+    estimate.
+    """
+    e = load(spark, sf_dir, "events")
+    rows_ = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    (F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P % _CMS_W
+                ).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(_CMS_ROWS)
+        ]
+    )
+    sketch = (
+        e.select(F.explode(rows_).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    probes = exact.select(
+        "user_id", "exact_n", F.explode(rows_).alias("h")
+    ).select("user_id", "exact_n", "h.j", "h.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5: Theil inequality index (entropy-based, map-combinable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_theil_index",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    agg_ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             sum(cents * ln(cents)) AS sxlx
+      FROM rev
+    )
+    SELECT n AS n_customers,
+           round(s / 100.0, 2) AS total_revenue,
+           round(sxlx / s + ln(n) - ln(s), 6) AS theil_t
+    FROM agg_
+    """,
+    tags=("agg", "stats"),
+)
+def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer revenue concentration — the
+    entropy-based inequality measure: T = Σ (x/S)·ln(x·n/S), 0 for
+    perfect equality, ln(n) at maximal concentration.  The decomposable
+    complement to the Gini family: unlike ``customer_revenue_gini``
+    (rank-based, needs a global order), Theil is a pure MAP-COMBINABLE
+    aggregate — T = (Σx·ln x)/S + ln n − ln S — so it costs one
+    groupBy-agg pass at any data volume, the cheapest inequality scalar
+    a 100 TB ledger can produce.
+
+    Revenue quantizes to integer cents per row (the engine-wide
+    discipline), so ln() sees identical integers in both engines;
+    Σ x·ln x is the one float accumulation (±1 ulp association,
+    absorbed by round(·, 6) — the regression-family caveat).
+    """
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    a = rev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.log(F.col("cents"))).alias("sxlx"),
+    )
+    return a.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("s") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            F.col("sxlx") / F.col("s") + F.log("n") - F.log("s"), 6
+        ).alias("theil_t"),
+    )

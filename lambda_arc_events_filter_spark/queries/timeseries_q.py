@@ -199,3 +199,98 @@ def daily_spine_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G1: autocorrelation function of the daily activity series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT)   AS s,
+                   CAST(sum(x * x) AS BIGINT) AS q
+            FROM daily),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x AS x_t, b.x AS x_lag
+      FROM daily a CROSS JOIN lags l JOIN daily b ON a.d = b.d + l.lag
+    ),
+    per AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT)         AS n_pairs,
+             CAST(sum(x_t * x_lag) AS BIGINT) AS p,
+             CAST(sum(x_t) AS BIGINT)         AS a,
+             CAST(sum(x_lag) AS BIGINT)       AS b
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           round((n * n * p - n * s * (a + b) + n_pairs * s * s)
+                 / (1.0 * n * (n * q - s * s)), 6) AS acf
+    FROM per, tot
+    """,
+    tags=("stats", "timeseries"),
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1-7 days — the first diagnostic a forecaster reads (a spike at lag 7
+    is weekly seasonality; slow decay is trend).  Calendar-lag
+    convention: a (t, t−k) pair exists iff BOTH days have events, and
+    the mean/variance are those of the full series (the standard sample
+    ACF estimator, gap-tolerant).
+
+    One map-side-combinable aggregate collapses the fact table to the
+    calendar-bounded daily series; the 7 lag relations come from ONE
+    explode×join on the shifted date (both sides day-level, bounded by
+    the calendar, broadcastable at any data volume).  Numerator and
+    denominator are assembled as EXACT integers (multiply the centered
+    moments through by n²: n²·Σx_t·x_{t−k} − nS(A_k+B_k) + n_k·S² over
+    n(nQ − S²)); both stay far inside 2⁵³, so the single IEEE double
+    division and round(·, 6) are bit-identical across engines — no
+    cross-row float accumulation anywhere.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    # bounded (≤ calendar days) but derived: it feeds the totals, the
+    # shifted side and the join side — materialize once
+    daily = daily.localCheckpoint(eager=False)
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        F.date_add("d", F.col("lag")).alias("d"),
+        F.col("x").alias("x_lag"),
+        "lag",
+    )
+    pairs = shifted.join(daily.select("d", F.col("x").alias("x_t")), "d")
+    per = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("x_t") * F.col("x_lag")).alias("p"),
+        F.sum("x_t").alias("a"),
+        F.sum("x_lag").alias("b"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    num = n * n * F.col("p") - n * s * (F.col("a") + F.col("b")) + F.col(
+        "n_pairs"
+    ) * s * s
+    den = n * (n * q - s * s)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(num / (F.lit(1.0) * den), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
