@@ -593,3 +593,94 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def prefix_cosine_pairs(
+    postings: DataFrame,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Set-similarity self-join at cosine ≥ t via PREFIX FILTERING
+    (Bayardo/Chaudhuri AllPairs family, WWW'07 / ICDE'06 — public):
+    candidates come from joining each document's rarest-token PREFIX
+    against full postings, exact verification only on candidates.
+
+    The filter that makes this the 100 TB shape: any pair with
+    cos = ov/√(AB) ≥ t has ov ≥ t²·|X| for BOTH sets (ov ≤ min ⇒
+    min ≥ t²·max, so t√(AB) ≥ t²·max ≥ t²·|X|), hence at least one
+    common token sits inside each set's first |X| − ⌈t²|X|⌉ + 1 tokens
+    under ANY fixed global token order (pigeonhole: a suffix of
+    ⌈t²|X|⌉ − 1 tokens cannot hold all ≥⌈t²|X|⌉ common ones).  Ordering
+    tokens rarest-df-first makes those prefixes the least-joinable
+    tokens, so candidate mass tracks the rare-token posting lists, not
+    Σ df² — the same lever as the MinHash band join, but exact.
+    NOTE the guarantee is prefix-of-one ⋈ FULL-postings-of-other (a
+    symmetric prefix⋈prefix join is NOT sufficient for cosine — with
+    t = 0.8, A = 100, B = 64, ov = 64 every common token can hide in one
+    side's suffix); pairs emit as (min, max) and dedupe.
+
+    ``postings``: (_id, sk, _n) distinct hashed shingles with set sizes
+    (``shingle_postings(with_sizes=True)``).  ``threshold_pct``: integer
+    percent so the accept test is EXACT integer arithmetic:
+    cos ≥ p/100 ⇔ 100²·ov² ≥ p²·A·B.  Output: (id_a, id_b, cosine),
+    cosine the one IEEE division of exact ints, rounded to 6.
+    """
+    p2 = threshold_pct * threshold_pct
+    post = postings.select("_id", "sk", "_n")
+    dfreq = post.groupBy("sk").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = post.join(dfreq, "sk").withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "sk")),
+    )
+    # prefix length |X| − ⌈t²|X|⌉ + 1, all-integer ceil
+    m = F.floor((F.col("_n") * p2 + F.lit(9999)) / F.lit(10000)).cast("long")
+    prefix = ranked.filter(F.col("_r") <= F.col("_n") - m + 1).select(
+        F.col("_id").alias("_pid"), "sk", F.col("_n").alias("_pn")
+    )
+    full = post.select(F.col("_id").alias("_fid"), "sk", F.col("_n").alias("_fn"))
+    cand = (
+        prefix.join(full, "sk")
+        .filter(F.col("_pid") != F.col("_fid"))
+        # per-pair size filter: both directions of ov ≥ t²·|X|
+        .filter(
+            (F.col("_pn") * p2 <= F.col("_fn") * 10000)
+            & (F.col("_fn") * p2 <= F.col("_pn") * 10000)
+        )
+        .select(
+            F.least("_pid", "_fid").alias("id_a"),
+            F.greatest("_pid", "_fid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = post.groupBy("_id").agg(
+        F.collect_list("sk").alias("_arr"), F.max("_n").alias("_sz")
+    )
+    a = sets.select(
+        F.col("_id").alias("id_a"),
+        F.col("_arr").alias("_arr_a"),
+        F.col("_sz").alias("_sz_a"),
+    )
+    b = sets.select(
+        F.col("_id").alias("id_b"),
+        F.col("_arr").alias("_arr_b"),
+        F.col("_sz").alias("_sz_b"),
+    )
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "_ov", F.size(F.array_intersect("_arr_a", "_arr_b")).cast("long")
+        )
+        .filter(
+            F.lit(10000) * F.col("_ov") * F.col("_ov")
+            >= F.lit(p2) * F.col("_sz_a") * F.col("_sz_b")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("_ov")
+            / F.sqrt(F.lit(1.0) * F.col("_sz_a") * F.col("_sz_b")),
+            6,
+        ).alias("cosine"),
+    )

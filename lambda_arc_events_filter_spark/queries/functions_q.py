@@ -501,3 +501,70 @@ def fn_map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("merged_k"),
         F.size(F.transform_values(m, lambda k, v: v + 1)).alias("n_entries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# H4: IGNORE NULLS analytic windows (gap-tolerant lead/lag/first/last)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 < 2 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING)             AS carry_forward,
+           lead(v, 1 IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS next_obs,
+           first_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)     AS first_obs
+    FROM s
+    """,
+    tags=("window", "functions"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: the IGNORE NULLS window variants (B32 surface completed) —
+    last-observation-carried-forward, next non-null observation, and the
+    per-key first observation, over a deterministically nulled copy of
+    the value column (every event with id ≡ 0,1 mod 7 reads as missing —
+    part of the query definition, since the fixture column is dense).
+    These are the sensor-data workhorses: plain lag/lead see the missing
+    row, the IGNORE NULLS forms see the last/next MEASUREMENT.
+
+    All three ride ONE user-keyed window ordering (one exchange, lint-
+    safe); values pass through unchanged so there is no float surface at
+    all.
+    """
+    e = load(spark, sf_dir, "events")
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 < 2, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    s.createOrReplaceTempView("_ign_nulls_src")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, v,
+               last_value(v) IGNORE NULLS OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)             AS carry_forward,
+               lead(v, 1) IGNORE NULLS OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS next_obs,
+               first_value(v) IGNORE NULLS OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)     AS first_obs
+        FROM _ign_nulls_src
+        """
+    )

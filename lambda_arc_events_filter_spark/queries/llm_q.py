@@ -1132,3 +1132,121 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i", "q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# H2: prefix-filtered cosine set-similarity self-join (AllPairs family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_prefix_cosine_pairs",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+    pos AS (SELECT doc_id, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+    sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+           FROM pos a
+           JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+    n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pair AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(c / sqrt(1.0 * nx.n * ny.n), 6) AS cosine
+    FROM pair
+    JOIN n nx ON id_a = nx.doc_id
+    JOIN n ny ON id_b = ny.doc_id
+    WHERE 10000 * c * c >= 6400 * nx.n * ny.n
+    """,
+    tags=("llm", "dedup"),
+    # plan_cache=False: probes the session postings index (see
+    # dedup_ngram_jaccard) — a cached plan would pin one checkpoint
+    # lineage and hide the probe re-execution this fn performs per call.
+    plan_cache=False,
+)
+def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: exact cosine ≥ 0.8 near-dup pairs over 3-gram shingle SETS via
+    prefix filtering (operators/dedup.py::prefix_cosine_pairs) — the
+    third candidate-generation strategy in the dedup family, next to LSH
+    banding (probabilistic) and full postings (exact, Σdf² cost): exact
+    like postings, but only each document's rarest ⌈(1−t²)·|X|⌉+1
+    shingles ever enter the candidate join.  The oracle brute-forces all
+    co-occurring pairs and must produce the identical pair set — that IS
+    the completeness proof of the prefix bound, re-run every round.
+    """
+    post = _postings_index(spark, sf_dir).drop("_blk")
+    return D.prefix_cosine_pairs(post, threshold_pct=80)
+
+
+# ---------------------------------------------------------------------------
+# H1: reciprocal rank fusion of two retrieval rankings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle="""
+    WITH r1 AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+                FROM documents),
+    r2 AS (SELECT doc_id,
+                  row_number() OVER
+                    (ORDER BY (doc_id * 2654435761) % 1000 DESC, doc_id) AS r
+           FROM documents),
+    fused AS (
+      SELECT r1.doc_id, r1.r AS rank_length, r2.r AS rank_score,
+             round(1.0 / (60 + r1.r) + 1.0 / (60 + r2.r), 6) AS rrf
+      FROM r1 JOIN r2 USING (doc_id)
+    )
+    SELECT doc_id, rank_length, rank_score, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "retrieval", "topk"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: reciprocal rank fusion (Cormack et al. SIGIR'09, public) of two
+    document rankings — the standard way a retrieval stack merges a
+    lexical and a semantic ranking without score calibration:
+    RRF(d) = Σ 1/(k + rank_i(d)), k = 60.  Rankings here are the length
+    prior (n_chars desc) and the deterministic hash score the evaluation
+    family uses as its model stand-in; both are part of the query
+    definition.
+
+    Both global ranks ride the banded helper (numeric leading order —
+    one fact shuffle each, never a single-partition window); the fusion
+    is a key join and the top-20 is TakeOrderedAndProject.  1/(60+r) is
+    a per-row IEEE division of exact integers — no accumulation, so the
+    engines agree bit-for-bit.
+    """
+    from lambda_arc_events_filter_spark.functions.rank import (
+        global_order_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    r1 = global_order_stats(
+        d.select("doc_id", "n_chars"),
+        [("n_chars", "desc"), "doc_id"],
+        rank="rank_length",
+        key=["doc_id"],
+    ).select("doc_id", "rank_length")
+    scored = d.select(
+        "doc_id", ((F.col("doc_id") * 2654435761) % 1000).alias("s")
+    )
+    r2 = global_order_stats(
+        scored,
+        [("s", "desc"), "doc_id"],
+        rank="rank_score",
+        key=["doc_id"],
+    ).select("doc_id", "rank_score")
+    fused = r1.join(r2, "doc_id").select(
+        "doc_id",
+        "rank_length",
+        "rank_score",
+        F.round(
+            F.lit(1.0) / (F.lit(60) + F.col("rank_length"))
+            + F.lit(1.0) / (F.lit(60) + F.col("rank_score")),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)

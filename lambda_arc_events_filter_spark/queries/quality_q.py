@@ -1483,3 +1483,130 @@ def batch_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# H5: incremental sessionization (batch-boundary session merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_incremental_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                  AS session_start,
+           max(ts)                  AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, s
+    """,
+    tags=("quality", "window", "lakehouse"),
+)
+def events_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: INCREMENTAL sessionization — the daily-batch production shape:
+    history and the new batch are sessionized INDEPENDENTLY (here: the
+    fixture split at its timestamp midpoint stands in for
+    yesterday/today), then stitched by merging each user's last history
+    session with their first new-batch session when the boundary gap is
+    within the 30-minute threshold.  The output must equal one-shot
+    sessionization of the full table — the oracle IS that one-shot
+    computation, so every driver round re-proves the merge's
+    associativity (only the boundary-adjacent session pair per user can
+    ever merge: sessions are maximal runs, so any earlier session ends
+    >30 min before the next one starts).
+
+    Per-user keyed windows throughout (no global ordering anywhere); the
+    merge is a per-user equi-join between two session-level relations —
+    at any scale the expensive passes are the two batch sessionizations,
+    each one exchange keyed by user.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    bounds = e.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("t_split")
+    )
+    e = e.crossJoin(F.broadcast(bounds)).withColumn(
+        "us", F.unix_micros("ts")
+    )
+    gap_us = 1800 * 1_000_000
+
+    def sessionize(part: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        flagged = part.withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > gap_us),
+                1,
+            ).otherwise(0),
+        ).withColumn("s", F.sum("new_s").over(wr))
+        return flagged.groupBy("user_id", "s").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+    s1 = sessionize(e.filter(F.col("us") < F.col("t_split")))
+    s2 = sessionize(e.filter(F.col("us") >= F.col("t_split")))
+
+    w_u = Window.partitionBy("user_id")
+    s1 = s1.withColumn("_is_last", F.col("end_us") == F.max("end_us").over(w_u))
+    s2 = s2.withColumn(
+        "_is_first", F.col("start_us") == F.min("start_us").over(w_u)
+    )
+    last1 = s1.filter("_is_last").select(
+        "user_id",
+        F.col("session_start").alias("st1"),
+        F.col("end_us").alias("end1"),
+        F.col("n_events").alias("n1"),
+    )
+    first2 = s2.filter("_is_first").select(
+        "user_id",
+        F.col("start_us").alias("start2"),
+        F.col("session_end").alias("en2"),
+        F.col("n_events").alias("n2"),
+    )
+    joined = last1.join(first2, "user_id", "full_outer").withColumn(
+        "_merge",
+        F.col("end1").isNotNull()
+        & F.col("start2").isNotNull()
+        & (F.col("start2") - F.col("end1") <= F.lit(gap_us)),
+    )
+    merged = joined.filter("_merge").select(
+        "user_id",
+        F.col("st1").alias("session_start"),
+        F.col("en2").alias("session_end"),
+        (F.col("n1") + F.col("n2")).alias("n_events"),
+    )
+    merged_users = joined.filter("_merge").select("user_id")
+    keep1 = s1.join(
+        merged_users.withColumn("_m", F.lit(1)), "user_id", "left"
+    ).filter(~(F.col("_is_last") & F.col("_m").isNotNull()))
+    keep2 = s2.join(
+        merged_users.withColumn("_m", F.lit(1)), "user_id", "left"
+    ).filter(~(F.col("_is_first") & F.col("_m").isNotNull()))
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    return (
+        keep1.select(*cols)
+        .unionByName(keep2.select(*cols))
+        .unionByName(merged.select(*cols))
+        .withColumn("n_events", F.col("n_events").cast("long"))
+    )

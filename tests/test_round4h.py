@@ -1,0 +1,151 @@
+"""H-wave semantics: prefix-filter completeness against brute force
+(including the skewed-size pair a symmetric prefix join would miss),
+RRF arithmetic, IGNORE-NULLS window values, and the incremental
+sessionization associativity property."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+
+# ---------------------------------------------------------------------------
+# H2: prefix-filtered cosine join — completeness vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _brute_cosine_pairs(docs, t):
+    out = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(docs.items(), 2):
+        ov = len(sa & sb)
+        if ov and 10000 * ov * ov >= int(t * t * 10000) * len(sa) * len(sb):
+            a, b = min(ia, ib), max(ia, ib)
+            out[(a, b)] = round(ov / math.sqrt(len(sa) * len(sb)), 6)
+    return out
+
+
+def test_prefix_cosine_complete_vs_bruteforce(spark):
+    from lambda_arc_events_filter_spark.operators.dedup import (
+        prefix_cosine_pairs,
+    )
+
+    # deliberately includes a SKEWED-size qualifying pair (|A|=25, |B|=16,
+    # ov=16 → cos=0.8 exactly): the case where a symmetric prefix⋈prefix
+    # join loses the pair but prefix⋈full must keep it.
+    docs = {
+        1: set(range(100, 125)),            # 25 shingles
+        2: set(range(100, 116)),            # 16 shingles, subset → cos 0.8
+        3: set(range(200, 240)),            # 40
+        4: set(range(200, 240)) - {201, 202} | {901, 902},  # near-dup of 3
+        5: set(range(300, 330)),            # unrelated
+        6: {101, 102, 103, 999},            # small overlap with 1, below t
+    }
+    rows = [(i, int(s)) for i, ss in docs.items() for s in ss]
+    post = (
+        spark.createDataFrame(rows, "_id long, sk long")
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in prefix_cosine_pairs(post, threshold_pct=80).collect()
+    }
+    assert got == _brute_cosine_pairs(docs, 0.8)
+    assert (1, 2) in got and got[(1, 2)] == 0.8
+
+
+# ---------------------------------------------------------------------------
+# H1: RRF arithmetic on a constructed ranking pair
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_registry_shape(spark, sf_dir):
+    from lambda_arc_events_filter_spark.queries.llm_q import (
+        retrieval_rrf_fusion,
+    )
+
+    rows = retrieval_rrf_fusion(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        expect = round(1.0 / (60 + r.rank_length) + 1.0 / (60 + r.rank_score), 6)
+        assert r.rrf == expect
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# H4: IGNORE NULLS — hand-checked tiny frame
+# ---------------------------------------------------------------------------
+
+
+def test_ignore_nulls_semantics(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(u=1, i=i, v=v) for i, v in enumerate([None, 5.0, None, None, 7.0, None])]
+    )
+    df.createOrReplaceTempView("_inulls_t")
+    out = {
+        r.i: (r.cf, r.nx)
+        for r in spark.sql(
+            """
+            SELECT i,
+                   last_value(v) IGNORE NULLS OVER
+                     (PARTITION BY u ORDER BY i ROWS UNBOUNDED PRECEDING) cf,
+                   lead(v, 1) IGNORE NULLS OVER
+                     (PARTITION BY u ORDER BY i) nx
+            FROM _inulls_t
+            """
+        ).collect()
+    }
+    assert out == {
+        0: (None, 5.0),
+        1: (5.0, 7.0),
+        2: (5.0, 7.0),
+        3: (5.0, 7.0),
+        4: (7.0, None),
+        5: (7.0, None),
+    }
+
+
+# ---------------------------------------------------------------------------
+# H5: incremental sessionization ≡ one-shot sessionization
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_sessionize_matches_oneshot(spark, sf_dir):
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.queries.quality_q import (
+        events_incremental_sessionize,
+    )
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    oneshot = (
+        e.withColumn("us", us)
+        .withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("s", F.sum("new_s").over(wr))
+        .groupBy("user_id", "s")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .drop("s")
+    )
+    got = sorted(
+        map(tuple, events_incremental_sessionize(spark, sf_dir).collect())
+    )
+    want = sorted(map(tuple, oneshot.collect()))
+    assert got == want
