@@ -1096,3 +1096,145 @@ def tokens_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sv - slope * su) / m, 6).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# I3: tokenizer fertility audit (whitespace vs BPE-ish segmentation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT)  AS n_words,
+             CAST(len(regexp_extract_all(text,
+                  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)  AS n_bpe,
+             CAST(length(text) AS BIGINT)                  AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_bpe) AS BIGINT)   AS total_bpe,
+           ((2 * sum(n_bpe) * 1000000 + sum(n_words))
+               // (2 * sum(n_words))) / 1000000.0   AS fertility,
+           ((2 * sum(n_chars) * 1000000 + sum(n_bpe))
+               // (2 * sum(n_bpe))) / 1000000.0     AS chars_per_token
+    FROM per GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: tokenizer fertility per language — BPE-ish tokens emitted per
+    whitespace word, plus characters per token: the two numbers a
+    tokenizer team compares across languages before committing a vocab
+    (fertility ≫ 1 for a language means its text costs proportionally
+    more sequence length per word — the classic multilingual-tokenizer
+    imbalance metric).
+
+    One projection computes both segmentations per document (JVM regexp,
+    no explode — only the COUNTS aggregate), then a map-side-combinable
+    group-by per language; both ratios are integer-rounded in integer
+    space so the engines agree bit-for-bit.
+    """
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        )
+        .cast("long")
+        .alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe").alias("total_bpe"),
+        F.sum("n_chars").alias("_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_bpe",
+        round_int_ratio(F.col("total_bpe"), F.col("total_words"), 6).alias(
+            "fertility"
+        ),
+        round_int_ratio(F.col("_chars"), F.col("total_bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# I5: temperature-scaled mixture weights (multilingual/source resampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    pw AS (
+      SELECT source, n_docs, n_tokens,
+             pow(n_tokens, 0.7) AS w
+      FROM per
+    ),
+    wt AS (SELECT sum(w) AS sw FROM pw)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / (SELECT 1.0 * t FROM tot), 6)    AS p_raw,
+           round(w / (SELECT sw FROM wt), 6)                 AS p_temp,
+           round((w / (SELECT sw FROM wt))
+                 / (n_tokens / (SELECT 1.0 * t FROM tot)), 6) AS epoch_factor
+    FROM pw
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: temperature-scaled sampling weights per source — the standard
+    multilingual/source rebalancing rule (sample ∝ n^α, α = 0.7):
+    raw token share, temperature share, and the epoch factor
+    p_temp/p_raw — how many times over (or under) one natural epoch each
+    source is drawn at these weights.  >1 means the sampler UP-samples a
+    small source (and will repeat it); the factor is exactly the
+    repetition-risk number a data-mixture review reads.
+
+    One map-combinable aggregate to per-source token counts (a
+    sources-sized relation), then in-row pow/shares against two 1-row
+    broadcast totals.  pow(int, 0.7) on identical integers is identical
+    in both engines; the only cross-row float sum spans the handful of
+    sources (bounded by the catalog, not the corpus).
+    """
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    per = per.localCheckpoint(eager=False)  # feeds both totals + output
+    pw = per.withColumn("w", F.pow(F.col("n_tokens").cast("double"), 0.7))
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    wt = pw.agg(F.sum("w").alias("sw"))
+    p_raw = F.col("n_tokens") / (F.lit(1.0) * F.col("t"))
+    p_temp = F.col("w") / F.col("sw")
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(wt))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(p_raw, 6).alias("p_raw"),
+            F.round(p_temp, 6).alias("p_temp"),
+            F.round(p_temp / p_raw, 6).alias("epoch_factor"),
+        )
+    )
