@@ -157,6 +157,18 @@ def main() -> None:
         names = [n for n in names if any(f in n for f in sys.argv[1:])]
     # Result materialization: see _ARROW_RESULTS — Arrow→pandas for large
     # results, plain collect for small ones.
+    #
+    # GLOBAL warm pass first: one untimed run of the whole list.  The
+    # protocol measures a RESIDENT engine (module docstring), and the
+    # JVM's C2 compiler needs several executions across the operator mix
+    # before shared codepaths (window sort, broadcast build, parquet
+    # decode) are compiled — without this, whichever queries run FIRST
+    # absorb the compile time into their minima (measured: q01 first-in-
+    # list 0.32 s vs 0.20 s hot; agg_stats 0.85 vs 0.50).  The DuckDB
+    # baseline is recorded warm-cache/median-of-3 under the same
+    # residency assumption (tools/baseline.py, BASELINE.md protocol).
+    for name in names:
+        _materialize(name, all_specs[name].fn(spark, sf_dir))
     reps: dict[str, list[float]] = {n: [] for n in names}
     for name in names:
         fn = all_specs[name].fn
