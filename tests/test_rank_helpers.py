@@ -1,10 +1,14 @@
-"""functions/rank.py: range-partitioned global-order primitives.
+"""functions/rank.py: banded global-order primitives.
 
 Each helper is checked VALUE-FOR-VALUE against the single-partition
-window it replaces, plus the plan invariants the module depends on:
-exactly one materialized range exchange (the reuse invariant that makes
-``repartitionByRange``'s sampled boundaries consistent across branches)
-and no empty-partition window spec in the output plan.
+window it replaces, plus the plan invariants each path depends on —
+banded (numeric leading order): NO range exchange and a single fact
+shuffle; fallback (non-bandable leading order): exactly one materialized
+range exchange shared via ReusedExchange (sampled boundaries must be
+consistent across branches).  Edge cases pin NULL placement (asc-first /
+desc-last, matching the window's null ordering), NaN (greatest band),
+constant columns, timestamp/date leading columns, and exclusive frames
+across band boundaries.
 """
 
 from __future__ import annotations
@@ -209,3 +213,101 @@ def test_neighbors_survive_sparse_partitions(spark):
         )
         ref = df.select("i", "n", F.lag("n", k).over(Window.orderBy("i")).alias("p"))
         assert _rows(out, "i", "n", "p") == _rows(ref, "i", "n", "p"), (n, k, parts)
+
+
+# ---------------------------------------------------------------------------
+# Banded-path edge cases: NULLs, NaN, constant columns, desc ordering.
+# The band expression must place NULLs where the window's null ordering
+# does (asc: first, desc: last) and NaN in the greatest band, or offsets
+# rebase whole bands wrong.
+# ---------------------------------------------------------------------------
+
+
+def _ref_rank(df, order_cols):
+    return df.select(
+        "id", F.row_number().over(Window.orderBy(*order_cols)).alias("rk")
+    )
+
+
+def test_banded_rank_with_nulls_asc_and_desc(spark):
+    rows = [(i, None if i % 5 == 0 else float((i * 37) % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    out = global_order_stats(
+        df.select("v", "id"), ["v", "id"], rank="rk", key=None
+    ).select("id", "rk")
+    ref = _ref_rank(df, [F.col("v").asc(), "id"])
+    assert _rows(out, "id", "rk") == _rows(ref, "id", "rk")
+
+    out_d = global_order_stats(
+        df.select("v", "id"), [("v", "desc"), "id"], rank="rk"
+    ).select("id", "rk")
+    ref_d = _ref_rank(df, [F.col("v").desc(), "id"])
+    assert _rows(out_d, "id", "rk") == _rows(ref_d, "id", "rk")
+
+
+def test_banded_rank_with_nan_and_constant(spark):
+    nan = float("nan")
+    rows = [(i, nan if i % 7 == 0 else float(i % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(4)
+    out = global_order_stats(
+        df.select("v", "id"), ["v", "id"], rank="rk"
+    ).select("id", "rk")
+    ref = _ref_rank(df, [F.col("v").asc(), "id"])
+    assert _rows(out, "id", "rk") == _rows(ref, "id", "rk")
+
+    const = spark.createDataFrame(
+        [(i, 42.0) for i in range(100)], "id long, v double"
+    ).repartition(4)
+    out_c = global_order_stats(
+        const.select("v", "id"), ["v", "id"], rank="rk"
+    ).select("id", "rk")
+    ref_c = _ref_rank(const, [F.col("v").asc(), "id"])
+    assert _rows(out_c, "id", "rk") == _rows(ref_c, "id", "rk")
+
+
+def test_banded_rank_timestamp_and_date_leading(spark):
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=(i * 17) % 977))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, t timestamp").repartition(8)
+    out = global_order_stats(
+        df.select("t", "id"), ["t", "id"], rank="rk"
+    ).select("id", "rk")
+    ref = df.select(
+        "id", F.row_number().over(Window.orderBy("t", "id")).alias("rk")
+    )
+    assert _rows(out, "id", "rk") == _rows(ref, "id", "rk")
+    # date leading column exercises the date→timestamp→double conversion
+    ddf = df.select("id", F.to_date("t").alias("d"))
+    out_d = global_order_stats(
+        ddf.select("d", "id"), ["d", "id"], rank="rk"
+    ).select("id", "rk")
+    ref_d = ddf.select(
+        "id", F.row_number().over(Window.orderBy("d", "id")).alias("rk")
+    )
+    assert _rows(out_d, "id", "rk") == _rows(ref_d, "id", "rk")
+
+
+def test_banded_running_sum_exclusive_with_nulls(spark):
+    rows = [(i, None if i % 9 == 0 else (i * 13) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+    out = global_order_stats(
+        df.select("v", "id"),
+        ["v", "id"],
+        rank="rk",
+        running={"cs": ("v", "sum")},
+        exclusive=True,
+    )
+    w = Window.orderBy(F.col("v").asc(), "id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ref = df.select(
+        "id",
+        F.row_number().over(Window.orderBy(F.col("v").asc(), "id")).alias("rk"),
+        F.sum("v").over(w).alias("cs"),
+    )
+    assert _rows(out, "id", "rk", "cs") == _rows(ref, "id", "rk", "cs")
