@@ -1250,3 +1250,175 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# J1: BPE merge learning (two unrolled merge rounds over the token stream)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUND_SQL = """
+  pairs{r} AS (
+    SELECT tok, lead(tok) OVER w AS nxt
+    FROM toks{r} WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ),
+  top{r} AS (
+    SELECT tok AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+    FROM pairs{r} WHERE nxt IS NOT NULL
+    GROUP BY tok, nxt ORDER BY c DESC, a, b LIMIT 1
+  ),
+  flag{r} AS (
+    SELECT t.doc_id, t.pos, t.tok, top{r}.a, top{r}.b,
+           CASE WHEN t.tok = top{r}.a
+                 AND lead(t.tok) OVER w = top{r}.b
+                THEN 1 ELSE 0 END AS m
+    FROM toks{r} t CROSS JOIN top{r}
+    WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
+  ),
+  isl{r} AS (
+    SELECT *, pos - sum(m) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM flag{r}
+  ),
+  dec{r} AS (
+    SELECT *, CASE WHEN m = 1 AND (row_number() OVER
+                 (PARTITION BY doc_id, island, m ORDER BY pos) - 1) % 2 = 0
+              THEN 1 ELSE 0 END AS merged
+    FROM isl{r}
+  ),
+  toks{r1} AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+           CASE WHEN merged = 1 THEN tok || ' ' || b ELSE tok END AS tok
+    FROM (SELECT *, lag(merged) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS consumed
+          FROM dec{r})
+    WHERE consumed IS NULL OR consumed = 0
+  )
+"""
+
+
+@register(
+    "tokens_bpe_merge_rounds",
+    oracle="WITH toks1 AS (\n"
+    "  SELECT doc_id, t.i AS pos, t.w AS tok\n"
+    "  FROM documents,\n"
+    "       LATERAL (SELECT unnest(string_split(text, ' ')) AS w,\n"
+    "                generate_subscripts(string_split(text, ' '), 1) AS i) t\n"
+    "),"
+    + _BPE_ROUND_SQL.format(r=1, r1=2)
+    + ","
+    + _BPE_ROUND_SQL.format(r=2, r1=3)
+    + """
+    SELECT 1 AS round, (SELECT a || ' ' || b FROM top1) AS merged_pair,
+           (SELECT c FROM top1) AS pair_count,
+           (SELECT CAST(count(*) AS BIGINT) FROM toks2) AS tokens_after
+    UNION ALL
+    SELECT 2, (SELECT a || ' ' || b FROM top2),
+           (SELECT c FROM top2),
+           (SELECT CAST(count(*) AS BIGINT) FROM toks3)
+    """,
+    tags=("llm", "text", "iterative"),
+)
+def tokens_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the BPE/WordPiece TRAINING step (Sennrich et al. 2016, public),
+    two merge rounds unrolled over the word stream: count adjacent token
+    pairs, merge the most frequent pair corpus-wide (greedy leftmost,
+    ties by pair), re-segment, repeat with the merged symbol now a
+    first-class token.  Reports each round's chosen merge, its count at
+    merge time, and the corpus token count after — the actual inner loop
+    of tokenizer training, expressed relationally.
+
+    Greedy-leftmost application is exact without any sequential
+    recurrence: two matches can overlap ONLY when the pair is (a, a)
+    (m_i and m_{i+1} both matching forces t_{i+1} = a = b), so maximal
+    runs of consecutive matches are same-token runs and greedy = "merge
+    at even offset within the match island".  Islands fall out of the
+    classic gaps-and-islands subtraction (pos − running match count);
+    every window is doc-keyed, so nothing single-partitions, and each
+    round is one pair count (map-combinable) + a 1-row broadcast merge
+    + one re-segmentation pass.  Token streams between rounds are
+    lazily materialized (they feed the count AND the apply pass).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+
+    def bpe_round(t: DataFrame, rnd: int):
+        t = t.localCheckpoint(eager=False)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pairs = t.withColumn("nxt", F.lead("tok").over(w)).filter(
+            F.col("nxt").isNotNull()
+        )
+        top = (
+            pairs.groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+        )
+        flag = (
+            t.crossJoin(F.broadcast(top))
+            .withColumn(
+                "m",
+                F.when(
+                    (F.col("tok") == F.col("a"))
+                    & (F.lead("tok").over(w) == F.col("b")),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("island", F.col("pos") - F.sum("m").over(wr))
+        )
+        dec = flag.withColumn(
+            "merged",
+            (F.col("m") == 1)
+            & (
+                (
+                    F.row_number().over(
+                        Window.partitionBy("doc_id", "island", "m").orderBy(
+                            "pos"
+                        )
+                    )
+                    - 1
+                )
+                % 2
+                == 0
+            ),
+        )
+        nxt_toks = (
+            dec.withColumn(
+                "consumed", F.lag("merged", 1, False).over(w)
+            )
+            .filter(~F.col("consumed"))
+            .select(
+                "doc_id",
+                F.row_number().over(w).alias("pos"),
+                F.when(
+                    F.col("merged"),
+                    F.concat_ws(" ", "tok", "b"),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+        )
+        nxt_toks = nxt_toks.localCheckpoint(eager=False)
+        summary = (
+            top.crossJoin(
+                F.broadcast(
+                    nxt_toks.agg(F.count(F.lit(1)).alias("tokens_after"))
+                )
+            )
+            .select(
+                F.lit(rnd).alias("round"),
+                F.concat_ws(" ", "a", "b").alias("merged_pair"),
+                F.col("c").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+        return nxt_toks, summary
+
+    t2, s1 = bpe_round(toks, 1)
+    _, s2 = bpe_round(t2, 2)
+    return s1.unionByName(s2)
