@@ -2795,3 +2795,97 @@ def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sxlx") / F.col("s") + F.log("n") - F.log("s"), 6
         ).alias("theil_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J2: join-size estimation via Count-Min inner product
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "joinsize_cms_estimate",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT unnest([0, 1, 2, 3]) AS j,
+             unnest([{", ".join(str(a) for a, _ in _CMS_ROWS)}]) AS a,
+             unnest([{", ".join(str(b) for _, b in _CMS_ROWS)}]) AS b
+    ),
+    se AS (
+      SELECT j, ((a * user_id + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events CROSS JOIN rows_ GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT j, ((a * c_custkey + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM customer CROSS JOIN rows_ GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT se.j, sum(se.c * sc.c) AS dot
+      FROM se JOIN sc ON se.j = sc.j AND se.bucket = sc.bucket
+      GROUP BY se.j
+    ),
+    est AS (SELECT min(dot) AS est_join_size FROM ip),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    )
+    SELECT exact_join_size, CAST(est_join_size AS BIGINT) AS est_join_size,
+           CAST(est_join_size - exact_join_size AS BIGINT) AS overcount
+    FROM exact, est
+    """,
+    tags=("agg", "approx", "sketch", "join"),
+)
+def joinsize_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: equi-join cardinality estimation by Count-Min inner product
+    (Alon-Matias-Szegedy / Cormode-Muthukrishnan, public): |R ⋈ S| on a
+    key equals the inner product of the two frequency vectors, and the
+    CMS estimate is min over hash rows of Σ_bucket cR·cS — never an
+    undercount.  This is the optimizer-statistics primitive behind join
+    reordering: two O(d·w)-cell sketches built in one pass per table
+    answer the join-size question without running the join.
+
+    Both sketches share the portable 2-universal hash family of
+    ``events_countmin_user_freq``, so the estimate is bit-reproducible
+    in the DuckDB oracle; the exact join count rides a broadcast hash
+    join.  Every number is int64-exact.
+    """
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        rows_ = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        (F.lit(a) * F.col(key) + F.lit(b)) % _CMS_P % _CMS_W
+                    ).alias("bucket"),
+                )
+                for j, (a, b) in enumerate(_CMS_ROWS)
+            ]
+        )
+        return (
+            df.select(F.explode(rows_).alias("h"))
+            .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    se, sc = sketch(e, "user_id"), sketch(c, "c_custkey")
+    ip = (
+        se.join(sc.withColumnRenamed("c", "c2"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("dot"))
+    )
+    est = ip.agg(F.min("dot").alias("est_join_size"))
+    exact = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "est_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias(
+            "overcount"
+        ),
+    )
