@@ -812,3 +812,73 @@ def xml_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# K1: compressed-codec round-trips (gzip CSV, zstd/snappy/gzip parquet)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "codec_roundtrip_matrix",
+    oracle="""
+    WITH agg_ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus <> 'F'
+    )
+    SELECT codec, n, round(cents / 100.0, 2) AS total
+    FROM agg_, (SELECT unnest(['csv.gz', 'parquet.gzip',
+                               'parquet.snappy', 'parquet.zstd']) AS codec)
+    ORDER BY codec
+    """,
+    tags=("source", "sink"),
+)
+def codec_roundtrip_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: compression-codec round-trip matrix — the same filtered orders
+    relation written and re-read through gzip CSV and gzip/snappy/zstd
+    parquet, each re-aggregated to the identical integer-cents total.
+    Proves the codec paths (including splittable-vs-not gzip text and
+    the three parquet codecs a lakehouse actually deploys) are lossless
+    through this engine; the oracle pins one truth row per codec.
+
+    Scale note: .csv.gz is NOT splittable — one file is one task no
+    matter its size (documented here because the test fixture hides it);
+    parquet compresses per row-group and stays fully parallel, which is
+    why zstd-parquet is the layout the sinks default to at volume.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    outs = []
+    # gzip CSV
+    p_csv = readers.scratch_dir("codec_csvgz")
+    o.write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(p_csv)
+    back_csv = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).option("header", True).csv(p_csv)
+    outs.append(("csv.gz", back_csv))
+    for codec in ("gzip", "snappy", "zstd"):
+        p = readers.scratch_dir(f"codec_pq_{codec}")
+        o.write.mode("overwrite").option("compression", codec).parquet(p)
+        outs.append((f"parquet.{codec}", spark.read.parquet(p)))
+    per = [
+        df.agg(
+            F.lit(name).alias("codec"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("total"),
+        )
+        for name, df in outs
+    ]
+    out = per[0]
+    for df in per[1:]:
+        out = out.unionByName(df)
+    return out

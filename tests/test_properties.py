@@ -736,3 +736,57 @@ def test_round_int_ratio_matches_fraction_and_duckdb(spark, cases, k, a_scale):
         ratio = Fraction(a, b * 10**a_scale)
         expected = float((2 * ratio * 10**k + 1).__floordiv__(2)) / 10**k
         assert got[i] == expected == duck[i], (a, b, k, a_scale)
+
+
+# ---------------------------------------------------------------------------
+# Banded global rank ≡ single-partition reference window, for ANY data
+# (heavy ties, negatives, duplicates across rows, asc and desc) — the
+# property that guards functions/rank.py's quantile-literal banding.
+# ---------------------------------------------------------------------------
+
+banded_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1_000_000),                       # unique-ish id
+        st.one_of(
+            st.integers(-5, 5),                          # heavy ties
+            st.integers(-10**9, 10**9),                  # wide range
+        ),
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=banded_rows, direction=st.sampled_from(["asc", "desc"]))
+@settings(**SETTINGS)
+def test_banded_rank_matches_reference(spark, rows, direction):
+    from lambda_arc_events_filter_spark.functions.rank import (
+        global_order_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(int(i), int(v)) for i, v in rows], "id long, v long"
+    )
+    out = global_order_stats(
+        df.select("v", "id"),
+        [("v", direction), "id"],
+        rank="rk",
+        running={"cs": ("v", "sum")},
+        num_partitions=7,
+    )
+    order = [
+        F.col("v").desc() if direction == "desc" else F.col("v").asc(),
+        "id",
+    ]
+    w = Window.orderBy(*order)
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.select(
+        "v",
+        "id",
+        F.row_number().over(w).alias("rk"),
+        F.sum("v").over(wr).alias("cs"),
+    )
+    got = {tuple(r) for r in out.select("v", "id", "rk", "cs").collect()}
+    want = {tuple(r) for r in ref.collect()}
+    assert got == want
