@@ -1610,3 +1610,110 @@ def events_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(merged.select(*cols))
         .withColumn("n_events", F.col("n_events").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L1: time-bounded funnel with stage latency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_time_bounded",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t1, min(v.t0) AS t0
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t0
+            AND epoch_us(e.ts) - epoch_us(v.t0) <= 7200000000
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t2, min(c.t1) AS t1
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t1
+            AND epoch_us(e.ts) - epoch_us(c.t1) <= 86400000000
+          GROUP BY 1)
+    SELECT stage, n_users, avg_latency_s FROM (
+      SELECT 1 AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(NULL AS DOUBLE) AS avg_latency_s
+      FROM v
+      UNION ALL
+      SELECT 2, 'click_2h', CAST(count(*) AS BIGINT),
+             CASE WHEN count(*) = 0 THEN NULL ELSE
+               ((2 * sum(epoch_us(t1) - epoch_us(t0)) + count(*) * 10000)
+                  // (2 * count(*) * 10000)) / 100.0 END
+      FROM c
+      UNION ALL
+      SELECT 3, 'purchase_24h', CAST(count(*) AS BIGINT),
+             CASE WHEN count(*) = 0 THEN NULL ELSE
+               ((2 * sum(epoch_us(t2) - epoch_us(t1)) + count(*) * 10000)
+                  // (2 * count(*) * 10000)) / 100.0 END
+      FROM p) ORDER BY step
+    """,
+    tags=("events", "analytics"),
+)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: the TIME-BOUNDED funnel — view → click within 2 h → purchase
+    within 24 h of the click — plus each stage's average conversion
+    latency in seconds.  The unbounded funnel (`events_funnel_conversion`)
+    answers "did they ever"; campaign analysis needs "did they within the
+    attribution window", and the latency column is the number an
+    activation team actually tunes against.
+
+    Same monotone-shrinking join shape as the unbounded funnel (every
+    stage one filtered aggregate hash-clustered on user_id); latencies
+    accumulate as exact integer microseconds and the average rounds in
+    integer space (scaled-unit round_int_ratio, a_scale=6 → 2 decimals
+    of seconds), so the engines agree bit-for-bit.
+    """
+    e = load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t0"))
+            & (us("ts") - us("t0") <= 7_200_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.min("t0").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (us("ts") - us("t1") <= 86_400_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+
+    def stage(df, step, name, lat_from, lat_to):
+        lat = (
+            round_int_ratio(
+                F.sum(us(lat_to) - us(lat_from)),
+                F.count(F.lit(1)),
+                2,
+                a_scale=6,
+            )
+            if lat_from
+            else F.lit(None).cast("double")
+        )
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            lat.alias("avg_latency_s"),
+        )
+
+    out = (
+        stage(v, 1, "view", None, None)
+        .unionByName(stage(c, 2, "click_2h", "t0", "t1"))
+        .unionByName(stage(p, 3, "purchase_24h", "t1", "t2"))
+    )
+    return out.orderBy("step").select("stage", "n_users", "avg_latency_s")
