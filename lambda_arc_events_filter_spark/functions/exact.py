@@ -15,12 +15,16 @@ arithmetic — ``round_half_up(a/b · 10^k) = (2·a·10^k + b) div (2·b)`` for
 positive a, b — and divide by 10^k at the very end.  The result is an
 exact k-decimal value, bit-identical in any engine.
 
-Overflow headroom: the intermediate is ``2·a·10^(k-s)``; with BIGINT this
-caps a (the value in 10^s units) at ~4.6e18/10^(k-s).  For money-in-cents
-averaged to 6 decimals (k-s=4) that is ~4.6e14 cents per group — ~46
-billion dollars — fine for fixture and bench scale; a 100 TB deployment
-pushing past it would move the accumulator to DECIMAL(38) (same formula,
-Spark and DuckDB both support it) at a small codegen cost.
+Overflow headroom: the intermediate ``2·a·10^(k-s)`` runs in
+DECIMAL(38,0) on the Spark side and HUGEINT in the DuckDB twin (round 4:
+Hypothesis found the BIGINT ceiling at a ≈ 4.6e18/10^(k-s) — k=6 ratios
+of corpus-scale integer sums cross it at real data volumes, so the wide
+types are the DEFAULT, not an escape hatch).  ``div`` (IntegralDivide)
+accepts decimal operands and returns BIGINT — exact integral division,
+never a rounded decimal Divide (whose result scale Spark clamps to 6
+under precision pressure, which would flip floor() at near-integer
+quotients).  The final quotient is the rounded ratio scaled by 10^k —
+back in comfortable long range.
 """
 
 from __future__ import annotations
@@ -40,8 +44,8 @@ def round_int_ratio(a: Column, b: Column, k: int, a_scale: int = 0) -> Column:
     (coarser rounding than the input scale) moves the 10-power onto the
     denominator.
     """
-    a = a.cast("long")
-    b = b.cast("long")
+    a = a.cast("long").cast("decimal(38,0)")
+    b = b.cast("long").cast("decimal(38,0)")
     if k >= a_scale:
         num = F.lit(2) * a * F.lit(10 ** (k - a_scale)) + b
         den = F.lit(2) * b
@@ -49,12 +53,13 @@ def round_int_ratio(a: Column, b: Column, k: int, a_scale: int = 0) -> Column:
         down = 10 ** (a_scale - k)
         num = F.lit(2) * a + b * F.lit(down)
         den = F.lit(2) * b * F.lit(down)
-    # IntegralDivide ("div") stays in LONG space — a double-division
+    # IntegralDivide ("div") on DECIMAL(38,0) — exact integral division
+    # with ~10^38 headroom (see module docstring); a double-division
     # detour would lose bits past 2^53, which sf0.1 money sums already
     # exceed once scaled by 10^4.  CASE WHEN keeps ANSI mode from
     # raising on a zero denominator (NULL instead, matching the
     # nullif() the SQL twin uses).
-    scaled = F.when(b != 0, F.call_function("div", num, den))
+    scaled = F.when(b != F.lit(0), F.call_function("div", num, den))
     return scaled / F.lit(float(10**k))
 
 
@@ -62,14 +67,14 @@ def round_int_ratio_sql(a: str, b: str, k: int, a_scale: int = 0) -> str:
     """DuckDB twin of :func:`round_int_ratio` (same integer formula)."""
     if k >= a_scale:
         up = 10 ** (k - a_scale)
-        num = f"2 * CAST({a} AS BIGINT) * {up} + CAST({b} AS BIGINT)"
-        den = f"2 * CAST({b} AS BIGINT)"
+        num = f"2 * CAST({a} AS HUGEINT) * {up} + CAST({b} AS HUGEINT)"
+        den = f"2 * CAST({b} AS HUGEINT)"
     else:
         down = 10 ** (a_scale - k)
-        num = f"2 * CAST({a} AS BIGINT) + CAST({b} AS BIGINT) * {down}"
-        den = f"2 * CAST({b} AS BIGINT) * {down}"
+        num = f"2 * CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT) * {down}"
+        den = f"2 * CAST({b} AS HUGEINT) * {down}"
     return (
-        f"(CAST(({num}) AS BIGINT) // nullif({den}, 0)) / {10 ** k}.0"
+        f"(CAST(({num}) AS HUGEINT) // nullif({den}, 0)) / {10 ** k}.0"
     )
 
 
@@ -78,16 +83,16 @@ def half_up_div(a: Column, b: Column) -> Column:
     columns — the building block when a rounded scaled integer must stay
     an integer for further exact arithmetic (interpolation weights,
     nested ratios)."""
-    a = a.cast("long")
-    b = b.cast("long")
+    a = a.cast("long").cast("decimal(38,0)")
+    b = b.cast("long").cast("decimal(38,0)")
     return F.when(
-        b != 0, F.call_function("div", F.lit(2) * a + b, F.lit(2) * b)
+        b != F.lit(0), F.call_function("div", F.lit(2) * a + b, F.lit(2) * b)
     )
 
 
 def half_up_div_sql(a: str, b: str) -> str:
     """DuckDB twin of :func:`half_up_div`."""
     return (
-        f"((2 * CAST({a} AS BIGINT) + CAST({b} AS BIGINT))"
-        f" // nullif(2 * CAST({b} AS BIGINT), 0))"
+        f"CAST(((2 * CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT))"
+        f" // nullif(2 * CAST({b} AS HUGEINT), 0)) AS BIGINT)"
     )
