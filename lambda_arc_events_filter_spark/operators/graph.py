@@ -76,6 +76,17 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # cap expired while labels were still moving: the result would be
+        # silently UNDER-MERGED (distinct labels inside one true
+        # component — seen as 9 clusters vs the true 1 when a saturated
+        # grid's diameter outgrew the cap).  Propagation needs O(graph
+        # diameter) rounds; fail loudly so the caller raises max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(label propagation needs at least the graph diameter); "
+            "raise max_iter"
+        )
     return labels
 
 

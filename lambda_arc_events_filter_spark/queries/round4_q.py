@@ -1588,3 +1588,114 @@ def events_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("mn400").cast("long").alias("min_n_at_400"),
         (F.col("mn400") < 5).alias("still_risky_at_400"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M1: grid-DBSCAN — density-based spatial clusters via connected cells
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_geo_grid_clusters",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    geo AS (
+      SELECT user_id,
+             ((user_id * 2654435761) % 16000) / 100.0 - 80.0  AS lat,
+             ((user_id * 40503) % 36000) / 100.0 - 180.0      AS lon
+      FROM pts
+    ),
+    cells AS (
+      SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cl,
+             CAST(floor(lon / 10.0) AS BIGINT) AS co,
+             CAST(count(*) AS BIGINT)          AS n_users
+      FROM geo GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    ids AS (SELECT (cl + 8) * 36 + (co + 18) AS id, cl, co, n_users
+            FROM cells),
+    edges AS (
+      SELECT a.id AS s, b.id AS d
+      FROM ids a JOIN ids b
+        ON abs(a.cl - b.cl) <= 1 AND abs(a.co - b.co) <= 1
+    ),
+    reach AS (
+      SELECT s AS node, d AS other FROM edges
+      UNION
+      SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s
+    ),
+    labels AS (SELECT node, min(other) AS label FROM reach GROUP BY node)
+    SELECT CAST(l.label AS BIGINT)    AS cluster_label,
+           CAST(count(*) AS BIGINT)   AS n_cells,
+           CAST(sum(i.n_users) AS BIGINT) AS total_users
+    FROM labels l JOIN ids i ON l.node = i.id
+    GROUP BY l.label
+    """,
+    tags=("stats", "spatial", "iterative"),
+)
+def users_geo_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: grid-DBSCAN — density-based spatial clustering without a
+    pairwise distance join: bin users into 10°×10° cells, keep DENSE
+    cells (≥3 users — the minPts gate), and take connected components of
+    the 8-neighborhood cell graph as clusters.  The classic
+    billion-point-scale approximation of DBSCAN: the expensive ε-radius
+    pair join collapses to an equi-join on a BOUNDED cell graph (≤576
+    nodes at this resolution, whatever the data volume), and only the
+    one cell-assignment aggregate ever touches the fact relation.
+
+    Components ride ``operators/graph.py::connected_components``
+    (hash-to-min label propagation); self-loops keep isolated dense
+    cells labeled.  The oracle recomputes the same closure with a
+    RECURSIVE CTE — min-reachable-id over the symmetric neighbor graph —
+    so the iterative operator is exactness-checked against a
+    declarative fixpoint every round.
+    """
+    from lambda_arc_events_filter_spark.operators.graph import (
+        connected_components,
+    )
+
+    pts = _user_points(spark, sf_dir)
+    cells = (
+        pts.groupBy(
+            F.floor(F.col("lat") / 10.0).cast("long").alias("cl"),
+            F.floor(F.col("lon") / 10.0).cast("long").alias("co"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= 3)
+        .withColumn("id", (F.col("cl") + 8) * 36 + (F.col("co") + 18))
+    )
+    cells = cells.localCheckpoint(eager=False)  # feeds edges + final join
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"), (F.col("id") / 3).cast("long").alias("dy0")
+    ).select("dx", (F.col("dy0") - 1).alias("dy"))
+    nbr = (
+        cells.crossJoin(F.broadcast(offs))
+        .select(
+            F.col("id").alias("s"),
+            (F.col("cl") + F.col("dx")).alias("ncl"),
+            (F.col("co") + F.col("dy")).alias("nco"),
+        )
+        .join(
+            cells.select(
+                F.col("cl").alias("ncl"),
+                F.col("co").alias("nco"),
+                F.col("id").alias("d"),
+            ),
+            ["ncl", "nco"],
+        )
+        .select("s", "d")
+    )
+    # max_iter must cover the cell graph's DIAMETER (label propagation
+    # moves the min one hop per round): a 16×36 grid can chain ~50 hops
+    # once density saturates, which the default 25 silently under-merges
+    # (caught at sf0.1: 9 labels vs the true 1).
+    labels = connected_components(nbr, src="s", dst="d", max_iter=80)
+    return (
+        labels.join(cells, labels.node == cells.id)
+        .groupBy(F.col("label").alias("cluster_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_users").alias("total_users"),
+        )
+    )
