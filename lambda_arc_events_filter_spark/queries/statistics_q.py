@@ -2889,3 +2889,154 @@ def joinsize_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overcount"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# M2: rolling-window burst (rate-limit) audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rate_limit_audit",
+    oracle="""
+    WITH rated AS (
+      SELECT user_id, ts,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                      AND CURRENT ROW) AS rate
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE rate >= 3) AS BIGINT) AS n_burst_events,
+           CAST(max(rate) AS BIGINT)                         AS peak_rate,
+           min(ts) FILTER (WHERE rate >= 3)                  AS first_burst_ts
+    FROM rated
+    GROUP BY user_id
+    HAVING max(rate) >= 3
+    """,
+    tags=("events", "window", "analytics"),
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: burst detection / rate-limit audit — for every event, the
+    exact count of the user's events in the trailing 1-hour window (a
+    value-RANGE frame, not a row frame: simultaneous events all see the
+    same rate), then per user the number of over-threshold events, the
+    peak rate, and the first breach time.  The abuse/ops question "who
+    exceeded 3 requests per rolling hour, when, and how hard".
+
+    The RANGE frame orders on integer epoch MICROseconds so the frame
+    boundary is microsecond-exact and inclusive on both engines (a
+    seconds truncation would disagree with the oracle's INTERVAL
+    arithmetic on sub-second timestamps).  One user-keyed window pass +
+    one aggregate — nothing global, nothing quadratic.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    rated = e.select(
+        "user_id", "ts", F.count(F.lit(1)).over(w).alias("rate")
+    )
+    return (
+        rated.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("rate") >= 3, 1)).alias("n_burst_events"),
+            F.max("rate").alias("peak_rate"),
+            F.min(F.when(F.col("rate") >= 3, F.col("ts"))).alias(
+                "first_burst_ts"
+            ),
+        )
+        .filter(F.col("peak_rate") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3: nonparametric (order-statistic) confidence interval for the median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_median_ci_binomial",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice AS x,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+      FROM orders
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+    bounds AS (
+      SELECT n,
+             CAST(floor((n - 1.96 * sqrt(n)) / 2) AS BIGINT)    AS lo_r,
+             CAST(ceil(1 + (n + 1.96 * sqrt(n)) / 2) AS BIGINT) AS hi_r,
+             CAST(floor((n + 1) / 2.0) AS BIGINT)               AS m1,
+             CAST(ceil((n + 1) / 2.0) AS BIGINT)                AS m2
+      FROM nn
+    )
+    SELECT b.n AS n_orders,
+           round(((SELECT x FROM ranked, bounds WHERE r = m1)
+                + (SELECT x FROM ranked, bounds WHERE r = m2)) / 2, 2)
+             AS median,
+           round((SELECT x FROM ranked, bounds WHERE r = lo_r), 2) AS ci_lo,
+           round((SELECT x FROM ranked, bounds WHERE r = hi_r), 2) AS ci_hi
+    FROM bounds b
+    """,
+    tags=("stats", "agg"),
+)
+def orders_median_ci_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: distribution-free 95% confidence interval for the median by
+    the binomial order-statistic method: the CI endpoints are the sample
+    values at ranks (n ± 1.96√n)/2 — no normality assumption, no
+    resampling, just two more rank lookups on the sort the median
+    already needs.  The robust-statistics companion to the Poisson
+    bootstrap (E4): same question, closed form, one pass.
+
+    Ranks ride the banded global order (one fact shuffle); the three
+    target ranks are data-dependent 1-row values broadcast into a rank
+    filter, so the big relation is touched exactly twice (rank pass +
+    filtered lookup).  sqrt/floor/ceil run on the same integer n in both
+    engines — deterministic — and values pass through unrounded until
+    the final round(·, 2).
+    """
+    o = load(spark, sf_dir, "orders")
+    ranked = global_order_stats(
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey"),
+        ["x", "o_orderkey"],
+        rank="r",
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    sq = F.lit(1.96) * F.sqrt(F.col("n"))
+    bounds = n.select(
+        "n",
+        F.floor((F.col("n") - sq) / 2).cast("long").alias("lo_r"),
+        F.ceil(1 + (F.col("n") + sq) / 2).cast("long").alias("hi_r"),
+        F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long").alias("m1"),
+        F.ceil((F.col("n") + 1) / F.lit(2.0)).cast("long").alias("m2"),
+    )
+    hits = (
+        ranked.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("r") == F.col("lo_r"))
+            | (F.col("r") == F.col("hi_r"))
+            | (F.col("r") == F.col("m1"))
+            | (F.col("r") == F.col("m2"))
+        )
+        .select("x", "r", "lo_r", "hi_r", "m1", "m2", "n")
+    )
+    return hits.groupBy("n").agg(
+        F.round(
+            (
+                F.max(F.when(F.col("r") == F.col("m1"), F.col("x")))
+                + F.max(F.when(F.col("r") == F.col("m2"), F.col("x")))
+            )
+            / 2,
+            2,
+        ).alias("median"),
+        F.round(
+            F.max(F.when(F.col("r") == F.col("lo_r"), F.col("x"))), 2
+        ).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("r") == F.col("hi_r"), F.col("x"))), 2
+        ).alias("ci_hi"),
+    ).withColumnRenamed("n", "n_orders")
