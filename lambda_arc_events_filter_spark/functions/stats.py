@@ -166,14 +166,10 @@ def group_percentile_cont(
             band
         )
     bd = nn.select(*keys, value_col).withColumn("_band", band)
-    w_local = Window.partitionBy("_band", *keys).orderBy(value_col)
-    ranked = bd.withColumn("_lr", F.row_number().over(w_local))
 
     # per-(band, group) counts → running offset per group.  This relation
     # is |bands|·|groups| rows — broadcast-sized at any data volume — and
-    # is a sort-free map-combinable aggregate over a pruned 2-column scan
-    # (cheaper than re-running the ranked branch's sort just to read its
-    # row count).
+    # is a sort-free map-combinable aggregate over a pruned 2-column scan.
     sizes = bd.groupBy("_band", *keys).agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = (
         Window.partitionBy(*keys)
@@ -182,10 +178,7 @@ def group_percentile_cont(
     )
     offsets = sizes.withColumn(
         "_off", F.sum("_cnt").over(w_off) - F.col("_cnt")
-    ).select("_band", *keys, "_off")
-    ranked = _join_null_safe(
-        ranked, offsets, ["_band", *keys], broadcast=True
-    ).withColumn("_rank", F.col("_lr") + F.col("_off"))
+    ).select("_band", *keys, "_cnt", "_off")
 
     # per-group straddling target ranks for every quantile, from counts
     target_cols = []
@@ -202,6 +195,32 @@ def group_percentile_cont(
     targets = base.select(
         *keys, F.explode(F.array(*target_cols)).alias("t")
     ).select(*keys, "t.q_alias", "t._lo", "t._hi", "t._frac")
+
+    # TARGETED SELECTION: only bands that CONTAIN a straddling rank ever
+    # get sorted.  The band holding global rank t per group is read off
+    # the tiny offsets relation (_off < t ≤ _off + _cnt), so the fact
+    # relation is filtered to the hit bands BEFORE the rank window —
+    # per-band local ranks are unchanged because whole bands survive.
+    # With Q quantiles and G groups at most 2·Q·G bands sort, each
+    # ~1/num_partitions of its group: at scale the sorted fraction
+    # shrinks as bands are added, instead of sorting the entire relation.
+    in_band = lambda t: (F.col(t) > F.col("_off")) & (  # noqa: E731
+        F.col(t) <= F.col("_off") + F.col("_cnt")
+    )
+    hit_bands = (
+        _join_null_safe(targets, offsets, keys)
+        .filter(in_band("_lo") | in_band("_hi"))
+        .select("_band", *keys)
+        .dropDuplicates(["_band", *keys])
+    )
+    bd_hit = _join_null_safe(bd, hit_bands, ["_band", *keys], broadcast=True)
+    w_local = Window.partitionBy("_band", *keys).orderBy(value_col)
+    ranked = _join_null_safe(
+        bd_hit.withColumn("_lr", F.row_number().over(w_local)),
+        offsets.select("_band", *keys, "_off"),
+        ["_band", *keys],
+        broadcast=True,
+    ).withColumn("_rank", F.col("_lr") + F.col("_off"))
 
     # broadcast the targets into the ranked relation: only the rows AT a
     # straddling rank survive the join — the big side never reshuffles
