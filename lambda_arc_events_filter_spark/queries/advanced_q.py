@@ -322,3 +322,84 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_within_10k"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_within_10k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N1: rule-table event routing (multi-tenant filter fanout)
+# ---------------------------------------------------------------------------
+
+#: Subscriber routing table — part of the query definition: the
+#: multi-tenant generalization of the Tier-A single-predicate filter
+#: (one row per subscription, data-driven instead of code-driven).
+_ROUTING_RULES = [
+    # (subscriber, event_type or None=any, min_value, max_value)
+    ("alerts-high-value", None, 500.0, None),
+    ("purchase-feed", "purchase", None, None),
+    ("error-monitor", "error", None, None),
+    ("mid-band-views", "view", 50.0, 250.0),
+    ("signup-feed", "signup", None, None),
+]
+
+
+@register(
+    "events_rule_fanout",
+    oracle="""
+    WITH rules AS (
+      SELECT * FROM (VALUES
+        ('alerts-high-value', NULL, 500.0, NULL),
+        ('purchase-feed', 'purchase', NULL, NULL),
+        ('error-monitor', 'error', NULL, NULL),
+        ('mid-band-views', 'view', 50.0, 250.0),
+        ('signup-feed', 'signup', NULL, NULL)
+      ) AS t(subscriber, want_type, min_value, max_value)
+    ),
+    matched AS (
+      SELECT r.subscriber, e.event_id, e.value
+      FROM events e JOIN rules r
+        ON (r.want_type IS NULL OR e.event_type = r.want_type)
+       AND (r.min_value IS NULL OR e.value >= r.min_value)
+       AND (r.max_value IS NULL OR e.value <= r.max_value)
+    )
+    SELECT subscriber,
+           CAST(count(*) AS BIGINT)    AS n_delivered,
+           CAST(min(event_id) AS BIGINT) AS first_event_id,
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4)
+             AS total_value
+    FROM matched GROUP BY subscriber
+    """,
+    tags=("events", "join", "tier-a"),
+)
+def events_rule_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: data-driven event routing — the multi-tenant generalization of
+    the Tier-A filter (`streaming/pipeline.py::filter_events` evaluates
+    ONE predicate compiled into the job; real feed products carry a
+    SUBSCRIPTION TABLE).  Each rule is a row (type match + value band,
+    NULL = wildcard); events fan out to every matching subscriber via a
+    broadcast theta-join on the rules relation, and the query reports
+    per-subscriber delivery counts and value totals.
+
+    Scale shape: the rules relation is catalog-sized → broadcast; the
+    fact relation streams through ONE codegen'd join stage evaluating
+    all predicates per row (no per-rule scan, no union of filters) and
+    the fanout multiplies only matched rows.  Value totals accumulate
+    as integer ten-thousandths so the engines agree bit-for-bit.
+    """
+    e = load(spark, sf_dir, "events")
+    rules = spark.createDataFrame(
+        _ROUTING_RULES,
+        "subscriber string, want_type string, min_value double,"
+        " max_value double",
+    )
+    cond = (
+        (F.col("want_type").isNull() | (F.col("event_type") == F.col("want_type")))
+        & (F.col("min_value").isNull() | (F.col("value") >= F.col("min_value")))
+        & (F.col("max_value").isNull() | (F.col("value") <= F.col("max_value")))
+    )
+    matched = e.join(F.broadcast(rules), cond)
+    return matched.groupBy("subscriber").agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.min("event_id").alias("first_event_id"),
+        F.round(
+            F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0, 4
+        ).alias("total_value"),
+    )
