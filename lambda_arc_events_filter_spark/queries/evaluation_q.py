@@ -15,7 +15,7 @@ fixture regeneration can never land on a cross-engine half-boundary.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
@@ -401,4 +401,130 @@ def score_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("spearman_rho"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N2: cross-validated AUC — per-fold ranking quality + exact fold spread
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_auc_by_fold",
+    oracle=f"""
+    WITH s AS (
+      SELECT (event_id * 7919) % 5 AS fold, {_SCORE_SQL} AS k,
+             {_LABEL_SQL} AS y
+      FROM events
+    ),
+    g AS (SELECT fold, k, count(*) AS cnt, sum(y) AS pos
+          FROM s GROUP BY fold, k),
+    r AS (SELECT fold, k, cnt, pos, cnt - pos AS neg,
+                 sum(cnt) OVER w AS cum_cnt,
+                 sum(pos) OVER w AS cum_pos
+          FROM g WINDOW w AS (PARTITION BY fold ORDER BY k)),
+    t AS (SELECT fold,
+                 sum((cum_cnt - cum_pos - (cnt - pos)) * pos) AS a,
+                 sum((cnt - pos) * pos)                       AS b,
+                 sum(pos)                                     AS n1,
+                 sum(cnt - pos)                               AS n0
+          FROM r GROUP BY fold),
+    f AS (SELECT CAST(fold AS BIGINT) AS fold,
+                 CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+                 ((2 * (2 * a + b) * 1000000 + 2 * n1 * n0)
+                     // (2 * 2 * n1 * n0)) AS auc_e6
+          FROM t),
+    x AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+                 CAST(sum(auc_e6) AS BIGINT) AS sa,
+                 CAST(sum(auc_e6 * auc_e6) AS BIGINT) AS saa
+          FROM f)
+    SELECT fold, n_pos, n_neg, auc_e6 / 1000000.0 AS auc,
+           ((2 * sa * 1000000 + nf * 1000000)
+               // (2 * nf * 1000000)) / 1000000.0 AS mean_auc,
+           round(sqrt(CAST(nf * saa - sa * sa AS DOUBLE))
+                 / (nf * 1000000.0), 6) AS std_auc
+    FROM f, x
+    """,
+    tags=("ml", "stats", "scale"),
+)
+def score_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: cross-validated ranking quality — the tie-corrected rank-sum
+    AUC (F1) computed PER deterministic 5-fold split, with the
+    cross-fold mean and population spread: the variance-of-the-metric
+    number a model report quotes next to the point estimate.
+
+    The per-fold machinery is the same bucket aggregation as
+    ``score_auc_rank`` with fold as one more group key — cumulative
+    counts ride a fold-KEYED window over the ≤5·1000-row bucket
+    relation (bounded by construction, never the fact).  Fold AUCs are
+    exact integers scaled by 10⁶, so the cross-fold mean rounds in
+    integer space and the spread is √(n·Σx²−(Σx)²)/n — one deterministic
+    sqrt of an exact integer in both engines.
+    """
+    s = _scored(spark, sf_dir).withColumn(
+        "fold", (F.col("event_id") * 7919) % 5
+    )
+    g = s.groupBy("fold", "k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.partitionBy("fold").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "fold",
+        "cnt",
+        "pos",
+        (F.col("cnt") - F.col("pos")).alias("neg"),
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("pos").over(w).alias("cum_pos"),
+    )
+    t = r.groupBy("fold").agg(
+        F.sum(
+            (F.col("cum_cnt") - F.col("cum_pos") - F.col("neg"))
+            * F.col("pos")
+        ).alias("a"),
+        F.sum(F.col("neg") * F.col("pos")).alias("b"),
+        F.sum("pos").alias("n1"),
+        F.sum("neg").alias("n0"),
+    )
+    fold_auc = t.select(
+        "fold",
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.call_function(
+            "div",
+            (F.lit(2) * (F.lit(2) * F.col("a") + F.col("b")) * 1_000_000
+             + F.lit(2) * F.col("n1") * F.col("n0")),
+            F.lit(2) * F.lit(2) * F.col("n1") * F.col("n0"),
+        ).alias("auc_e6"),
+    )
+    fold_auc = fold_auc.localCheckpoint(eager=False)  # feeds rows + spread
+    x = fold_auc.agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.sum("auc_e6").alias("sa"),
+        F.sum(F.col("auc_e6") * F.col("auc_e6")).alias("saa"),
+    )
+    mean_auc = (
+        F.call_function(
+            "div",
+            F.lit(2) * F.col("sa") * 1_000_000 + F.col("nf") * 1_000_000,
+            F.lit(2) * F.col("nf") * 1_000_000,
+        )
+        / F.lit(1_000_000.0)
+    )
+    return fold_auc.crossJoin(F.broadcast(x)).select(
+        "fold",
+        "n_pos",
+        "n_neg",
+        (F.col("auc_e6") / F.lit(1_000_000.0)).alias("auc"),
+        mean_auc.alias("mean_auc"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("nf") * F.col("saa") - F.col("sa") * F.col("sa")
+                ).cast("double")
+            )
+            / (F.col("nf") * F.lit(1_000_000.0)),
+            6,
+        ).alias("std_auc"),
     )
