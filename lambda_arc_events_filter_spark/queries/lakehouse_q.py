@@ -1047,3 +1047,123 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bal_cents") / 100.0, 2).alias("total_balance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# O2: Merkle-style bucketed replica diff (anti-entropy repair)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_merkle_bucket_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (  -- replica with a deterministic corruption: +1 cent on ~1/1000
+      SELECT k, CASE WHEN k % 1000 = 7 THEN cents + 1 ELSE cents END AS cents
+      FROM a
+    ),
+    ha AS (SELECT k, k % 256 AS bucket,
+                  (k * 2654435761 + cents) % 1000000007 AS h FROM a),
+    hb AS (SELECT k, k % 256 AS bucket,
+                  (k * 2654435761 + cents) % 1000000007 AS h FROM b),
+    da AS (SELECT bucket, CAST(sum(h) AS BIGINT) AS dig,
+                  CAST(count(*) AS BIGINT) AS n FROM ha GROUP BY bucket),
+    db AS (SELECT bucket, CAST(sum(h) AS BIGINT) AS dig,
+                  CAST(count(*) AS BIGINT) AS n FROM hb GROUP BY bucket),
+    changed AS (
+      SELECT da.bucket FROM da JOIN db USING (bucket)
+      WHERE da.dig <> db.dig OR da.n <> db.n
+    ),
+    drill AS (
+      SELECT ha.k FROM ha JOIN hb ON ha.k = hb.k
+      JOIN changed c ON ha.bucket = c.bucket
+      WHERE ha.h <> hb.h
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM da)      AS n_buckets,
+           (SELECT CAST(count(*) AS BIGINT) FROM changed) AS n_changed_buckets,
+           (SELECT CAST(count(*) AS BIGINT) FROM drill)   AS n_changed_rows,
+           (SELECT CAST(min(k) AS BIGINT) FROM drill)     AS first_changed_key,
+           (SELECT CAST(max(k) AS BIGINT) FROM drill)     AS last_changed_key
+    """,
+    tags=("maintenance", "lakehouse"),
+)
+def table_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: anti-entropy replica reconciliation the way replicated stores
+    actually do it (Merkle exchange): hash every row into one of 256 key
+    buckets, compare BUCKET DIGESTS first (a 256-row relation per
+    replica, whatever the table size), and drill down to row-level
+    comparison ONLY inside buckets whose digests disagree.  The replica
+    here carries a deterministic 1-in-1000 corruption (+1 cent), so the
+    query must localize exactly those rows while row-comparing ~1/256th
+    of the table per corrupted bucket — the bandwidth story that makes
+    Merkle repair viable at volume, vs `table_reconcile_diff`'s full
+    row-by-row join.
+
+    Digests are sums of portable integer row hashes (k·2654435761 +
+    cents mod p) — order-independent, mergeable, engine-exact; both
+    replicas derive from one scan lineage.
+    """
+    o = load(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a = a.localCheckpoint(eager=False)  # one lineage feeds both replicas
+    b = a.select(
+        "k",
+        F.when(F.col("k") % 1000 == 7, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            (F.col("k") % 256).alias("bucket"),
+            (
+                (F.col("k") * F.lit(2654435761) + F.col("cents"))
+                % F.lit(1_000_000_007)
+            ).alias("h"),
+        )
+
+    ha, hb = hashed(a), hashed(b)
+    da = ha.groupBy("bucket").agg(
+        F.sum("h").alias("dig"), F.count(F.lit(1)).alias("n")
+    )
+    db = hb.groupBy("bucket").agg(
+        F.sum("h").alias("dig2"), F.count(F.lit(1)).alias("n2")
+    )
+    changed = (
+        da.join(db, "bucket")
+        .filter(
+            (F.col("dig") != F.col("dig2")) | (F.col("n") != F.col("n2"))
+        )
+        .select("bucket")
+    )
+    drill = (
+        ha.join(F.broadcast(changed), "bucket")
+        .join(
+            hb.select("k", F.col("h").alias("h2")),
+            "k",
+        )
+        .filter(F.col("h") != F.col("h2"))
+        .select("k")
+    )
+    drill = drill.localCheckpoint(eager=False)  # feeds 3 scalar aggs
+    stats = [
+        da.agg(F.count(F.lit(1)).alias("n_buckets")),
+        changed.agg(F.count(F.lit(1)).alias("n_changed_buckets")),
+        drill.agg(
+            F.count(F.lit(1)).alias("n_changed_rows"),
+            F.min("k").alias("first_changed_key"),
+            F.max("k").alias("last_changed_key"),
+        ),
+    ]
+    out = stats[0].crossJoin(F.broadcast(stats[1])).crossJoin(
+        F.broadcast(stats[2])
+    )
+    return out

@@ -1422,3 +1422,104 @@ def tokens_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2, s1 = bpe_round(toks, 1)
     _, s2 = bpe_round(t2, 2)
     return s1.unionByName(s2)
+
+
+# ---------------------------------------------------------------------------
+# O1: consistent-hash ring rebalance audit (vs naive mod resharding)
+# ---------------------------------------------------------------------------
+
+
+def _ring_points(n_shards: int, vnodes: int = 8) -> list[tuple[int, int]]:
+    """Deterministic 32-bit ring points for ``n_shards`` × ``vnodes`` —
+    md5-derived at query-construction time, baked into both engines'
+    plans as literals (the ring IS configuration, not data)."""
+    import hashlib
+
+    pts = []
+    for j in range(n_shards):
+        for v in range(vnodes):
+            h = int(
+                hashlib.md5(f"s{j}:v{v}".encode()).hexdigest()[:8], 16
+            )
+            pts.append((h, j))
+    return sorted(pts)
+
+
+def _ring_case_sql(pts: list[tuple[int, int]], h_expr: str) -> str:
+    clauses = " ".join(
+        f"WHEN {h_expr} <= {h} THEN {s}" for h, s in pts
+    )
+    return f"CASE {clauses} ELSE {pts[0][1]} END"
+
+
+def _ring_case_col(pts: list[tuple[int, int]], h) -> "F.Column":
+    out = F.lit(pts[0][1])  # wrap-around: past the last point → first point
+    for hh, s in reversed(pts):
+        out = F.when(h <= F.lit(hh), F.lit(s)).otherwise(out)
+    return out
+
+
+@register(
+    "corpus_shard_rebalance_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + 12345) % 4294967296 AS h
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id,
+             {_ring_case_sql(_ring_points(16), "h")} AS ring16,
+             {_ring_case_sql(_ring_points(17), "h")} AS ring17,
+             doc_id % 16 AS mod16,
+             doc_id % 17 AS mod17
+      FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE ring16 <> ring17) AS BIGINT)
+             AS n_moved_ring,
+           ((2 * count(*) FILTER (WHERE ring16 <> ring17) * 1000000
+               + count(*)) // (2 * count(*))) / 1000000.0 AS moved_ring_frac,
+           CAST(count(*) FILTER (WHERE mod16 <> mod17) AS BIGINT)
+             AS n_moved_mod,
+           ((2 * count(*) FILTER (WHERE mod16 <> mod17) * 1000000
+               + count(*)) // (2 * count(*))) / 1000000.0 AS moved_mod_frac
+    FROM assigned
+    """,
+    tags=("llm", "curation", "maintenance"),
+)
+def corpus_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: what fraction of the corpus MOVES when a 16-shard layout grows
+    to 17 — consistent-hash ring (128 virtual nodes per ring, md5-point
+    literals) versus naive ``id mod N``.  The systems question behind
+    every reshard: the ring moves ~1/17 of documents (only keys between
+    the new shard's points and their predecessors), while mod-rehashing
+    moves ~16/17 — this query measures both exactly, and is the audit a
+    storage team runs before committing a topology change.
+
+    Ring lookup is a codegen'd 128-arm comparison chain over plan
+    literals (binary-search semantics, branch-predictable); document
+    hashes are portable integer arithmetic, so the oracle reproduces
+    both assignments bit-for-bit.  One scan, one global aggregate —
+    map-combinable at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761) + F.lit(12345)) % F.lit(
+        4294967296
+    )
+    assigned = d.select(
+        _ring_case_col(_ring_points(16), h).alias("ring16"),
+        _ring_case_col(_ring_points(17), h).alias("ring17"),
+        (F.col("doc_id") % 16).alias("mod16"),
+        (F.col("doc_id") % 17).alias("mod17"),
+    )
+    moved_r = F.count(F.when(F.col("ring16") != F.col("ring17"), 1))
+    moved_m = F.count(F.when(F.col("mod16") != F.col("mod17"), 1))
+    n = F.count(F.lit(1))
+    return assigned.agg(
+        n.alias("n_docs"),
+        moved_r.alias("n_moved_ring"),
+        round_int_ratio(moved_r, n, 6).alias("moved_ring_frac"),
+        moved_m.alias("n_moved_mod"),
+        round_int_ratio(moved_m, n, 6).alias("moved_mod_frac"),
+    )
