@@ -93,6 +93,9 @@ HEADLINE = [
     "text_rake_keyphrases",
     "embedding_pq_assign",
     "lineitem_moments_by_flag",
+    # round-4 late waves: tokenizer training + the third dedup strategy
+    "tokens_bpe_merge_rounds",
+    "dedup_prefix_cosine_pairs",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
