@@ -353,7 +353,10 @@ def score_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0), F.floor("value").cast("int")),
         ).alias("kb"),
     )
-    s = s.localCheckpoint(eager=False)  # feeds 3 aggregates (ma, mb, joint)
+    # NOTE deliberately NOT checkpointed: s is a 2-column projection of
+    # the FACT relation — its three aggregate consumers each re-scan the
+    # pruned parquet (cheap, map-combinable) rather than pinning a
+    # fact-sized intermediate to executor storage.
     n_tot = s.agg(F.count(F.lit(1)).alias("n"))
 
     def centered(marg: DataFrame, k: str, c: str, out: str) -> DataFrame:
