@@ -1523,3 +1523,68 @@ def corpus_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         moved_m.alias("n_moved_mod"),
         round_int_ratio(moved_m, n, 6).alias("moved_mod_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P1: phrase search over a positional inverted index
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("slow", "hash", "batch")  # query phrase — part of the definition
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, t.w, t.i
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                    generate_subscripts(string_split(text, ' '), 1) AS i) t
+    ),
+    hits AS (
+      SELECT a.doc_id, a.i AS start_pos
+      FROM pos a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      WHERE a.w = '{_PHRASE[0]}' AND b.w = '{_PHRASE[1]}'
+        AND c.w = '{_PHRASE[2]}'
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)  AS n_occurrences,
+           CAST(min(start_pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: exact phrase search ("slow hash batch") via POSITIONAL
+    postings — the operator behind quoted queries in every full-text
+    engine: per-term posting lists carry token positions, and a phrase
+    match is an equi-join of the terms' postings on (doc, consecutive
+    positions).  Returns matching docs with occurrence counts and first
+    position.
+
+    Scale shape: each join leg filters its postings to ONE term before
+    joining (predicate pushed to the scan of the exploded relation), so
+    cost tracks the query terms' posting lists — never the corpus.  The
+    first term anchors; subsequent terms join on (doc_id, pos + k).  At
+    index-backed scale the same joins run against a stored postings
+    table; here the postings derive in-plan from the fixture corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    legs = [
+        pos.filter(F.col("w") == term).select(
+            "doc_id", (F.col("i") - k).alias("anchor")
+        )
+        for k, term in enumerate(_PHRASE)
+    ]
+    hits = legs[0]
+    for leg in legs[1:]:
+        hits = hits.join(leg, ["doc_id", "anchor"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        (F.min("anchor") + 1).alias("first_pos"),
+    )

@@ -1717,3 +1717,81 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(p, 3, "purchase_24h", "t1", "t2"))
     )
     return out.orderBy("step").select("stage", "n_users", "avg_latency_s")
+
+
+# ---------------------------------------------------------------------------
+# P2: DAU / trailing-28-day MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    mau AS (
+      SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+      FROM days JOIN ud
+        ON ud.d <= days.d AND ud.d > days.d - 28
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, mau.mau,
+           ((2 * dau.dau * 1000000 + mau.mau) // (2 * mau.mau)) / 1000000.0
+             AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+    tags=("events", "analytics"),
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the DAU/MAU stickiness curve — per day, distinct daily actives
+    over distinct trailing-28-day actives: the engagement ratio every
+    consumer product reports (≈1 means the monthly base shows up daily).
+
+    The rolling DISTINCT is the interesting part: distinct counts don't
+    merge across days (a user active twice is one MAU), so the trailing
+    window re-counts from the (user, day) DISTINCT relation — which is
+    the CORRECT input at any scale because it is bounded by
+    |users|·|days|, collapsed from the fact by one map-combinable
+    distinct. The 28-day membership is a banded date-range join against
+    the calendar-bounded day spine (28× fanout of user-days, never the
+    fact), then an exact distinct per day. Stickiness rounds in integer
+    space.
+    """
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    ud = ud.localCheckpoint(eager=False)  # user·day relation, 3 consumers
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    # fan each user-day into the ≤28 spine days it supports, then
+    # exact-distinct per day — an equi-join on the fanned day key
+    mau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(27))
+            ).alias("k"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("k")).alias("day"))
+        .join(days.withColumnRenamed("d", "day"), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.withColumnRenamed("d", "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            round_int_ratio(F.col("dau"), F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
