@@ -825,3 +825,50 @@ def stream_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "quarantine", mode="append", state_partitions=2)
+
+
+# ---------------------------------------------------------------------------
+# P3: UPDATE output mode — changed-keys-only emission
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_update_mode_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4)
+             AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming",),
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-surface completion: UPDATE output mode — the third emission
+    semantics next to append (emit-once-on-watermark) and complete
+    (re-emit everything): each micro-batch emits ONLY the keys whose
+    aggregate changed.  The memory sink therefore accumulates one row
+    per (key, updating batch); the final state of a key is its
+    LAST-emitted row, recovered here as the max per key — counts and
+    value sums only grow, so max ≡ latest, making the replay
+    deterministic however the source splits into batches.  The oracle
+    is the plain batch aggregate the final state must equal.
+
+    Update mode is the production posture for unbounded keyed state
+    that a downstream KV store upserts; sink traffic per batch is
+    O(changed keys), not O(all keys) (complete) and without append's
+    emit-once delay.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0
+        ).alias("tv_raw"),
+    )
+    emitted = run_to_memory(agg, "upd", mode="update", state_partitions=2)
+    return emitted.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("tv_raw"), 4).alias("total_value"),
+    )
