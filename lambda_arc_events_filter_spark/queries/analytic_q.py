@@ -2357,3 +2357,87 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q1: co-purchase similarity (bipartite projection of the order-part graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_copurchase_similarity",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    freq AS (SELECT p, CAST(count(*) AS BIGINT) AS f FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS co
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    scored AS (
+      SELECT part_a, part_b, co,
+             round(co / sqrt(1.0 * fa.f * fb.f), 6) AS cosine
+      FROM pairs
+      JOIN freq fa ON part_a = fa.p
+      JOIN freq fb ON part_b = fb.p
+      WHERE co >= 2
+    )
+    SELECT part_a, part_b, co, cosine
+    FROM scored
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("join", "analytics", "ml"),
+)
+def parts_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: item-item co-purchase similarity — the bipartite projection
+    behind "customers who bought X also bought Y": distinct (order,
+    part) incidences self-join on the order key, pair counts normalize
+    by part frequencies (cosine over binary baskets), top-20 pairs with
+    support ≥ 2.
+
+    Scale shape: the self-join fans out per ORDER basket (TPC-H baskets
+    are ≤7 lines, so pair mass is Σ basket² — bounded fanout, never
+    |parts|²); frequency normalization is a broadcast-sized part-count
+    join, and the final cut is TakeOrderedAndProject.  cosine =
+    co/√(fa·fb) is one IEEE division of exact int64 counts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    op = op.localCheckpoint(eager=False)  # feeds freq + both join sides
+    freq = op.groupBy("p").agg(F.count(F.lit(1)).alias("f"))
+    a = op.select("o", F.col("p").alias("part_a"))
+    b = op.select("o", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(freq.select(F.col("p").alias("part_a"), F.col("f").alias("fa"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("p").alias("part_b"), F.col("f").alias("fb"))),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.round(
+                F.col("co") / F.sqrt(F.lit(1.0) * F.col("fa") * F.col("fb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), "part_a", "part_b"
+    ).limit(20)

@@ -3040,3 +3040,86 @@ def orders_median_ci_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("r") == F.col("hi_r"), F.col("x"))), 2
         ).alias("ci_hi"),
     ).withColumnRenamed("n", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# Q2: A/B test power analysis — minimum detectable effect at the observed
+# variance and sample size
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_power_mde",
+    oracle="""
+    WITH per_user AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+             avg(value) AS y
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(y), 6)         AS mean_y,
+             var_samp(y)              AS s2
+      FROM per_user GROUP BY variant
+    ),
+    pooled AS (
+      SELECT (SELECT n FROM v WHERE variant = 0) AS n0,
+             (SELECT n FROM v WHERE variant = 1) AS n1,
+             ((SELECT (n - 1) * s2 FROM v WHERE variant = 0)
+            + (SELECT (n - 1) * s2 FROM v WHERE variant = 1))
+             / ((SELECT n FROM v WHERE variant = 0)
+              + (SELECT n FROM v WHERE variant = 1) - 2) AS s2p
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           round(s2p, 6) AS pooled_variance,
+           round((1.959964 + 0.841621) * sqrt(s2p * (1.0 / n0 + 1.0 / n1)),
+                 6) AS mde_abs
+    FROM pooled
+    """,
+    tags=("stats", "ml"),
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: experiment power analysis — the minimum detectable effect of
+    the running A/B split (user_id parity, the same assignment the CUPED
+    query uses) at α = 0.05 two-sided and 80% power:
+    MDE = (z_{0.975} + z_{0.8})·√(s²_pooled·(1/n₀ + 1/n₁)) over per-user
+    purchase means.  The pre-launch question every experimentation
+    platform answers: what lift could this traffic even see?
+
+    Per-user means collapse the fact in one keyed aggregate; the two
+    variant rows carry (n, variance) and the MDE is closed-form
+    arithmetic on the 2-row relation with the z constants as literals —
+    both engines evaluate identical doubles.  var_samp rides each
+    engine's streaming moments (the D23/E14 float-association caveat,
+    absorbed by round 6).
+    """
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    per_user = e.groupBy("user_id").agg(F.avg("value").alias("y"))
+    v = (
+        per_user.withColumn("variant", (F.col("user_id") % 2))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.var_samp("y").alias("s2"),
+        )
+    )
+    w = v.groupBy().pivot("variant", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("s2").alias("s2")
+    )
+    n0, n1 = F.col("0_n"), F.col("1_n")
+    s2p = ((n0 - 1) * F.col("0_s2") + (n1 - 1) * F.col("1_s2")) / (
+        n0 + n1 - 2
+    )
+    z = F.lit(1.959964 + 0.841621)
+    return w.select(
+        n0.alias("n_control"),
+        n1.alias("n_treatment"),
+        F.round(s2p, 6).alias("pooled_variance"),
+        F.round(
+            z * F.sqrt(s2p * (F.lit(1.0) / n0 + F.lit(1.0) / n1)), 6
+        ).alias("mde_abs"),
+    )
