@@ -1588,3 +1588,97 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         (F.min("anchor") + 1).alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R2: dedup threshold sweep (pair/document removal curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+    pos AS (SELECT doc_id, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+    sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+           FROM pos a
+           JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+    n AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pair AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b, c, nx.n AS na, ny.n AS nb
+      FROM pair JOIN n nx ON id_a = nx.doc_id JOIN n ny ON id_b = ny.doc_id
+      WHERE 10000 * c * c >= 2500 * nx.n * ny.n
+    ),
+    th AS (SELECT unnest([50, 60, 70, 80, 90]) AS t),
+    hit AS (
+      -- threshold test on the ROUNDED cosine, mirroring the engine side
+      -- exactly (both engines compare the identical rounded double; the
+      -- exact integer form would disagree when a true cosine sits within
+      -- 5e-7 below a threshold and rounds onto it)
+      SELECT th.t, s.id_a, s.id_b FROM scored s JOIN th
+        ON round(s.c / sqrt(1.0 * s.na * s.nb), 6) * 100 >= th.t
+    ),
+    docs AS (
+      SELECT t, doc_id FROM (
+        SELECT t, id_a AS doc_id FROM hit
+        UNION SELECT t, id_b FROM hit)
+    )
+    SELECT t / 100.0 AS threshold,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit h WHERE h.t = th.t)
+             AS n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM docs d WHERE d.t = th.t)
+             AS n_docs_affected
+    FROM th
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: the dedup TUNING curve — near-dup pair counts and affected
+    document counts at cosine thresholds 0.5..0.9, from ONE candidate
+    generation pass at the loosest threshold (prefix filtering at
+    t = 0.5; every tighter threshold is a filter over the same scored
+    pairs).  This is the graph a curation review reads before picking
+    the production threshold: where does the pair count elbow, and how
+    much corpus is at stake at each setting.
+
+    One prefix-filtered pass (operators/dedup.py::prefix_cosine_pairs)
+    + a 5-way threshold explode over the scored pair relation — the
+    sweep costs one candidate join regardless of how many thresholds it
+    reports.  Integer accept tests per threshold (t²·10⁴ vs 10⁴·cos²),
+    so every cut is engine-exact.
+    """
+    post = _postings_index(spark, sf_dir).drop("_blk")
+    pairs = D.prefix_cosine_pairs(post, threshold_pct=50)
+    # per-threshold cut on the ROUNDED cosine (the operator's output
+    # column), with the oracle mirroring the same rounded comparison —
+    # both engines compare the identical rounded double, so the cut is
+    # engine-exact even when a true cosine sits within 5e-7 of a
+    # threshold
+    pairs = pairs.localCheckpoint(eager=False)  # one pass, 5 filters
+    th = spark.range(5).select(
+        (F.lit(50) + F.col("id") * 10).cast("int").alias("t")
+    )
+    hit = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("cosine") * 100 >= F.col("t")
+    )
+    hit = hit.localCheckpoint(eager=False)  # feeds pair + doc counts
+    n_pairs = hit.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (
+        hit.select("t", F.col("id_a").alias("doc_id"))
+        .unionByName(hit.select("t", F.col("id_b").alias("doc_id")))
+        .distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_docs_affected"))
+    )
+    return (
+        n_pairs.join(docs, "t")
+        .select(
+            (F.col("t") / 100.0).alias("threshold"),
+            "n_pairs",
+            "n_docs_affected",
+        )
+    )

@@ -3123,3 +3123,97 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             z * F.sqrt(s2p * (F.lit(1.0) / n0 + F.lit(1.0) / n1)), 6
         ).alias("mde_abs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R1: quantile treatment effects (A/B beyond the mean)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_quantile_effect",
+    oracle="""
+    WITH per_user AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+             round(avg(value), 6) AS y
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    q AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT)          AS n_users,
+             round(quantile_cont(y, 0.25), 6)  AS p25,
+             round(quantile_cont(y, 0.50), 6)  AS p50,
+             round(quantile_cont(y, 0.75), 6)  AS p75
+      FROM per_user GROUP BY variant
+    )
+    SELECT a.variant, a.n_users, a.p25, a.p50, a.p75,
+           CASE WHEN a.variant = 1
+                THEN round(a.p25 - (SELECT p25 FROM q WHERE variant = 0), 6)
+           END AS qte_p25,
+           CASE WHEN a.variant = 1
+                THEN round(a.p50 - (SELECT p50 FROM q WHERE variant = 0), 6)
+           END AS qte_p50,
+           CASE WHEN a.variant = 1
+                THEN round(a.p75 - (SELECT p75 FROM q WHERE variant = 0), 6)
+           END AS qte_p75
+    FROM q a
+    """,
+    tags=("stats", "ml"),
+)
+def events_ab_quantile_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: quantile treatment effects — the A/B readout beyond the mean:
+    per-variant p25/p50/p75 of per-user purchase value plus the
+    treatment−control difference at each quantile (a lift concentrated
+    in the upper quantiles tells a different product story than a
+    uniform shift; Welch (D63), CUPED (E11) and the MDE (Q2) only see
+    means).
+
+    Per-user means collapse the fact once; per-variant exact quantiles
+    ride the banded ``group_percentile_cont`` (variant as the group
+    key), and the 2-row effect arithmetic joins the control row back by
+    a broadcast.  Per-user means round to 6 BEFORE ranking so both
+    engines rank identical numbers.
+    """
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    q = group_percentile_cont(
+        per_user,
+        ["variant"],
+        "y",
+        {"p25_r": 0.25, "p50_r": 0.5, "p75_r": 0.75},
+        extra_aggs=[F.count(F.lit(1)).alias("n_users")],
+    ).select(
+        "variant",
+        "n_users",
+        F.round("p25_r", 6).alias("p25"),
+        F.round("p50_r", 6).alias("p50"),
+        F.round("p75_r", 6).alias("p75"),
+    )
+    ctl = q.filter(F.col("variant") == 0).select(
+        F.col("p25").alias("c25"),
+        F.col("p50").alias("c50"),
+        F.col("p75").alias("c75"),
+    )
+    out = q.crossJoin(F.broadcast(ctl))
+    is_t = F.col("variant") == 1
+    return out.select(
+        "variant",
+        "n_users",
+        "p25",
+        "p50",
+        "p75",
+        F.when(is_t, F.round(F.col("p25") - F.col("c25"), 6)).alias("qte_p25"),
+        F.when(is_t, F.round(F.col("p50") - F.col("c50"), 6)).alias("qte_p50"),
+        F.when(is_t, F.round(F.col("p75") - F.col("c75"), 6)).alias("qte_p75"),
+    )
