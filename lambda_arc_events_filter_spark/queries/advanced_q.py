@@ -403,3 +403,95 @@ def events_rule_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0, 4
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S2: nearest-neighbor as-of join with tolerance (both directions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_nearest_tolerance",
+    oracle="""
+    WITH cand AS (
+      SELECT e.event_id, e.event_type,
+             abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS gap_us,
+             o.o_orderkey
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= 172800000000
+    ),
+    best AS (
+      SELECT event_id, event_type, gap_us, o_orderkey
+      FROM cand
+      QUALIFY row_number() OVER (PARTITION BY event_id
+                                 ORDER BY gap_us, o_orderkey) = 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+           CAST((2 * sum(gap_us) + count(*) * 1000000)
+              // (2 * count(*) * 1000000) AS BIGINT) AS avg_gap_s,
+           CAST(min(o_orderkey) AS BIGINT) AS sample_orderkey
+    FROM best GROUP BY event_type
+    """,
+    tags=("join", "asof", "events"),
+)
+def asof_join_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: NEAREST as-of join with a tolerance — the bidirectional
+    completion of the backward-only as-of family (B21): each event
+    matches its customer's closest order date within ±2 days, whichever
+    side of the event it falls on (sensor/trade alignment semantics:
+    "the reading nearest in time", not "the last reading before").
+    Ties break on (gap, orderkey), so the result is total-order
+    deterministic; per event type the query reports match counts and
+    the exact average gap (integer-microsecond accumulation, half-up
+    integer division to whole seconds).
+
+    Scale shape: candidates come from a DAY-CELL banded equi-join
+    (event day ±2 explodes 5 join cells — the interval-join pattern,
+    never a time-theta nested loop), the per-event argmin is a keyed
+    window over candidates only, and the day-cell fanout bounds the
+    candidate mass by 5·|orders-per-customer-day|.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", F.unix_micros("ts").alias("eus")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros("o_orderdate").alias("ous"),
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000).alias("ocell"),
+    )
+    tol = 172_800_000_000  # ±2 days in microseconds
+    ec = e.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("eus") / 86_400_000_000) - 2,
+                F.floor(F.col("eus") / 86_400_000_000) + 2,
+            )
+        ).alias("ocell"),
+    )
+    cand = (
+        ec.join(o, (ec.user_id == o.o_custkey) & (ec.ocell == o.ocell))
+        .withColumn("gap_us", F.abs(F.col("eus") - F.col("ous")))
+        .filter(F.col("gap_us") <= tol)
+    )
+    w = Window.partitionBy("event_id").orderBy("gap_us", "o_orderkey")
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    from lambda_arc_events_filter_spark.functions.exact import half_up_div
+
+    return best.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("gap_us").alias("total_gap_us"),
+        half_up_div(
+            F.sum("gap_us"), F.count(F.lit(1)) * F.lit(1_000_000)
+        ).alias("avg_gap_s"),
+        F.min("o_orderkey").alias("sample_orderkey"),
+    )

@@ -1238,3 +1238,104 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p_temp / p_raw, 6).alias("epoch_factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S1: inter-labeler agreement (Cohen's kappa) between two weak labelers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "labels_cohen_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 260 THEN 1 ELSE 0 END            AS la,
+             CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1
+                  ELSE 0 END                                       AS lb
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE la = 1 AND lb = 1) AS BIGINT) AS n11,
+             CAST(count(*) FILTER (WHERE la = 1 AND lb = 0) AS BIGINT) AS n10,
+             CAST(count(*) FILTER (WHERE la = 0 AND lb = 1) AS BIGINT) AS n01,
+             CAST(count(*) FILTER (WHERE la = 0 AND lb = 0) AS BIGINT) AS n00
+      FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           round((n11 + n00) / (1.0 * n), 6) AS observed_agreement,
+           round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 / (1.0 * n * n), 6)         AS expected_agreement,
+           round(((n11 + n00) * 1.0 * n
+                  - ((n11 + n10) * 1.0 * (n11 + n01)
+                     + (n01 + n00) * 1.0 * (n10 + n00)))
+                 / (n * 1.0 * n
+                    - ((n11 + n10) * 1.0 * (n11 + n01)
+                       + (n01 + n00) * 1.0 * (n10 + n00))), 6) AS kappa
+    FROM m
+    """,
+    tags=("llm", "stats", "curation"),
+)
+def labels_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: Cohen's kappa between two weak labelers — the
+    chance-corrected agreement behind every weak-supervision audit: a
+    length-prior labeler (n_chars ≥ 260) vs a token-count labeler
+    (≥50 whitespace tokens), κ = (p_o − p_e)/(1 − p_e) from the 2×2
+    confusion counts.  High raw agreement with low κ means the labelers
+    mostly agree by CHANCE — the failure mode kappa exists to expose.
+
+    One map-combinable pass builds the confusion matrix (four
+    conditional counts); κ is assembled from exact int64 cell counts
+    with single IEEE divisions, so both engines agree bit-for-bit.
+    """
+    d = load(spark, sf_dir, "documents")
+    lab = d.select(
+        F.when(F.col("n_chars") >= 260, 1).otherwise(0).alias("la"),
+        F.when(F.size(F.split("text", " ")) >= 50, 1)
+        .otherwise(0)
+        .alias("lb"),
+    )
+    m = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("la") == 1) & (F.col("lb") == 1), 1)).alias(
+            "n11"
+        ),
+        F.count(F.when((F.col("la") == 1) & (F.col("lb") == 0), 1)).alias(
+            "n10"
+        ),
+        F.count(F.when((F.col("la") == 0) & (F.col("lb") == 1), 1)).alias(
+            "n01"
+        ),
+        F.count(F.when((F.col("la") == 0) & (F.col("lb") == 0), 1)).alias(
+            "n00"
+        ),
+    )
+    n, n11, n10, n01, n00 = (
+        F.col("n"),
+        F.col("n11"),
+        F.col("n10"),
+        F.col("n01"),
+        F.col("n00"),
+    )
+    chance = (n11 + n10) * F.lit(1.0) * (n11 + n01) + (n01 + n00) * F.lit(
+        1.0
+    ) * (n10 + n00)
+    return m.select(
+        n,
+        n11,
+        n10,
+        n01,
+        n00,
+        F.round((n11 + n00) / (F.lit(1.0) * n), 6).alias(
+            "observed_agreement"
+        ),
+        F.round(chance / (F.lit(1.0) * n * n), 6).alias(
+            "expected_agreement"
+        ),
+        F.round(
+            ((n11 + n00) * F.lit(1.0) * n - chance)
+            / (n * F.lit(1.0) * n - chance),
+            6,
+        ).alias("kappa"),
+    )
