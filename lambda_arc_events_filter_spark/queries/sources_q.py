@@ -882,3 +882,65 @@ def codec_roundtrip_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# T1: CACHE TABLE surface — explicit in-memory columnar materialization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_cache_table_scan",
+    oracle="""
+    WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'O')
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST((SELECT count(*) FROM f) AS BIGINT) AS n_cached_rows
+    FROM f GROUP BY o_orderpriority
+    """,
+    tags=("source", "sql"),
+)
+def sql_cache_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the explicit caching surface — ``CACHE TABLE`` materializes a
+    filtered relation into Spark's in-memory COLUMNAR store and both
+    downstream consumers read ``InMemoryTableScan`` instead of
+    re-scanning parquet (the interactive-session / dashboard pattern:
+    pay the scan once, iterate on the cached slice).  The query returns
+    per-priority aggregates PLUS the cached row count computed as a
+    second consumer, so the cache genuinely serves two readers.
+
+    Cache lifecycle is scoped to the query: UNCACHE at the end frees
+    executor memory (a leaked cache entry would pin fixture-scale blocks
+    for the session).  At cluster scale the same statement pins hot
+    dimension slices; the storage level (MEMORY_AND_DISK) spills rather
+    than OOMs.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderstatus") == "O").createOrReplaceTempView(
+        "_cached_open_orders"
+    )
+    spark.sql("CACHE TABLE _cached_open_orders")
+    try:
+        agg = spark.sql(
+            """
+            SELECT o_orderpriority,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM _cached_open_orders GROUP BY o_orderpriority
+            """
+        )
+        n_cached = spark.sql(
+            "SELECT count(*) AS n_cached_rows FROM _cached_open_orders"
+        )
+        out = agg.crossJoin(F.broadcast(n_cached)).select(
+            "o_orderpriority", "n", "cents", "n_cached_rows"
+        )
+        # materialize while the cache is alive: the driver collects the
+        # returned DataFrame AFTER this function exits (and after the
+        # finally-uncache), so pin the computed result via checkpoint
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql("UNCACHE TABLE IF EXISTS _cached_open_orders")

@@ -872,3 +872,66 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max("tv_raw"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T2: dropDuplicatesWithinWatermark (the state-bounded streaming dedup API)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    WITH keyed AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)               AS n_unique,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM keyed GROUP BY event_type
+    """,
+    tags=("streaming",),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: ``dropDuplicatesWithinWatermark`` — the state-BOUNDED
+    streaming dedup API (Spark 3.5+), distinct from plain
+    ``dropDuplicates`` + watermark (B54): dedup keys expire from state
+    once the watermark passes them by the configured delay, so state is
+    O(keys inside the watermark horizon) instead of O(all keys ever) —
+    the only dedup posture that survives an unbounded key space.  Keys
+    here are (user, type, minute bucket); the replay keeps the first
+    event per key, then aggregates per type.
+
+    The oracle is the batch first-per-key aggregate: on a bounded
+    replay whose watermark only advances at the end, within-watermark
+    dedup ≡ global dedup — the semantics divergence (re-admitting a key
+    after expiry) needs an unbounded stream, and is exactly what the
+    bounded-state design trades for survivability.
+    """
+    s = events_stream(spark, sf_dir)
+    dd = (
+        s.withWatermark("ts", "10 minutes")
+        .withColumn("minute", F.date_trunc("minute", "ts"))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+    )
+    agg = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    emitted = run_to_memory(agg, "ddw", mode="update", state_partitions=2)
+    uniq = emitted.groupBy("event_type").agg(
+        F.max("n_unique").alias("n_unique")
+    )
+    # exact distinct users per type from the batch relation (key-level,
+    # winner-invariant) — joined to the streamed key counts
+    from lambda_arc_events_filter_spark.catalog import load as _load
+
+    users = (
+        _load(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.date_trunc("minute", "ts"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return uniq.join(users, "event_type")
