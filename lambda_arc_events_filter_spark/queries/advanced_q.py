@@ -413,60 +413,67 @@ def events_rule_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_join_nearest_tolerance",
     oracle="""
-    WITH cand AS (
-      SELECT e.event_id, e.event_type,
-             abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS gap_us,
-             o.o_orderkey
-      FROM events e JOIN orders o
-        ON o.o_custkey = e.user_id
-       AND abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= 172800000000
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT e.event_id,
+             abs(epoch_us(e.ts) - epoch_us(p.p_ts)) AS gap_us,
+             p.p_id
+      FROM err e JOIN pur p
+        ON p.user_id = e.user_id
+       AND abs(epoch_us(e.ts) - epoch_us(p.p_ts)) <= 172800000000
     ),
     best AS (
-      SELECT event_id, event_type, gap_us, o_orderkey
+      SELECT event_id, gap_us, p_id
       FROM cand
       QUALIFY row_number() OVER (PARTITION BY event_id
-                                 ORDER BY gap_us, o_orderkey) = 1
+                                 ORDER BY gap_us, p_id) = 1
     )
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_matched,
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
            CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
            CAST((2 * sum(gap_us) + count(*) * 1000000)
               // (2 * count(*) * 1000000) AS BIGINT) AS avg_gap_s,
-           CAST(min(o_orderkey) AS BIGINT) AS sample_orderkey
-    FROM best GROUP BY event_type
+           CAST(min(p_id) AS BIGINT) AS sample_purchase_id
+    FROM best
     """,
     tags=("join", "asof", "events"),
 )
 def asof_join_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: NEAREST as-of join with a tolerance — the bidirectional
-    completion of the backward-only as-of family (B21): each event
-    matches its customer's closest order date within ±2 days, whichever
-    side of the event it falls on (sensor/trade alignment semantics:
-    "the reading nearest in time", not "the last reading before").
-    Ties break on (gap, orderkey), so the result is total-order
-    deterministic; per event type the query reports match counts and
-    the exact average gap (integer-microsecond accumulation, half-up
-    integer division to whole seconds).
+    completion of the backward-only as-of family (B21): each error
+    event matches the same user's CLOSEST purchase within ±2 days,
+    whichever side of the error it falls on (incident-correlation
+    semantics: "the transaction nearest the failure", not "the last
+    one before").  Ties break on (gap, purchase id) — total-order
+    deterministic — and the rollup reports match count and the exact
+    average gap (integer-microsecond accumulation, half-up integer
+    division to whole seconds).
 
-    Scale shape: candidates come from a DAY-CELL banded equi-join
-    (event day ±2 explodes 5 join cells — the interval-join pattern,
+    Scale shape: candidates come from a DAY-CELL banded equi-join (the
+    error's day ±2 explodes 5 join cells — the interval-join pattern,
     never a time-theta nested loop), the per-event argmin is a keyed
-    window over candidates only, and the day-cell fanout bounds the
-    candidate mass by 5·|orders-per-customer-day|.
+    window over candidates only, and the cell fanout bounds candidate
+    mass by 5·|purchases per user-day|.
     """
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id", F.unix_micros("ts").alias("eus")
+    ev = load(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("eus")
     )
-    o = load(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.unix_micros("o_orderdate").alias("ous"),
-        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000).alias("ocell"),
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("ocell"),
     )
     tol = 172_800_000_000  # ±2 days in microseconds
-    ec = e.select(
+    ec = err.select(
         "*",
         F.explode(
             F.sequence(
@@ -476,22 +483,22 @@ def asof_join_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ocell"),
     )
     cand = (
-        ec.join(o, (ec.user_id == o.o_custkey) & (ec.ocell == o.ocell))
-        .withColumn("gap_us", F.abs(F.col("eus") - F.col("ous")))
+        ec.join(pur, ["user_id", "ocell"])
+        .withColumn("gap_us", F.abs(F.col("eus") - F.col("pus")))
         .filter(F.col("gap_us") <= tol)
     )
-    w = Window.partitionBy("event_id").orderBy("gap_us", "o_orderkey")
+    w = Window.partitionBy("event_id").orderBy("gap_us", "p_id")
     best = (
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
     )
     from lambda_arc_events_filter_spark.functions.exact import half_up_div
 
-    return best.groupBy("event_type").agg(
+    return best.agg(
         F.count(F.lit(1)).alias("n_matched"),
         F.sum("gap_us").alias("total_gap_us"),
         half_up_div(
             F.sum("gap_us"), F.count(F.lit(1)) * F.lit(1_000_000)
         ).alias("avg_gap_s"),
-        F.min("o_orderkey").alias("sample_orderkey"),
+        F.min("p_id").alias("sample_purchase_id"),
     )
