@@ -3125,6 +3125,8 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 # ---------------------------------------------------------------------------
 # R1: quantile treatment effects (A/B beyond the mean)
 # ---------------------------------------------------------------------------
@@ -3135,29 +3137,36 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_user AS (
       SELECT CAST(user_id % 2 AS BIGINT) AS variant,
-             round(avg(value), 6) AS y
+             CAST(round(avg(value) * 1000000) AS BIGINT) AS y6
       FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
       GROUP BY user_id
     ),
     q AS (
       SELECT variant,
-             CAST(count(*) AS BIGINT)          AS n_users,
-             round(quantile_cont(y, 0.25), 6)  AS p25,
-             round(quantile_cont(y, 0.50), 6)  AS p50,
-             round(quantile_cont(y, 0.75), 6)  AS p75
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(round(4 * quantile_cont(y6, 0.25)) AS BIGINT) AS t25,
+             CAST(round(4 * quantile_cont(y6, 0.50)) AS BIGINT) AS t50,
+             CAST(round(4 * quantile_cont(y6, 0.75)) AS BIGINT) AS t75
       FROM per_user GROUP BY variant
+    ),
+    r AS (
+      SELECT variant, n_users,
+             ((2 * t25 + 4) // 8) / 1000000.0 AS p25,
+             ((2 * t50 + 4) // 8) / 1000000.0 AS p50,
+             ((2 * t75 + 4) // 8) / 1000000.0 AS p75
+      FROM q
     )
     SELECT a.variant, a.n_users, a.p25, a.p50, a.p75,
            CASE WHEN a.variant = 1
-                THEN round(a.p25 - (SELECT p25 FROM q WHERE variant = 0), 6)
+                THEN round(a.p25 - (SELECT p25 FROM r WHERE variant = 0), 6)
            END AS qte_p25,
            CASE WHEN a.variant = 1
-                THEN round(a.p50 - (SELECT p50 FROM q WHERE variant = 0), 6)
+                THEN round(a.p50 - (SELECT p50 FROM r WHERE variant = 0), 6)
            END AS qte_p50,
            CASE WHEN a.variant = 1
-                THEN round(a.p75 - (SELECT p75 FROM q WHERE variant = 0), 6)
+                THEN round(a.p75 - (SELECT p75 FROM r WHERE variant = 0), 6)
            END AS qte_p75
-    FROM q a
+    FROM r a
     """,
     tags=("stats", "ml"),
 )
@@ -3169,11 +3178,18 @@ def events_ab_quantile_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform shift; Welch (D63), CUPED (E11) and the MDE (Q2) only see
     means).
 
-    Per-user means collapse the fact once; per-variant exact quantiles
-    ride the banded ``group_percentile_cont`` (variant as the group
-    key), and the 2-row effect arithmetic joins the control row back by
-    a broadcast.  Per-user means round to 6 BEFORE ranking so both
-    engines rank identical numbers.
+    Cross-engine exactness is engineered through the INTERPOLATION, the
+    step that bit the first version at sf0.001 (an interpolated value
+    landed on a true decimal half and the engines' rounding mechanisms
+    split — the COVERAGE.md divergence class): per-user means scale to
+    integer micro-units FIRST, so the PERCENTILE_CONT interpolation
+    v_lo + frac·Δ runs on integer-valued doubles with frac ∈ {0, ¼, ½,
+    ¾} — every term exactly representable — and 4×quantile recovers an
+    exact integer that rounds to whole micro-units in INTEGER space
+    (half-up (2t+4) div 8).  The QTE differences subtract exact
+    6-decimal values, which cannot manufacture a new half.  Per-variant
+    quantiles ride the banded ``group_percentile_cont`` with variant as
+    the group key.
     """
     from lambda_arc_events_filter_spark.functions.stats import (
         group_percentile_cont,
@@ -3184,28 +3200,41 @@ def events_ab_quantile_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = (
         e.groupBy("user_id")
-        .agg(F.round(F.avg("value"), 6).alias("y"))
+        .agg(
+            F.round(F.avg("value") * 1_000_000).cast("long").alias("y6")
+        )
         .withColumn("variant", F.col("user_id") % 2)
     )
     q = group_percentile_cont(
         per_user,
         ["variant"],
-        "y",
-        {"p25_r": 0.25, "p50_r": 0.5, "p75_r": 0.75},
+        "y6",
+        {"q25": 0.25, "q50": 0.5, "q75": 0.75},
         extra_aggs=[F.count(F.lit(1)).alias("n_users")],
-    ).select(
+    )
+
+    def exact6(col: str):
+        # the quantile of integer micro-units is an exact quarter-integer
+        # (frac ∈ {0, ¼, ½, ¾} on ≤2⁵³ values): 4× casts back to an exact
+        # integer; half-up to whole micro-units stays in integer space
+        t = F.round(F.col(col) * 4).cast("long")
+        return F.call_function(
+            "div", F.lit(2) * t + F.lit(4), F.lit(8)
+        ) / F.lit(1_000_000.0)
+
+    r = q.select(
         "variant",
         "n_users",
-        F.round("p25_r", 6).alias("p25"),
-        F.round("p50_r", 6).alias("p50"),
-        F.round("p75_r", 6).alias("p75"),
+        exact6("q25").alias("p25"),
+        exact6("q50").alias("p50"),
+        exact6("q75").alias("p75"),
     )
-    ctl = q.filter(F.col("variant") == 0).select(
+    ctl = r.filter(F.col("variant") == 0).select(
         F.col("p25").alias("c25"),
         F.col("p50").alias("c50"),
         F.col("p75").alias("c75"),
     )
-    out = q.crossJoin(F.broadcast(ctl))
+    out = r.crossJoin(F.broadcast(ctl))
     is_t = F.col("variant") == 1
     return out.select(
         "variant",
