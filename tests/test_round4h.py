@@ -191,3 +191,36 @@ def test_bpe_greedy_leftmost_on_runs(spark, sf_dir):
     assert all(r.pair_count > 0 and r.tokens_after > 0 for r in out)
     # round 2 operates on the merged stream: tokens_after strictly falls
     assert out[1].tokens_after < out[0].tokens_after
+
+
+def test_prefix_cosine_complete_at_loose_threshold(spark):
+    """The threshold-sweep query runs the operator at t=0.5 — pin
+    completeness there too (longer prefixes, more candidate mass)."""
+    from lambda_arc_events_filter_spark.operators.dedup import (
+        prefix_cosine_pairs,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    docs = {
+        i: {rng.randrange(300) for _ in range(rng.randrange(5, 30))}
+        for i in range(1, 25)
+    }
+    # plant correlated families so the 0.5 band is actually populated:
+    # partial copies at several overlap levels around the threshold
+    base = set(range(400, 424))
+    docs[30] = set(base)
+    docs[31] = set(list(base)[:12]) | {900, 901}         # ~mid overlap
+    docs[32] = set(list(base)[:18]) | {902}              # high overlap
+    docs[33] = set(list(base)[:6]) | {903, 904, 905}     # low overlap
+    rows = [(i, int(s)) for i, ss in docs.items() for s in ss]
+    post = spark.createDataFrame(rows, "_id long, sk long").withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in prefix_cosine_pairs(post, threshold_pct=50).collect()
+    }
+    assert got == _brute_cosine_pairs(docs, 0.5)
+    assert got, "random overlap sets at t=0.5 must produce pairs"
