@@ -7,6 +7,7 @@ SQL-expressible (noted per-query).
 
 from lambda_arc_events_filter_spark.queries import (  # noqa: F401
     advanced_q,
+    allocation_q,
     analytic_q,
     corpus_stats_q,
     curation_q,
