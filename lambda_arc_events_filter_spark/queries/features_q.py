@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
+from lambda_arc_events_filter_spark.functions.stats import group_percentile_cont
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -406,4 +407,100 @@ def features_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_loo"),
             round_int_ratio(F.col("sy"), F.col("n"), 6).alias("te_naive"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (per-source → pooled distribution mapping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "features_quantile_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             round(quantile_cont(n_chars, 0.1), 6) AS q1,
+             round(quantile_cont(n_chars, 0.2), 6) AS q2,
+             round(quantile_cont(n_chars, 0.3), 6) AS q3,
+             round(quantile_cont(n_chars, 0.4), 6) AS q4,
+             round(quantile_cont(n_chars, 0.5), 6) AS q5,
+             round(quantile_cont(n_chars, 0.6), 6) AS q6,
+             round(quantile_cont(n_chars, 0.7), 6) AS q7,
+             round(quantile_cont(n_chars, 0.8), 6) AS q8,
+             round(quantile_cont(n_chars, 0.9), 6) AS q9
+      FROM documents GROUP BY source
+    ),
+    pool AS (
+      SELECT round(quantile_cont(n_chars, 0.1), 6) AS q1,
+             round(quantile_cont(n_chars, 0.2), 6) AS q2,
+             round(quantile_cont(n_chars, 0.3), 6) AS q3,
+             round(quantile_cont(n_chars, 0.4), 6) AS q4,
+             round(quantile_cont(n_chars, 0.5), 6) AS q5,
+             round(quantile_cont(n_chars, 0.6), 6) AS q6,
+             round(quantile_cont(n_chars, 0.7), 6) AS q7,
+             round(quantile_cont(n_chars, 0.8), 6) AS q8,
+             round(quantile_cont(n_chars, 0.9), 6) AS q9
+      FROM documents
+    ),
+    srcl AS (
+      SELECT source, CAST(substr(k, 2) AS INT) AS decile, v AS src_value
+      FROM (UNPIVOT src ON q1, q2, q3, q4, q5, q6, q7, q8, q9
+            INTO NAME k VALUE v)
+    ),
+    pooll AS (
+      SELECT CAST(substr(k, 2) AS INT) AS decile, v AS pooled_value
+      FROM (UNPIVOT pool ON q1, q2, q3, q4, q5, q6, q7, q8, q9
+            INTO NAME k VALUE v)
+    )
+    SELECT s.source, s.decile, s.src_value, p.pooled_value,
+           round(p.pooled_value - s.src_value, 6) AS shift
+    FROM srcl s JOIN pooll p USING (decile)
+    ORDER BY source, decile
+    """,
+    tags=("features", "percentile"),
+)
+def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization mapping table: for each source, its decile
+    grid over document length next to the POOLED corpus decile at the
+    same rank fraction — the lookup a quantile-normalizing featurizer
+    applies so every source's feature distribution matches the pooled
+    one (the microarray-normalization trick, repurposed for corpus
+    features).  ``shift`` is the additive correction at each decile.
+
+    Scale shape: both grids ride ``group_percentile_cont`` — the
+    range-partitioned exact-quantile plan (no per-group sort cliff, no
+    partition-less window); the 9-decile widening is a ``stack`` over the
+    per-source aggregate (|sources| rows), and the pooled grid broadcasts
+    into the join.  Interpolation arithmetic is the same
+    ``v_lo + frac·(v_hi−v_lo)`` both engines compute from identical
+    doubles, rounded to 6.
+    """
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    qs = {f"q{i}": i / 10.0 for i in range(1, 10)}
+    src = group_percentile_cont(d, ["source"], "n_chars", qs)
+    pool = group_percentile_cont(
+        d.withColumn("_g", F.lit(1)), ["_g"], "n_chars", qs
+    ).drop("_g")
+    stack_expr = "stack(9, " + ", ".join(
+        f"{i}, round(q{i}, 6)" for i in range(1, 10)
+    ) + ") as (decile, v)"
+    src_l = src.select("source", F.expr(stack_expr)).withColumnRenamed(
+        "v", "src_value"
+    )
+    pool_l = pool.select(F.expr(stack_expr)).withColumnRenamed(
+        "v", "pooled_value"
+    )
+    return (
+        src_l.join(F.broadcast(pool_l), "decile")
+        .select(
+            "source",
+            "decile",
+            "src_value",
+            "pooled_value",
+            F.round(F.col("pooled_value") - F.col("src_value"), 6).alias(
+                "shift"
+            ),
+        )
+        .orderBy("source", "decile")
     )

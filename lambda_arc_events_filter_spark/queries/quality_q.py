@@ -1795,3 +1795,138 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep-line: peak session concurrency per day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessions_concurrency_profile",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS seq
+      FROM g
+    ),
+    sess AS (
+      SELECT min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM s GROUP BY user_id, seq
+    ),
+    seg AS (
+      SELECT CAST(unnest(generate_series(
+               CAST(s_start AS DATE),
+               CAST(s_end - INTERVAL 1 MICROSECOND AS DATE),
+               INTERVAL 1 DAY)) AS DATE) AS day,
+             s_start, s_end
+      FROM sess
+    ),
+    ep AS (
+      SELECT day, greatest(s_start, CAST(day AS TIMESTAMP)) AS ts,
+             1 AS delta
+      FROM seg
+      UNION ALL
+      SELECT day, least(s_end, CAST(day + INTERVAL 1 DAY AS TIMESTAMP)),
+             -1
+      FROM seg
+    ),
+    run AS (
+      SELECT day, delta,
+             sum(delta) OVER (PARTITION BY day ORDER BY ts, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM ep
+    )
+    SELECT day,
+           CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_sessions,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day ORDER BY day
+    """,
+    tags=("sessionize", "sweepline", "window"),
+)
+def sessions_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by endpoint sweep-line: sessionize
+    (≥30-min gap, same boundary as ``events_sessionize_gaps``), keep each
+    session active for its gap timeout (half-open ``[first_event,
+    last_event + 30 min)``), split the active interval at midnight, then
+    per day emit +1/-1 endpoint deltas and take the max of the running
+    sum — the capacity-planning operator (Little's-law numerator) that a
+    naive per-minute explode would compute at 1440× the row volume.
+
+    Ordering at tied timestamps is pinned ``(ts, delta)``: an interval
+    that ends exactly when another starts never overlaps it (half-open
+    semantics), and among equal deltas the prefix-sum MULTISET — hence
+    the max — is permutation-invariant, so the result is deterministic
+    on both engines.
+
+    Scale shape: sessionization is one exchange on ``user_id`` (window +
+    groupBy share it); the sweep is one exchange on ``day`` with a
+    within-partition sort.  Midnight splitting bounds every partition's
+    sweep state, and a hot day would sub-partition by hour + rebase, the
+    same offset trick as the banded rank.  Output is one row per
+    calendar day.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn("_new", new_sess)
+        .withColumn("seq", F.sum("_new").over(run_w))
+        .groupBy("user_id", "seq")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
+        )
+    )
+    seg = sess.select(
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.to_date("s_start"),
+                F.to_date(F.col("s_end") - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    starts = seg.select(
+        "day",
+        F.greatest(F.col("s_start"), F.col("day").cast("timestamp")).alias("ts"),
+        F.lit(1).alias("delta"),
+    )
+    ends = seg.select(
+        "day",
+        F.least(
+            F.col("s_end"),
+            F.date_add(F.col("day"), 1).cast("timestamp"),
+        ).alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    sweep = Window.partitionBy("day").orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        starts.unionAll(ends)
+        .withColumn("conc", F.sum("delta").over(sweep))
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("delta") == 1, 1)).alias("n_sessions"),
+            F.max("conc").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
