@@ -1339,3 +1339,191 @@ def labels_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse matrix multiply: doc-term TF × term-topic weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_topic_scores_spmm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    tm AS (
+      SELECT term,
+             (ascii(substr(md5(term), 1, 1)) * 31
+              + ascii(substr(md5(term), 2, 1))) % 8 AS topic,
+             1 + ascii(substr(md5(term), 3, 1)) % 5 AS w
+      FROM (SELECT DISTINCT term FROM tf)
+    ),
+    scores AS (
+      SELECT doc_id, topic, CAST(sum(tf * w) AS BIGINT) AS score
+      FROM tf JOIN tm USING (term)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, topic, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, topic) AS rk
+      FROM scores
+    )
+    SELECT topic,
+           CAST(count(*) AS BIGINT) AS n_doc_topic_pairs,
+           CAST(sum(score) AS BIGINT) AS total_score,
+           CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_top_docs
+    FROM top GROUP BY topic ORDER BY topic
+    """,
+    tags=("spmm", "text", "agg"),
+)
+def docs_topic_scores_spmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse matrix multiply (SpMM) as relational algebra: the doc×term
+    TF matrix times a term×topic weight matrix — postings ⋈ weights on
+    ``term``, then a hash aggregate on (doc, topic) — followed by a
+    per-doc argmax.  The weight matrix here is synthesized from a
+    portable content hash (md5 byte arithmetic, identical in both
+    engines); in production it is a trained model's term-topic table
+    joined the exact same way.
+
+    This join-aggregate IS how every distributed SpMM runs (GraphX,
+    MLlib): never materialize dense vectors — co-partition the sparse
+    triples on the contraction key.  Scale shape: one exchange on
+    ``term`` for the multiply, one on ``doc_id`` for the argmax window
+    (partitioned — no global window), integer arithmetic throughout.
+    Output folds to 8 topic rows with doc/score accounting.
+    """
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = F.md5("term")
+    tm = tf.select("term").distinct().select(
+        "term",
+        (
+            (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1)))
+            % 8
+        ).alias("topic"),
+        (F.lit(1) + F.ascii(F.substring(h, 3, 1)) % 5).alias("w"),
+    )
+    scores = (
+        tf.join(tm, "term")
+        .groupBy("doc_id", "topic")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("topic"))
+    )
+    return (
+        scores.withColumn("rk", rk)
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_doc_topic_pairs"),
+            F.sum("score").alias("total_score"),
+            F.count(F.when(F.col("rk") == 1, 1)).alias("n_top_docs"),
+        )
+        .orderBy("topic")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source similarity over sparse TF vectors (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_term_cosine",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT source, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, dot,
+           round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.source = source_a
+    JOIN norms nb ON nb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("similarity", "text", "join"),
+)
+def source_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between SOURCES over their sparse
+    term-frequency vectors — stylistic/topical affinity between corpus
+    slices, the aggregate-level sibling of the document-level dedup
+    family.  The pair dot products come from an inverted-index self-join
+    on ``term`` (only terms the two sources SHARE produce join rows —
+    the sparse-vector contraction), never from materializing
+    |vocab|-wide dense vectors.
+
+    Scale shape: one exchange on term for the self-join (cost tracks
+    Σ_term df², the postings-skew quantity the dedup family already
+    caps), norms broadcast (|sources| rows).  Integer dot products are
+    exact; the final cosine is one sqrt+divide on doubles, identical
+    ops on both engines, rounded to 6.
+    """
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy("source").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = tf.select(
+        F.col("source").alias("source_a"),
+        F.col("term").alias("term"),
+        F.col("tf").alias("tf_a"),
+    )
+    b = tf.select(
+        F.col("source").alias("source_b"),
+        F.col("term").alias("term"),
+        F.col("tf").alias("tf_b"),
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("source").alias("source_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("source").alias("source_b"), F.col("n2").alias("nb2")
+    )
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )
