@@ -1361,3 +1361,157 @@ def dedup_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop.groupBy(F.col("a").alias("doc_id")).agg(
         F.count_distinct("nb").cast("long").alias("n_within_two_hops")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record linkage (multi-pass blocking + agreement weights)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_record_linkage",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    replica AS (
+      SELECT id,
+             CASE WHEN id % 7 = 0
+                  THEN substr(name, 1, length(name) - 1) || 'X'
+                  ELSE name END AS name,
+             nat,
+             CASE WHEN id % 5 = 0 THEN cents + 77 ELSE cents END AS cents,
+             CASE WHEN id % 11 = 0 THEN 'UNKNOWN' ELSE seg END AS seg
+      FROM base
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM base a JOIN replica b ON a.nat = b.nat AND a.name = b.name
+      UNION
+      SELECT DISTINCT a.id, b.id
+      FROM base a JOIN replica b ON a.nat = b.nat AND a.cents = b.cents
+    ),
+    scored AS (
+      SELECT a_id, b_id,
+             CASE WHEN a.name = b.name THEN 28 ELSE -15 END
+             + CASE WHEN a.cents = b.cents THEN 22 ELSE -8 END
+             + CASE WHEN a.seg = b.seg THEN 10 ELSE -12 END AS score,
+             CASE WHEN a_id = b_id THEN 1 ELSE 0 END AS is_true
+      FROM cand
+      JOIN base a ON a.id = a_id
+      JOIN replica b ON b.id = b_id
+    ),
+    cls AS (
+      SELECT CASE WHEN score >= 40 THEN 'link'
+                  WHEN score >= 0 THEN 'possible'
+                  ELSE 'nonlink' END AS decision,
+             score, is_true
+      FROM scored
+    )
+    SELECT decision,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_true) AS BIGINT) AS n_true_matches,
+           min(score) AS min_score, max(score) AS max_score
+    FROM cls GROUP BY decision ORDER BY decision
+    """,
+    tags=("linkage", "dedup", "join"),
+)
+def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record linkage against a deterministically-perturbed
+    replica of the customer table (name tail mangled for id%7, balance
+    shifted 77 cents for id%5, segment blanked for id%11 — the classic
+    dirty-copy profile): multi-pass BLOCKING (pass 1 on (nation, name),
+    pass 2 on (nation, balance-cents)) generates candidate pairs, then
+    integer agreement weights (+28/−15 name, +22/−8 balance, +10/−12
+    segment — log-likelihood ratios scaled ×~10) score each pair into
+    link / possible / nonlink, with ground-truth accounting.
+
+    Scale shape: entity resolution at 100 TB lives or dies on blocking —
+    every pass is an equi-join on a bounded-selectivity key (never a
+    cross product), union'd and deduped; records both passes miss
+    (doubly-perturbed, ~1/35) are the recall cost the accounting makes
+    visible.  All-integer scoring, one hash aggregate to the 3-class
+    summary.
+    """
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    replica = base.select(
+        "id",
+        F.when(
+            F.col("id") % 7 == 0,
+            F.concat(
+                F.expr("substring(name, 1, length(name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        "nat",
+        F.when(F.col("id") % 5 == 0, F.col("cents") + 77)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.when(F.col("id") % 11 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("seg"))
+        .alias("seg"),
+    )
+    a = base.select(
+        F.col("id").alias("a_id"),
+        F.col("name").alias("a_name"),
+        F.col("nat").alias("a_nat"),
+        F.col("cents").alias("a_cents"),
+        F.col("seg").alias("a_seg"),
+    )
+    b = replica.select(
+        F.col("id").alias("b_id"),
+        F.col("name").alias("b_name"),
+        F.col("nat").alias("b_nat"),
+        F.col("cents").alias("b_cents"),
+        F.col("seg").alias("b_seg"),
+    )
+    p1 = a.join(
+        b,
+        (F.col("a_nat") == F.col("b_nat")) & (F.col("a_name") == F.col("b_name")),
+    ).select("a_id", "b_id")
+    p2 = a.join(
+        b,
+        (F.col("a_nat") == F.col("b_nat"))
+        & (F.col("a_cents") == F.col("b_cents")),
+    ).select("a_id", "b_id")
+    cand = p1.union(p2).distinct()
+    scored = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            (
+                F.when(F.col("a_name") == F.col("b_name"), 28).otherwise(-15)
+                + F.when(F.col("a_cents") == F.col("b_cents"), 22).otherwise(-8)
+                + F.when(F.col("a_seg") == F.col("b_seg"), 10).otherwise(-12)
+            ).alias("score"),
+            F.when(F.col("a_id") == F.col("b_id"), 1).otherwise(0).alias(
+                "is_true"
+            ),
+        )
+    )
+    decision = (
+        F.when(F.col("score") >= 40, "link")
+        .when(F.col("score") >= 0, "possible")
+        .otherwise("nonlink")
+    )
+    return (
+        scored.select(decision.alias("decision"), "score", "is_true")
+        .groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_true").alias("n_true_matches"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("decision")
+    )

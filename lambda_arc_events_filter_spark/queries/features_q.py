@@ -504,3 +504,97 @@ def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time churn label + feature construction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "features_churn_labels",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events
+    ),
+    feat AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events_7d,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS BIGINT) AS n_purchases_7d,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                           FILTER (WHERE event_type = 'purchase'), 0)
+                  AS BIGINT) AS purchase_cents_7d
+      FROM events, bounds
+      WHERE ts > cutoff - INTERVAL 7 DAY AND ts <= cutoff
+      GROUP BY user_id
+    ),
+    future AS (
+      SELECT DISTINCT user_id FROM events, bounds WHERE ts > cutoff
+    )
+    SELECT f.user_id, f.n_events_7d, f.n_purchases_7d, f.purchase_cents_7d,
+           CASE WHEN fu.user_id IS NULL THEN 1 ELSE 0 END AS churned
+    FROM feat f LEFT JOIN future fu ON fu.user_id = f.user_id
+    ORDER BY f.user_id
+    """,
+    tags=("features", "labels", "join"),
+)
+def features_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct churn label construction: features from the
+    7 days BEFORE the cutoff (event counts, purchase cents), label from
+    the 7 days AFTER (churned = zero future events) — the
+    leakage-discipline pattern every supervised training-set build
+    needs: no feature reads past the cutoff, no label reads before it.
+
+    Scale shape: the cutoff is a 1-row broadcast (max(ts) − 7d); both
+    windows are pushed-down timestamp range filters on the fact scan;
+    features are one map-side-combinable aggregate on ``user_id``; the
+    label attaches via a left join against the distinct future-active
+    keys (Spark plans the aggregated small side as broadcast).  Money in
+    integer cents.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    )
+    feat = (
+        e.crossJoin(F.broadcast(cutoff))
+        .filter(
+            (F.col("ts") > F.col("cutoff") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("ts") <= F.col("cutoff"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_7d"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases_7d"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("purchase_cents_7d"),
+        )
+    )
+    future = (
+        e.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .select("user_id")
+        .distinct()
+        .withColumn("_active", F.lit(1))
+    )
+    return (
+        feat.join(future, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_7d",
+            "n_purchases_7d",
+            "purchase_cents_7d",
+            F.when(F.col("_active").isNull(), 1).otherwise(0).alias("churned"),
+        )
+        .orderBy("user_id")
+    )
