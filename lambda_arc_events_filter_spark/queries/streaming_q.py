@@ -935,3 +935,106 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
     return uniq.join(users, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Python streaming data source (SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_python_source_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "source"),
+)
+def stream_python_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest through the engine's custom PYTHON streaming data
+    source (``sources/pyds.py::EventsStreamChunksDataSource``, Spark 4
+    ``SimpleDataSourceStreamReader``): the events table replays in
+    20k-row chunks — one micro-batch per chunk with JSON row offsets,
+    the cursor-paginated-feed connector shape — into a complete-mode
+    aggregation.  Oracle equality against the native batch read proves
+    the connector is transparent end-to-end (offsets partition the
+    table exactly, no row lost or duplicated across micro-batches).
+
+    Drained with ``processAllAvailable`` rather than availableNow: the
+    simple-reader wrapper prefetches one chunk per offset poll, so
+    availableNow would commit only the first chunk (measured; pinned in
+    pyds.py's docstring).  The simple API is the control-plane tier —
+    a Kinesis-scale feed would implement the partitioned
+    ``DataSourceStreamReader`` with one shard per input partition.
+    """
+    from lambda_arc_events_filter_spark.catalog import table_path
+    from lambda_arc_events_filter_spark.sources.pyds import (
+        register_events_stream_chunks,
+    )
+
+    register_events_stream_chunks(spark)
+    s = (
+        spark.readStream.format("events_stream_chunks")
+        .option("path", table_path(sf_dir, "events"))
+        .option("chunk", "20000")
+        .load()
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return run_to_memory(agg, "pysrc", mode="complete", drain=True).orderBy(
+        "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static LEFT ANTI join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_static_anti_join",
+    oracle="""
+    WITH purchasers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    LEFT JOIN purchasers p ON p.user_id = e.user_id
+    WHERE p.user_id IS NULL
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join: per micro-batch, keep only events
+    from users who have NEVER purchased (static exclusion list computed
+    batch-side) — the streaming suppression/screening pattern (bot lists,
+    GDPR erasure lists, converted-user exclusion) that complements the
+    B56 enrichment join.
+
+    The static side is an aggregated distinct-key list: Spark broadcasts
+    it per micro-batch and the anti join is stateless (no state store,
+    no watermark needed — only stream-STREAM joins buffer state).  The
+    complete-mode count aggregate downstream is the verification
+    harness; prod would append the filtered rows to a sink.
+    """
+    purchasers = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    s = events_stream(spark, sf_dir)
+    anti = s.join(F.broadcast(purchasers), "user_id", "left_anti")
+    agg = anti.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return run_to_memory(agg, "anti", mode="complete").orderBy("event_type")

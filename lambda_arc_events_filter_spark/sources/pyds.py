@@ -124,3 +124,99 @@ def register_events_replay(spark) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(make_events_replay_datasource())
         _REGISTERED.add(key)
+
+
+def make_events_stream_chunks_datasource():
+    """Streaming twin of the replay source: a Spark-4 Python STREAMING
+    data source (``SimpleDataSourceStreamReader``) that replays the
+    events parquet in fixed-size row chunks, one chunk per micro-batch,
+    with JSON offsets ``{"row": k}`` — the shape of a REST-paginated or
+    cursor-based feed connector (the reference's Kinesis consumer is
+    exactly this: poll → records + next shard iterator).
+
+    API notes discovered the hard way (pinned by tests):
+
+    - ``read(start)`` must return an **iterator of tuples** — the wrapper
+      calls ``next()`` on it (a list fails) — that is also **picklable**
+      (a generator fails: the prefetched chunk is pickled driver→executor),
+      so a list_iterator is the only shape satisfying both.
+    - The simple-reader wrapper prefetches ONE chunk per ``latestOffset``
+      poll, so ``availableNow`` stops after the first chunk; bounded
+      replays drain with ``processAllAvailable`` (``run_to_memory``'s
+      ``drain=True``).
+    - ``readBetweenOffsets`` replays a committed range after failure —
+      same slice, deterministic because offsets are row positions.
+
+    The simple API trades scale for simplicity — chunks flow through the
+    driver (fine for a control-plane feed; Kinesis-scale fan-in would use
+    the partitioned ``DataSourceStreamReader`` instead, one shard per
+    partition, the exact split model of ``_EventsReplayReader``).
+    Classes are closure-local per the module's serialization rule.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _ChunkStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options: dict):
+            path = options.get("path")
+            if not path:
+                raise ValueError("events_stream_chunks requires option 'path'")
+            self.path = path
+            self.chunk = int(options.get("chunk", "20000"))
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def _slice(self, start_row: int, end_row: int):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                self.path, columns=["event_id", "event_type", "value"]
+            )
+            tbl = tbl.slice(start_row, end_row - start_row)
+            return iter(
+                [
+                    (r["event_id"], r["event_type"], r["value"])
+                    for r in tbl.to_pylist()
+                ]
+            )
+
+        def read(self, start):
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(self.path).metadata.num_rows
+            s = int(start["row"])
+            e = min(n, s + self.chunk)
+            return (self._slice(s, e), {"row": e})
+
+        def readBetweenOffsets(self, start, end):
+            return self._slice(int(start["row"]), int(end["row"]))
+
+    class EventsStreamChunksDataSource(DataSource):
+        """``spark.readStream.format("events_stream_chunks")``"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "events_stream_chunks"
+
+        def schema(self) -> str:
+            return "event_id bigint, event_type string, value double"
+
+        def simpleStreamReader(self, schema) -> _ChunkStreamReader:
+            return _ChunkStreamReader(self.options)
+
+    return EventsStreamChunksDataSource
+
+
+def register_events_stream_chunks(spark) -> None:
+    """Idempotently register the streaming chunk source with this session."""
+    if not PYDS_AVAILABLE:
+        raise RuntimeError(
+            "pyspark.sql.datasource API not available in this Spark"
+        )
+    key = ("stream_chunks", spark.sparkContext.applicationId)
+    if key not in _REGISTERED:
+        spark.dataSource.register(make_events_stream_chunks_datasource())
+        _REGISTERED.add(key)

@@ -75,6 +75,7 @@ def run_to_memory(
     name_prefix: str = "q",
     mode: str = "append",
     state_partitions: int | None = 8,
+    drain: bool = False,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow trigger,
     memory sink) and return the materialized result as a batch DataFrame.
@@ -124,14 +125,24 @@ def run_to_memory(
             "HDFSBackedStateStoreProvider",
         )
     try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
+        writer = (
+            df.writeStream.format("memory").queryName(qname).outputMode(mode)
         )
-        q.awaitTermination()
+        if drain:
+            # Default-trigger drain loop for sources whose "available"
+            # offset advances one micro-batch at a time (the Python
+            # SimpleDataSourceStreamReader wrapper prefetches exactly one
+            # chunk, so availableNow would stop after the FIRST chunk):
+            # processAllAvailable blocks until the source stops advancing,
+            # then the query is stopped — same process-everything-then-
+            # stop contract, driven from the client side.
+            q = writer.start()
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+        else:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # Restore UNCONDITIONALLY: when the session had no explicit

@@ -212,3 +212,44 @@ def test_session_timeout_emits_trailing_sessions(spark, sf_dir):
     for r in out:
         assert r.session_start <= r.session_end - gap
         assert r.n_events >= 1
+
+
+def test_python_stream_source_offsets_partition_exactly(spark, sf_dir):
+    """The chunk stream reader's offset ranges tile the table exactly:
+    read() from 0 advances chunk-by-chunk to EOF, readBetweenOffsets
+    replays any committed range identically (failure-recovery contract),
+    and each returned slice is a PICKLABLE ITERATOR (the two API shapes
+    the wrapper requires — next()-able and driver→executor picklable)."""
+    import pickle
+
+    from lambda_arc_events_filter_spark.catalog import table_path
+    from lambda_arc_events_filter_spark.sources.pyds import (
+        make_events_stream_chunks_datasource,
+    )
+
+    path = table_path(sf_dir, "events")
+    ds = make_events_stream_chunks_datasource()(
+        options={"path": path, "chunk": "300"}
+    )
+    reader = ds.simpleStreamReader(None)
+    off = reader.initialOffset()
+    assert off == {"row": 0}
+    total = 0
+    chunks = 0
+    while True:
+        it, nxt = reader.read(off)
+        rows = list(pickle.loads(pickle.dumps(it)))
+        total += len(rows)
+        chunks += 1
+        if nxt["row"] == off["row"]:
+            assert rows == []
+            break
+        assert len(rows) == nxt["row"] - off["row"]
+        # replay of the committed range returns the same rows
+        replay = list(reader.readBetweenOffsets(off, nxt))
+        assert replay == rows
+        off = nxt
+        if chunks > 100:
+            raise AssertionError("offset never reached EOF")
+    n = spark.read.parquet(path).count()
+    assert total == n
