@@ -2441,3 +2441,84 @@ def parts_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc(), "part_a", "part_b"
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Business-day fulfillment latency (closed-form weekday counting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_businessday_latency",
+    oracle="""
+    WITH ful AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+             min(CAST(l_shipdate AS DATE)) AS d1
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+      GROUP BY 1, 2
+    ),
+    bd AS (
+      -- brute-force weekday count over (d0, d1]: deliberately a
+      -- DIFFERENT method than the engine's closed form
+      SELECT o_orderkey,
+             CAST(datediff('day', d0, d1) AS BIGINT) AS cal_days,
+             (SELECT count(*) FROM unnest(generate_series(
+                     d0 + INTERVAL 1 DAY, CAST(d1 AS TIMESTAMP),
+                     INTERVAL 1 DAY)) AS t(day)
+              WHERE isodow(day) <= 5) AS business_days
+      FROM ful
+    )
+    SELECT CAST(business_days AS BIGINT) AS business_days,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cal_days) AS BIGINT) AS total_cal_days
+    FROM bd GROUP BY 1 ORDER BY 1
+    """,
+    tags=("calendar", "agg"),
+)
+def orders_businessday_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment latency in BUSINESS days (weekdays in ``(order_date,
+    first_ship_date]``) per order, rolled into a latency histogram — the
+    SLA metric calendars make non-trivial.  The engine computes the
+    weekday count in CLOSED FORM — ``5·(diff div 7)`` full weeks plus a
+    two-term min/max expression for the partial week off the order
+    date's weekday — while the oracle brute-forces it by exploding every
+    day in the interval and filtering ``isodow ≤ 5``: agreement over
+    every (weekday × remainder) combination in the data is the
+    cross-method validation, not just cross-engine.
+
+    Scale shape: the closed form is a pure per-row projection (no
+    explode — an interval of YEARS costs the same as a week), after one
+    map-side-combinable min-aggregate per order.  Orders whose lineitems
+    all shipped before the order date (synthetic-fixture artifact) drop
+    out in the WHERE, matching the oracle.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ful = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.to_date("l_shipdate") >= F.to_date("o_orderdate")
+        )
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
+        .agg(F.min(F.to_date("l_shipdate")).alias("d1"))
+    )
+    diff = F.datediff(F.col("d1"), F.col("d0"))
+    w0 = F.weekday(F.col("d0"))  # Monday = 0 .. Sunday = 6
+    rem = diff % 7
+    extra = F.greatest(F.lit(0), F.least(rem, F.lit(4) - w0)) + F.least(
+        F.lit(5), F.greatest(F.lit(0), rem - (F.lit(6) - w0))
+    )
+    bd = (diff - rem) / F.lit(7) * 5 + extra
+    return (
+        ful.select(
+            bd.cast("long").alias("business_days"),
+            diff.cast("long").alias("cal_days"),
+        )
+        .groupBy("business_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cal_days").alias("total_cal_days"),
+        )
+        .orderBy("business_days")
+    )

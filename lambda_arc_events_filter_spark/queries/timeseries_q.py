@@ -294,3 +294,189 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend recurrence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(avg(value), 6) AS x,
+             row_number() OVER (ORDER BY date_trunc('day', ts)) AS i
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    holt AS (
+      SELECT d.i, d.day, d.x,
+             CAST(d.x AS DOUBLE) AS l,
+             CAST((SELECT x FROM daily WHERE i = 2) - d.x AS DOUBLE) AS b
+      FROM daily d WHERE d.i = 1
+      UNION ALL
+      SELECT d.i, d.day, d.x,
+             0.3 * d.x + 0.7 * (h.l + h.b) AS l,
+             0.2 * (0.3 * d.x + 0.7 * (h.l + h.b) - h.l) + 0.8 * h.b AS b
+      FROM holt h JOIN daily d ON d.i = h.i + 1
+    )
+    SELECT day, x, round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_next
+    FROM holt ORDER BY day
+    """,
+    tags=("stats", "timeseries", "iterative"),
+)
+def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α=0.3, β=0.2) of the daily
+    value series: level ``l_t = αx_t + (1−α)(l_{t−1}+b_{t−1})`` and trend
+    ``b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}``, initialized ``l_1 = x_1,
+    b_1 = x_2 − x_1`` — the trend-aware smoother behind capacity
+    forecasts, with the one-step forecast ``l+b`` per day.
+
+    A COUPLED two-state recurrence fits neither a frame aggregate nor
+    EWMA's scalar prefix fold, so the engine folds ONCE over the whole
+    day-ordered array with a struct accumulator ``(l, b, hist)`` that
+    appends each step's state, then explodes ``hist`` back to rows —
+    O(n) total (vs the EWMA query's O(n²) per-row prefix folds) and NO
+    window of any kind in the plan.  Correct at scale because the fold
+    input is the calendar-bounded DAILY rollup (the fact-scale work is
+    the map-side-combinable daily aggregate); the oracle runs the same
+    recurrence as a recursive CTE, and both engines execute the
+    IDENTICAL double-op sequence (the trend term recomputes l_t rather
+    than re-reading it, in both), rounded to 6.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("x")
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("xs")
+    )
+    hist = F.expr(
+        """
+        aggregate(
+          slice(xs, 2, size(xs) - 1),
+          named_struct(
+            'l', cast(xs[0].x as double),
+            'b', cast(xs[1].x - xs[0].x as double),
+            'hist', array(named_struct(
+              'day', xs[0].day, 'x', xs[0].x,
+              'level', cast(xs[0].x as double),
+              'trend', cast(xs[1].x - xs[0].x as double)))),
+          (acc, v) -> named_struct(
+            'l', cast(0.3 * v.x + 0.7 * (acc.l + acc.b) as double),
+            'b', cast(0.2 * (0.3 * v.x + 0.7 * (acc.l + acc.b) - acc.l)
+                      + 0.8 * acc.b as double),
+            'hist', acc.hist || array(named_struct(
+              'day', v.day, 'x', v.x,
+              'level', cast(0.3 * v.x + 0.7 * (acc.l + acc.b) as double),
+              'trend', cast(0.2 * (0.3 * v.x + 0.7 * (acc.l + acc.b) - acc.l)
+                            + 0.8 * acc.b as double))))
+        ).hist
+        """
+    )
+    return (
+        arr.select(F.explode(hist).alias("h"))
+        .select(
+            F.col("h.day").alias("day"),
+            F.col("h.x").alias("x"),
+            F.round("h.level", 6).alias("level"),
+            F.round("h.trend", 6).alias("trend"),
+            F.round(F.col("h.level") + F.col("h.trend"), 6).alias(
+                "forecast_next"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_xcorr_lagged",
+    oracle="""
+    WITH vx AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS v
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    py AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS p
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS lag),
+    pairs AS (
+      SELECT l.lag, py.p AS u, vx.v AS w
+      FROM py CROSS JOIN lags l
+      JOIN vx ON py.d = vx.d + l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(u) AS BIGINT)     AS su,
+             CAST(sum(w) AS BIGINT)     AS sw,
+             CAST(sum(u * u) AS BIGINT) AS suu,
+             CAST(sum(w * w) AS BIGINT) AS sww,
+             CAST(sum(u * w) AS BIGINT) AS suw
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+           round((n * suw - su * sw)
+                 / sqrt(1.0 * (n * suu - su * su) * (n * sww - sw * sw)),
+                 6) AS xcorr
+    FROM m ORDER BY lag
+    """,
+    tags=("stats", "timeseries"),
+)
+def events_xcorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson r between the daily PURCHASE
+    count and the daily VIEW count L days EARLIER, for L = 0..7 — "do
+    views predict purchases, and at what horizon?", the bivariate
+    sibling of ``events_acf_daily``.
+
+    Paired-subset Pearson per lag (days where both series exist), all
+    five moments accumulated as EXACT integers (counts² ≪ 2⁵³), so the
+    only float ops are one sqrt and one division over identical integer
+    inputs — bit-identical across engines, rounded to 6.  Scale shape:
+    two map-side-combinable daily rollups, one broadcast 8-row lag
+    explode, an equi-join on the shifted date, one hash aggregate.
+    """
+    e = load(spark, sf_dir, "events")
+    vx = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    py = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("p"))
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    shifted = vx.crossJoin(F.broadcast(lags)).select(
+        F.date_add("d", F.col("lag")).alias("d"), F.col("v").alias("w"), "lag"
+    )
+    pairs = py.select("d", F.col("p").alias("u")).join(shifted, "d")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("u") * F.col("w")).alias("suw"),
+    )
+    n, su, sw = F.col("n"), F.col("su"), F.col("sw")
+    num = n * F.col("suw") - su * sw
+    den = F.sqrt(
+        F.lit(1.0)
+        * (n * F.col("suu") - su * su)
+        * (n * F.col("sww") - sw * sw)
+    )
+    return m.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("xcorr"),
+    ).orderBy("lag")
