@@ -2522,3 +2522,86 @@ def orders_businessday_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("business_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-migration matrix: customer revenue quintile, early vs late period
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_quintile_migration",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS c,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey AS c,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ),
+    qa AS (SELECT c, ntile(5) OVER (ORDER BY cents, c) AS q_early FROM a),
+    qb AS (SELECT c, ntile(5) OVER (ORDER BY cents, c) AS q_late  FROM b)
+    SELECT qa.q_early, qb.q_late,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM qa JOIN qb USING (c)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("window", "rank", "agg"),
+)
+def customers_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-migration matrix: each customer's revenue QUINTILE in the
+    early period (orders before 1998) versus the late period (1998+),
+    counted into the 5×5 transition matrix — the mobility analysis
+    behind "are our top-spenders the same people as last year?" (heavy
+    diagonal = stable ranking, heavy corners = churn-and-replace).
+
+    Quintiles are ntile(5) over (cents, custkey) — a TOTAL order, so the
+    cut is deterministic — computed per period with the banded global
+    rank (``global_order_stats``) + arithmetic ``ntile_from_rank``, never
+    a partition-less ntile window: the per-customer aggregate grows with
+    the data, and the migration matrix is exactly the query shape that
+    tempts a global ntile at fact-aggregate scale.  Integer cents, one
+    hash aggregate per period, equi-join on customer, 25-row output.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def quintiles(period_df: DataFrame, alias: str) -> DataFrame:
+        agg = period_df.groupBy(F.col("o_custkey").alias("c")).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        ranked = global_order_stats(
+            agg, [("cents", "asc"), ("c", "asc")], rank="_rk", key=["c"]
+        )
+        n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+        from lambda_arc_events_filter_spark.functions.rank import (
+            ntile_from_rank,
+        )
+
+        return ranked.crossJoin(F.broadcast(n)).select(
+            "c",
+            ntile_from_rank(F.col("_rk"), F.col("_n"), 5).alias(alias),
+        )
+
+    early = quintiles(
+        o.filter(F.col("o_orderdate") < "1998-01-01"), "q_early"
+    )
+    late = quintiles(
+        o.filter(F.col("o_orderdate") >= "1998-01-01"), "q_late"
+    )
+    return (
+        early.join(late, "c")
+        .groupBy("q_early", "q_late")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("q_early", "q_late")
+    )

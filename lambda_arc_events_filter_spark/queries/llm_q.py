@@ -1682,3 +1682,83 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_affected",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram novelty attribution (which doc introduced each n-gram?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_novelty_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts
+      FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+      FROM toks WHERE len(ts) >= 3
+    ),
+    intro AS (
+      SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY g
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(count(*) FILTER (WHERE i.first_doc = t.doc_id)
+                AS BIGINT) AS n_introduced,
+           round(count(*) FILTER (WHERE i.first_doc = t.doc_id)
+                 * 1.0 / count(*), 6) AS novelty_rate
+    FROM tri t JOIN intro i USING (g)
+    GROUP BY t.source ORDER BY t.source
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty attribution: every distinct (doc, trigram) pair
+    joins the trigram's INTRODUCING doc (minimum doc_id over the corpus
+    — ingestion order), and each source is scored by the fraction of its
+    trigram mass it introduced — the provenance flip side of
+    contamination/dup-rate screening: low novelty means a source mostly
+    re-treads n-grams the corpus already has.
+
+    Scale shape: the trigram explode is ~|tokens| rows (window of 3,
+    built by one in-row ``transform`` over the token array — no
+    self-join on position); the introducer table is one min-aggregate
+    keyed by trigram (map-side combinable), and the attribution is an
+    equi-join on trigram — the exact inverted-postings shape of the
+    dedup family, with the same skew lever available if a trigram's
+    posting list runs hot.  Docs under 3 tokens drop out by definition.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    ).filter(F.size("ts") >= 3)
+    tri = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 3),"
+                " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    intro = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tri.join(intro, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            ).alias("n_introduced"),
+            F.round(
+                F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+                / (F.lit(1.0) * F.count(F.lit(1))),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
