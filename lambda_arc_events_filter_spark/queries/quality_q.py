@@ -1930,3 +1930,92 @@ def sessions_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# IPv4 parse + CIDR classification profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ip_cidr_profile",
+    oracle="""
+    WITH ip AS (
+      SELECT user_id, event_id,
+             (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) * 31
+              + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1))) % 256
+               AS o1,
+             (ascii(substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) * 31
+              + ascii(substr(md5(CAST(user_id AS VARCHAR)), 4, 1))) % 256
+               AS o2
+      FROM events
+    ),
+    cls AS (
+      SELECT *,
+             CASE WHEN o1 = 10 THEN 'private-10/8'
+                  WHEN o1 = 172 AND o2 BETWEEN 16 AND 31
+                       THEN 'private-172.16/12'
+                  WHEN o1 = 192 AND o2 = 168 THEN 'private-192.168/16'
+                  WHEN o1 = 127 THEN 'loopback'
+                  WHEN o1 BETWEEN 224 AND 239 THEN 'multicast'
+                  ELSE 'public' END AS ip_class
+      FROM ip
+    )
+    SELECT ip_class,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT o1 * 256 + o2) AS BIGINT) AS n_blocks16
+    FROM cls GROUP BY ip_class ORDER BY ip_class
+    """,
+    tags=("network", "agg"),
+)
+def events_ip_cidr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 origin profiling: classify each event's source address into
+    RFC-1918 private ranges / loopback / multicast / public by pure
+    octet arithmetic, with per-class event, user, and /16-block
+    accounting — the traffic-hygiene screen (NAT'd vs public clients,
+    multicast leakage) a network-adjacent event pipeline runs.
+
+    The fixture carries no IP column, so octets derive from the repo's
+    portable content hash (md5-byte arithmetic, identical in both
+    engines — same trick as shard assignment); production swaps in the
+    real column and the classification/rollup is unchanged.  CIDR
+    membership is integer compare on octets (no string parsing on the
+    hot path — o1=10, o1·256+o2 banding), one map-side-combinable
+    aggregate over 6 classes.
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_id")
+    h = F.md5(F.col("user_id").cast("string"))
+
+    def octet(k: int):
+        return (
+            F.ascii(F.substring(h, 2 * k - 1, 1)) * 31
+            + F.ascii(F.substring(h, 2 * k, 1))
+        ) % 256
+
+    ip = e.select("user_id", octet(1).alias("o1"), octet(2).alias("o2"))
+    ip_class = (
+        F.when(F.col("o1") == 10, "private-10/8")
+        .when(
+            (F.col("o1") == 172) & F.col("o2").between(16, 31),
+            "private-172.16/12",
+        )
+        .when((F.col("o1") == 192) & (F.col("o2") == 168), "private-192.168/16")
+        .when(F.col("o1") == 127, "loopback")
+        .when(F.col("o1").between(224, 239), "multicast")
+        .otherwise("public")
+    )
+    return (
+        ip.select(
+            ip_class.alias("ip_class"),
+            "user_id",
+            (F.col("o1") * 256 + F.col("o2")).alias("b16"),
+        )
+        .groupBy("ip_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("b16").alias("n_blocks16"),
+        )
+        .orderBy("ip_class")
+    )

@@ -3246,3 +3246,197 @@ def events_ab_quantile_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_t, F.round(F.col("p50") - F.col("c50"), 6)).alias("qte_p50"),
         F.when(is_t, F.round(F.col("p75") - F.col("c75"), 6)).alias("qte_p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-nation Welch tests
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nations_welch_bh_fdr",
+    oracle="""
+    WITH cents AS (
+      SELECT n_name AS nation,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+    ),
+    per AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q1
+      FROM cents GROUP BY 1
+    ),
+    gtot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS ng,
+             CAST(sum(s1) AS BIGINT) AS sg,
+             CAST(sum(q1) AS HUGEINT) AS qg,
+             CAST(count(*) AS BIGINT) AS m
+      FROM per
+    ),
+    stat AS (
+      SELECT nation, n1, ng - n1 AS n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(sg - s1 AS DOUBLE) / (ng - n1) AS m2,
+             (CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+               / (n1 - 1) AS v1,
+             (CAST(qg - q1 AS DOUBLE)
+              - CAST(sg - s1 AS DOUBLE) * CAST(sg - s1 AS DOUBLE)
+                / (ng - n1)) / (ng - n1 - 1) AS v2,
+             m
+      FROM per, gtot
+    ),
+    z AS (
+      SELECT nation, n1 AS n_orders, m,
+             (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS z
+      FROM stat
+    ),
+    p AS (
+      SELECT nation, n_orders, m, z, abs(z) AS az,
+             1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+      FROM z
+    ),
+    pv AS (
+      SELECT nation, n_orders, m, z,
+             2 * (exp(-az * az / 2) / sqrt(2 * pi())
+                  * (0.319381530 * t - 0.356563782 * t * t
+                     + 1.781477937 * t * t * t
+                     - 1.821255978 * t * t * t * t
+                     + 1.330274429 * t * t * t * t * t)) AS p
+      FROM p
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY p, nation) AS i FROM pv
+    ),
+    k AS (
+      SELECT coalesce(max(i) FILTER (WHERE p <= 0.10 * i / m), 0) AS kk
+      FROM rk
+    )
+    SELECT nation, n_orders, round(z, 6) AS z_score,
+           round(p, 6) AS p_value, CAST(i AS BIGINT) AS bh_rank,
+           CASE WHEN i <= kk THEN 1 ELSE 0 END AS significant
+    FROM rk, k ORDER BY bh_rank
+    """,
+    tags=("stats", "inference"),
+)
+def nations_welch_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing-corrected screening: Welch's z of every nation's
+    order value against the REST of the world, then Benjamini-Hochberg
+    at FDR q=0.10 — rank p-values ascending, find the largest i with
+    ``p_i ≤ q·i/m``, flag ranks ≤ i — the correction that keeps a
+    25-segment screen from "discovering" 2-3 segments by chance alone
+    (the per-comparison α=0.1 would).
+
+    Determinism discipline: BH depends on the p-value ORDER, so moments
+    accumulate as exact integers (Σv in BIGINT, Σv² in DECIMAL(38)/
+    HUGEINT — cents² crosses 2⁶³ at real volumes) and every float op
+    after them (casts, means, variances, z, the shared Abramowitz-Stegun
+    tail polynomial) is the identical IEEE sequence in both engines —
+    ranks cannot flip.  The rest-of-world moments come from the global
+    totals minus the nation's (no second scan); the rank over the
+    schema-bounded 25-row test relation is a broadcast self-join count,
+    keeping the plan lint clean.
+    """
+    import math
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = o.join(
+        F.broadcast(
+            c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("nation"))
+        ),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select("nation", F.round(F.col("o_totalprice") * 100).cast("long").alias("v"))
+    per = cents.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q1"),
+    )
+    glob = per.agg(
+        F.sum("n1").alias("ng"),
+        F.sum("s1").alias("sg"),
+        F.sum("q1").alias("qg"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    st = per.crossJoin(F.broadcast(glob))
+    n1, ng = F.col("n1"), F.col("ng")
+    s1, sg, q1, qg = F.col("s1"), F.col("sg"), F.col("q1"), F.col("qg")
+    m1 = d(s1) / n1
+    m2 = d(sg - s1) / (ng - n1)
+    v1 = (d(q1) - d(s1) * d(s1) / n1) / (n1 - 1)
+    v2 = (d(qg - q1) - d(sg - s1) * d(sg - s1) / (ng - n1)) / (ng - n1 - 1)
+    zc = (m1 - m2) / F.sqrt(v1 / n1 + v2 / (ng - n1))
+    pv_base = st.select(
+        "nation",
+        F.col("n1").alias("n_orders"),
+        "m",
+        zc.alias("z"),
+    )
+    az = F.abs(F.col("z"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = (
+        F.lit(0.319381530) * t
+        - F.lit(0.356563782) * t * t
+        + F.lit(1.781477937) * t * t * t
+        - F.lit(1.821255978) * t * t * t * t
+        + F.lit(1.330274429) * t * t * t * t * t
+    )
+    pv = pv_base.select(
+        "nation",
+        "n_orders",
+        "m",
+        "z",
+        (
+            F.lit(2.0)
+            * (
+                F.exp(-az * az / 2)
+                / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+                * poly
+            )
+        ).alias("p"),
+    )
+    peers = pv.select(
+        F.col("nation").alias("pn"), F.col("p").alias("pp")
+    )
+    rk = (
+        pv.join(
+            F.broadcast(peers),
+            (F.col("pp") < F.col("p"))
+            | ((F.col("pp") == F.col("p")) & (F.col("pn") < F.col("nation"))),
+            "left",
+        )
+        .groupBy("nation", "n_orders", "m", "z", "p")
+        .agg((F.count("pn") + 1).alias("i"))
+    )
+    k = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.lit(0.10) * F.col("i") / F.col("m"),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kk")
+    )
+    return (
+        rk.crossJoin(F.broadcast(k))
+        .select(
+            "nation",
+            "n_orders",
+            F.round("z", 6).alias("z_score"),
+            F.round("p", 6).alias("p_value"),
+            F.col("i").alias("bh_rank"),
+            F.when(F.col("i") <= F.col("kk"), 1).otherwise(0).alias(
+                "significant"
+            ),
+        )
+        .orderBy("bh_rank")
+    )
