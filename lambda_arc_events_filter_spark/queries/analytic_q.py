@@ -2605,3 +2605,209 @@ def customers_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("q_early", "q_late")
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume bridge (PVM decomposition) between two years
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_pvm_bridge",
+    oracle="""
+    WITH yr AS (
+      SELECT p_brand AS brand,
+             CAST(year(l_shipdate) AS INT) AS y,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.brand,
+             a.q AS q1, a.r AS r1, b.q AS q2, b.r AS r2,
+             CAST(a.r AS DOUBLE) / a.q AS p1,
+             CAST(b.r AS DOUBLE) / b.q AS p2
+      FROM yr a JOIN yr b ON a.brand = b.brand
+      WHERE a.y = 1996 AND b.y = 1997
+    )
+    SELECT brand, r1 AS rev_1996_cents, r2 AS rev_1997_cents,
+           r2 - r1 AS delta_cents,
+           round((p2 - p1) * q2, 4) AS price_effect_cents,
+           round((q2 - q1) * p1, 4) AS volume_effect_cents
+    FROM w ORDER BY brand
+    """,
+    tags=("finance", "agg", "join"),
+)
+def brand_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge: decompose each brand's 1996→1997 revenue
+    change into a PRICE effect ``(p₂−p₁)·q₂`` and a VOLUME effect
+    ``(q₂−q₁)·p₁`` (average-price convention; the two terms sum to the
+    revenue delta exactly in real arithmetic) — the waterfall slide
+    behind every revenue review, done at warehouse scale.
+
+    Scale shape: one map-side-combinable (brand, year) aggregate over
+    the pushed-down two-year scan window (brand via broadcast part dim),
+    then a self-equi-join of the ~|brands| aggregate rows — never a
+    window.  Quantities and revenue accumulate as exact integers; the
+    only floats are the two average prices and the effect products,
+    identical op sequences in both engines, rounded to 4.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("int").alias("y"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("r"),
+        )
+    )
+    a = yr.filter(F.col("y") == 1996).select(
+        "brand",
+        F.col("q").alias("q1"),
+        F.col("r").alias("r1"),
+        (F.col("r").cast("double") / F.col("q")).alias("p1"),
+    )
+    b = yr.filter(F.col("y") == 1997).select(
+        "brand",
+        F.col("q").alias("q2"),
+        F.col("r").alias("r2"),
+        (F.col("r").cast("double") / F.col("q")).alias("p2"),
+    )
+    return (
+        a.join(b, "brand")
+        .select(
+            "brand",
+            F.col("r1").alias("rev_1996_cents"),
+            F.col("r2").alias("rev_1997_cents"),
+            (F.col("r2") - F.col("r1")).alias("delta_cents"),
+            F.round(
+                (F.col("p2") - F.col("p1")) * F.col("q2"), 4
+            ).alias("price_effect_cents"),
+            F.round(
+                (F.col("q2") - F.col("q1")) * F.col("p1"), 4
+            ).alias("volume_effect_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fiscal-calendar spine with zero-fill (Feb-start fiscal year)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_fiscal_spine_zero_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ),
+    months AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+                  AS DATE) AS mon
+      FROM bounds
+    ),
+    prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+    spine AS (SELECT mon, prio FROM months CROSS JOIN prios),
+    actual AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             o_orderpriority AS prio,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT s.mon, s.prio,
+             coalesce(a.n, 0) AS n, coalesce(a.cents, 0) AS cents,
+             year(s.mon - INTERVAL 1 MONTH) + 1 AS fy,
+             (month(s.mon - INTERVAL 1 MONTH) - 1) // 3 + 1 AS fq
+      FROM spine s LEFT JOIN actual a
+        ON a.mon = s.mon AND a.prio = s.prio
+    )
+    SELECT CAST(fy AS BIGINT) AS fiscal_year, CAST(fq AS INT) AS fiscal_q,
+           prio AS priority,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(count(*) FILTER (WHERE n = 0) AS BIGINT) AS n_zero_months,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM filled GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("calendar", "agg"),
+)
+def orders_fiscal_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-calendar reporting with a ZERO-FILLED spine: a generated
+    (month × priority) grid spans the full order history, actual monthly
+    aggregates left-join onto it, and empty cells surface as explicit
+    zero rows — the absence-accounting every finance rollup needs (a
+    GROUP BY alone silently drops dark months, understating nothing and
+    hiding everything).  Fiscal year starts February 1 and is labeled by
+    its ending year; quarters follow (Feb-Apr = Q1).
+
+    Scale shape: the spine derives from a 1-row min/max aggregate
+    exploded to |months|×|priorities| rows — bounded by the calendar and
+    the enum, broadcastable forever; actuals are one map-side-combinable
+    aggregate; the join is spine-side broadcast.  Fiscal labels are pure
+    month arithmetic (shift one month back, integer-divide), identical
+    in both engines.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    bounds = o.agg(
+        F.trunc(F.min("o_orderdate"), "MM").alias("lo"),
+        F.trunc(F.max("o_orderdate"), "MM").alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("mon")
+    )
+    prios = o.select(F.col("o_orderpriority").alias("prio")).distinct()
+    spine = months.crossJoin(prios)
+    actual = o.groupBy(
+        F.trunc("o_orderdate", "MM").alias("mon"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    shifted = F.add_months(F.col("mon"), -1)
+    filled = (
+        spine.join(actual, ["mon", "prio"], "left")
+        .select(
+            "prio",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+            (F.year(shifted) + 1).cast("long").alias("fiscal_year"),
+            (
+                F.floor((F.month(shifted) - 1) / 3) + 1
+            ).cast("int").alias("fiscal_q"),
+        )
+    )
+    return (
+        filled.groupBy("fiscal_year", "fiscal_q", F.col("prio").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.count(F.when(F.col("n") == 0, 1)).alias("n_zero_months"),
+            F.sum("n").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("fiscal_year", "fiscal_q", "priority")
+    )
