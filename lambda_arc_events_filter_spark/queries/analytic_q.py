@@ -2811,3 +2811,75 @@ def orders_fiscal_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("fiscal_year", "fiscal_q", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep pagination: page 100 rows at 2/3 depth of a global order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_deep_pagination",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM orders),
+    page AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rk
+      FROM orders
+    )
+    SELECT rk AS page_rank, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM page, n
+    WHERE rk > 2 * n.n // 3 AND rk <= 2 * n.n // 3 + 100
+    ORDER BY rk
+    """,
+    tags=("rank", "pagination"),
+)
+def orders_deep_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep pagination: the 100-row page starting at 2/3 depth of the
+    orders ranked by price — ``ORDER BY … LIMIT 100 OFFSET k`` where k
+    grows with the data, the query shape that breaks both naive plans:
+    TakeOrdered must heap k+100 rows per partition (fine at page 3,
+    fatal at row 10⁸), and a partition-less row_number window moves the
+    whole relation to one task.
+
+    The engine pages off the BANDED global rank (``global_order_stats``):
+    one hash exchange, per-band local ranks + broadcast offsets, then a
+    rank-range filter — at scale only the band(s) CONTAINING the page
+    produce surviving rows, so the page cost tracks the band width, not
+    the offset.  The page anchor (2n/3) is a 1-row broadcast; ties are
+    broken by key so the page cut is deterministic.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    ranked = global_order_stats(
+        o.select("o_orderkey", "o_totalprice"),
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        rank="page_rank",
+        key=["o_orderkey"],
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    anchor = F.call_function(
+        "div",
+        (F.lit(2) * F.col("n")).cast("decimal(38,0)"),
+        F.lit(3).cast("decimal(38,0)"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("page_rank") > anchor)
+            & (F.col("page_rank") <= anchor + 100)
+        )
+        .select(
+            "page_rank",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+        )
+        .orderBy("page_rank")
+    )

@@ -14,7 +14,7 @@ Spark and the DuckDB oracle agree bit-for-bit at any scale.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.exact import (
@@ -480,3 +480,171 @@ def events_xcorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.round(num / den, 6).alias("xcorr"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hurst_rs",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT x, datediff('day', (SELECT min(day) FROM daily), day) AS i
+      FROM daily
+    ),
+    sizes AS (SELECT unnest([5, 10, 15]) AS n),
+    blocks AS (
+      SELECT s.n, i // s.n AS blk, i % s.n AS pos, x
+      FROM idx, sizes s
+      WHERE i // s.n < (SELECT count(*) FROM daily) // s.n
+    ),
+    m AS (
+      SELECT n, blk,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM blocks GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT b.n, b.blk, b.pos,
+             sum(b.x) OVER (PARTITION BY b.n, b.blk ORDER BY b.pos
+                            ROWS UNBOUNDED PRECEDING) AS run,
+             m.sx, m.sxx
+      FROM blocks b JOIN m ON m.n = b.n AND m.blk = b.blk
+    ),
+    dev AS (
+      SELECT n, blk, sx, sxx,
+             run - (pos + 1) * (CAST(sx AS DOUBLE) / n) AS d
+      FROM cum
+    ),
+    rs AS (
+      SELECT n, blk,
+             (max(d) - min(d))
+             / sqrt((n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * n)) AS rs
+      FROM dev GROUP BY n, blk, sx, sxx
+    ),
+    pts AS (
+      SELECT n, ln(avg(rs)) AS y, ln(CAST(n AS DOUBLE)) AS t,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM rs GROUP BY n
+    ),
+    fit AS (
+      SELECT (count(*) * sum(t * y) - sum(t) * sum(y))
+             / (count(*) * sum(t * t) - sum(t) * sum(t)) AS h
+      FROM pts
+    )
+    SELECT p.n AS block_size, p.n_blocks, round(exp(p.y), 6) AS mean_rs,
+           round(f.h, 6) AS hurst
+    FROM pts p, fit f ORDER BY p.n
+    """,
+    tags=("stats", "timeseries"),
+)
+def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis: split the daily
+    revenue-cents series into blocks of 5/10/15 days, per block compute
+    R/S — the range of mean-adjusted cumulative deviations over the
+    population std — and fit ``log(R/S) ~ H·log(n)`` by least squares.
+    H>0.5 = trending/persistent, H<0.5 = mean-reverting — the
+    long-memory diagnostic for traffic/revenue series.
+
+    Determinism discipline: the series is integer CENTS, so every
+    running sum is exact; block moments accumulate Σx in BIGINT and Σx²
+    in DECIMAL(38)/HUGEINT (cents² crosses 2⁶³); the mean-adjusted
+    deviation ``run − (pos+1)·(sx/n)`` and the std are identical IEEE
+    sequences from those exact integers.  Day index is pure date
+    arithmetic off the broadcast min-day (no rank); the cumulative sum
+    is a window PARTITIONED by (n, block) — bounded frames, lint-clean.
+    Three block sizes × a calendar-bounded series: everything after the
+    daily rollup is broadcast-scale.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.count(F.lit(1)).alias("ndays")
+    )
+    idx = daily.crossJoin(F.broadcast(bounds)).select(
+        "x", F.datediff("day", "d0").alias("i"), "ndays"
+    )
+    sizes = spark.range(1, 4).select((F.col("id") * 5).cast("int").alias("n"))
+    blocks = (
+        idx.crossJoin(F.broadcast(sizes))
+        .filter(
+            F.floor(F.col("i") / F.col("n"))
+            < F.floor(F.col("ndays") / F.col("n"))
+        )
+        .select(
+            "n",
+            F.floor(F.col("i") / F.col("n")).alias("blk"),
+            (F.col("i") % F.col("n")).alias("pos"),
+            "x",
+        )
+    )
+    m = blocks.groupBy("n", "blk").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    w_run = Window.partitionBy("n", "blk").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = blocks.withColumn("run", F.sum("x").over(w_run)).join(
+        F.broadcast(m), ["n", "blk"]
+    )
+    d = cum.select(
+        "n",
+        "blk",
+        "sx",
+        "sxx",
+        (
+            F.col("run")
+            - (F.col("pos") + 1) * (F.col("sx").cast("double") / F.col("n"))
+        ).alias("d"),
+    )
+    rs = d.groupBy("n", "blk", "sx", "sxx").agg(
+        (
+            (F.max("d") - F.min("d"))
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                / (F.col("n").cast("double") * F.col("n"))
+            )
+        ).alias("rs")
+    )
+    pts = rs.groupBy("n").agg(
+        F.log(F.avg("rs")).alias("y"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    ).select("n", "y", F.log(F.col("n").cast("double")).alias("t"), "n_blocks")
+    fit = pts.agg(
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("t") * F.col("y"))
+                - F.sum("t") * F.sum("y")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("t") * F.col("t"))
+                - F.sum("t") * F.sum("t")
+            )
+        ).alias("h")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n").alias("block_size"),
+            "n_blocks",
+            F.round(F.exp("y"), 6).alias("mean_rs"),
+            F.round("h", 6).alias("hurst"),
+        )
+        .orderBy("block_size")
+    )
