@@ -1515,3 +1515,88 @@ def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decision")
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized response: privacy-noised rate estimation + debiasing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_randomized_response",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS INT) AS true_bit
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id % 5 AS cohort, true_bit,
+             CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 5, 1))
+                        * 31
+                        + ascii(substr(md5(CAST(user_id AS VARCHAR)), 6, 1)))
+                       % 4 = 0
+                  THEN 1 - true_bit ELSE true_bit END AS obs_bit
+      FROM u
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(obs_bit) AS BIGINT) AS obs_positive,
+           CAST(sum(true_bit) AS BIGINT) AS true_positive,
+           round(CAST(sum(true_bit) AS DOUBLE) / count(*), 6) AS true_rate,
+           round((4.0 * sum(obs_bit) - count(*)) / (2.0 * count(*)), 6)
+             AS est_rate
+    FROM r GROUP BY cohort ORDER BY cohort
+    """,
+    tags=("privacy", "agg"),
+)
+def users_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner's mechanism): each user's sensitive
+    bit ("is a purchaser") is flipped with probability f=1/4 before
+    aggregation, and the collector debiases the observed rate back with
+    ``π̂ = (obs − f)/(1 − 2f)`` — local-differential-privacy's oldest
+    estimator, run per cohort with the TRUE rate alongside so the
+    estimator error is visible.  The flip coin is the repo's portable
+    content hash (deterministic ⇒ oracle-exact; a production deployment
+    draws real randomness client-side and only the estimator survives).
+
+    Scale shape: one keyed aggregate to user bits, one map-side-
+    combinable cohort rollup; the debias is in-row arithmetic on exact
+    integer counts (single IEEE expression, identical both engines).
+    """
+    e = load(spark, sf_dir, "events").select("user_id", "event_type")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("true_bit")
+    )
+    h = F.md5(F.col("user_id").cast("string"))
+    flip = (
+        (F.ascii(F.substring(h, 5, 1)) * 31 + F.ascii(F.substring(h, 6, 1)))
+        % 4
+        == 0
+    )
+    r = u.select(
+        (F.col("user_id") % 5).alias("cohort"),
+        "true_bit",
+        F.when(flip, 1 - F.col("true_bit"))
+        .otherwise(F.col("true_bit"))
+        .alias("obs_bit"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        r.groupBy("cohort")
+        .agg(
+            n.alias("n_users"),
+            F.sum("obs_bit").alias("obs_positive"),
+            F.sum("true_bit").alias("true_positive"),
+            F.round(
+                F.sum("true_bit").cast("double") / n, 6
+            ).alias("true_rate"),
+            F.round(
+                (F.lit(4.0) * F.sum("obs_bit") - n) / (F.lit(2.0) * n), 6
+            ).alias("est_rate"),
+        )
+        .orderBy("cohort")
+    )
