@@ -29,6 +29,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.functions.allocation import (
+    largest_remainder,
+)
 from lambda_arc_events_filter_spark.registry import register
 
 # Fixed budget, in cents ($10M), apportioned across nations.
@@ -106,49 +109,9 @@ def nation_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    tot = rev.agg(F.sum("rev_cents").alias("t"))
-    prod = (
-        F.lit(_BUDGET_CENTS).cast("decimal(38,0)")
-        * F.col("rev_cents").cast("decimal(38,0)")
-    )
-    t_dec = F.col("t").cast("decimal(38,0)")
-    fl = rev.crossJoin(F.broadcast(tot)).select(
-        "nation",
-        "rev_cents",
-        F.call_function("div", prod, t_dec).alias("floor_share"),
-        (prod % t_dec).cast("long").alias("rem"),
-    )
-    # Rank the (bounded) nation rows by remainder via a broadcast
-    # self-join count — (rem, nation) is unique per row, so this equals
-    # row_number() over (ORDER BY rem DESC, nation).
-    peers = fl.select(
-        F.col("nation").alias("p_nation"), F.col("rem").alias("p_rem")
-    )
-    rk = (
-        fl.join(
-            F.broadcast(peers),
-            (F.col("p_rem") > F.col("rem"))
-            | ((F.col("p_rem") == F.col("rem")) & (F.col("p_nation") < F.col("nation"))),
-            "left",
-        )
-        .groupBy("nation", "rev_cents", "floor_share")
-        .agg((F.count("p_nation") + 1).alias("rk"))
-    )
-    short = fl.agg(
-        (F.lit(_BUDGET_CENTS) - F.sum("floor_share")).alias("s")
-    )
-    return (
-        rk.crossJoin(F.broadcast(short))
-        .select(
-            "nation",
-            "rev_cents",
-            (
-                F.col("floor_share")
-                + F.when(F.col("rk") <= F.col("s"), F.lit(1)).otherwise(F.lit(0))
-            ).alias("alloc_cents"),
-        )
-        .orderBy("nation")
-    )
+    return largest_remainder(
+        rev, "rev_cents", _BUDGET_CENTS, ["nation"], out_col="alloc_cents"
+    ).orderBy("nation")
 
 
 @register(

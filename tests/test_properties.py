@@ -790,3 +790,49 @@ def test_banded_rank_matches_reference(spark, rows, direction):
     got = {tuple(r) for r in out.select("v", "id", "rk", "cs").collect()}
     want = {tuple(r) for r in ref.collect()}
     assert got == want
+
+
+weights_strategy = st.lists(
+    st.integers(0, 10**12), min_size=1, max_size=20
+).filter(lambda ws: sum(ws) > 0)
+
+
+@given(
+    ws=weights_strategy,
+    budget=st.integers(1, 10**9),
+)
+@settings(**SETTINGS)
+def test_largest_remainder_quota_and_sum(spark, ws, budget):
+    """Hamilton apportionment invariants on generated weights: the parts
+    sum EXACTLY to the budget, and every part satisfies the quota rule
+    floor(ideal) ≤ part ≤ ceil(ideal) (zero-weight rows therefore get
+    exactly 0).  Verified against a pure-Python reference."""
+    from fractions import Fraction
+
+    from lambda_arc_events_filter_spark.functions.allocation import (
+        largest_remainder,
+    )
+
+    df = spark.createDataFrame(
+        [(i, int(w)) for i, w in enumerate(ws)], "k long, w long"
+    )
+    out = {
+        r["k"]: r["alloc"]
+        for r in largest_remainder(df, "w", budget, ["k"]).collect()
+    }
+    total = sum(ws)
+    # pure-Python reference (exact rational arithmetic)
+    ideal = {i: Fraction(budget * w, total) for i, w in enumerate(ws)}
+    floors = {i: v.numerator // v.denominator for i, v in ideal.items()}
+    rem = {i: budget * ws[i] % total for i in range(len(ws))}
+    short = budget - sum(floors.values())
+    order = sorted(range(len(ws)), key=lambda i: (-rem[i], i))
+    expect = dict(floors)
+    for i in order[:short]:
+        expect[i] += 1
+    assert out == expect
+    assert sum(out.values()) == budget
+    for i, w in enumerate(ws):
+        lo = floors[i]
+        hi = lo + (1 if ideal[i] != lo else 0)
+        assert lo <= out[i] <= hi
