@@ -2985,3 +2985,276 @@ def orders_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b", "part_c")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k (global top with a per-group quota)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_diversified_topk",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS cust_rank
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, price_cents, CAST(cust_rank AS BIGINT)
+             AS cust_rank
+    FROM per
+    WHERE cust_rank <= 2
+    ORDER BY price_cents DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("rank", "topk"),
+)
+def orders_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: the 20 highest-value orders subject to a ≤2-
+    per-customer quota — the search/feed diversification constraint
+    (never let one heavy account monopolize the leaderboard) that a
+    plain ``ORDER BY LIMIT`` cannot express.
+
+    Scale shape: the quota is a customer-PARTITIONED rank (Spark plans
+    the rn ≤ 2 filter as WindowGroupLimit — each partition keeps at most
+    2 rows per customer before the full window evaluates), then the
+    global cut is TakeOrderedAndProject over the quota survivors.  Both
+    operators are bounded-memory at any volume; no global sort, no
+    single-partition window.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("cust_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cust_rank") <= 2)
+        .select("o_orderkey", "o_custkey", "price_cents", "cust_rank")
+        .orderBy(F.desc("price_cents"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-value reconciliation (header vs line-sum consistency audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_value_reconciliation",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY 1
+    ),
+    cmp AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents,
+             coalesce(line_cents, 0) AS line_cents,
+             CASE WHEN line_cents IS NULL THEN 'no_lines'
+                  WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       = line_cents THEN 'exact'
+                  WHEN abs(CAST(round(o_totalprice * 100) AS BIGINT)
+                           - line_cents)
+                       * 100 <= CAST(round(o_totalprice * 100) AS BIGINT)
+                       THEN 'within_1pct'
+                  ELSE 'mismatch' END AS status
+      FROM orders LEFT JOIN lines ON l_orderkey = o_orderkey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(header_cents) AS BIGINT) AS header_cents,
+           CAST(sum(line_cents) AS BIGINT) AS line_cents,
+           CAST(sum(abs(header_cents - line_cents)) AS BIGINT)
+             AS abs_drift_cents
+    FROM cmp GROUP BY status ORDER BY status
+    """,
+    tags=("dq", "agg", "join"),
+)
+def orders_value_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail value reconciliation: every order's header total
+    against the sum of its line amounts, bucketed exact / within-1% /
+    mismatch / no-lines with drift accounting — the financial-close DQ
+    audit one level above referential integrity (keys can all resolve
+    while the MONEY disagrees).
+
+    Scale shape: one map-side-combinable line rollup, a key equi-join
+    (left, to surface headerless... line-less orders), in-row integer
+    comparisons — the 1% band as ``|Δ|·100 ≤ header`` keeps even the
+    tolerance integer-exact, no float thresholds to disagree on.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("line_cents")
+    )
+    header = F.round(F.col("o_totalprice") * 100).cast("long")
+    cmp = o.join(
+        lines, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).select(
+        header.alias("header_cents"),
+        F.coalesce("line_cents", F.lit(0)).alias("line_cents_f"),
+        F.when(F.col("line_cents").isNull(), "no_lines")
+        .when(header == F.col("line_cents"), "exact")
+        .when(
+            F.abs(header - F.col("line_cents")) * 100 <= header,
+            "within_1pct",
+        )
+        .otherwise("mismatch")
+        .alias("status"),
+    )
+    return (
+        cmp.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("header_cents").alias("header_cents"),
+            F.sum("line_cents_f").alias("line_cents"),
+            F.sum(
+                F.abs(F.col("header_cents") - F.col("line_cents_f"))
+            ).alias("abs_drift_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction with measured false-positive rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_bloom_semijoin_reduction",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS k FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE n_name = 'CHINA'
+    ),
+    bits AS (
+      SELECT list_sort(list_distinct(flatten(list(
+               [(ascii(substr(md5(CAST(k AS VARCHAR)), 1, 1)) * 31
+                 + ascii(substr(md5(CAST(k AS VARCHAR)), 2, 1))) % 4096,
+                (ascii(substr(md5(CAST(k AS VARCHAR)), 3, 1)) * 31
+                 + ascii(substr(md5(CAST(k AS VARCHAR)), 4, 1))) % 4096,
+                (ascii(substr(md5(CAST(k AS VARCHAR)), 5, 1)) * 31
+                 + ascii(substr(md5(CAST(k AS VARCHAR)), 6, 1))) % 4096]
+             )))) AS bs
+      FROM dim
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey,
+             list_contains(bs,
+               (ascii(substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) * 31
+                + ascii(substr(md5(CAST(o_custkey AS VARCHAR)), 2, 1)))
+               % 4096)
+             AND list_contains(bs,
+               (ascii(substr(md5(CAST(o_custkey AS VARCHAR)), 3, 1)) * 31
+                + ascii(substr(md5(CAST(o_custkey AS VARCHAR)), 4, 1)))
+               % 4096)
+             AND list_contains(bs,
+               (ascii(substr(md5(CAST(o_custkey AS VARCHAR)), 5, 1)) * 31
+                + ascii(substr(md5(CAST(o_custkey AS VARCHAR)), 6, 1)))
+               % 4096) AS candidate,
+             EXISTS (SELECT 1 FROM dim WHERE dim.k = o_custkey) AS actual
+      FROM orders, bits
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fact,
+           CAST(count(*) FILTER (WHERE candidate) AS BIGINT) AS n_candidates,
+           CAST(count(*) FILTER (WHERE actual) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (WHERE candidate AND NOT actual) AS BIGINT)
+             AS n_false_positives,
+           CAST(count(*) FILTER (WHERE actual AND NOT candidate) AS BIGINT)
+             AS n_missed
+    FROM probe
+    """,
+    tags=("join", "sketch"),
+)
+def orders_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, measured: build a k=3, m=4096
+    Bloom filter over the filtered dimension's keys (Chinese customers),
+    probe every order BEFORE the join, and count candidates vs the exact
+    semi-join — the runtime-row-filter idea (Spark's own
+    ``runtime.bloomFilter`` optimization, Exadata's storage offload)
+    made explicit and verifiable.  ``n_missed`` must be 0 (Bloom filters
+    never false-negative — the oracle proves it on every run); the FP
+    count is what the m/k sizing buys.
+
+    Scale shape: the filter builds as ONE aggregate over the dim scan
+    (distinct sorted position list, ≤ m entries) and broadcasts as a
+    1-row relation; the probe is in-row hash + sorted-array membership —
+    the fact table never shuffles for the pre-filter.  Portable md5
+    hash family, so engine and oracle compute identical bits.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .filter(F.col("n_name") == "CHINA")
+        .select(F.col("c_custkey").alias("k"))
+    )
+
+    def positions(col):
+        h = F.md5(col.cast("string"))
+        return [
+            (
+                (
+                    F.ascii(F.substring(h, 2 * i - 1, 1)) * 31
+                    + F.ascii(F.substring(h, 2 * i, 1))
+                )
+                % 4096
+            )
+            for i in (1, 2, 3)
+        ]
+
+    bits = dim.select(
+        F.array(*positions(F.col("k"))).alias("ps")
+    ).agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("ps")))
+        ).alias("bs")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p1, p2, p3 = positions(F.col("o_custkey"))
+    probe = (
+        o.crossJoin(F.broadcast(bits))
+        .join(
+            dim.withColumnRenamed("k", "o_custkey").withColumn(
+                "_hit", F.lit(1)
+            ),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            (
+                F.array_contains("bs", p1)
+                & F.array_contains("bs", p2)
+                & F.array_contains("bs", p3)
+            ).alias("candidate"),
+            F.col("_hit").isNotNull().alias("actual"),
+        )
+    )
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.count(F.when(F.col("candidate"), 1)).alias("n_candidates"),
+        F.count(F.when(F.col("actual"), 1)).alias("n_true"),
+        F.count(
+            F.when(F.col("candidate") & ~F.col("actual"), 1)
+        ).alias("n_false_positives"),
+        F.count(
+            F.when(F.col("actual") & ~F.col("candidate"), 1)
+        ).alias("n_missed"),
+    )

@@ -1600,3 +1600,114 @@ def users_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (field-wise merge after linkage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_golden_record",
+    oracle="""
+    WITH crm AS (
+      SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             1 AS src_rank
+      FROM customer
+    ),
+    web AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE c_mktsegment END AS seg,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) + 77
+                  ELSE NULL END AS cents,
+             2 AS src_rank
+      FROM customer
+    ),
+    stacked AS (
+      SELECT * FROM crm UNION ALL SELECT * FROM web
+    ),
+    golden AS (
+      SELECT id,
+             max_by(name, -src_rank) FILTER (WHERE name IS NOT NULL)
+               AS g_name,
+             max_by(seg, -src_rank) FILTER (WHERE seg IS NOT NULL)
+               AS g_seg,
+             max_by(cents, src_rank) FILTER (WHERE cents IS NOT NULL)
+               AS g_cents,
+             CAST(max(CASE WHEN src_rank = 2 AND cents IS NOT NULL
+                           THEN 1 ELSE 0 END) AS INT) AS balance_from_web
+      FROM stacked GROUP BY id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(count(g_name) AS BIGINT) AS n_with_name,
+           CAST(count(g_seg) AS BIGINT) AS n_with_segment,
+           CAST(sum(balance_from_web) AS BIGINT) AS n_balance_from_web,
+           CAST(sum(g_cents) AS BIGINT) AS total_cents
+    FROM golden
+    """,
+    tags=("linkage", "mdm", "agg"),
+)
+def customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the merge half of master-data
+    management that follows record linkage: two sources stack (CRM =
+    authoritative names/segments; WEB = fresher balances but gappy
+    fields, synthesized deterministically), and each FIELD survives
+    independently by its own rule — name/segment from the
+    lowest-ranked source that has one, balance from the HIGHEST rank
+    (freshness wins) — so one entity's golden row can mix sources.
+
+    The survivorship rules compile to ``max_by(field, ±src_rank)`` over
+    non-null candidates: one hash aggregate per entity, no window, no
+    join — the field-priority coalesce pattern at corpus scale.  The
+    audit rollup exposes which-source-won accounting.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    crm = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        cents.alias("cents"),
+        F.lit(1).alias("src_rank"),
+    )
+    web = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_name")
+        ).alias("name"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+        F.when(F.col("c_custkey") % 5 == 0, cents + 77).alias("cents"),
+        F.lit(2).alias("src_rank"),
+    )
+    stacked = crm.unionAll(web)
+    golden = stacked.groupBy("id").agg(
+        F.max_by(
+            "name", F.when(F.col("name").isNotNull(), -F.col("src_rank"))
+        ).alias("g_name"),
+        F.max_by(
+            "seg", F.when(F.col("seg").isNotNull(), -F.col("src_rank"))
+        ).alias("g_seg"),
+        F.max_by(
+            "cents", F.when(F.col("cents").isNotNull(), F.col("src_rank"))
+        ).alias("g_cents"),
+        F.max(
+            F.when(
+                (F.col("src_rank") == 2) & F.col("cents").isNotNull(), 1
+            ).otherwise(0)
+        ).cast("int").alias("balance_from_web"),
+    )
+    return golden.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.count("g_name").alias("n_with_name"),
+        F.count("g_seg").alias("n_with_segment"),
+        F.sum("balance_from_web").alias("n_balance_from_web"),
+        F.sum("g_cents").alias("total_cents"),
+    )

@@ -1038,3 +1038,88 @@ def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return run_to_memory(agg, "anti", mode="complete").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (per-event gap expression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dynamic_session_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS win_end
+      FROM events
+    ),
+    flag AS (
+      SELECT user_id, ts, value, win_end,
+             CASE WHEN max(win_end) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR ts >= max(win_end) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, value, win_end,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flag
+    ),
+    sess AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(win_end) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 4) AS total_value
+      FROM s GROUP BY user_id, seq
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS cut FROM e)
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM sess, wm WHERE session_end <= cut
+    """,
+    tags=("streaming", "window"),
+)
+def stream_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap: purchases hold the
+    session open for 60 minutes, everything else for 30 — the
+    engagement-weighted sessionization marketing analytics wants, via
+    ``session_window``'s gap-EXPRESSION form (each event contributes the
+    interval ``[ts, ts+gap(event))``; overlapping intervals merge, so
+    the session end is the max member end, end-exclusive).
+
+    The oracle rebuilds the merge with the running-max construction —
+    new session iff ``ts ≥ max(previous window ends)`` — which is
+    exactly interval-union reachability; same-timestamp ties are
+    order-safe (a tied event always lands inside its twin's interval).
+    Append mode emits a session only once the watermark passes its end;
+    the oracle mirrors with ``end ≤ max(ts) − 10 min``.  State stays
+    bounded: the store holds only sessions the watermark hasn't closed.
+    """
+    s = events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "dynsess", mode="append")
