@@ -1527,3 +1527,115 @@ def source_term_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source influence: entropy delta under leave-one-source-out
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_influence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    gt AS (SELECT term, CAST(sum(c) AS BIGINT) AS g FROM st GROUP BY 1),
+    tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gt),
+    h_full AS (
+      SELECT sum(-(CAST(g AS DOUBLE) / n) * ln(CAST(g AS DOUBLE) / n))
+               AS h
+      FROM gt, tot
+    ),
+    src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS sn FROM st
+                GROUP BY 1),
+    loo AS (
+      SELECT s.source,
+             sum(CASE WHEN gt.g - coalesce(st.c, 0) > 0
+                      THEN -(CAST(gt.g - coalesce(st.c, 0) AS DOUBLE)
+                             / (t.n - s.sn))
+                           * ln(CAST(gt.g - coalesce(st.c, 0) AS DOUBLE)
+                                / (t.n - s.sn))
+                      ELSE 0 END) AS h_without
+      FROM src_tot s
+      CROSS JOIN tot t
+      CROSS JOIN gt
+      LEFT JOIN st ON st.term = gt.term AND st.source = s.source
+      GROUP BY s.source, t.n, s.sn
+    )
+    SELECT l.source, s.sn AS n_tokens,
+           round(f.h, 6) AS entropy_full,
+           round(l.h_without, 6) AS entropy_without,
+           round(l.h_without - f.h, 6) AS entropy_delta
+    FROM loo l
+    JOIN src_tot s ON s.source = l.source
+    CROSS JOIN h_full f
+    ORDER BY l.source
+    """,
+    tags=("llm", "text", "agg"),
+)
+def corpus_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence: the corpus token-distribution
+    entropy recomputed WITHOUT each source — a negative delta means the
+    source was adding diversity, a positive one means it was flattening
+    the distribution toward its own head — the data-valuation screen
+    behind mixture re-weighting decisions (which slice is pulling the
+    corpus narrower?).
+
+    Scale shape: one (source, term) count pass, one term rollup, then
+    the leave-one-out recombination is a LEFT JOIN of the global term
+    relation against each source's counts — |sources|·|vocab| work, an
+    inverted-postings-scale join, never a re-scan of the corpus per
+    source.  Counts are exact integers; each entropy term is an
+    identical-op float expression rounded to 6.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = st.localCheckpoint(eager=False)
+    gt = st.groupBy("term").agg(F.sum("c").alias("g"))
+    gt = gt.localCheckpoint(eager=False)
+    tot = gt.agg(F.sum("g").alias("n"))
+    pg = F.col("g").cast("double") / F.col("n")
+    h_full = gt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(-pg * F.log(pg)).alias("h")
+    )
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("sn"))
+    pairs = (
+        src_tot.crossJoin(F.broadcast(tot))
+        .crossJoin(gt)
+        .join(
+            st.select(
+                F.col("source").alias("source"),
+                F.col("term").alias("term"),
+                F.col("c").alias("c"),
+            ),
+            ["source", "term"],
+            "left",
+        )
+    )
+    rem = F.col("g") - F.coalesce(F.col("c"), F.lit(0))
+    prem = rem.cast("double") / (F.col("n") - F.col("sn"))
+    loo = pairs.groupBy("source", "n", "sn").agg(
+        F.sum(
+            F.when(rem > 0, -prem * F.log(prem)).otherwise(F.lit(0.0))
+        ).alias("h_without")
+    )
+    return (
+        loo.crossJoin(F.broadcast(h_full))
+        .select(
+            "source",
+            F.col("sn").alias("n_tokens"),
+            F.round("h", 6).alias("entropy_full"),
+            F.round("h_without", 6).alias("entropy_without"),
+            F.round(F.col("h_without") - F.col("h"), 6).alias(
+                "entropy_delta"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1108,3 +1108,130 @@ def window_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(peer_avg, 6).alias("peer_avg"),
         F.round(F.col("value") - peer_avg, 6).alias("vs_peers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_null_safe_equality",
+    oracle="""
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0 THEN NULL
+                  ELSE user_id % 50 END AS k
+      FROM events
+    ),
+    r AS (
+      SELECT unnest(range(0, 50)) AS k, 'known' AS bucket
+      UNION ALL SELECT NULL, 'unattributed'
+    )
+    SELECT r.bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT l.k) AS BIGINT) AS n_keys
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY r.bucket ORDER BY r.bucket
+    """,
+    tags=("join",),
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the dimension-join
+    semantics for data with a modeled "unattributed" bucket (a plain
+    equi-join silently drops every NULL-keyed fact row, the classic
+    revenue-undercount bug this surface exists to prevent).
+
+    Spark plans ``eqNullSafe`` as an ordinary hash join (the null-safe
+    comparison is still an equi-key — nulls hash to one bucket), so the
+    scale shape is identical to the plain join; the dim side (50 keys +
+    the NULL row) broadcasts.
+    """
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    left = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 50)
+        .alias("k"),
+    )
+    right = (
+        spark.range(0, 50)
+        .select(F.col("id").alias("k"), F.lit("known").alias("bucket"))
+        .unionAll(
+            spark.range(1).select(
+                F.lit(None).cast("long").alias("k"),
+                F.lit("unattributed").alias("bucket"),
+            )
+        )
+    )
+    return (
+        left.join(F.broadcast(right), left["k"].eqNullSafe(right["k"]))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(left["k"]).alias("n_keys"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unionByName with schema evolution (allowMissingColumns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_by_name_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS priority
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+    SELECT coalesce(priority, '<pre-schema>') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+    tags=("schema", "setop"),
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: the v1 extract predates the ``priority``
+    column, v2 carries it — ``unionByName(allowMissingColumns=True)``
+    aligns by NAME and null-fills the missing column (positional UNION
+    would mis-bind or reject), the API twin of the parquet
+    schema-evolution scan (D43) for in-flight relations.
+
+    Null-filled rows surface as an explicit ``<pre-schema>`` bucket —
+    absence is accounted, not silently mixed.  Pure projection + one
+    hash aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = o.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", cents.alias("cents")
+    )
+    v2 = o.filter(F.col("o_orderdate") >= "1998-01-01").select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy(
+            F.coalesce("priority", F.lit("<pre-schema>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("priority")
+    )
