@@ -1762,3 +1762,109 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup (keep first occurrence corpus-wide)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_line_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source, i AS line_idx,
+             array_to_string(ts[(i * 10 + 1):(i * 10 + 10)], ' ') AS line,
+             least(10, len(ts) - i * 10) AS n_toks
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(ts) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    firsts AS (
+      SELECT line,
+             CAST(count(*) AS BIGINT) AS occ,
+             min(struct_pack(d := doc_id, i := line_idx)) AS keeper
+      FROM lines GROUP BY line
+    )
+    SELECT l.source,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE f.occ = 1
+                 OR (f.keeper.d = l.doc_id AND f.keeper.i = l.line_idx))
+                AS BIGINT) AS n_lines_kept,
+           CAST(coalesce(sum(l.n_toks) FILTER (WHERE f.occ > 1
+                 AND NOT (f.keeper.d = l.doc_id AND f.keeper.i = l.line_idx)),
+                0) AS BIGINT) AS tokens_removed
+    FROM lines l JOIN firsts f USING (line)
+    GROUP BY l.source ORDER BY l.source
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level deduplication: every document splits into
+    fixed 10-token lines, any line occurring more than once CORPUS-WIDE
+    is removed everywhere except its first occurrence (min (doc, idx)
+    — ingestion order), with per-source kept/removed token accounting —
+    the sub-document dedup pass (C4 §2.2 ran it on real newlines) that
+    doc-level and near-dup passes both miss (boilerplate repeated
+    across otherwise-unique pages).
+
+    Scale shape: the line explode is an in-row ``transform`` over the
+    token array (|tokens|/10 rows); the first-occurrence election is ONE
+    min-struct aggregate keyed by line text (map-side combinable — no
+    window, no sort), and the verdict joins back on the line key — the
+    same postings shape as the dedup family, hot-line skew capped by the
+    same posting-frequency lever if needed.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    )
+    lines = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                """
+                transform(sequence(0, cast(ceil(size(ts) / 10.0) as int) - 1),
+                  i -> named_struct(
+                    'line', concat_ws(' ', slice(ts, i * 10 + 1, 10)),
+                    'n_toks', least(10, size(ts) - i * 10)))
+                """
+            )
+        ).alias("line_idx", "l"),
+    ).select(
+        "doc_id",
+        "source",
+        "line_idx",
+        F.col("l.line").alias("line"),
+        F.col("l.n_toks").alias("n_toks"),
+    )
+    firsts = lines.groupBy("line").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("line_idx").alias("i"))).alias(
+            "keeper"
+        ),
+    )
+    j = lines.join(firsts, "line")
+    is_keeper = (F.col("keeper.d") == F.col("doc_id")) & (
+        F.col("keeper.i") == F.col("line_idx")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(
+                F.when((F.col("occ") == 1) | is_keeper, 1)
+            ).alias("n_lines_kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("occ") > 1) & ~is_keeper, F.col("n_toks")
+                    )
+                ),
+                F.lit(0),
+            ).alias("tokens_removed"),
+        )
+        .orderBy("source")
+    )
