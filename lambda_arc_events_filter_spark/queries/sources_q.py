@@ -944,3 +944,185 @@ def sql_cache_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         spark.sql("UNCACHE TABLE IF EXISTS _cached_open_orders")
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named-argument binding)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sql", "frontdoor"),
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(..., args={...})``): the
+    prepared-statement front door — thresholds arrive as TYPED
+    parameters, not string-spliced literals, so the same plan template
+    serves any binding and injection is structurally impossible.  The
+    oracle bakes the same values in as literals; equality proves the
+    binding reaches the plan as the right types (DOUBLE threshold,
+    TIMESTAMP cutoff).
+
+    Catalyst sees the bound literals before optimization, so pushdown/
+    pruning work exactly as with inline constants — parameterization
+    costs nothing at plan quality.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               sum(cast(round(o_totalprice * 100) AS BIGINT))
+                 AS revenue_cents
+        FROM orders_pq
+        WHERE o_totalprice >= :min_price AND o_orderdate >= :since
+        GROUP BY 1 ORDER BY 1
+        """,
+        args={
+            "min_price": 150000.0,
+            "since": "1996-01-01 00:00:00",
+        },
+    ).select(
+        "priority",
+        "n_orders",
+        "revenue_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (BEGIN/DECLARE/WHILE control flow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_scripting_iterative",
+    oracle="""
+    WITH RECURSIVE n AS (SELECT count(*) AS n FROM orders),
+    doubling AS (
+      SELECT 0 AS k, CAST(1 AS BIGINT) AS cap
+      UNION ALL
+      SELECT k + 1, cap * 2 FROM doubling, n WHERE cap < n.n
+    )
+    SELECT CAST(max(k) AS INT) AS k, CAST(max(cap) AS BIGINT) AS cap,
+           CAST(max(n.n) AS BIGINT) AS n_orders
+    FROM doubling, n
+    """,
+    tags=("sql", "frontdoor", "iterative"),
+)
+def sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 ``BEGIN … END`` procedural blocks): a
+    DECLARE/WHILE loop doubles a capacity until it covers the order
+    count — the smallest power-of-two shard budget — exercising
+    variables, data-driven loop bounds, and a table read INSIDE the
+    script.  The oracle runs the identical iteration as a recursive CTE
+    (exact integer doubling — no float log2 whose boundary could flip
+    at an exact power of two).
+
+    Control flow runs on the DRIVER; each statement inside the loop is
+    still a full Catalyst plan, so scripting composes orchestration
+    without giving up distributed execution — the stored-procedure
+    migration path for warehouse workloads.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        out = spark.sql(
+            """
+            BEGIN
+              DECLARE n BIGINT DEFAULT 0;
+              DECLARE k INT DEFAULT 0;
+              DECLARE cap BIGINT DEFAULT 1;
+              SET n = (SELECT count(*) FROM orders_script);
+              WHILE cap < n DO
+                SET cap = cap * 2;
+                SET k = k + 1;
+              END WHILE;
+              SELECT k, cap, n AS n_orders;
+            END
+            """
+        )
+        # materialize before the conf reverts (scripting executes lazily
+        # per-statement but the returned frame is the final SELECT)
+        rows = out.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python sink round-trip (DataSource writer API)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "custom_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sink", "source"),
+)
+def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write → read through the engine's custom PYTHON SINK
+    (``sources/pyds.py::JsonlAuditDataSource``, Spark-4 DataSource
+    writer API): the per-type aggregate lands as one JSON-lines part
+    per partition, the driver-side ``commit`` publishes an atomic
+    ``_MANIFEST.json`` (per-part row counts — tasks that never
+    committed stay invisible), and the query re-reads the parts THROUGH
+    the manifest and re-aggregates.  Oracle equality proves the sink is
+    lossless and the manifest accounting is exact.
+
+    This completes the connector seam: D13 = custom batch reader,
+    Y1 = custom streaming reader, this = custom writer — the three
+    faces a JVM-less destination needs.
+    """
+    import json
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from lambda_arc_events_filter_spark.sources.pyds import (
+        register_jsonl_audit,
+    )
+
+    register_jsonl_audit(spark)
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"jsonl_audit_{_uuid.uuid4().hex[:8]}"
+    )
+    agg.repartition(4).write.format("jsonl_audit").option(
+        "path", path
+    ).mode("append").save()
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    parts = [p["path"] for p in manifest["parts"]]
+    back = spark.read.schema(
+        "event_type string, n_events bigint, value_cents bigint"
+    ).json(parts)
+    if manifest["total_rows"] != back.count():
+        raise AssertionError("manifest row count disagrees with re-read")
+    return back.orderBy("event_type")

@@ -220,3 +220,100 @@ def register_events_stream_chunks(spark) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(make_events_stream_chunks_datasource())
         _REGISTERED.add(key)
+
+
+def make_jsonl_audit_datasource():
+    """Custom Python batch SINK (Spark-4 DataSource writer API): writes
+    one JSON-lines part file per input partition plus a driver-side
+    ``_MANIFEST.json`` recording per-part row counts — the audit-sink
+    connector shape (a REST batch uploader, an internal archive format)
+    for destinations with no JVM writer.
+
+    Writer protocol: each task's ``write(iterator)`` returns a
+    WriterCommitMessage; the driver's ``commit(messages)`` runs ONLY
+    after every task succeeded — exactly-once lands on the manifest
+    write being the atomic publish step (readers resolve parts through
+    the manifest, so uncommitted part files are invisible).  Classes are
+    closure-local per the module's serialization rule.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _PartMessage(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options: dict):
+            path = options.get("path")
+            if not path:
+                raise ValueError("jsonl_audit requires option 'path'")
+            self.path = path
+
+        def write(self, iterator):
+            import json
+            import os
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            part = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            n = 0
+            with open(part, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return _PartMessage(part, n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = {
+                "parts": sorted(
+                    (
+                        {"path": m.path, "n_rows": m.n_rows}
+                        for m in messages
+                        if m is not None
+                    ),
+                    key=lambda d: d["path"],
+                ),
+                "total_rows": sum(m.n_rows for m in messages if m),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            import os
+            import shutil
+
+            if os.path.isdir(self.path):
+                shutil.rmtree(self.path, ignore_errors=True)
+
+    class JsonlAuditDataSource(DataSource):
+        """``df.write.format("jsonl_audit").option("path", p).save()``"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_audit"
+
+        def writer(self, schema, overwrite) -> _JsonlWriter:
+            return _JsonlWriter(self.options)
+
+    return JsonlAuditDataSource
+
+
+def register_jsonl_audit(spark) -> None:
+    """Idempotently register the audit sink with this session."""
+    if not PYDS_AVAILABLE:
+        raise RuntimeError(
+            "pyspark.sql.datasource API not available in this Spark"
+        )
+    key = ("jsonl_audit", spark.sparkContext.applicationId)
+    if key not in _REGISTERED:
+        spark.dataSource.register(make_jsonl_audit_datasource())
+        _REGISTERED.add(key)
