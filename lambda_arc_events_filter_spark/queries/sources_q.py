@@ -1019,6 +1019,7 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM doubling, n
     """,
     tags=("sql", "frontdoor", "iterative"),
+    plan_cache=False,  # fn runs the script and materializes rows per call
 )
 def sql_scripting_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scripting (Spark 4 ``BEGIN … END`` procedural blocks): a
@@ -1126,3 +1127,64 @@ def custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if manifest["total_rows"] != back.count():
         raise AssertionError("manifest row count disagrees with re-read")
     return back.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# pandas-API-on-Spark front door
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_api_frontdoor",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sql", "frontdoor"),
+)
+def pandas_api_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third front door: pandas API on Spark (``pyspark.pandas``) —
+    the same aggregate written as idiomatic pandas (``groupby`` +
+    ``agg``) plans through Catalyst like the DataFrame and SQL doors
+    (E2), so a pandas-fluent user keeps their idiom and gets distributed
+    execution.  Oracle equality proves all three doors reach the same
+    answer.
+
+    The one scale trap this query demonstrates avoiding: a default
+    ps.DataFrame conversion attaches a DISTRIBUTED-SEQUENCE index (a
+    global zipWithIndex — an extra pass over the data); converting with
+    the existing frame and aggregating straight away keeps the plan
+    index-free.  Money goes to integer cents BEFORE the pandas-side sum
+    so the aggregate stays in the exact-integer discipline.
+    """
+    import pyspark.pandas as ps
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    psdf = e.pandas_api()
+    out = (
+        psdf.groupby("event_type")
+        .agg(
+            n_events=("cents", "count"),
+            value_cents=("cents", "sum"),
+            n_users=("user_id", "nunique"),
+        )
+        .reset_index()
+    )
+    return (
+        out.to_spark()
+        .select(
+            "event_type",
+            F.col("n_events").cast("long"),
+            F.col("value_cents").cast("long"),
+            F.col("n_users").cast("long"),
+        )
+        .orderBy("event_type")
+    )
