@@ -1639,3 +1639,111 @@ def corpus_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source term distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+    pairs AS (
+      SELECT sp.sa AS source_a, sp.sb AS source_b,
+             coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb,
+             na.n AS na, nb.n AS nb
+      FROM (SELECT DISTINCT a.source AS sa, b.source AS sb
+            FROM tot a JOIN tot b ON a.source < b.source) sp
+      JOIN tot na ON na.source = sp.sa
+      JOIN tot nb ON nb.source = sp.sb
+      JOIN (SELECT DISTINCT term FROM st) t ON TRUE
+      LEFT JOIN st a ON a.source = sp.sa AND a.term = t.term
+      LEFT JOIN st b ON b.source = sp.sb AND b.term = t.term
+      WHERE coalesce(a.c, 0) + coalesce(b.c, 0) > 0
+    ),
+    terms AS (
+      SELECT source_a, source_b,
+             CAST(ca AS DOUBLE) / na AS p,
+             CAST(cb AS DOUBLE) / nb AS q
+      FROM pairs
+    )
+    SELECT source_a, source_b,
+           round(sum(
+             CASE WHEN p > 0 THEN 0.5 * p * ln(p / (0.5 * (p + q)))
+                  ELSE 0 END
+             + CASE WHEN q > 0 THEN 0.5 * q * ln(q / (0.5 * (p + q)))
+                    ELSE 0 END), 6) AS jsd
+    FROM terms
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "text", "agg"),
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every source PAIR's term
+    distribution — the symmetric, bounded (≤ ln 2) corpus-drift measure
+    that KL (D51) isn't: JSD treats both sides evenly and never blows
+    up on one-sided terms, which is why mixture-design work quotes it.
+
+    Scale shape: one (source, term) count pass; the pair expansion is
+    an OUTER postings alignment — distinct terms × bounded source pairs
+    via two left joins against the per-source counts — never a corpus
+    re-scan per pair.  Counts exact; each term's contribution is one
+    identical-op float expression; zero-sided terms contribute only
+    their present side (0·ln0 = 0 convention), and the final sum rounds
+    to 6.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = st.localCheckpoint(eager=False)
+    tot = st.groupBy("source").agg(F.sum("c").alias("n"))
+    sp = (
+        tot.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+        .crossJoin(
+            tot.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+        )
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    terms = st.select("term").distinct()
+    a = st.select(
+        F.col("source").alias("sa"),
+        F.col("term").alias("term"),
+        F.col("c").alias("ca"),
+    )
+    b = st.select(
+        F.col("source").alias("sb"),
+        F.col("term").alias("term"),
+        F.col("c").alias("cb"),
+    )
+    grid = sp.crossJoin(terms).join(a, ["sa", "term"], "left").join(
+        b, ["sb", "term"], "left"
+    )
+    ca = F.coalesce("ca", F.lit(0))
+    cb = F.coalesce("cb", F.lit(0))
+    p = ca.cast("double") / F.col("na")
+    q = cb.cast("double") / F.col("nb")
+    m = F.lit(0.5) * (p + q)
+    contrib = F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    return (
+        grid.filter(ca + cb > 0)
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            contrib.alias("j"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.sum("j"), 6).alias("jsd"))
+        .orderBy("source_a", "source_b")
+    )

@@ -3440,3 +3440,72 @@ def nations_welch_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bh_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion index of daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_overdispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_daily,
+           round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (n - 1), 6) AS var_daily,
+           round(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) / (CAST(s AS DOUBLE) / n), 6)
+             AS dispersion_index,
+           round((n - 1) * ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                  / (n - 1)) / (CAST(s AS DOUBLE) / n), 6)
+             AS chi2_stat
+    FROM m ORDER BY event_type
+    """,
+    tags=("stats", "timeseries"),
+)
+def events_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screening: the index of dispersion (sample
+    variance over mean) of each event type's daily counts, with the
+    (n−1)·D chi-square statistic — the test that tells a capacity
+    planner whether arrivals are Poisson-like (D≈1, queueing math
+    applies) or bursty (D≫1, provision for spikes; the negative-binomial
+    regime).
+
+    One map-side-combinable daily rollup, then exact integer moments per
+    type (counts² stay far under 2⁶³ at daily granularity) and
+    identical-op float ratios rounded to 6.  Everything after the
+    rollup is |types|×|days| rows.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    mean = s.cast("double") / n
+    var = (q.cast("double") - s.cast("double") * s / n) / (n - 1)
+    return m.select(
+        "event_type",
+        n.alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.round((n - 1) * var / mean, 6).alias("chi2_stat"),
+    ).orderBy("event_type")
