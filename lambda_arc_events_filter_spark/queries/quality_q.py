@@ -2019,3 +2019,257 @@ def events_ip_cidr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ip_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain conversion prob)
+# ---------------------------------------------------------------------------
+
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+_MARKOV_ITERS = 12
+
+
+@register(
+    "events_attribution_markov_removal",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS st,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, st,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    rn AS (
+      SELECT user_id, sid, st,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    cut AS (
+      SELECT user_id, sid,
+             min(CASE WHEN st = 'CONV' THEN rn END) AS conv_rn,
+             max(rn) AS last_rn
+      FROM rn GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT r.user_id, r.sid, r.st, r.rn, c.conv_rn, c.last_rn
+      FROM rn r JOIN cut c USING (user_id, sid)
+      WHERE c.conv_rn IS NULL OR r.rn <= c.conv_rn
+    ),
+    base_edges AS (
+      SELECT coalesce(lag(st) OVER (PARTITION BY user_id, sid ORDER BY rn),
+                      'START') AS src,
+             st AS dst
+      FROM kept
+      UNION ALL
+      SELECT st, 'NULL'
+      FROM kept WHERE conv_rn IS NULL AND rn = last_rn
+    ),
+    scen AS (
+      SELECT unnest(['full', 'click', 'error', 'signup', 'view'])
+               AS scenario
+    ),
+    mod_edges AS (
+      SELECT s.scenario, b.src,
+             CASE WHEN b.dst = s.scenario THEN 'NULL' ELSE b.dst END AS dst,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM base_edges b CROSS JOIN scen s
+      WHERE b.src <> s.scenario
+      GROUP BY 1, 2, 3
+    ),
+    probs AS (
+      SELECT scenario, src, dst,
+             CAST(cnt AS DOUBLE)
+               / sum(cnt) OVER (PARTITION BY scenario, src) AS p
+      FROM mod_edges
+    ),
+    states AS (
+      -- explicit-distinct over UNION ALL: inside WITH RECURSIVE, DuckDB
+      -- parses a bare A UNION B CTE body with recursive-union machinery
+      -- and does NOT dedup — duplicated absorbing rows then double-count
+      -- v=1 contributions (found here: full-scenario p_conv inflated
+      -- 0.2114 → 0.2207)
+      SELECT DISTINCT scenario, st FROM (
+        SELECT scenario, src AS st FROM probs
+        UNION ALL SELECT scenario, dst FROM probs
+      )
+    ),
+    it AS (
+      -- CAST to DOUBLE: bare 1.0/0.0 literals type the recursion at
+      -- DECIMAL(2,1), quantizing every iterate to one decimal place
+      SELECT 0 AS k, scenario, st,
+             CAST(CASE WHEN st = 'CONV' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+               AS v
+      FROM states
+      UNION ALL
+      SELECT * FROM (
+        SELECT i.k + 1 AS k, s.scenario, s.st,
+               CAST(CASE WHEN s.st = 'CONV' THEN 1.0
+                    WHEN s.st = 'NULL' THEN 0.0
+                    ELSE round(coalesce(sum(e.p * i.v), 0), 9) END
+                    AS DOUBLE) AS v
+        FROM states s
+        JOIN it i ON i.scenario = s.scenario
+        LEFT JOIN probs e ON e.scenario = s.scenario
+                         AND e.src = s.st AND e.dst = i.st
+        GROUP BY i.k, s.scenario, s.st
+      ) WHERE k <= {_MARKOV_ITERS}
+    ),
+    final AS (
+      SELECT scenario, v FROM it
+      WHERE k = {_MARKOV_ITERS} AND st = 'START'
+    )
+    SELECT c.scenario AS channel,
+           round(f.v, 6) AS p_conv_full,
+           round(c.v, 6) AS p_conv_without,
+           round(1 - c.v / f.v, 6) AS removal_effect
+    FROM final c, final f
+    WHERE f.scenario = 'full' AND c.scenario <> 'full'
+    ORDER BY channel
+    """,
+    tags=("events", "graph", "iterative"),
+)
+def events_attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov-chain attribution with REMOVAL EFFECTS: sessions become
+    first-order paths (START → channels → CONV at the first purchase, or
+    NULL on abandonment), and each channel's credit is how much the
+    absorbing-chain conversion probability DROPS when that channel's
+    node is deleted (in-edges rerouted to NULL, out-edges removed) — the
+    data-driven alternative to last-touch heuristics
+    (``events_attribution_touch``), which by construction credits
+    channels for paths they actually carry.
+
+    Absorption probabilities come from {_MARKOV_ITERS} SYNCHRONIZED
+    value-iteration rounds (v ← T·v with CONV pinned 1, NULL pinned 0),
+    every round rounded to 9 — both engines run the identical iteration,
+    so parity holds by construction whether or not the chain has fully
+    converged (it has: spectral radius of the transient block ≪ 1 at
+    session path lengths).  All 5 removal scenarios iterate TOGETHER as
+    one scenario-keyed relation — one plan, not 5.
+
+    Scale shape: path/edge extraction is the sessionize machinery (one
+    user-keyed exchange); everything after is a ≤(7 states × 5
+    scenarios) relation — iteration cost is independent of data volume,
+    which is exactly why Markov attribution runs daily on ad-platform
+    fact tables.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn(
+            "st",
+            F.when(F.col("event_type") == "purchase", "CONV").otherwise(
+                F.col("event_type")
+            ),
+        )
+        .withColumn("_new", new_sess)
+        .withColumn("sid", F.sum("_new").over(run_w))
+    )
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    rn = sess.withColumn("rn", F.row_number().over(w_s))
+    cut = rn.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("st") == "CONV", F.col("rn"))).alias("conv_rn"),
+        F.max("rn").alias("last_rn"),
+    )
+    kept = rn.join(cut, ["user_id", "sid"]).filter(
+        F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
+    )
+    w_k = Window.partitionBy("user_id", "sid").orderBy("rn")
+    inner = kept.select(
+        F.coalesce(F.lag("st").over(w_k), F.lit("START")).alias("src"),
+        F.col("st").alias("dst"),
+    )
+    terminal = kept.filter(
+        F.col("conv_rn").isNull() & (F.col("rn") == F.col("last_rn"))
+    ).select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
+    base_edges = inner.unionAll(terminal)
+    scen = spark.createDataFrame(
+        [("full",)] + [(c,) for c in _MARKOV_CHANNELS], "scenario string"
+    )
+    mod = (
+        base_edges.crossJoin(F.broadcast(scen))
+        .filter(F.col("src") != F.col("scenario"))
+        .select(
+            "scenario",
+            "src",
+            F.when(F.col("dst") == F.col("scenario"), "NULL")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_src = Window.partitionBy("scenario", "src")
+    probs = mod.select(
+        "scenario",
+        "src",
+        "dst",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w_src)).alias("p"),
+    ).localCheckpoint(eager=False)
+    states = (
+        probs.select("scenario", F.col("src").alias("st"))
+        .union(probs.select("scenario", F.col("dst").alias("st")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    v = states.select(
+        "scenario",
+        "st",
+        F.when(F.col("st") == "CONV", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        contrib = (
+            probs.join(
+                v.select(
+                    "scenario", F.col("st").alias("dst"), F.col("v").alias("pv")
+                ),
+                ["scenario", "dst"],
+            )
+            .groupBy("scenario", F.col("src").alias("st"))
+            .agg(F.round(F.sum(F.col("p") * F.col("pv")), 9).alias("nv"))
+        )
+        v = states.join(contrib, ["scenario", "st"], "left").select(
+            "scenario",
+            "st",
+            F.when(F.col("st") == "CONV", F.lit(1.0))
+            .when(F.col("st") == "NULL", F.lit(0.0))
+            .otherwise(F.coalesce("nv", F.lit(0.0)))
+            .alias("v"),
+        )
+    final = v.filter(F.col("st") == "START").select("scenario", "v")
+    full = final.filter(F.col("scenario") == "full").select(
+        F.col("v").alias("v_full")
+    )
+    return (
+        final.filter(F.col("scenario") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("scenario").alias("channel"),
+            F.round("v_full", 6).alias("p_conv_full"),
+            F.round("v", 6).alias("p_conv_without"),
+            F.round(
+                F.lit(1.0) - F.col("v") / F.col("v_full"), 6
+            ).alias("removal_effect"),
+        )
+        .orderBy("channel")
+    )
