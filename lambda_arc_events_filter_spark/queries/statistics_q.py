@@ -3509,3 +3509,116 @@ def events_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 6).alias("dispersion_index"),
         F.round((n - 1) * var / mean, 6).alias("chi2_stat"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anova_oneway",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM v GROUP BY 1
+    ),
+    packed AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss,
+             CAST(sum(q) AS HUGEINT) AS qq,
+             list(CAST(s AS DOUBLE) * s / n ORDER BY event_type) AS terms
+      FROM g
+    ),
+    parts AS (
+      SELECT k, nn,
+             list_reduce(terms, (a, b) -> a + b) AS sgn,
+             CAST(qq AS DOUBLE) AS qd,
+             CAST(ss AS DOUBLE) * ss / nn AS grand
+      FROM packed
+    )
+    SELECT CAST(k AS INT) AS k_groups, nn AS n_total,
+           round(sgn - grand, 4) AS ss_between,
+           round(qd - sgn, 4) AS ss_within,
+           round(((sgn - grand) / (k - 1)) / ((qd - sgn) / (nn - k)), 6)
+             AS f_stat
+    FROM parts
+    """,
+    tags=("stats", "inference"),
+)
+def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean event value differ ACROSS the five event
+    types?  F = (SS_between/(k−1)) / (SS_within/(N−k)) — the k-group
+    generalization of the two-sample tests (Welch z, Mann-Whitney)
+    already in the suite, and the gatekeeper before any per-pair
+    comparison matrix.
+
+    Exactness discipline, two layers: per-group moments are exact
+    integers (Σx in cents, Σx² in DECIMAL(38)/HUGEINT), and the ONE
+    cross-group float reduction — Σᵍ s²ᵍ/nᵍ, whose 5 terms an engine may
+    otherwise sum in any order — folds left-to-right over the
+    event-type-SORTED term list on both engines (the EWMA fold pattern),
+    because a free-order sum measurably flipped the 4th decimal of SSB
+    at sf0.01 (~1e-12 relative drift landing on a round boundary).  One
+    map-side-combinable aggregate; the statistic is arithmetic on a
+    1-row relation.
+    """
+    v = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("x")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    packed = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "event_type",
+                    (
+                        F.col("s").cast("double") * F.col("s") / F.col("n")
+                    ).alias("t"),
+                )
+            )
+        ).alias("arr"),
+    )
+    # DuckDB's list_reduce seeds with the first element; mirror that:
+    # fold the tail onto the head (same op sequence on both engines)
+    sgn = F.expr(
+        "aggregate(slice(transform(arr, x -> x.t), 2, size(arr) - 1),"
+        " transform(arr, x -> x.t)[0], (a, b) -> a + b)"
+    )
+    parts = packed.select(
+        "k",
+        "nn",
+        sgn.alias("sgn"),
+        F.col("qq").cast("double").alias("qd"),
+        (F.col("ss").cast("double") * F.col("ss") / F.col("nn")).alias(
+            "grand"
+        ),
+    )
+    ssb = F.col("sgn") - F.col("grand")
+    ssw = F.col("qd") - F.col("sgn")
+    return parts.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
