@@ -3622,3 +3622,148 @@ def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Raking / iterative proportional fitting (post-stratification weights)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_raking_ipf",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et, CAST(isodow(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(DISTINCT et) AS BIGINT) AS k FROM cells),
+    colt AS (SELECT dow, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    w0 AS (SELECT et, dow, c, CAST(c AS DOUBLE) AS w FROM cells),
+    rm1 AS (
+      SELECT et, list_reduce(list(w ORDER BY dow), (a, b) -> a + b) AS m
+      FROM w0 GROUP BY et
+    ),
+    w1 AS (
+      SELECT w0.et, w0.dow, w0.c,
+             w0.w * ((CAST(t.n AS DOUBLE) / t.k) / rm1.m) AS w
+      FROM w0 JOIN rm1 USING (et) CROSS JOIN tot t
+    ),
+    cm1 AS (
+      SELECT dow, list_reduce(list(w ORDER BY et), (a, b) -> a + b) AS m
+      FROM w1 GROUP BY dow
+    ),
+    w2 AS (
+      SELECT w1.et, w1.dow, w1.c,
+             w1.w * (CAST(colt.ct AS DOUBLE) / cm1.m) AS w
+      FROM w1 JOIN cm1 USING (dow) JOIN colt USING (dow)
+    ),
+    rm2 AS (
+      SELECT et, list_reduce(list(w ORDER BY dow), (a, b) -> a + b) AS m
+      FROM w2 GROUP BY et
+    ),
+    w3 AS (
+      SELECT w2.et, w2.dow, w2.c,
+             w2.w * ((CAST(t.n AS DOUBLE) / t.k) / rm2.m) AS w
+      FROM w2 JOIN rm2 USING (et) CROSS JOIN tot t
+    ),
+    cm2 AS (
+      SELECT dow, list_reduce(list(w ORDER BY et), (a, b) -> a + b) AS m
+      FROM w3 GROUP BY dow
+    ),
+    w4 AS (
+      SELECT w3.et, w3.dow, w3.c,
+             w3.w * (CAST(colt.ct AS DOUBLE) / cm2.m) AS w
+      FROM w3 JOIN cm2 USING (dow) JOIN colt USING (dow)
+    )
+    SELECT et AS event_type, dow, c AS n_obs,
+           round(w, 6) AS raked_weighted_n,
+           round(w / c, 6) AS unit_weight
+    FROM w4 ORDER BY et, dow
+    """,
+    tags=("stats", "weighting", "iterative"),
+)
+def events_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking (iterative proportional fitting): re-weight the (event
+    type × ISO weekday) contingency table so the EVENT-TYPE margin
+    becomes uniform (the design target) while the WEEKDAY margin stays
+    at its observed totals — two full IPF rounds (row-fit, column-fit,
+    twice), the post-stratification machinery survey statistics and ads
+    calibration run over activity tables.
+
+    Every margin reduction — the only cross-row float sums — folds
+    left-to-right over a key-SORTED weight list on BOTH engines (the
+    ANOVA/EWMA fold pattern), so all four half-steps produce
+    bit-identical weights with no per-step rounding needed; cell counts
+    and target margins are exact integers.  The table is |types|×7
+    cells after one map-side-combinable aggregate — iteration cost is
+    volume-independent.  ``unit_weight`` is what a downstream estimator
+    multiplies each observation by.
+    """
+    e = load(spark, sf_dir, "events")
+    # ISO weekday: Spark weekday() is 0=Mon..6=Sun; isodow is 1..7
+    cells = e.groupBy(
+        F.col("event_type").alias("et"),
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.countDistinct("et").alias("k")
+    )
+    colt = cells.groupBy("dow").agg(F.sum("c").alias("ct"))
+
+    def fold_margin(df, key, order_key):
+        arr = F.sort_array(
+            F.collect_list(F.struct(F.col(order_key).alias("o"), F.col("w")))
+        )
+        folded = F.expr(
+            "aggregate(slice(transform(_arr, x -> x.w), 2, size(_arr) - 1),"
+            " transform(_arr, x -> x.w)[0], (a, b) -> a + b)"
+        )
+        return (
+            df.groupBy(key)
+            .agg(arr.alias("_arr"))
+            .select(key, folded.alias("m"))
+        )
+
+    w = cells.select("et", "dow", "c", F.col("c").cast("double").alias("w"))
+    for _ in range(2):
+        rm = fold_margin(w, "et", "dow")
+        w = (
+            w.join(F.broadcast(rm), "et")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "et",
+                "dow",
+                "c",
+                (
+                    F.col("w")
+                    * (
+                        (F.col("n").cast("double") / F.col("k"))
+                        / F.col("m")
+                    )
+                ).alias("w"),
+            )
+        )
+        cm = fold_margin(w, "dow", "et")
+        w = (
+            w.join(F.broadcast(cm), "dow")
+            .join(F.broadcast(colt), "dow")
+            .select(
+                "et",
+                "dow",
+                "c",
+                (
+                    F.col("w")
+                    * (F.col("ct").cast("double") / F.col("m"))
+                ).alias("w"),
+            )
+        )
+    return w.select(
+        F.col("et").alias("event_type"),
+        "dow",
+        F.col("c").alias("n_obs"),
+        F.round("w", 6).alias("raked_weighted_n"),
+        F.round(F.col("w") / F.col("c"), 6).alias("unit_weight"),
+    ).orderBy("event_type", "dow")
