@@ -1747,3 +1747,115 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("j"), 6).alias("jsd"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyness: log-likelihood G² of terms, each source vs the rest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_keyness_llr",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS a
+      FROM tok GROUP BY 1, 2
+    ),
+    gt AS (SELECT term, CAST(sum(a) AS BIGINT) AS g FROM st GROUP BY 1),
+    srct AS (SELECT source, CAST(sum(a) AS BIGINT) AS n1 FROM st GROUP BY 1),
+    tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gt),
+    scored AS (
+      SELECT st.source, st.term, st.a, gt.g - st.a AS b,
+             2 * (
+               CASE WHEN st.a > 0 THEN st.a * ln(
+                 st.a / (s.n1 * (CAST(gt.g AS DOUBLE) / t.nn))) ELSE 0 END
+               + CASE WHEN gt.g - st.a > 0 THEN (gt.g - st.a) * ln(
+                 (gt.g - st.a) / ((t.nn - s.n1)
+                                  * (CAST(gt.g AS DOUBLE) / t.nn)))
+                 ELSE 0 END
+             ) AS g2,
+             CASE WHEN CAST(st.a AS DOUBLE) / s.n1
+                       > CAST(gt.g - st.a AS DOUBLE) / (t.nn - s.n1)
+                  THEN 1 ELSE -1 END AS direction
+      FROM st
+      JOIN gt USING (term)
+      JOIN srct s USING (source)
+      CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY g2 DESC, term) AS rk
+      FROM scored
+    )
+    SELECT source, CAST(rk AS INT) AS rank, term, a AS n_in_source,
+           b AS n_elsewhere, round(g2, 6) AS g2_keyness, direction
+    FROM ranked WHERE rk <= 3 ORDER BY source, rank
+    """,
+    tags=("llm", "text", "rank"),
+)
+def text_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness screening (Rayson-Garside log-likelihood G²): for every
+    source, the 3 terms whose frequency deviates most from the
+    rest-of-corpus expectation under the 2×2 contingency — "what words
+    make this slice sound like itself", the corpus-linguistics
+    complement of TF-IDF (which scores terms per DOCUMENT, not per
+    population split) and of the JSD/KL distribution-level measures.
+
+    Counts are exact integers; each G² is one identical-op float
+    expression (0·ln0 handled by the zero-branch convention), and the
+    per-source top-3 rides a source-partitioned rank window (Spark
+    plans the rk ≤ 3 filter as WindowGroupLimit — bounded per-partition
+    state).  ``direction`` flags over- vs under-use.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("a"))
+    st = st.localCheckpoint(eager=False)
+    gt = st.groupBy("term").agg(F.sum("a").alias("g"))
+    srct = st.groupBy("source").agg(F.sum("a").alias("n1"))
+    tot = gt.agg(F.sum("g").alias("nn"))
+    j = (
+        st.join(gt, "term")
+        .join(F.broadcast(srct), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.col("a")
+    b = F.col("g") - F.col("a")
+    p = F.col("g").cast("double") / F.col("nn")
+    n1, n2 = F.col("n1"), F.col("nn") - F.col("n1")
+    g2 = F.lit(2.0) * (
+        F.when(a > 0, a * F.log(a / (n1 * p))).otherwise(F.lit(0.0))
+        + F.when(b > 0, b * F.log(b / (n2 * p))).otherwise(F.lit(0.0))
+    )
+    direction = F.when(
+        a.cast("double") / n1 > b.cast("double") / n2, 1
+    ).otherwise(-1)
+    scored = j.select(
+        "source",
+        "term",
+        a.alias("n_in_source"),
+        b.alias("n_elsewhere"),
+        g2.alias("g2"),
+        direction.alias("direction"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "source",
+            "rank",
+            "term",
+            "n_in_source",
+            "n_elsewhere",
+            F.round("g2", 6).alias("g2_keyness"),
+            "direction",
+        )
+        .orderBy("source", "rank")
+    )
