@@ -2273,3 +2273,191 @@ def events_attribution_markov_removal(
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (exact integer coalition sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_shapley",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS st,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, st,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    rn AS (
+      SELECT user_id, sid, st,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    cut AS (
+      SELECT user_id, sid,
+             min(CASE WHEN st = 'CONV' THEN rn END) AS conv_rn
+      FROM rn GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT r.user_id, r.sid, r.st, c.conv_rn
+      FROM rn r JOIN cut c USING (user_id, sid)
+      WHERE c.conv_rn IS NULL OR r.rn <= c.conv_rn
+    ),
+    per_sess AS (
+      SELECT user_id, sid,
+             max(CASE WHEN st = 'CONV' THEN 1 ELSE 0 END) AS conv,
+             max(CASE WHEN st = 'click'  THEN 1 ELSE 0 END)
+             + 2 * max(CASE WHEN st = 'error'  THEN 1 ELSE 0 END)
+             + 4 * max(CASE WHEN st = 'signup' THEN 1 ELSE 0 END)
+             + 8 * max(CASE WHEN st = 'view'   THEN 1 ELSE 0 END) AS mask
+      FROM kept GROUP BY 1, 2
+    ),
+    convs AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS c
+      FROM per_sess WHERE conv = 1 GROUP BY mask
+    ),
+    subsets AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+      SELECT s.s, CAST(coalesce(sum(c.c), 0) AS BIGINT) AS v
+      FROM subsets s LEFT JOIN convs c ON (c.mask & ~s.s) = 0
+      GROUP BY s.s
+    ),
+    ch AS (
+      SELECT unnest(['click', 'error', 'signup', 'view']) AS channel,
+             unnest([1, 2, 4, 8]) AS bit
+    ),
+    phi AS (
+      SELECT ch.channel,
+             CAST(sum(
+               CASE bit_count(CAST(vs.s AS BIGINT))
+                    WHEN 0 THEN 6 WHEN 1 THEN 2
+                    WHEN 2 THEN 2 ELSE 6 END
+               * (vc.v - vs.v)) AS BIGINT) AS phi24
+      FROM ch
+      JOIN v vs ON (vs.s & ch.bit) = 0
+      JOIN v vc ON vc.s = (vs.s | ch.bit)
+      GROUP BY ch.channel
+    )
+    SELECT channel, phi24,
+           round(CAST(phi24 AS DOUBLE) / 24, 6) AS shapley_conversions
+    FROM phi ORDER BY channel
+    """,
+    tags=("events", "graph"),
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution — the coalition-game companion to the
+    Markov removal effects: the characteristic function v(S) counts
+    conversions whose pre-purchase touched-channel SET fits inside
+    coalition S, and each channel's credit is its exact Shapley value
+    over the 4-channel game.  Order-free by construction (it credits
+    presence, where Markov credits transition structure — the two
+    standard data-driven attribution models, now both in the suite).
+
+    EXACT INTEGER throughout: per-session masks → conversion counts per
+    mask (16 cells) → v(S) by subset-containment join (``mask & ~S =
+    0``) → Shapley sums scaled by 4! = 24, where the coefficient
+    |S|!(3−|S|)! ∈ {6,2,2,6} makes φ·24 a pure integer combination of
+    counts; the ONLY division is the final /24 display ratio.
+    Efficiency (Σφ = v(full) − v(∅)) and monotonicity (φ ≥ 0, since
+    v is ⊆-monotone) hold exactly.  Scale shape: one sessionize
+    exchange collapses the fact table to per-session masks; everything
+    after is a 16-row lattice.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn(
+            "st",
+            F.when(F.col("event_type") == "purchase", "CONV").otherwise(
+                F.col("event_type")
+            ),
+        )
+        .withColumn("_new", new_sess)
+        .withColumn("sid", F.sum("_new").over(run_w))
+    )
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    rn = sess.withColumn("rn", F.row_number().over(w_s))
+    cut = rn.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("st") == "CONV", F.col("rn"))).alias("conv_rn")
+    )
+    kept = rn.join(cut, ["user_id", "sid"]).filter(
+        F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
+    )
+
+    def touched(ch):
+        return F.max(F.when(F.col("st") == ch, 1).otherwise(0))
+
+    per_sess = kept.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("st") == "CONV", 1).otherwise(0)).alias("conv"),
+        (
+            touched("click")
+            + 2 * touched("error")
+            + 4 * touched("signup")
+            + 8 * touched("view")
+        ).alias("mask"),
+    )
+    convs = (
+        per_sess.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    subsets = spark.range(0, 16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(convs),
+            (F.col("mask").bitwiseAND(F.bitwise_not(F.col("s")))) == 0,
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    weight = (
+        F.when(F.bit_count(F.col("s").cast("long")) == 0, 6)
+        .when(F.bit_count(F.col("s").cast("long")) == 1, 2)
+        .when(F.bit_count(F.col("s").cast("long")) == 2, 2)
+        .otherwise(6)
+    )
+    vs = v.select(F.col("s"), F.col("v").alias("v_s"))
+    vc = v.select(F.col("s").alias("s_c"), F.col("v").alias("v_sc"))
+    phi = (
+        F.broadcast(ch)
+        .join(F.broadcast(vs), (F.col("s").bitwiseAND(F.col("bit"))) == 0)
+        .join(
+            F.broadcast(vc),
+            F.col("s_c") == (F.col("s").bitwiseOR(F.col("bit"))),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(weight * (F.col("v_sc") - F.col("v_s"))).alias("phi24")
+        )
+    )
+    return phi.select(
+        "channel",
+        "phi24",
+        F.round(F.col("phi24").cast("double") / 24, 6).alias(
+            "shapley_conversions"
+        ),
+    ).orderBy("channel")
