@@ -1859,3 +1859,85 @@ def text_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (Church-Gale: within-doc clumping of term occurrences)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_term_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dt AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    agg AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf,
+             CAST(sum(tf * tf) AS BIGINT) AS cf2
+      FROM dt GROUP BY term
+    )
+    SELECT term, df, cf,
+           round(CAST(cf AS DOUBLE) / df, 6) AS burstiness,
+           round((CAST(cf2 AS DOUBLE) - CAST(cf AS DOUBLE) * cf / nd)
+                 / (nd - 1)
+                 / (CAST(cf AS DOUBLE) / nd), 6) AS vmr
+    FROM agg, ndocs
+    ORDER BY cf DESC, term
+    LIMIT 50
+    """,
+    tags=("llm", "text", "agg"),
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church-Gale): for the 50 highest-frequency
+    terms, (a) occurrences per CONTAINING document (cf/df — a bursty
+    term clumps: high repeats in few docs) and (b) the variance-to-mean
+    ratio of per-document counts over the whole corpus (zeros included
+    via the moment identity — Poisson terms sit near 1, topical terms
+    far above) — the statistic separating function words from content
+    words that plain frequency can't, used by stop-list builders and
+    the repetition-quality gates.
+
+    One (term, doc) rollup then one term rollup, both map-side
+    combinable; the VMR assembles from exact integer moments with the
+    zero-docs correction folded into the identity (Σ over all docs of
+    tf² and tf equal the present-docs sums), so no per-doc zero rows
+    ever materialize.  Deterministic top-50 by (cf, term).
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dt = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    nd = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    agg = dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).alias("cf2"),
+    )
+    j = agg.crossJoin(F.broadcast(nd))
+    cf, df_, cf2, ndc = F.col("cf"), F.col("df"), F.col("cf2"), F.col("nd")
+    vmr = (
+        (cf2.cast("double") - cf.cast("double") * cf / ndc)
+        / (ndc - 1)
+        / (cf.cast("double") / ndc)
+    )
+    return (
+        j.select(
+            "term",
+            "df",
+            "cf",
+            F.round(cf.cast("double") / df_, 6).alias("burstiness"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+    )

@@ -1123,3 +1123,102 @@ def stream_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "dynsess", mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static SCD2 enrichment (as-of-event-time dimension join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_scd2_enrichment",
+    oracle="""
+    WITH bounds AS (
+      -- midpoint in EPOCH MICROS: interval/2 would halve the interval's
+      -- day and micro components separately (days floored), diverging
+      -- from the engine's total-microsecond halving by up to half a day
+      SELECT min(ts) AS lo, max(ts) AS hi,
+             make_timestamp(epoch_us(min(ts))
+                            + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2)
+               AS mid
+      FROM events
+    ),
+    dim AS (
+      SELECT user_id % 10 AS cohort, 'bronze' AS tier,
+             lo AS valid_from, mid AS valid_to
+      FROM (SELECT DISTINCT user_id % 10 AS user_id FROM events), bounds
+      UNION ALL
+      SELECT user_id % 10, CASE WHEN user_id % 10 < 5
+                                THEN 'silver' ELSE 'gold' END,
+             mid, hi + INTERVAL 1 SECOND
+      FROM (SELECT DISTINCT user_id % 10 AS user_id FROM events), bounds
+    )
+    SELECT d.tier, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN dim d ON d.cohort = e.user_id % 10
+              AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming", "join", "scd2"),
+)
+def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SCD2 enrichment: every streaming event joins the
+    dimension version VALID AT ITS EVENT TIME (key equi-condition + a
+    validity-interval range condition) — how a live feed picks up
+    slowly-changing attributes (customer tier, price list, consent
+    state) without reprocessing when the dimension changes.  The
+    synthetic dimension flips every cohort's tier at the fixture's
+    temporal midpoint, so both versions carry traffic.
+
+    Stream-static joins re-broadcast the dimension per micro-batch and
+    support arbitrary residual conditions — the range predicate rides
+    the broadcast hash join on the cohort key, no state store involved
+    (only stream-stream joins buffer).  Complete-mode count is the
+    verification harness; the oracle is the identical batch join.
+    """
+    ev = load(spark, sf_dir, "events")
+    # midpoint must match DuckDB's (max-min)/2 interval arithmetic at
+    # microsecond precision: compute in µs (floored halving both engines)
+    # and rebuild the timestamp
+    b = ev.agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.timestamp_micros(
+            F.unix_micros(F.min("ts"))
+            + F.call_function(
+                "div",
+                (
+                    F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+                ).cast("decimal(38,0)"),
+                F.lit(2).cast("decimal(38,0)"),
+            )
+        ).alias("mid"),
+    )
+    cohorts = ev.select((F.col("user_id") % 10).alias("cohort")).distinct()
+    v1 = cohorts.crossJoin(F.broadcast(b)).select(
+        "cohort",
+        F.lit("bronze").alias("tier"),
+        F.col("lo").alias("valid_from"),
+        F.col("mid").alias("valid_to"),
+    )
+    v2 = cohorts.crossJoin(F.broadcast(b)).select(
+        "cohort",
+        F.when(F.col("cohort") < 5, "silver").otherwise("gold").alias("tier"),
+        F.col("mid").alias("valid_from"),
+        (F.col("hi") + F.expr("INTERVAL 1 SECOND")).alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    s = events_stream(spark, sf_dir)
+    joined = s.join(
+        F.broadcast(dim),
+        ((F.col("user_id") % 10) == F.col("cohort"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")),
+    )
+    agg = joined.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return run_to_memory(agg, "scd2enrich", mode="complete").orderBy(
+        "tier", "event_type"
+    )
