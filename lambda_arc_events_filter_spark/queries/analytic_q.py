@@ -3258,3 +3258,100 @@ def orders_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFra
             F.when(F.col("actual") & ~F.col("candidate"), 1)
         ).alias("n_missed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mix-shift decomposition (within-segment vs composition effects)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_mix_shift_decomposition",
+    oracle="""
+    WITH seg AS (
+      SELECT o_orderpriority AS segment,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT y, CAST(sum(n) AS BIGINT) AS nt FROM seg GROUP BY 1
+    ),
+    w AS (
+      SELECT s.segment,
+             max(CASE WHEN s.y = 1996 THEN CAST(s.n AS DOUBLE) / t.nt END)
+               AS w1,
+             max(CASE WHEN s.y = 1997 THEN CAST(s.n AS DOUBLE) / t.nt END)
+               AS w2,
+             max(CASE WHEN s.y = 1996
+                      THEN CAST(s.cents AS DOUBLE) / s.n END) AS m1,
+             max(CASE WHEN s.y = 1997
+                      THEN CAST(s.cents AS DOUBLE) / s.n END) AS m2
+      FROM seg s JOIN tot t USING (y)
+      GROUP BY s.segment
+    )
+    SELECT segment,
+           round(w1, 6) AS share_1996, round(w2, 6) AS share_1997,
+           round(m1, 4) AS avg_cents_1996, round(m2, 4) AS avg_cents_1997,
+           round(w1 * (m2 - m1), 4) AS within_effect,
+           round((w2 - w1) * m2, 4) AS mix_effect
+    FROM w ORDER BY segment
+    """,
+    tags=("finance", "agg"),
+)
+def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition (the Oaxaca/index-number identity): the
+    1996→1997 change in overall average order value splits EXACTLY into
+    per-segment WITHIN effects (same mix, new averages: w₁·Δm) and MIX
+    effects (new averages, shifted composition: Δw·m₂), summing to the
+    total change by the telescoping identity Σw₂m₂ − Σw₁m₁ =
+    Σw₁(m₂−m₁) + Σ(w₂−w₁)m₂ — the "did we get better, or did our mix
+    change?" decomposition every revenue and people-analytics review
+    runs.
+
+    One (segment, year) integer aggregate over the pushed-down two-year
+    scan; shares and means are identical-op float ratios of exact
+    integers on a |segments|-row relation.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    seg = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_orderpriority").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    tot = seg.groupBy("y").agg(F.sum("n").alias("nt"))
+    j = seg.join(F.broadcast(tot), "y")
+    share = F.col("n").cast("double") / F.col("nt")
+    mean = F.col("cents").cast("double") / F.col("n")
+    w = j.groupBy("segment").agg(
+        F.max(F.when(F.col("y") == 1996, share)).alias("w1"),
+        F.max(F.when(F.col("y") == 1997, share)).alias("w2"),
+        F.max(F.when(F.col("y") == 1996, mean)).alias("m1"),
+        F.max(F.when(F.col("y") == 1997, mean)).alias("m2"),
+    )
+    return w.select(
+        "segment",
+        F.round("w1", 6).alias("share_1996"),
+        F.round("w2", 6).alias("share_1997"),
+        F.round("m1", 4).alias("avg_cents_1996"),
+        F.round("m2", 4).alias("avg_cents_1997"),
+        F.round(F.col("w1") * (F.col("m2") - F.col("m1")), 4).alias(
+            "within_effect"
+        ),
+        F.round((F.col("w2") - F.col("w1")) * F.col("m2"), 4).alias(
+            "mix_effect"
+        ),
+    ).orderBy("segment")

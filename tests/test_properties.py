@@ -836,3 +836,82 @@ def test_largest_remainder_quota_and_sum(spark, ws, budget):
         lo = floors[i]
         hi = lo + (1 if ideal[i] != lo else 0)
         assert lo <= out[i] <= hi
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 10**9),      # cents
+        st.integers(0, 3000),       # start day offset from 1995-01-01
+        st.integers(0, 365),        # span days (kept under the year guard)
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=interval_strategy)
+@settings(**SETTINGS)
+def test_month_proration_telescoping_conserves_and_bounds(spark, rows):
+    """Calendar-proration invariants on generated intervals: the
+    telescoping floor form conserves each interval's cents EXACTLY
+    across its months, and every month's share is within 1 cent of the
+    exact real-valued day-weighted proration."""
+    import datetime as dt
+
+    import pyspark.sql.functions as FF
+
+    base = dt.date(1995, 1, 1)
+    data = [
+        (
+            i,
+            int(cents),
+            base + dt.timedelta(days=off),
+            base + dt.timedelta(days=off + span),
+        )
+        for i, (cents, off, span) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "rid long, cents long, d0 date, d1 date"
+    ).withColumn("span", FF.datediff("d1", "d0") + 1)
+    months = df.select(
+        "rid",
+        "cents",
+        "d0",
+        "span",
+        FF.explode(
+            FF.sequence(
+                FF.trunc("d0", "MM"),
+                FF.trunc("d1", "MM"),
+                FF.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    through = FF.least(
+        FF.col("span"),
+        FF.datediff(FF.add_months(FF.col("month"), 1), FF.col("d0")),
+    )
+    before = FF.greatest(FF.lit(0), FF.datediff(FF.col("month"), FF.col("d0")))
+    alloc = FF.call_function(
+        "div", dec(FF.col("cents") * through), dec(FF.col("span"))
+    ) - FF.call_function(
+        "div", dec(FF.col("cents") * before), dec(FF.col("span"))
+    )
+    out = months.select(
+        "rid",
+        "cents",
+        "span",
+        through.alias("thr"),
+        before.alias("bef"),
+        alloc.alias("alloc"),
+    ).collect()
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    for r in out:
+        per[r["rid"]] += r["alloc"]
+        # quota-style bound: |alloc - exact| < 1 cent
+        exact = r["cents"] * (r["thr"] - r["bef"]) / r["span"]
+        assert abs(r["alloc"] - exact) < 1.0 + 1e-9
+    for rid, cents, *_ in data:
+        assert per[rid] == cents
