@@ -3767,3 +3767,59 @@ def events_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w", 6).alias("raked_weighted_n"),
         F.round(F.col("w") / F.col("c"), 6).alias("unit_weight"),
     ).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# Geometric and harmonic means (log-space / reciprocal aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_geometric_harmonic",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS arith_mean,
+           round(exp(avg(ln(value))), 6) AS geo_mean,
+           round(count(*) / sum(1.0 / value), 6) AS harm_mean
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def agg_geometric_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean-mean family per event type: arithmetic, geometric
+    (exp of the mean log — the multiplicative-process average: growth
+    rates, latency ratios), and harmonic (reciprocal-space — the rate
+    average: throughput, price/earnings), completing the mean family
+    beyond B23's arithmetic aggregates.  AM ≥ GM ≥ HM holds row-wise by
+    the classical inequality (non-positive values are filtered
+    before the log/reciprocal — sf0.1 carries a handful of exact zeros,
+    which ANSI mode correctly refuses to divide by).
+
+    All three are single-pass map-side-combinable aggregates — log and
+    reciprocal transforms commute with partial aggregation, which is why
+    these means scale for free while a median doesn't.  Cross-row float
+    accumulation order can drift ~1 ulp between engines; round-6 on
+    O(100)-magnitude means absorbs it (the suite's standard posture for
+    inexact-by-nature float aggregates, vs integer cents for money).
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value") > 0)
+    )
+    n = F.count(F.lit(1))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.round(F.avg("value"), 6).alias("arith_mean"),
+            F.round(F.exp(F.avg(F.log("value"))), 6).alias("geo_mean"),
+            F.round(
+                n / F.sum(F.lit(1.0) / F.col("value")), 6
+            ).alias("harm_mean"),
+        )
+        .orderBy("event_type")
+    )
