@@ -3355,3 +3355,92 @@ def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
             "mix_effect"
         ),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group with an OTHER rollup bucket
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_topn_with_other",
+    oracle="""
+    WITH rev AS (
+      SELECT p_brand AS brand, l_partkey AS part,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY brand
+                                   ORDER BY cents DESC, part) AS r
+      FROM rev
+    )
+    SELECT brand, CAST(part AS VARCHAR) AS line, CAST(r AS BIGINT) AS rank,
+           cents, CAST(1 AS BIGINT) AS n_parts
+    FROM rk WHERE r <= 3
+    UNION ALL
+    SELECT brand, 'OTHER', 4,
+           CAST(sum(cents) AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM rk WHERE r > 3
+    GROUP BY brand
+    ORDER BY brand, rank
+    """,
+    tags=("rank", "topk", "agg"),
+)
+def parts_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by revenue plus an explicit OTHER rollup
+    row (residual revenue + how many parts it hides) — the reporting
+    contract every drill-down dashboard needs: the top-N cut must not
+    silently drop the tail, because Σ(top rows + OTHER) must reconcile
+    to the brand total.
+
+    Scale shape: one integer aggregate to (brand, part), a
+    brand-partitioned rank (the rn ≤ 3 side plans as WindowGroupLimit),
+    and the tail side re-aggregates the SAME ranked relation — two
+    consumers of one exchange, no second fact scan.  Deterministic
+    tie-break by part key.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"), F.col("l_partkey").alias("part")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    rk = rev.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("brand").orderBy(F.desc("cents"), F.asc("part"))
+        ),
+    ).localCheckpoint(eager=False)
+    top = rk.filter(F.col("r") <= 3).select(
+        "brand",
+        F.col("part").cast("string").alias("line"),
+        F.col("r").cast("long").alias("rank"),
+        "cents",
+        F.lit(1).cast("long").alias("n_parts"),
+    )
+    other = (
+        rk.filter(F.col("r") > 3)
+        .groupBy("brand")
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .select(
+            "brand",
+            F.lit("OTHER").alias("line"),
+            F.lit(4).cast("long").alias("rank"),
+            "cents",
+            "n_parts",
+        )
+    )
+    return top.unionByName(other).orderBy("brand", "rank")

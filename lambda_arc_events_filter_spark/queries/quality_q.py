@@ -2461,3 +2461,96 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shapley_conversions"
         ),
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Semi-additive measure: last balance per period, additive across users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_semiadditive_balance",
+    oracle="""
+    WITH led AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(CASE WHEN event_type = 'purchase' THEN -value
+                             ELSE value END * 100) AS BIGINT) AS delta_c
+      FROM events
+    ),
+    bal AS (
+      SELECT user_id, ts, event_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(sum(delta_c) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS balance_c
+      FROM led
+    ),
+    lastb AS (
+      SELECT user_id, week, balance_c AS eow_balance_c
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, week
+                                     ORDER BY ts DESC, event_id DESC) AS rr
+        FROM bal
+      ) WHERE rr = 1
+    )
+    SELECT week,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(eow_balance_c) AS BIGINT) AS total_eow_balance_c,
+           CAST(max(eow_balance_c) AS BIGINT) AS max_user_balance_c
+    FROM lastb GROUP BY week ORDER BY week
+    """,
+    tags=("events", "window", "agg"),
+)
+def users_semiadditive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive aggregation — the BI measure class a plain GROUP BY
+    gets wrong: a BALANCE (running ledger: purchases debit, everything
+    else credits, in cents) is additive ACROSS users but NOT across
+    time — each week takes the user's LAST observed balance (max_by on
+    the (ts, event_id) order key), and only then sums across users.
+    Summing balances over time would double-count every carried cent;
+    this is the closing-balance semantics every finance cube implements.
+
+    Scale shape: the ledger is one user-keyed running-sum window
+    (exact integer cents); last-per-period is a (user, week)-keyed
+    row_number over the same composite order key (deterministic under
+    timestamp ties), and the weekly rollup is map-side combinable.  Users who skip a week simply
+    have no row (no carry-forward spine here; ``events_resample_ffill``
+    covers gap-filling).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    delta = F.round(
+        F.when(
+            F.col("event_type") == "purchase", -F.col("value")
+        ).otherwise(F.col("value"))
+        * 100
+    ).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bal = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.sum(delta).over(w).alias("balance_c"),
+    )
+    w_last = Window.partitionBy("user_id", "week").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    lastb = (
+        bal.withColumn("rr", F.row_number().over(w_last))
+        .filter(F.col("rr") == 1)
+        .select("user_id", "week", F.col("balance_c").alias("eow_balance_c"))
+    )
+    return (
+        lastb.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("eow_balance_c").alias("total_eow_balance_c"),
+            F.max("eow_balance_c").alias("max_user_balance_c"),
+        )
+        .orderBy("week")
+    )
