@@ -1868,3 +1868,187 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation fidelity (full-dim vs half-dim cosine agreement)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_matryoshka_fidelity",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id < 60
+    ),
+    pairs AS (
+      SELECT CAST(round(list_cosine_similarity(a.e, b.e) * 1000000)
+                  AS BIGINT) AS c64,
+             CAST(round(list_cosine_similarity(a.e[1:32], b.e[1:32])
+                        * 1000000) AS BIGINT) AS c32
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c64) AS BIGINT) AS sx,
+             CAST(sum(c32) AS BIGINT) AS sy,
+             CAST(sum(c64 * c64) AS BIGINT) AS sxx,
+             CAST(sum(c32 * c32) AS BIGINT) AS syy,
+             CAST(sum(c64 * c32) AS BIGINT) AS sxy,
+             CAST(sum(abs(c64 - c32)) AS BIGINT) AS sad,
+             CAST(count(*) FILTER (WHERE abs(c64 - c32) <= 100000)
+                  AS BIGINT) AS n_close
+      FROM pairs
+    )
+    SELECT n AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((1.0 * n * sxx - 1.0 * sx * sx)
+                        * (1.0 * n * syy - 1.0 * sy * sy)), 6) AS pearson_r,
+           round(CAST(sad AS DOUBLE) / n / 1000000, 6) AS mean_abs_gap,
+           n_close
+    FROM m
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how faithfully do HALF-dimension
+    (32 of 64) cosines reproduce the full-dimension similarity
+    structure?  Pearson r between the two cosines over all sample
+    pairs, mean absolute gap, and the within-0.1 agreement count — the
+    measurement behind the store-half-the-vector cost decision MRL-style
+    embeddings promise (truncation ≈ free if r stays near 1).
+
+    Exactness: each pair's two cosines round to 6 and SCALE TO INTEGERS
+    (×10⁶) before any cross-pair aggregation, so the correlation's five
+    moments are exact int64 (|c|≤10⁶ ⇒ Σc² ≤ n·10¹²) and both engines
+    divide identical integers — the ACF/Spearman trick, immune to the
+    1770-term float-sum order.  Scale shape: the pair fanout is the
+    SAMPLE's square (quadratic-by-contract audit over ≤60 ids, the
+    SemDeDup posture); per-pair cosines are codegen HOF folds.
+    """
+    from lambda_arc_events_filter_spark.operators.similarity import (
+        cosine_expr,
+    )
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .select("vec_id", F.col("embedding").alias("e"))
+    )
+    a = v.select(F.col("vec_id").alias("ia"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("e").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .withColumn("ha", F.expr("slice(ea, 1, 32)"))
+        .withColumn("hb", F.expr("slice(eb, 1, 32)"))
+        .select(
+            F.round(cosine_expr("ea", "eb") * 1_000_000)
+            .cast("long")
+            .alias("c64"),
+            F.round(cosine_expr("ha", "hb") * 1_000_000)
+            .cast("long")
+            .alias("c32"),
+        )
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c64").alias("sx"),
+        F.sum("c32").alias("sy"),
+        F.sum(F.col("c64") * F.col("c64")).alias("sxx"),
+        F.sum(F.col("c32") * F.col("c32")).alias("syy"),
+        F.sum(F.col("c64") * F.col("c32")).alias("sxy"),
+        F.sum(F.abs(F.col("c64") - F.col("c32"))).alias("sad"),
+        F.count(
+            F.when(F.abs(F.col("c64") - F.col("c32")) <= 100_000, 1)
+        ).alias("n_close"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(
+        (F.lit(1.0) * n * F.col("sxx") - F.lit(1.0) * sx * sx)
+        * (F.lit(1.0) * n * F.col("syy") - F.lit(1.0) * sy * sy)
+    )
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("pearson_r"),
+        F.round(F.col("sad").cast("double") / n / 1_000_000, 6).alias(
+            "mean_abs_gap"
+        ),
+        "n_close",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality filter (zlib proxy, Arrow boundary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_compressibility_filter",
+    oracle=None,  # zlib is not expressible in DuckDB SQL — rows-only;
+    # exact per-doc ratios are pinned by
+    # tests/test_llm.py::test_compressibility_matches_direct_zlib
+    tags=("llm", "text", "udf"),
+    plan_cache=False,
+)
+def text_compressibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality screening (the Gopher/MassiveText
+    repetition proxy): documents whose UTF-8 bytes compress too WELL are
+    boilerplate/template/repetitive (low information density), ones that
+    barely compress are noise — the cheap single-pass filter production
+    curation runs before any model-based scorer.  Per source: docs
+    below/above the [0.35, 0.95] zlib-ratio keep-band and mean ratio.
+
+    zlib runs inside ``mapInPandas`` — a DELIBERATE Python boundary
+    (Arrow-batched, like the multimodal decoders; no row-at-a-time UDF),
+    because no SQL engine ships DEFLATE: this is rows-only by nature,
+    with exact per-doc ratios pinned against direct zlib in pytest.
+    Scale shape: embarrassingly parallel per-batch compression, one
+    map-side-combinable rollup; compression level pinned (6) so results
+    are reproducible across zlib builds at the same level.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf["text"].map(lambda t: t.encode("utf-8"))
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "ratio_ppm": (
+                        comp * 1_000_000 // raw.map(len)
+                    ).astype("int64"),
+                }
+            )
+
+    scored = d.mapInPandas(
+        batches, schema="doc_id long, source string, ratio_ppm long"
+    )
+    keep_lo, keep_hi = 350_000, 950_000
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("ratio_ppm") < keep_lo, 1)
+            ).alias("n_too_compressible"),
+            F.count(
+                F.when(F.col("ratio_ppm") > keep_hi, 1)
+            ).alias("n_incompressible"),
+            # exact floored integer mean (a double avg cast to long can
+            # cross an integer boundary by one ulp)
+            F.call_function(
+                "div",
+                F.sum("ratio_ppm").cast("decimal(38,0)"),
+                F.count(F.lit(1)).cast("decimal(38,0)"),
+            ).alias("mean_ratio_ppm"),
+        )
+        .orderBy("source")
+    )

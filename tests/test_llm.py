@@ -164,3 +164,37 @@ def test_multimodal_real_decode_is_marked_stub(spark, sf_dir):
     d = attach_binary_payload(load(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
         extract_features(d, decode="real")
+
+
+def test_compressibility_matches_direct_zlib(spark, sf_dir):
+    """The mapInPandas zlib boundary computes exactly len(zlib.compress
+    (utf8, 6))·1e6 // len(utf8) per document — checked against direct
+    zlib on a sample, and the rollup reconciles to the doc count."""
+    import zlib
+
+    import pyspark.sql.functions as FF
+
+    from lambda_arc_events_filter_spark.queries.llm_q import (
+        text_compressibility_filter,
+    )
+
+    out = {
+        r["source"]: r
+        for r in text_compressibility_filter(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in out.values()) == docs.count()
+    sample = docs.orderBy("doc_id").limit(20).collect()
+    for row in sample:
+        raw = row["text"].encode("utf-8")
+        ratio = len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+        assert 0 < ratio < 2_000_000
+    # recompute one source's mean through an independent aggregation
+    one = sorted(out)[0]
+    direct = [
+        len(zlib.compress(r["text"].encode("utf-8"), 6))
+        * 1_000_000
+        // len(r["text"].encode("utf-8"))
+        for r in docs.filter(FF.col("source") == one).collect()
+    ]
+    assert out[one]["mean_ratio_ppm"] == sum(direct) // len(direct)
