@@ -1222,3 +1222,66 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "scd2enrich", mode="complete").orderBy(
         "tier", "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows through the Python streaming source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_python_source_windowed",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "source", "window"),
+)
+def stream_python_source_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME aggregation through the custom Python streaming
+    source: the connector ships epoch-µs integers, the query rebuilds
+    TimestampType with ``timestamp_micros`` and runs a watermarked
+    tumbling window in APPEND mode — proving watermark semantics
+    (monotone advance across the connector's micro-batches, exact-once
+    window emission, state eviction) survive the Python source
+    boundary, not just the JVM file source.
+
+    The chunk replay preserves the fixture's timestamp order, so the
+    watermark advances monotonically batch-to-batch and append mode
+    emits exactly the windows the batch oracle closes (end ≤ max(ts) −
+    10 min — the final drain micro-batch performs the flush).
+    """
+    from lambda_arc_events_filter_spark.catalog import table_path
+    from lambda_arc_events_filter_spark.sources.pyds import (
+        register_events_stream_ts,
+    )
+
+    register_events_stream_ts(spark)
+    s = (
+        spark.readStream.format("events_stream_ts")
+        .option("path", table_path(sf_dir, "events"))
+        .option("chunk", "20000")
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(
+        agg, "pysrcwin", mode="append", state_partitions=2, drain=True
+    ).orderBy("window_start")

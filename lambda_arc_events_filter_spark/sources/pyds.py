@@ -317,3 +317,86 @@ def register_jsonl_audit(spark) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(make_jsonl_audit_datasource())
         _REGISTERED.add(key)
+
+
+def make_events_stream_ts_datasource():
+    """Event-TIME variant of the chunk stream source: rows carry the
+    event timestamp as epoch MICROSECONDS (int64) so watermarks and
+    event-time windows work through the custom connector.  The reader
+    normalizes the fixture's ns/µs timestamp-unit drift (TESTDATA
+    regenerations alternate) by casting the arrow column to
+    timestamp[us] before extracting int64 — the same dual-layout
+    contract as catalog.load.  Same offset/pickling/drain contract as
+    ``EventsStreamChunksDataSource``.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _TsChunkReader(SimpleDataSourceStreamReader):
+        def __init__(self, options: dict):
+            path = options.get("path")
+            if not path:
+                raise ValueError("events_stream_ts requires option 'path'")
+            self.path = path
+            self.chunk = int(options.get("chunk", "20000"))
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def _slice(self, start_row: int, end_row: int):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                self.path, columns=["event_id", "ts", "event_type", "value"]
+            )
+            ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            tbl = tbl.set_column(1, pa.field("ts", pa.int64()), ts)
+            tbl = tbl.slice(start_row, end_row - start_row)
+            return iter(
+                [
+                    (r["event_id"], r["ts"], r["event_type"], r["value"])
+                    for r in tbl.to_pylist()
+                ]
+            )
+
+        def read(self, start):
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(self.path).metadata.num_rows
+            s = int(start["row"])
+            e = min(n, s + self.chunk)
+            return (self._slice(s, e), {"row": e})
+
+        def readBetweenOffsets(self, start, end):
+            return self._slice(int(start["row"]), int(end["row"]))
+
+    class EventsStreamTsDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "events_stream_ts"
+
+        def schema(self) -> str:
+            return (
+                "event_id bigint, ts_us bigint, event_type string,"
+                " value double"
+            )
+
+        def simpleStreamReader(self, schema) -> _TsChunkReader:
+            return _TsChunkReader(self.options)
+
+    return EventsStreamTsDataSource
+
+
+def register_events_stream_ts(spark) -> None:
+    """Idempotently register the event-time chunk source."""
+    if not PYDS_AVAILABLE:
+        raise RuntimeError(
+            "pyspark.sql.datasource API not available in this Spark"
+        )
+    key = ("stream_ts", spark.sparkContext.applicationId)
+    if key not in _REGISTERED:
+        spark.dataSource.register(make_events_stream_ts_datasource())
+        _REGISTERED.add(key)
