@@ -3823,3 +3823,120 @@ def agg_geometric_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_conformal_interval",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_id % 2 = 0 THEN 'cal' ELSE 'test' END AS split
+      FROM events
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v WHERE split = 'cal' GROUP BY 1
+    ),
+    resid AS (
+      SELECT v.event_type,
+             abs(v.cents - CAST(mu.s AS DOUBLE) / mu.n) AS r
+      FROM v JOIN mu USING (event_type) WHERE v.split = 'cal'
+    ),
+    q AS (
+      SELECT event_type, quantile_cont(r, 0.9) AS q90 FROM resid
+      GROUP BY 1
+    )
+    SELECT v.event_type,
+           round(CAST(mu.s AS DOUBLE) / mu.n / 100, 6) AS predicted,
+           round(q.q90 / 100, 6) AS half_width,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (
+             WHERE abs(v.cents - CAST(mu.s AS DOUBLE) / mu.n) <= q.q90)
+             AS BIGINT) AS n_covered
+    FROM v
+    JOIN mu USING (event_type)
+    JOIN q  USING (event_type)
+    WHERE v.split = 'test'
+    GROUP BY v.event_type, mu.s, mu.n, q.q90
+    ORDER BY v.event_type
+    """,
+    tags=("stats", "inference", "percentile"),
+)
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals: fit a (deliberately naive)
+    per-type mean predictor on the CALIBRATION half, take the 90th
+    percentile of its absolute residuals as the interval half-width,
+    and measure empirical coverage on the held-out TEST half — the
+    distribution-free uncertainty wrapper (coverage ≈ 90% regardless of
+    the residual distribution) modern ML serving puts around any point
+    predictor.
+
+    Determinism: the split is a hash-free parity rule on event_id; the
+    predictor mean is one float division of exact integer sums; the
+    residual quantile rides ``group_percentile_cont`` (range strategy —
+    no per-group sort cliff); the coverage test compares each residual
+    to the SAME identical-op threshold both engines computed.  Two
+    pushed-down scans of the fact, two map-side-combinable aggregates,
+    one broadcast join of the |types|-row model.
+    """
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_id") % 2 == 0, "cal").otherwise("test").alias(
+            "split"
+        ),
+    )
+    mu = (
+        v.filter(F.col("split") == "cal")
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    resid = (
+        v.filter(F.col("split") == "cal")
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            F.abs(
+                F.col("cents") - F.col("s").cast("double") / F.col("n")
+            ).alias("r"),
+        )
+    )
+    q = group_percentile_cont(resid, ["event_type"], "r", {"q90": 0.9})
+    test = (
+        v.filter(F.col("split") == "test")
+        .join(F.broadcast(mu), "event_type")
+        .join(F.broadcast(q), "event_type")
+    )
+    covered = F.abs(
+        F.col("cents") - F.col("s").cast("double") / F.col("n")
+    ) <= F.col("q90")
+    return (
+        test.groupBy("event_type", "s", "n", "q90")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count(F.when(covered, 1)).alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("s").cast("double") / F.col("n") / 100, 6).alias(
+                "predicted"
+            ),
+            F.round(F.col("q90") / 100, 6).alias("half_width"),
+            "n_test",
+            "n_covered",
+        )
+        .orderBy("event_type")
+    )
