@@ -604,3 +604,136 @@ def features_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split search (weighted Gini over candidate thresholds)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_best_split_gini",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    cand AS (
+      SELECT DISTINCT CAST(unnest(quantile_cont(x,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+               AS BIGINT) AS thr
+      FROM pts
+    ),
+    split AS (
+      SELECT c.thr,
+             CAST(count(*) FILTER (WHERE p.x <= c.thr) AS BIGINT) AS nl,
+             CAST(sum(p.y) FILTER (WHERE p.x <= c.thr) AS BIGINT) AS pl,
+             CAST(count(*) FILTER (WHERE p.x > c.thr) AS BIGINT) AS nr,
+             CAST(sum(p.y) FILTER (WHERE p.x > c.thr) AS BIGINT) AS pr
+      FROM pts p CROSS JOIN cand c
+      GROUP BY c.thr
+    ),
+    scored AS (
+      SELECT thr, nl, nr,
+             (nl * (1.0 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                        - (1.0 - CAST(pl AS DOUBLE) / nl)
+                          * (1.0 - CAST(pl AS DOUBLE) / nl))
+              + nr * (1.0 - (CAST(pr AS DOUBLE) / nr) * (CAST(pr AS DOUBLE) / nr)
+                          - (1.0 - CAST(pr AS DOUBLE) / nr)
+                            * (1.0 - CAST(pr AS DOUBLE) / nr)))
+               / (nl + nr) AS gini
+      FROM split WHERE nl > 0 AND nr > 0
+    )
+    SELECT thr AS threshold_cents, nl AS n_left, nr AS n_right,
+           round(gini, 6) AS weighted_gini,
+           CASE WHEN thr = (SELECT thr FROM scored
+                            ORDER BY gini, thr LIMIT 1)
+                THEN 1 ELSE 0 END AS is_best
+    FROM scored ORDER BY thr
+    """,
+    tags=("ml", "agg"),
+)
+def events_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search — the inner loop of every tree
+    learner (CART/GBDT): score each candidate threshold on the value
+    feature by the weighted Gini impurity of the (purchase / not)
+    label split, and flag the argmin — done as ONE pass over the fact
+    per the histogram-split trick (the cross join against ≤9 broadcast
+    candidate thresholds evaluates every split's four counts in a
+    single aggregate, exactly how LightGBM's histogram method avoids
+    re-scanning per threshold).
+
+    Candidates are value deciles (the quantile machinery), counts are
+    exact integers, and each Gini is an identical-op float expression —
+    the argmin is deterministic with a threshold tie-break.  Scale
+    shape: fact × 9 broadcast rows → map-side-combinable aggregate;
+    no sort, no window over the fact.
+    """
+    pts = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    qs = {f"q{i}": i / 10.0 for i in range(1, 10)}
+    grid = group_percentile_cont(
+        pts.withColumn("_g", F.col("x") * 0), ["_g"], "x", qs
+    ).drop("_g")
+    cand = (
+        grid.select(
+            F.explode(
+                F.array(*[F.round(F.col(f"q{i}")).cast("long") for i in range(1, 10)])
+            ).alias("thr")
+        )
+        .distinct()
+    )
+    split = (
+        pts.crossJoin(F.broadcast(cand))
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(F.col("x") <= F.col("thr"), 1)).alias("nl"),
+            F.coalesce(
+                F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y"))),
+                F.lit(0),
+            ).alias("pl"),
+            F.count(F.when(F.col("x") > F.col("thr"), 1)).alias("nr"),
+            F.coalesce(
+                F.sum(F.when(F.col("x") > F.col("thr"), F.col("y"))),
+                F.lit(0),
+            ).alias("pr"),
+        )
+        .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+    )
+
+    def gini_side(p, n):
+        rate = p.cast("double") / n
+        return n * (
+            F.lit(1.0) - rate * rate - (F.lit(1.0) - rate) * (F.lit(1.0) - rate)
+        )
+
+    scored = split.select(
+        "thr",
+        "nl",
+        "nr",
+        (
+            (gini_side(F.col("pl"), F.col("nl"))
+             + gini_side(F.col("pr"), F.col("nr")))
+            / (F.col("nl") + F.col("nr"))
+        ).alias("gini"),
+    )
+    scored = scored.localCheckpoint(eager=False)
+    best = scored.orderBy("gini", "thr").limit(1).select(
+        F.col("thr").alias("best_thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            F.col("thr").alias("threshold_cents"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.round("gini", 6).alias("weighted_gini"),
+            F.when(F.col("thr") == F.col("best_thr"), 1)
+            .otherwise(0)
+            .alias("is_best"),
+        )
+        .orderBy("threshold_cents")
+    )

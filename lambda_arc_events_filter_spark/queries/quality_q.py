@@ -2554,3 +2554,131 @@ def users_semiadditive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy replay evaluation (bandit arms = first session channel)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_policy_replay_eval",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    firsts AS (
+      SELECT user_id, sid, event_type AS arm
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) AS rr
+        FROM sess
+      ) WHERE rr = 1
+    ),
+    rewards AS (
+      SELECT user_id, sid,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS reward
+      FROM sess GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT f.user_id, f.sid, f.arm, r.reward
+      FROM firsts f JOIN rewards r USING (user_id, sid)
+    ),
+    logged AS (SELECT arm, reward FROM per WHERE arm <> 'purchase'),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(reward) AS BIGINT) AS r
+      FROM logged GROUP BY arm
+    ),
+    best AS (
+      SELECT arm AS best_arm FROM arms
+      ORDER BY CAST(r AS DOUBLE) / n DESC, arm LIMIT 1
+    )
+    SELECT a.arm,
+           a.n AS n_logged,
+           a.r AS n_rewards,
+           round(CAST(a.r AS DOUBLE) / a.n, 6) AS logged_value,
+           CASE WHEN a.arm = b.best_arm THEN 1 ELSE 0 END AS policy_arm
+    FROM arms a CROSS JOIN best b
+    ORDER BY a.arm
+    """,
+    tags=("events", "evaluation"),
+)
+def events_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy replay evaluation (the Li-et-al. bandit-replay
+    method's counting core): sessions are bandit rounds, the logged ARM
+    is the session's first event type, the REWARD is eventual purchase;
+    the greedy policy picks the empirically-best arm, and replay
+    evaluates it on exactly the logged rounds where the policy agrees
+    with the log — the unbiased-under-uniform-logging estimator every
+    recommender team runs before an online test.
+
+    Scale shape: one sessionize exchange; first-event election via
+    ``min_by`` over the composite (ts, event_id) order key (an
+    aggregate, not a second window); arm statistics are a ≤5-row
+    relation and the argmax is a deterministic top-1 with arm
+    tie-break.  Exact integer counts; the only float is the displayed
+    rate.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("_new", new_sess).withColumn(
+        "sid", F.sum("_new").over(run_w)
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("arm"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("reward"),
+    )
+    arms = (
+        per.filter(F.col("arm") != "purchase")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_logged"),
+            F.sum("reward").alias("n_rewards"),
+        )
+    )
+    arms = arms.localCheckpoint(eager=False)
+    best = (
+        arms.orderBy(
+            (F.col("n_rewards").cast("double") / F.col("n_logged")).desc(),
+            F.asc("arm"),
+        )
+        .limit(1)
+        .select(F.col("arm").alias("best_arm"))
+    )
+    return (
+        arms.crossJoin(F.broadcast(best))
+        .select(
+            "arm",
+            "n_logged",
+            "n_rewards",
+            F.round(
+                F.col("n_rewards").cast("double") / F.col("n_logged"), 6
+            ).alias("logged_value"),
+            F.when(F.col("arm") == F.col("best_arm"), 1)
+            .otherwise(0)
+            .alias("policy_arm"),
+        )
+        .orderBy("arm")
+    )
