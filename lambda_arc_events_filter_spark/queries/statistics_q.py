@@ -3940,3 +3940,154 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/A-test calibration (null-experiment p-value uniformity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_aa_calibration",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+             (user_id // 2) % 2 AS arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+               AS q
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tests AS (
+      SELECT a.event_type, a.dow,
+             (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt(((CAST(a.q AS DOUBLE)
+                      - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1)) / a.n
+                    + ((CAST(b.q AS DOUBLE)
+                        - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1))
+                      / b.n) AS z
+      FROM cells a JOIN cells b
+        ON a.event_type = b.event_type AND a.dow = b.dow
+      WHERE a.arm = 1 AND b.arm = 0
+    ),
+    pv AS (
+      SELECT event_type, dow, abs(z) AS az,
+             1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+      FROM tests
+    ),
+    p AS (
+      SELECT event_type, dow,
+             2 * (exp(-az * az / 2) / sqrt(2 * pi())
+                  * (0.319381530 * t - 0.356563782 * t * t
+                     + 1.781477937 * t * t * t
+                     - 1.821255978 * t * t * t * t
+                     + 1.330274429 * t * t * t * t * t)) AS p
+      FROM pv
+    ),
+    binned AS (
+      SELECT least(CAST(floor(p * 5) AS INT), 4) AS p_bin,
+             CAST(count(*) AS BIGINT) AS n_tests
+      FROM p GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_tests) AS BIGINT) AS m FROM binned)
+    SELECT b.p_bin, b.n_tests,
+           round(CAST(t.m AS DOUBLE) / 5, 6) AS expected,
+           round((b.n_tests - CAST(t.m AS DOUBLE) / 5)
+                 * (b.n_tests - CAST(t.m AS DOUBLE) / 5)
+                 / (CAST(t.m AS DOUBLE) / 5), 6) AS chi2_term
+    FROM binned b, tot t ORDER BY b.p_bin
+    """,
+    tags=("stats", "inference"),
+)
+def events_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test calibration: run the Welch test machinery on a NULL
+    split (neither arm was treated) across 35 (event type × weekday)
+    strata and check the p-values land UNIFORMLY in their quintile bins
+    — the experimentation-platform hygiene test that catches broken
+    variance estimators, unit-of-randomization mistakes, and
+    interference long before a real A/B is trusted (a healthy platform
+    shows ~m/5 per bin; clumping near 0 means false positives at scale).
+
+    Same exactness discipline as the BH screen: integer moments
+    (Σcents² in DECIMAL(38)/HUGEINT), identical-op z and tail
+    polynomial, so each p-value — and therefore its bin — is
+    bit-identical across engines.  One map-side-combinable (stratum ×
+    arm) aggregate over the fact, everything after is 35 rows.
+    """
+    import math
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        (F.call_function(
+            "div",
+            F.col("user_id").cast("decimal(38,0)"),
+            F.lit(2).cast("decimal(38,0)"),
+        ) % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cells = e.groupBy("event_type", "dow", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q"),
+    )
+    a = cells.filter(F.col("arm") == 1).select(
+        "event_type",
+        "dow",
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = cells.filter(F.col("arm") == 0).select(
+        "event_type",
+        "dow",
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    j = a.join(b, ["event_type", "dow"])
+    d = lambda c: c.cast("double")  # noqa: E731
+    va = (d(F.col("qa")) - d(F.col("sa")) * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (d(F.col("qb")) - d(F.col("sb")) * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    z = (
+        d(F.col("sa")) / F.col("na") - d(F.col("sb")) / F.col("nb")
+    ) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = (
+        F.lit(0.319381530) * t
+        - F.lit(0.356563782) * t * t
+        + F.lit(1.781477937) * t * t * t
+        - F.lit(1.821255978) * t * t * t * t
+        + F.lit(1.330274429) * t * t * t * t * t
+    )
+    p = F.lit(2.0) * (
+        F.exp(-az * az / 2) / F.sqrt(F.lit(2.0) * F.lit(math.pi)) * poly
+    )
+    binned = (
+        j.select(
+            F.least(F.floor(p * 5).cast("int"), F.lit(4)).alias("p_bin")
+        )
+        .groupBy("p_bin")
+        .agg(F.count(F.lit(1)).alias("n_tests"))
+    )
+    tot = binned.agg(F.sum("n_tests").alias("m"))
+    exp = F.col("m").cast("double") / 5
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "p_bin",
+            "n_tests",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                (F.col("n_tests") - exp) * (F.col("n_tests") - exp) / exp, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("p_bin")
+    )
