@@ -3444,3 +3444,105 @@ def parts_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.unionByName(other).orderBy("brand", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment screen (same payer, same cents, within 1 day)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_duplicate_payment_screen",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    o AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT k + 1000000000, c, cents, CAST(d + INTERVAL 1 DAY AS DATE)
+      FROM base WHERE k % 97 = 0
+    ),
+    pairs AS (
+      SELECT a.c AS custkey, a.k AS order_a, b.k AS order_b,
+             a.cents, abs(datediff('day', a.d, b.d)) AS gap_days
+      FROM o a JOIN o b
+        ON a.c = b.c AND a.cents = b.cents AND a.k < b.k
+      WHERE abs(datediff('day', a.d, b.d)) <= 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT custkey) AS BIGINT) AS n_customers,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS exposure_cents,
+           CAST(count(*) FILTER (WHERE gap_days = 0) AS BIGINT)
+             AS n_same_day
+    FROM pairs
+    """,
+    tags=("dedup", "join", "dq"),
+)
+def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screening — the accounts-payable fraud/defect
+    audit: pairs of orders by the SAME customer for the SAME amount (in
+    exact cents) within ±1 day, with pair, customer, and exposure
+    accounting — retries, double-clicks, and double-billing all surface
+    here before reconciliation (the value twin of the record-linkage
+    family's identity matching).  The fixture's amounts are
+    near-unique, so a deterministic 1/97 duplicate slice is planted
+    (next-day resubmissions, the replica-synthesis pattern) — the
+    screen must recover exactly that planted population.
+
+    Scale shape: candidates come from an EQUI-join on the composite
+    (customer, cents) key — the blocking that makes this linear-ish
+    (pair cost tracks Σ per-key count², and a same-customer-same-amount
+    key is near-unique by construction); the ±1-day window is a cheap
+    residual predicate, never the join driver (the IEJoin trap the
+    Apriori redesign documented).  ``a.k < b.k`` canonicalizes pairs.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    o = base.unionAll(
+        base.filter(F.col("k") % 97 == 0).select(
+            (F.col("k") + 1_000_000_000).alias("k"),
+            "c",
+            "cents",
+            F.date_add("d", 1).alias("d"),
+        )
+    )
+    a = o.select(
+        F.col("k").alias("order_a"),
+        F.col("c").alias("custkey"),
+        "cents",
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("k").alias("order_b"),
+        F.col("c").alias("custkey_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("db"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("custkey") == F.col("custkey_b"))
+            & (F.col("cents") == F.col("cents_b")),
+        )
+        .filter(F.col("order_a") < F.col("order_b"))
+        .filter(F.abs(F.datediff("da", "db")) <= 1)
+        .select(
+            "custkey",
+            "cents",
+            F.abs(F.datediff("da", "db")).alias("gap_days"),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("custkey").alias("n_customers"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("exposure_cents"),
+        F.count(F.when(F.col("gap_days") == 0, 1)).alias("n_same_day"),
+    )
