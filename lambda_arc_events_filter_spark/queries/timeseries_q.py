@@ -648,3 +648,108 @@ def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dwell time by event-type transition (within-session think time)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_dwell",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    dwell AS (
+      SELECT lag(event_type) OVER w2 AS src, event_type AS dst,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w2) AS dwell_us
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT src, dst,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(quantile_cont(dwell_us, 0.5) / 1000000, 7) AS p50_sec,
+           round(quantile_cont(dwell_us, 0.9) / 1000000, 7) AS p90_sec
+    FROM dwell WHERE src IS NOT NULL
+    GROUP BY src, dst
+    HAVING count(*) >= 20
+    ORDER BY src, dst
+    """,
+    tags=("events", "timeseries", "percentile"),
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Think-time distributions per event-type TRANSITION: within each
+    session, the gap between consecutive events, grouped by the
+    (from → to) pair and summarized at p50/p90 — the UX diagnostic
+    behind "users hesitate before purchasing but click through views
+    instantly", one level finer than ``orders_interarrival_stats``'
+    global gaps and the timing complement of ``events_path_trigrams``'
+    counts.
+
+    Dwells are exact integer MICROSECONDS (the unix_micros discipline —
+    casting timestamps to long truncates to seconds); percentiles ride
+    ``group_percentile_cont`` keyed by the transition pair (range
+    strategy — no per-group sort cliff) and report at SEVEN decimals —
+    a µs percentile interpolates to at most one fractional decimal, so
+    /10⁶ is exactly representable at 7 digits and no rounding boundary
+    exists (6 digits put a TRUE half at the cut: caught at sf0.01, the
+    COVERAGE divergence class).  The ≥20-transition support floor keeps
+    the output stable across fixture regenerations.  One
+    user-keyed exchange serves sessionize and the dwell lag.
+    """
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("_new", new_sess).withColumn(
+        "sid", F.sum("_new").over(run_w)
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    dwell = sess.select(
+        F.lag("event_type").over(w2).alias("src"),
+        F.col("event_type").alias("dst"),
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w2)
+        ).alias("dwell_us"),
+    ).filter(F.col("src").isNotNull())
+    out = group_percentile_cont(
+        dwell,
+        ["src", "dst"],
+        "dwell_us",
+        {"p50": 0.5, "p90": 0.9},
+        extra_aggs=[F.count(F.lit(1)).alias("n_transitions")],
+    )
+    return (
+        out.filter(F.col("n_transitions") >= 20)
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            F.round(F.col("p50") / 1_000_000, 7).alias("p50_sec"),
+            F.round(F.col("p90") / 1_000_000, 7).alias("p90_sec"),
+        )
+        .orderBy("src", "dst")
+    )
