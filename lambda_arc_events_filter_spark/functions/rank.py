@@ -386,4 +386,14 @@ def global_order_neighbors(
             aggs.append(agg_fn(F.when(in_frame, F.col(col))).alias(alias))
         frame_vals = joined.groupBy("_g").agg(*aggs)
         out = out.join(frame_vals, "_g", "left")
+        # a row whose frame is entirely out of range (e.g. frame
+        # (-3, -1) on the first row) has NO fan rows at all, so the left
+        # join yields NULL — but window COUNT over an empty frame is 0,
+        # never NULL.  sum/max/min/avg stay NULL (matching window
+        # semantics over an empty frame).
+        for alias, (_, kind, _, _) in frames.items():
+            if kind == "count":
+                out = out.withColumn(
+                    alias, F.coalesce(F.col(alias), F.lit(0))
+                )
     return out.drop("_g")

@@ -153,12 +153,18 @@ def group_percentile_cont(
     # that runs at plan-CONSTRUCTION time — build-once/probe-many callers
     # and the plan cache pay it once, like a broadcast build.
     bounds = sorted(
-        set(
-            nn.select(F.col(value_col).cast("double").alias("_v"))
-            .stat.approxQuantile(
+        {
+            b
+            for b in nn.select(
+                F.col(value_col).cast("double").alias("_v")
+            ).stat.approxQuantile(
                 "_v", [i / num_partitions for i in range(1, num_partitions)], 0.01
             )
-        )
+            if b == b  # drop NaN boundaries (all-NaN / empty columns),
+            # matching the sibling guard in functions/rank.py — a NaN
+            # bound makes sorted(set(...)) order-unstable and the CASE
+            # chain non-monotone
+        }
     )
     band: Column = F.lit(len(bounds))
     for i, b in reversed(list(enumerate(bounds))):

@@ -198,3 +198,48 @@ def test_ancestor_rollup_cycle_raises_strict(spark):
         ).collect()
     }
     assert out[3] == 3 and out[1] is None and out[2] is None
+
+
+def test_group_percentile_nan_band_guard(spark):
+    """NaN-bearing / all-NaN value columns: approxQuantile boundaries may
+    contain NaN, which must be dropped before building the band CASE
+    chain (a NaN bound makes sorted() order-unstable and the chain
+    non-monotone).  The banded `range` strategy must agree value-for-value
+    with the window-based `group` strategy: clean groups keep exact
+    interpolated quantiles, NaN-straddling groups yield NaN on both."""
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    nan = float("nan")
+    rows = (
+        [("a", nan)] * 50
+        + [("a", 1.0), ("a", 2.0), ("a", 3.0)]
+        + [("b", nan)] * 20  # all-NaN group
+        + [("c", float(i)) for i in range(100)]  # clean group
+    )
+    df = spark.createDataFrame(rows, "k string, v double").repartition(4)
+
+    def run(strategy):
+        return {
+            r.k: (r.p50, r.p90)
+            for r in group_percentile_cont(
+                df,
+                ["k"],
+                "v",
+                {"p50": 0.5, "p90": 0.9},
+                strategy=strategy,
+                num_partitions=8,
+            ).collect()
+        }
+
+    g, rg = run("group"), run("range")
+    assert set(g) == set(rg) == {"a", "b", "c"}
+    for k in g:
+        for a, b in zip(g[k], rg[k]):
+            # NaN-tolerant equality
+            assert (a != a and b != b) or a == b, (k, g[k], rg[k])
+    # the clean group's quantiles are exact regardless of NaN elsewhere
+    # (89.1 up to one interpolation ulp: 1 + 99*0.9 = 90.1 in IEEE)
+    assert rg["c"][0] == 49.5
+    assert abs(rg["c"][1] - 89.1) < 1e-9

@@ -311,3 +311,33 @@ def test_banded_running_sum_exclusive_with_nulls(spark):
         F.sum("v").over(w).alias("cs"),
     )
     assert _rows(out, "id", "rk", "cs") == _rows(ref, "id", "rk", "cs")
+
+
+def test_count_frame_empty_frame_is_zero(spark):
+    """COUNT over a frame that is entirely out of range (frame (-3, -1)
+    on the first rows of the order) is 0, never NULL: those rows have no
+    fan rows at all, so the frame left join yields NULL and the helper
+    must coalesce count-kind aggregates to 0 (window semantics).
+    sum/avg/min/max stay NULL over an empty frame.  A NULL value inside
+    an otherwise-populated frame is not counted (count(col) counts
+    non-null values only)."""
+    rows = [(i, None if i == 2 else float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "i long, x double").repartition(4)
+    out = global_order_neighbors(
+        df,
+        ["i"],
+        key=["i"],
+        frames={"c": ("x", "count", -3, -1), "s": ("x", "sum", -3, -1)},
+    )
+    w = Window.orderBy("i").rowsBetween(-3, -1)
+    ref = df.select(
+        "i",
+        F.count("x").over(w).alias("c"),
+        F.sum("x").over(w).alias("s"),
+    )
+    got = {r.i: (r.c, r.s) for r in out.collect()}
+    exp = {r.i: (r.c, r.s) for r in ref.collect()}
+    assert got == exp
+    assert got[0] == (0, None)  # fully-empty frame: count 0, sum NULL
+    assert got[1] == (1, 0.0)
+    assert got[3] == (2, 1.0)  # NULL x at i=2 inside frame: not counted
