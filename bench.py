@@ -198,27 +198,46 @@ def main() -> None:
         )
         for n in names
     }
-    print(
-        json.dumps(
+    # Two lines: a DETAIL line first (per-query compute-only seconds,
+    # per-path floors, arrow-result list — everything a human or a later
+    # tool wants), then the driver-contract line LAST.  The driver
+    # captures only the final ~2000 chars of stdout and json-parses the
+    # last line; rounds 4-5 lost their machine-readable artifact
+    # ("parsed": null) because one combined line outgrew that window as
+    # the headline set reached 39 queries.  The final line is therefore
+    # compact (3-decimal seconds ≈ ms resolution, well below run-to-run
+    # noise; separators without whitespace) and budget-guarded: if the
+    # headline set ever grows it past the window, per-query seconds drop
+    # to 2 decimals rather than overflowing (the DETAIL line always
+    # keeps 4-decimal values).
+    detail = {
+        "detail": True,
+        "floor": floors,
+        "queries_compute_only": compute_only,
+        # result materialization is per-query (Arrow→pandas for
+        # >10k-row results, plain collect otherwise — see
+        # _ARROW_RESULTS); recorded so the protocol is reproducible
+        "arrow_results": sorted(_ARROW_RESULTS & set(names)),
+    }
+    print(json.dumps(detail, separators=(",", ":")))
+    for ndigits in (3, 2):
+        line = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: round(t, ndigits) for n, t in timings.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # local-mode dispatch/collect floor per result path and the
-                # floor-subtracted per-query seconds (see _measure_floor);
+                # wall minus the measured local-mode dispatch/collect
+                # floor (detail line carries the per-query breakdown);
                 # "value" stays the honest wall total.
-                "floor": floors,
-                "queries_compute_only": compute_only,
                 "compute_only_total": round(sum(compute_only.values()), 4),
-                # result materialization is per-query (Arrow→pandas for
-                # >10k-row results, plain collect otherwise — see
-                # _ARROW_RESULTS); recorded so the protocol is reproducible
-                "arrow_results": sorted(_ARROW_RESULTS & set(names)),
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+        if len(line) <= 1800:
+            break
+    print(line)
 
 
 if __name__ == "__main__":
