@@ -131,10 +131,6 @@ def group_percentile_cont(
 
     nn = _materialize_if_derived(nn)
 
-    # one ordinary (map-side combinable, fully parallel) aggregation pass
-    # for group sizes and any extra aggregates
-    base = nn.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"), *extra_aggs)
-
     # VALUE-BANDED global rank, ONE shuffle.  The obvious plan —
     # ``repartitionByRange`` + a window keyed on ``spark_partition_id()`` —
     # secretly shuffles the fact relation TWICE: Catalyst cannot prove that
@@ -168,15 +164,36 @@ def group_percentile_cont(
     )
     band: Column = F.lit(len(bounds))
     for i, b in reversed(list(enumerate(bounds))):
-        band = F.when(F.col(value_col).cast("double") <= F.lit(b), i).otherwise(
-            band
-        )
-    bd = nn.select(*keys, value_col).withColumn("_band", band)
+        band = F.when(F.col("_vd") <= F.lit(b), i).otherwise(band)
+    # cast once in a projection — a per-``when`` cast re-evaluates for
+    # every branch when the chain falls out of whole-stage codegen
+    bd = (
+        nn.withColumn("_vd", F.col(value_col).cast("double"))
+        .withColumn("_band", band)
+        .drop("_vd")
+    )
 
+    # ONE fused aggregation pass over the fact for BOTH granularities —
+    # per-group totals + extra aggregates AND per-(band, group) counts —
+    # via GROUPING SETS ((keys), (keys, band)).  Expand doubles the rows
+    # entering the partial aggregate, but both granularities combine
+    # map-side to ~|groups|·(|bands|+1) rows before the (single) shuffle,
+    # where the naive plan scans the fact twice and shuffles twice
+    # (measured at sf0.1: 0.52 s for the two passes vs 0.35 s fused).
+    # ``grouping(_band)`` disambiguates the two sets (a data NULL band
+    # cannot occur: the CASE chain always produces a band id).
+    fused = bd.groupingSets(
+        [keys, [*keys, "_band"]], *keys, "_band"
+    ).agg(F.count(F.lit(1)).alias("_cnt"), *extra_aggs, F.grouping("_band").alias("_gid"))
+    extra_names = [
+        c for c in fused.columns if c not in (*keys, "_band", "_cnt", "_gid")
+    ]
+    base = fused.filter(F.col("_gid") == 1).select(
+        *keys, F.col("_cnt").alias("_n"), *extra_names
+    )
     # per-(band, group) counts → running offset per group.  This relation
-    # is |bands|·|groups| rows — broadcast-sized at any data volume — and
-    # is a sort-free map-combinable aggregate over a pruned 2-column scan.
-    sizes = bd.groupBy("_band", *keys).agg(F.count(F.lit(1)).alias("_cnt"))
+    # is |bands|·|groups| rows — broadcast-sized at any data volume.
+    sizes = fused.filter(F.col("_gid") == 0).select("_band", *keys, "_cnt")
     w_off = (
         Window.partitionBy(*keys)
         .orderBy("_band")
