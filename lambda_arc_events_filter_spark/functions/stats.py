@@ -32,6 +32,28 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from lambda_arc_events_filter_spark.cache import bounded_put
+
+#: internal column names the banded-rank plan materializes on the fact
+#: relation (plus ``_rn``/``_n`` from the ``group`` strategy).  Input
+#: columns and caller aliases must not collide — validated up front.
+_RESERVED_NAMES = frozenset(
+    {
+        "_vd", "_band", "_cnt", "_gid", "_n", "_off", "_lr", "_rank",
+        "_lo", "_hi", "_frac", "_v", "_v_lo", "_v_hi", "q_alias", "_rn",
+    }
+)
+
+#: (applicationId, input-plan semanticHash, value_col, num_partitions) →
+#: sorted band boundaries.  The boundary probe is one approxQuantile job
+#: at plan-construction time; its output only steers band BALANCE, never
+#: correctness (any fixed cut points are order-consistent), so serving a
+#: cached — even colliding — entry is always safe.  Build-once/probe-many
+#: callers (agg_stats, the histogram/PSI family) skip the probe on every
+#: call after the first.
+_BOUNDS_IDX: dict[tuple[str, int, str, int], list[float]] = {}
+_BOUNDS_IDX_MAX = 64
+
 
 def _join_null_safe(
     left: DataFrame, right: DataFrame, cols: Sequence[str], broadcast: bool = False
@@ -72,6 +94,12 @@ def group_percentile_cont(
     parallel aggregation pass.  NULL values in ``value_col`` are excluded
     (matching both the builtin percentile and DuckDB quantile_cont).
 
+    ``extra_aggs`` cost note: under the fused GROUPING SETS plan each
+    extra aggregate is ALSO evaluated for the (keys, band) grouping set
+    and discarded — free for sum/count-style partials, but a heavy extra
+    (e.g. ``countDistinct``) pays that per-band cost invisibly; pass such
+    aggregates through a separate ``groupBy(keys)`` instead.
+
     ``strategy`` (default from ``SPARK_GRAFT_PERCENTILE_STRATEGY``, else
     ``group``) picks between two exact plans with identical output —
     pytest asserts their equality:
@@ -98,6 +126,14 @@ def group_percentile_cont(
     if strategy not in ("group", "range"):
         raise ValueError(f"unknown percentile strategy {strategy!r}")
     keys = list(keys)
+    clashes = _RESERVED_NAMES.intersection(df.columns).union(
+        _RESERVED_NAMES.intersection(quantiles)
+    )
+    if clashes:
+        raise ValueError(
+            "group_percentile_cont: input column / quantile alias collides "
+            f"with reserved internal names: {sorted(clashes)}"
+        )
     nn = df.filter(F.col(value_col).isNotNull())
 
     if strategy == "group":
@@ -129,6 +165,15 @@ def group_percentile_cont(
         _materialize_if_derived,
     )
 
+    # bounds-cache key BEFORE materialization: a localCheckpoint gets a
+    # fresh plan id per call, but the pre-materialization analyzed plan
+    # of a scan-chain input is call-stable.
+    bounds_key = (
+        spark.sparkContext.applicationId,
+        nn.semanticHash(),
+        value_col,
+        num_partitions,
+    )
     nn = _materialize_if_derived(nn)
 
     # VALUE-BANDED global rank, ONE shuffle.  The obvious plan —
@@ -147,21 +192,29 @@ def group_percentile_cont(
     # boundary probe is one approxQuantile job (GK sketch, driver gets
     # ~P doubles, accuracy only affects band balance, never correctness)
     # that runs at plan-CONSTRUCTION time — build-once/probe-many callers
-    # and the plan cache pay it once, like a broadcast build.
-    bounds = sorted(
-        {
-            b
-            for b in nn.select(
-                F.col(value_col).cast("double").alias("_v")
-            ).stat.approxQuantile(
-                "_v", [i / num_partitions for i in range(1, num_partitions)], 0.01
-            )
-            if b == b  # drop NaN boundaries (all-NaN / empty columns),
-            # matching the sibling guard in functions/rank.py — a NaN
-            # bound makes sorted(set(...)) order-unstable and the CASE
-            # chain non-monotone
-        }
-    )
+    # and the plan cache pay it once, like a broadcast build.  Bounds are
+    # additionally session-cached per (app, input plan, column, P) —
+    # repeat calls skip the probe job entirely (and a stale/colliding
+    # entry is still correct: bounds steer balance, not semantics).
+    bounds = _BOUNDS_IDX.get(bounds_key)
+    if bounds is None:
+        bounds = sorted(
+            {
+                b
+                for b in nn.select(
+                    F.col(value_col).cast("double").alias("_v")
+                ).stat.approxQuantile(
+                    "_v",
+                    [i / num_partitions for i in range(1, num_partitions)],
+                    0.01,
+                )
+                if b == b  # drop NaN boundaries (all-NaN / empty columns),
+                # matching the sibling guard in functions/rank.py — a NaN
+                # bound makes sorted(set(...)) order-unstable and the CASE
+                # chain non-monotone
+            }
+        )
+        bounded_put(_BOUNDS_IDX, bounds_key, bounds, _BOUNDS_IDX_MAX)
     band: Column = F.lit(len(bounds))
     for i, b in reversed(list(enumerate(bounds))):
         band = F.when(F.col("_vd") <= F.lit(b), i).otherwise(band)
@@ -188,6 +241,13 @@ def group_percentile_cont(
     extra_names = [
         c for c in fused.columns if c not in (*keys, "_band", "_cnt", "_gid")
     ]
+    if len(extra_names) != len(extra_aggs):
+        # an extra_aggs alias equal to a reserved internal name would be
+        # silently misclassified by the exclusion above — refuse instead
+        raise ValueError(
+            "group_percentile_cont: extra_aggs alias collides with a "
+            f"reserved internal name ({sorted(_RESERVED_NAMES)})"
+        )
     base = fused.filter(F.col("_gid") == 1).select(
         *keys, F.col("_cnt").alias("_n"), *extra_names
     )

@@ -130,6 +130,69 @@ def test_group_percentile_single_row_groups(spark):
     assert rows == {"a": (5.0, 5.0), "b": (7.0, 7.0)}
 
 
+def test_group_percentile_rejects_reserved_names(spark):
+    """Inputs or aliases that collide with the banded plan's internal
+    columns must raise, not silently misbehave (round-6 ADVICE)."""
+    import pytest
+
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="reserved"):
+        group_percentile_cont(
+            df.withColumn("_band", F.lit(0)), ["k"], "v", {"p50": 0.5}
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        group_percentile_cont(df, ["k"], "v", {"_rank": 0.5})
+    with pytest.raises(ValueError, match="reserved"):
+        group_percentile_cont(
+            df,
+            ["k"],
+            "v",
+            {"p50": 0.5},
+            extra_aggs=[F.count(F.lit(1)).alias("_cnt")],
+            strategy="range",
+        )
+
+
+def test_group_percentile_band_bounds_session_cache(spark):
+    """Second call over the same (input plan, column) must serve band
+    boundaries from the session cache — no approxQuantile probe job."""
+    from pyspark.sql.dataframe import DataFrameStatFunctions
+
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(200)], "k string, v double"
+    )
+    first = {
+        r.k: r.p50
+        for r in group_percentile_cont(
+            df, ["k"], "v", {"p50": 0.5}, strategy="range"
+        ).collect()
+    }
+    orig = DataFrameStatFunctions.approxQuantile
+    DataFrameStatFunctions.approxQuantile = _raise_probe  # type: ignore
+    try:
+        second = {
+            r.k: r.p50
+            for r in group_percentile_cont(
+                df, ["k"], "v", {"p50": 0.5}, strategy="range"
+            ).collect()
+        }
+    finally:
+        DataFrameStatFunctions.approxQuantile = orig  # type: ignore
+    assert first == second == {"a": 99.5}
+
+
+def _raise_probe(*_a, **_k):
+    raise AssertionError("approxQuantile probe ran despite cached bounds")
+
+
 def test_kmeans_more_clusters_than_points(spark):
     """k exceeding the corpus must not error: every point seeds its own
     cluster and assignments are the identity."""

@@ -199,6 +199,40 @@ def test_range_percentile_broadcasts_targets(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:1500]
 
 
+def test_range_percentile_fused_grouping_sets_single_expand(spark, sf_dir):
+    """The GROUPING SETS fusion (functions/stats.py): per-group totals and
+    per-(band, group) counts come from ONE Expand over ONE fact pass — a
+    second DISTINCT Expand (or a revert to two separate fact aggregations)
+    would re-double the scan+shuffle volume the fusion removed.  The
+    formatted plan prints the shared subtree once per consumer, so the
+    assertion is on distinct expr-id-normalized Expand signatures; runtime
+    single-execution is pinned by ReusedExchange in the executed plan."""
+    import re
+
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    df = group_percentile_cont(
+        load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"p25": 0.25, "median": 0.5},
+        extra_aggs=[F.count(F.lit(1)).alias("n_rows")],
+        strategy="range",
+    )
+    plan = I.formatted_plan(df)
+    sigs = set()
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith("Expand"):
+            m = re.search(r"Arguments: (.*)", block)
+            sigs.add(re.sub(r"#\d+L?", "", m.group(1)) if m else block[:200])
+    assert len(sigs) == 1, sigs
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:2000]
+
+
 def test_sorted_layout_pushes_range_predicate(spark, sf_dir):
     """The clustered-layout scan must push the BETWEEN predicate into the
     parquet reader (row-group min/max skipping depends on it)."""

@@ -4,7 +4,8 @@ Runs every registered query on Spark AND its DuckDB oracle on the same
 parquet fixtures; compares row count, column names, and the
 order-insensitive multiset of row values.
 
-Usage:  PYTHONPATH=. python tools/check.py [sf_dir] [name_filter ...]
+Usage:  python tools/check.py [sf_dir] [name_filter ...]
+(the repo root is self-inserted on sys.path, no PYTHONPATH needed)
 """
 
 from __future__ import annotations
@@ -12,6 +13,8 @@ from __future__ import annotations
 import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Fixture-scale dedup pipeline width (see operators/dedup.py — the
 # library default is cluster parallelism; the toy value is a harness
