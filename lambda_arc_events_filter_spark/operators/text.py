@@ -122,10 +122,26 @@ def tfidf_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_counts = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    return tfidf_from_tf(tf, total, id_col=id_col)
+
+
+def tfidf_from_tf(
+    tf: DataFrame,
+    n_total: DataFrame,
+    id_col: str = "doc_id",
+    df_counts: DataFrame | None = None,
+) -> DataFrame:
+    """TF-IDF scoring from a precomputed ``(id, term, tf)`` relation (e.g.
+    the session tf index, queries/text_index.py) — ``df`` per term is a
+    row count over it ((id, term) is unique), so the corpus is never
+    re-tokenized.  ``n_total`` is a 1-row (n_total) relation; pass a
+    precomputed ``(term, df)`` lexicon (text_index.vocab_stats) to skip
+    the df aggregation too."""
+    if df_counts is None:
+        df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(df_counts), "term")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_total))
         .withColumn(
             "tfidf",
             F.round(

@@ -20,6 +20,10 @@ from lambda_arc_events_filter_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
 )
+from lambda_arc_events_filter_spark.queries.text_index import (
+    tf_index,
+    vocab_stats,
+)
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -429,17 +433,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, term, tf, df, tfidf, rn FROM r WHERE rn <= 3
     """,
     tags=("llm", "text"),
+    # plan_cache=False: probes the session tf INDEX (text_index.py) —
+    # same protocol as the postings-index consumers above
+    plan_cache=False,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B65 TF-IDF via explicit DataFrame math (operators/text.py) — chosen
     over HashingTF precisely so the result is oracle-able; top-3 terms for
-    the first 30 docs."""
-    d = D.with_tokens(load(spark, sf_dir, "documents"))
-    scored = T.tfidf_terms(d)
+    the first 30 docs.  tf/df/idf all come from the session corpus index
+    (queries/text_index.py — build-once/probe-many across the text
+    family): idf is a materialized per-term lexicon column (the Lucene
+    shape), so the warm path is ONE broadcast join of the doc_id<30 index
+    slice against the lexicon plus the per-doc rank window."""
+    scored = (
+        tf_index(spark, sf_dir)
+        .filter(F.col("doc_id") < 30)
+        .join(
+            F.broadcast(vocab_stats(spark, sf_dir).select("term", "df", "idf")),
+            "term",
+        )
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        scored.filter(F.col("doc_id") < 30)
-        .withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rn")
     )

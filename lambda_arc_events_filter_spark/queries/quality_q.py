@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import global_order_neighbors
+from lambda_arc_events_filter_spark.queries.text_index import (
+    tf_index,
+    vocab_stats,
+)
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -39,28 +43,25 @@ from lambda_arc_events_filter_spark.registry import register
     LIMIT 100
     """,
     tags=("llm", "curation"),
+    # plan_cache=False: probes the session tf INDEX (text_index.py)
+    plan_cache=False,
 )
 def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-100 terms by total frequency, with
     document frequency — the counting pass every tokenizer build (BPE,
     unigram-LM) and stop-word list starts from.
 
-    Shape at 100 TB: explode to (doc, term), one partial-aggregated
-    groupBy(term) computing tf + df (two-level distinct on doc_id), then a
+    Shape at 100 TB: one partial-aggregated groupBy(term) over the session
+    tf index (queries/text_index.py — (doc, term) rows, so tf = Σ tf and
+    df = row count, no re-tokenize and no two-level distinct), then a
     global top-k which Spark executes as TakeOrderedAndProject — each
     partition keeps only its local top-100, so the ordered collect moves
     O(partitions x 100) rows, never the vocabulary.  Ties broken by term
     so the LIMIT cut is deterministic cross-engine.
     """
-    tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
     return (
-        tok.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
-        )
+        vocab_stats(spark, sf_dir)
+        .select("term", F.col("cf").alias("tf"), "df")
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(100)
     )
@@ -87,34 +88,38 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.doc_id
     """,
     tags=("llm", "curation"),
+    # plan_cache=False: probes the session tf INDEX (text_index.py)
+    plan_cache=False,
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram LM — the classic cheap perplexity proxy (CCNet-style) used to
     gate low-quality documents before an expensive model-based filter.
 
-    Two passes over one exploded relation: (1) groupBy(term) builds the
-    LM (map-side combinable); (2) tokens re-join the LM on term and
-    aggregate per doc.  The vocabulary is Zipf-bounded (≪ corpus size), so
-    at 100 TB the LM side of the join is broadcast-able after aggregation
-    — AQE converts it here; the token side never reshuffles.  The global
-    token count is a 1-row cross join (literal broadcast).  Threshold gate
-    (keep) evaluates on the unrounded average in both engines.
+    Both passes run over the session tf index (queries/text_index.py) —
+    the corpus is tokenized once per session, and the LM join lands on
+    per-document VOCABULARIES ((doc, term) rows), not token streams:
+    (1) groupBy(term) over tf builds the LM (map-side combinable);
+    (2) tf rows re-join the LM on term and tf-weight the per-doc average
+    (Σ tf·lp / Σ tf — exact same token multiset the oracle averages; the
+    weighted sum groups identical doubles, which both engines' avg order
+    already doesn't pin).  The LM itself is the materialized ``lp``
+    column of the session lexicon — vocabulary-sized (Zipf), so the join
+    broadcasts at any corpus scale and the index side never reshuffles.
+    Threshold gate (keep) evaluates on the unrounded average in both
+    engines.
     """
-    tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
-    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = vocab.agg(F.sum("c").cast("bigint").alias("n"))
-    lp = F.log(F.col("c") * 1.0 / F.col("n"))
+    tf = tf_index(spark, sf_dir)
+    vocab = vocab_stats(spark, sf_dir).select("term", "lp")
+    wsum = F.sum(F.col("tf") * F.col("lp"))
+    ntok = F.sum("tf")
     return (
-        tok.join(vocab, "term")
-        .crossJoin(F.broadcast(tot))
+        tf.join(F.broadcast(vocab), "term")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(lp), 6).alias("avg_logprob"),
-            (F.avg(lp) >= -7.0).alias("keep"),
+            ntok.alias("n_tokens"),
+            F.round(wsum / ntok, 6).alias("avg_logprob"),
+            (wsum / ntok >= -7.0).alias("keep"),
         )
     )
 
