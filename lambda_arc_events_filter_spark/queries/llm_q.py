@@ -757,6 +757,25 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the embedding ANN operators; full all-pairs at scale goes
     through LSH (see dedup_minhash_lsh).  Profile values round to 6 first
     so both engines rank identical numbers.
+
+    Plan-shape notes (round-7 re-measurement, all at sf0.1):
+
+    - The a/b diamond is NOT two full passes: the a side's ``user_id <
+      50`` filter pushes below the window (its partition key) INTO the
+      events scan, so the broadcast-build job aggregates only the query
+      set's events; exactly one full-population pass remains (the b
+      side), and it is semantically irreducible — norms span ALL of a
+      user's hours, so no pre-aggregate pruning is sound.
+    - Hour-pruning the b side after the profile aggregate is already
+      performed by the broadcast-hash join on h itself; an explicit
+      semi-join duplicates the join's own filter (measured: no gain).
+    - Materializing the profile once (localCheckpoint) to share it
+      across the sides LOSES: the eager barrier serializes what the
+      diamond runs as concurrent stages of one job (0.65 → 0.80 s), and
+      a dense 24-column profile-vector variant (one groupBy, broadcast
+      nested-loop pair scoring) measured 2.0 s — the sparse join's
+      map-side-combined partial aggregate is the better plan at every
+      scale where hours-per-user ≪ population.
     """
     e = load(spark, sf_dir, "events")
     # per-user norm rides each profile row via a window over the profile
