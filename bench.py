@@ -220,24 +220,38 @@ def main() -> None:
         "arrow_results": sorted(_ARROW_RESULTS & set(names)),
     }
     print(json.dumps(detail, separators=(",", ":")))
-    for ndigits in (3, 2):
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: round(t, ndigits) for n, t in timings.items()},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # wall minus the measured local-mode dispatch/collect
-                # floor (detail line carries the per-query breakdown);
-                # "value" stays the honest wall total.
-                "compute_only_total": round(sum(compute_only.values()), 4),
-            },
-            separators=(",", ":"),
-        )
+    print(contract_line(timings, total, compute_only, sf))
+
+
+def contract_line(timings, total, compute_only, sf) -> str:
+    """The driver-contract JSON line: guaranteed ≤1800 chars.  Precision
+    degrades 3 → 2 decimals if the headline set grows the line past the
+    budget; the terminal fallback drops the per-query map entirely
+    (keeping metric/value/unit/sf/compute_only_total) so the line can
+    NEVER overflow the driver's ~2000-char tail window — the detail line
+    above always carries the full 4-decimal per-query seconds."""
+    base = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # wall minus the measured local-mode dispatch/collect floor
+        # (detail line carries the per-query breakdown); "value" stays
+        # the honest wall total.
+        "compute_only_total": round(sum(compute_only.values()), 4),
+    }
+    for queries in (
+        {n: round(t, 3) for n, t in timings.items()},
+        {n: round(t, 2) for n, t in timings.items()},
+        None,
+    ):
+        payload = dict(base)
+        if queries is not None:
+            payload["queries"] = queries
+        line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= 1800:
-            break
-    print(line)
+            return line
+    return line  # unreachable: the no-queries payload is ~150 chars
 
 
 if __name__ == "__main__":

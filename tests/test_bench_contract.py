@@ -1,0 +1,78 @@
+"""The bench driver-contract line must stay machine-readable: the driver
+captures only the final ~2000 chars of stdout and json-parses the LAST
+line.  Rounds 4-5 lost their artifact when the line outgrew that window —
+this pins the format and the overflow fallbacks.
+
+bench.py mutates env defaults at import (shuffle width, AQE) which must
+not leak into this process's session fixtures, so the import happens in a
+subprocess.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_PROBE = """
+import json, sys
+sys.path.insert(0, {root!r})
+import bench
+
+def fake(n, t):
+    timings = {{f"q{{i:03d}}_some_rather_long_query_name": t for i in range(n)}}
+    compute = {{k: t * 0.9 for k, t in timings.items()}}
+    return bench.contract_line(timings, round(sum(timings.values()), 4),
+                               compute, "0.1")
+
+for n in (39, 200, 2000):
+    line = fake(n, 0.123456)
+    assert len(line) <= 1800, (n, len(line))
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_queries_total_wall"
+    assert obj["unit"] == "sec"
+    assert obj["sf"] == 0.1
+    assert isinstance(obj["value"], float)
+    assert isinstance(obj["compute_only_total"], float)
+    print(n, len(line), "queries" in obj)
+"""
+
+
+def test_contract_line_parses_and_never_overflows():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE.format(root=root)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l.split() for l in out.stdout.strip().splitlines()]
+    # 39-query headline keeps the per-query map; a 2000-query set must
+    # drop it rather than overflow the driver window
+    by_n = {int(n): (int(length), has_q) for n, length, has_q in lines}
+    assert by_n[39][1] == "True"
+    assert by_n[2000][1] == "False"
+    assert all(length <= 1800 for length, _ in by_n.values())
+
+
+def test_recorded_bench_artifacts_parsed_not_null():
+    """The driver's BENCH_r*.json records {tail, parsed}; `parsed` is its
+    json-parse of bench's final stdout line.  From round 6 on it must be
+    a non-null contract object (rounds 4-5 are the known-broken ones the
+    split-line format fixed)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = 0
+    for name in sorted(os.listdir(root)):
+        if not (name.startswith("BENCH_r") and name.endswith(".json")):
+            continue
+        round_no = int(name[7:9])
+        if round_no < 6:
+            continue
+        art = json.load(open(os.path.join(root, name)))
+        parsed = art.get("parsed")
+        assert isinstance(parsed, dict), (name, parsed)
+        assert parsed.get("metric") == "headline_queries_total_wall", name
+        checked += 1
+    assert checked >= 1
