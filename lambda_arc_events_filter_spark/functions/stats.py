@@ -291,7 +291,7 @@ def group_percentile_cont(
         F.col(t) <= F.col("_off") + F.col("_cnt")
     )
     hit_bands = (
-        _join_null_safe(targets, offsets, keys)
+        _join_null_safe(targets, offsets, keys, broadcast=True)
         .filter(in_band("_lo") | in_band("_hi"))
         .select("_band", *keys)
         .dropDuplicates(["_band", *keys])
@@ -310,22 +310,17 @@ def group_percentile_cont(
     hits = _join_null_safe(ranked, targets, keys, broadcast=True).filter(
         (F.col("_rank") == F.col("_lo")) | (F.col("_rank") == F.col("_hi"))
     )
-    per_q = hits.groupBy(*keys, "q_alias", "_frac").agg(
-        F.max(F.when(F.col("_rank") == F.col("_lo"), F.col(value_col))).alias(
-            "_v_lo"
-        ),
-        F.max(F.when(F.col("_rank") == F.col("_hi"), F.col(value_col))).alias(
-            "_v_hi"
-        ),
-    )
-    per_q = per_q.withColumn(
-        "_v", F.col("_v_lo") + F.col("_frac") * (F.col("_v_hi") - F.col("_v_lo"))
-    )
-    # pivot the per-quantile rows back to one column per alias
+    # ONE pivot aggregation straight off the hit rows: per (group, alias)
+    # cell, v_lo/v_hi are conditional maxes and _frac is constant within
+    # the cell, so the interpolation folds into the pivot itself — the
+    # former separate per-(group, q) aggregate + pivot pair cost one
+    # extra exchange for nothing.
     aliases = list(quantiles)
+    v_lo = F.max(F.when(F.col("_rank") == F.col("_lo"), F.col(value_col)))
+    v_hi = F.max(F.when(F.col("_rank") == F.col("_hi"), F.col(value_col)))
     wide = (
-        per_q.groupBy(*keys)
+        hits.groupBy(*keys)
         .pivot("q_alias", aliases)
-        .agg(F.first("_v"))
+        .agg((v_lo + F.max("_frac") * (v_hi - v_lo)).alias("_v"))
     )
     return _join_null_safe(base, wide, keys).drop("_n")
