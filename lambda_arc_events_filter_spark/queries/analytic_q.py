@@ -828,25 +828,26 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interval-join trick; A/B at sf0.1: 1.51 → 1.05 s).
     a_cell0 = F.floor(F.unix_timestamp("a_start") / cell_s).cast("long")
     b_cell0 = F.floor(F.unix_timestamp("b_start") / cell_s).cast("long")
-    hits = (
-        ac.join(bc, "cell")
-        .filter(
-            (F.col("a_start") <= F.col("b_end"))
-            & (F.col("b_start") <= F.col("a_end"))
-            & (F.col("cell") == F.greatest(a_cell0, b_cell0))
-        )
-        .groupBy("user_id", "a_start")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # LEFT join on the cell id with a conditional count, instead of an
+    # inner join + a second join back to ``a``: every session owns ≥1
+    # cell row, so zero-overlap sessions survive the aggregation with
+    # count 0 — which removes both the re-computation of the sessionize
+    # subtree (the old plan built ``a`` twice) and the final
+    # session-restoring join (one exchange fewer; interleaved A/B at
+    # sf0.1, bench env, min-of-8: 0.85 → 0.75 s).
+    match = (
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+        & (F.col("cell") == F.greatest(a_cell0, b_cell0))
     )
     return (
-        a.select("user_id", "a_start")
-        .join(hits, ["user_id", "a_start"], "left")
+        ac.join(bc, "cell", "left")
+        .groupBy("user_id", "a_start")
+        .agg(F.count(F.when(match, F.lit(1))).alias("_n"))
         .select(
             "user_id",
             F.col("a_start").alias("session_start"),
-            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(
-                "n_incidents"
-            ),
+            F.col("_n").cast("long").alias("n_incidents"),
         )
     )
 
