@@ -233,6 +233,20 @@ def test_range_percentile_fused_grouping_sets_single_expand(spark, sf_dir):
     assert "ReusedExchange" in executed, executed[:2000]
 
 
+def test_text_index_consumers_probe_not_retokenize(spark, sf_dir):
+    """The tf-index consumers must PROBE the session index: their plans
+    contain no Generate/explode (re-tokenization) — tfidf additionally
+    broadcast-joins the lexicon.  A regression here silently re-runs the
+    corpus tokenize+count per call."""
+    tfidf = ALL["text_tfidf_top_terms"].fn(spark, sf_dir)
+    plan = I.formatted_plan(tfidf)
+    assert "Generate" not in plan, plan[:1500]
+    assert I.uses_broadcast_join(tfidf)
+    for name in ("text_unigram_logprob", "vocab_top_terms"):
+        plan = I.formatted_plan(ALL[name].fn(spark, sf_dir))
+        assert "Generate" not in plan, (name, plan[:1500])
+
+
 def test_sorted_layout_pushes_range_predicate(spark, sf_dir):
     """The clustered-layout scan must push the BETWEEN predicate into the
     parquet reader (row-group min/max skipping depends on it)."""
