@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import global_order_stats
+from lambda_arc_events_filter_spark.operators.interval import (
+    interval_overlap_count,
+)
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -808,47 +811,17 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("b_start"),
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("b_end"),
     )
-    cell_s = 600
-
-    def cells(start, end):
-        return F.sequence(
-            F.floor(F.unix_timestamp(start) / cell_s).cast("long"),
-            F.floor(F.unix_timestamp(end) / cell_s).cast("long"),
-        )
-
-    ac = a.withColumn("cell", F.explode(cells("a_start", "a_end")))
-    bc = b.withColumn("cell", F.explode(cells("b_start", "b_end")))
-    # canonical-cell dedup: a pair overlapping in time shares every cell in
-    # the intersection of its cell ranges, and max(start-cells) is always
-    # in that intersection — so counting a pair ONLY in that one cell makes
-    # matches unique by construction.  That turns the old
-    # distinct/countDistinct dedup into a plain count(*): map-side
-    # combinable partial aggregation, no dedup hash state, no second
-    # shuffle of the raw pair relation (the standard chunked
-    # interval-join trick; A/B at sf0.1: 1.51 → 1.05 s).
-    a_cell0 = F.floor(F.unix_timestamp("a_start") / cell_s).cast("long")
-    b_cell0 = F.floor(F.unix_timestamp("b_start") / cell_s).cast("long")
-    # LEFT join on the cell id with a conditional count, instead of an
-    # inner join + a second join back to ``a``: every session owns ≥1
-    # cell row, so zero-overlap sessions survive the aggregation with
-    # count 0 — which removes both the re-computation of the sessionize
-    # subtree (the old plan built ``a`` twice) and the final
-    # session-restoring join (one exchange fewer; interleaved A/B at
-    # sf0.1, bench env, min-of-8: 0.85 → 0.75 s).
-    match = (
-        (F.col("a_start") <= F.col("b_end"))
-        & (F.col("b_start") <= F.col("a_end"))
-        & (F.col("cell") == F.greatest(a_cell0, b_cell0))
-    )
-    return (
-        ac.join(bc, "cell", "left")
-        .groupBy("user_id", "a_start")
-        .agg(F.count(F.when(match, F.lit(1))).alias("_n"))
-        .select(
-            "user_id",
-            F.col("a_start").alias("session_start"),
-            F.col("_n").cast("long").alias("n_incidents"),
-        )
+    # canonical-cell counting + LEFT-join zero-restore: see
+    # operators/interval.py (the conditional-count LEFT join removed the
+    # old second session-restoring join and its sessionize re-computation;
+    # interleaved A/B at sf0.1, bench env, min-of-8: 0.85 → 0.75 s;
+    # canonical-cell vs distinct-dedup before that: 1.51 → 1.05 s).
+    return interval_overlap_count(
+        a, b, a_keys=("user_id", "a_start"), count_col="n_incidents"
+    ).select(
+        "user_id",
+        F.col("a_start").alias("session_start"),
+        "n_incidents",
     )
 
 
