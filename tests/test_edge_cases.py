@@ -306,3 +306,33 @@ def test_group_percentile_nan_band_guard(spark):
     # (89.1 up to one interpolation ulp: 1 + 99*0.9 = 90.1 in IEEE)
     assert rg["c"][0] == 49.5
     assert abs(rg["c"][1] - 89.1) < 1e-9
+
+
+def test_asof_join_same_instant_and_tiebreakers(spark):
+    """ASOF <= semantics at equal timestamps: a same-instant right row IS
+    visible to its left row, and among same-instant right rows the LAST by
+    tiebreaker wins — the deterministic contract the operator docstring
+    promises (operators/asof.py)."""
+    import datetime as dt
+
+    from lambda_arc_events_filter_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 12, 5, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (1, t1)], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, "a", 1), (1, t0, "b", 2), (1, t1, "c", 1)],
+        "k long, t timestamp, state string, seq int",
+    )
+    rows = {
+        r.t: r["_asof_state"]
+        for r in asof_join(
+            left, right, key="k", time_col="t", value_cols=["state"],
+            tiebreakers=["seq"],
+        ).collect()
+    }
+    # t0: both same-instant rows visible, seq=2 ('b') wins the tie;
+    # t1: the newer same-instant row ('c') supersedes the carry-forward
+    assert rows == {t0: "b", t1: "c"}
