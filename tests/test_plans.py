@@ -233,6 +233,13 @@ def test_range_percentile_fused_grouping_sets_single_expand(spark, sf_dir):
     assert "ReusedExchange" in executed, executed[:2000]
 
 
+def test_interval_overlap_plans_equi_join_not_nested_loop(spark, sf_dir):
+    """The chunked interval join's entire point: the overlap theta
+    predicate must ride a cell equi-join, never BroadcastNestedLoopJoin."""
+    df = ALL["interval_overlap_join"].fn(spark, sf_dir)
+    assert not I.uses_nested_loop_join(df), I.formatted_plan(df)[:1500]
+
+
 def test_text_index_consumers_probe_not_retokenize(spark, sf_dir):
     """The tf-index consumers must PROBE the session index: their plans
     contain no Generate/explode (re-tokenization) — tfidf additionally
