@@ -57,6 +57,8 @@ def interval_overlap_count(
     ``a_keys`` are the columns of ``a`` that identify (and survive to) the
     output — they must be unique per left interval.  ``a`` and ``b``
     column names must not collide apart from the injected ``_cell``.
+    Intervals must satisfy ``start <= end`` (a descending ``sequence``
+    would otherwise enumerate cells backwards).
     """
     ac = a.withColumn("_cell", F.explode(_cells(a_start, a_end, cell_s)))
     bc = b.withColumn("_cell", F.explode(_cells(b_start, b_end, cell_s)))
