@@ -32,10 +32,36 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def _cells(start: str, end: str, cell_s: int) -> Column:
-    return F.sequence(
+def _cells(start: str, end: str, cell_s: int, validate: bool) -> Column:
+    seq = F.sequence(
         F.floor(F.unix_timestamp(start) / cell_s).cast("long"),
         F.floor(F.unix_timestamp(end) / cell_s).cast("long"),
+    )
+    if not validate:
+        return seq
+    # A descending interval (start > end) would otherwise be SILENTLY
+    # wrong: same-cell descents still own one cell, cross-cell descents
+    # make ``sequence`` raise an opaque step error or the row own no
+    # cells.  Precondition violations are loud instead (ADVICE r7).
+    # NULL bounds keep the legacy semantics (null sequence → explode
+    # drops the row), hence the explicit non-null guard.
+    bad = (
+        F.col(start).isNotNull()
+        & F.col(end).isNotNull()
+        & (F.col(start) > F.col(end))
+    )
+    return F.when(~bad, seq).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_overlap_count: descending interval "
+                    f"({start} > {end}) at {start}="
+                ),
+                F.col(start).cast("string"),
+                F.lit(f", {end}="),
+                F.col(end).cast("string"),
+            )
+        )
     )
 
 
@@ -49,19 +75,37 @@ def interval_overlap_count(
     b_end: str = "b_end",
     cell_s: int = 600,
     count_col: str = "n_matches",
+    validate: bool = True,
 ) -> DataFrame:
     """Per-left-interval count of overlapping right intervals (closed
     bounds: ``a_start <= b_end AND b_start <= a_end``), one output row per
     left interval including zero-match ones.
 
     ``a_keys`` are the columns of ``a`` that identify (and survive to) the
-    output — they must be unique per left interval.  ``a`` and ``b``
-    column names must not collide apart from the injected ``_cell``.
-    Intervals must satisfy ``start <= end`` (a descending ``sequence``
-    would otherwise enumerate cells backwards).
+    output — they must be unique per left interval.  Structural
+    preconditions are checked at plan-construction time: ``a`` and ``b``
+    column sets must be disjoint and neither may already contain the
+    injected ``_cell``.  Intervals must satisfy ``start <= end``; with
+    ``validate`` (the default) a descending interval raises at run time
+    via a codegen'd ``raise_error`` guard on the cell enumeration (cost:
+    one comparison per row), instead of silently owning the wrong cells.
+    ``validate=False`` restores the unchecked plan for callers that prove
+    the invariant upstream.
     """
-    ac = a.withColumn("_cell", F.explode(_cells(a_start, a_end, cell_s)))
-    bc = b.withColumn("_cell", F.explode(_cells(b_start, b_end, cell_s)))
+    for side, df in (("a", a), ("b", b)):
+        if "_cell" in df.columns:
+            raise ValueError(
+                f"interval_overlap_count: side {side!r} already has a "
+                "'_cell' column (reserved internal name)"
+            )
+    shared = set(a.columns) & set(b.columns)
+    if shared:
+        raise ValueError(
+            "interval_overlap_count: a/b column names must be disjoint; "
+            f"shared: {sorted(shared)}"
+        )
+    ac = a.withColumn("_cell", F.explode(_cells(a_start, a_end, cell_s, validate)))
+    bc = b.withColumn("_cell", F.explode(_cells(b_start, b_end, cell_s, validate)))
     a_cell0 = F.floor(F.unix_timestamp(a_start) / cell_s).cast("long")
     b_cell0 = F.floor(F.unix_timestamp(b_start) / cell_s).cast("long")
     match = (
