@@ -86,6 +86,7 @@ def group_percentile_cont(
     extra_aggs: Sequence[Column] = (),
     num_partitions: int | None = None,
     strategy: str | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact interpolated per-group quantiles.
 
@@ -117,6 +118,19 @@ def group_percentile_cont(
       the DEFAULT (the cluster-sane-default polarity, like session.py's
       scan sizing); ``group`` remains selectable for tiny-relation
       callers via the env var.
+
+    ``materialize`` (range strategy only): localCheckpoint the fused
+    |groups|·(|bands|+1)-row aggregate, collapsing its three physically
+    duplicated consumer subtrees (column pruning specializes each copy,
+    so ReuseExchange dedupes only one) to a single fact pass + probe.
+    This is the CLUSTER lever: at real volumes three redundant passes
+    over the fact dominate everything.  It stays off by default because
+    at fixture scale the duplicates run CONCURRENTLY inside one job and
+    the checkpoint barrier serializes them — measured same-session at
+    sf0.1 (agg_stats shape): 1.06 s materialized vs 0.57 s diamond, the
+    same asymmetry ts_user_similarity documents.  Callers that enable it
+    must register with ``plan_cache=False`` (the cached logical plan
+    would pin the checkpointed RDD — result caching, not benchmarking).
     """
     import os
 
@@ -134,6 +148,23 @@ def group_percentile_cont(
             "group_percentile_cont: input column / quantile alias collides "
             f"with reserved internal names: {sorted(clashes)}"
         )
+    if extra_aggs:
+        # resolve the extra aliases from the analyzed schema (no job runs)
+        # and refuse EVERY collision class up front, for both strategies:
+        # a reserved internal name would be silently dropped with the
+        # internal column, a key/quantile alias would shadow or vanish in
+        # the final select, and a duplicate alias is ambiguous (ADVICE r7).
+        extra_alias = df.limit(0).agg(*extra_aggs).columns
+        bad = set(extra_alias) & (_RESERVED_NAMES | set(quantiles) | set(keys))
+        if bad or len(set(extra_alias)) != len(extra_alias):
+            dupes = sorted(
+                {a for a in extra_alias if extra_alias.count(a) > 1}
+            )
+            raise ValueError(
+                "group_percentile_cont: extra_aggs alias collides with a "
+                "reserved internal name, key, quantile alias, or another "
+                f"extra_aggs alias: {sorted(bad) + dupes}"
+            )
     nn = df.filter(F.col(value_col).isNotNull())
 
     if strategy == "group":
@@ -238,21 +269,24 @@ def group_percentile_cont(
     fused = bd.groupingSets(
         [keys, [*keys, "_band"]], *keys, "_band"
     ).agg(F.count(F.lit(1)).alias("_cnt"), *extra_aggs, F.grouping("_band").alias("_gid"))
+    if materialize:
+        fused = fused.localCheckpoint(eager=True)
     extra_names = [
         c for c in fused.columns if c not in (*keys, "_band", "_cnt", "_gid")
     ]
     if len(extra_names) != len(extra_aggs):
-        # an extra_aggs alias equal to a reserved internal name would be
-        # silently misclassified by the exclusion above — refuse instead
-        raise ValueError(
-            "group_percentile_cont: extra_aggs alias collides with a "
-            f"reserved internal name ({sorted(_RESERVED_NAMES)})"
+        # unreachable after the upfront alias validation — pure invariant
+        # guard against a future drift between the two name lists
+        raise AssertionError(
+            "group_percentile_cont: internal extra_aggs name accounting "
+            "drifted from the upfront alias validation"
         )
     base = fused.filter(F.col("_gid") == 1).select(
         *keys, F.col("_cnt").alias("_n"), *extra_names
     )
     # per-(band, group) counts → running offset per group.  This relation
-    # is |bands|·|groups| rows — broadcast-sized at any data volume.
+    # is |bands|·|groups| rows — small, but it grows with group
+    # cardinality, so it is never broadcast (see hit_bands below).
     sizes = fused.filter(F.col("_gid") == 0).select("_band", *keys, "_cnt")
     w_off = (
         Window.partitionBy(*keys)
@@ -290,19 +324,24 @@ def group_percentile_cont(
     in_band = lambda t: (F.col(t) > F.col("_off")) & (  # noqa: E731
         F.col(t) <= F.col("_off") + F.col("_cnt")
     )
+    # targets (|groups|·|quantiles| rows) broadcasts INTO offsets — the
+    # smaller side by a factor of |bands|/|quantiles|; offsets itself is
+    # never broadcast (ADVICE r7: an F.broadcast hint builds regardless
+    # of size, so the bigger relation must stay on the streamed side).
+    # ``_off`` rides along on the surviving hit rows — constant per
+    # (band, group), so the dropDuplicates keeps a deterministic value —
+    # which removes the former second offsets join against the ranked
+    # fact relation entirely.
     hit_bands = (
-        _join_null_safe(targets, offsets, keys, broadcast=True)
+        _join_null_safe(offsets, targets, keys, broadcast=True)
         .filter(in_band("_lo") | in_band("_hi"))
-        .select("_band", *keys)
+        .select("_band", *keys, "_off")
         .dropDuplicates(["_band", *keys])
     )
     bd_hit = _join_null_safe(bd, hit_bands, ["_band", *keys], broadcast=True)
     w_local = Window.partitionBy("_band", *keys).orderBy(value_col)
-    ranked = _join_null_safe(
-        bd_hit.withColumn("_lr", F.row_number().over(w_local)),
-        offsets.select("_band", *keys, "_off"),
-        ["_band", *keys],
-        broadcast=True,
+    ranked = bd_hit.withColumn(
+        "_lr", F.row_number().over(w_local)
     ).withColumn("_rank", F.col("_lr") + F.col("_off"))
 
     # broadcast the targets into the ranked relation: only the rows AT a
@@ -323,4 +362,8 @@ def group_percentile_cont(
         .pivot("q_alias", aliases)
         .agg((v_lo + F.max("_frac") * (v_hi - v_lo)).alias("_v"))
     )
-    return _join_null_safe(base, wide, keys).drop("_n")
+    # ``wide`` is |groups|·|quantiles| cells — the same size class as the
+    # already-broadcast ``targets``; without the hint the planner has no
+    # size estimate for an aggregate output and falls back to a
+    # sort-merge join (two exchanges + two sorts on tiny relations).
+    return _join_null_safe(base, wide, keys, broadcast=True).drop("_n")

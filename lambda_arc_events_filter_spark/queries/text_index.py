@@ -20,6 +20,15 @@ Derivations stay exact: ``tf`` is an exact integer, so ``sum(tf)``
 reproduces token-level counts bit-for-bit, and the derived doubles
 (idf = ln((1+n_docs)/(1+df))+1, lp = ln(cf/n_tokens)) are the same
 single-expression doubles the per-query formulas produced inline.
+
+Consumer boundary (measured, round 8): the index serves queries that
+probe term-keyed or doc-sliced statistics WITHOUT needing the raw
+document row (tfidf, unigram LM, vocab).  A query that must scan the
+documents table anyway (corpus_curation_pipeline needs lang/source/
+md5(text)) computes row-local token stats in-row instead: routing them
+through the index costs a postings groupBy + a corpus×corpus join back —
+same-session A/B at sf0.1: 0.504 s index-fed vs 0.276 s in-row (see the
+pipeline's docstring).
 """
 
 from __future__ import annotations

@@ -155,6 +155,60 @@ def test_group_percentile_rejects_reserved_names(spark):
             extra_aggs=[F.count(F.lit(1)).alias("_cnt")],
             strategy="range",
         )
+    # the full reserved set — '_n' formerly slipped past the length-based
+    # check and the aggregate silently vanished (ADVICE r7); also keys,
+    # quantile aliases, duplicates, and BOTH strategies
+    for alias in ("_n", "_lo", "_rank", "k", "p50"):
+        for strat in ("range", "group"):
+            with pytest.raises(ValueError, match="alias"):
+                group_percentile_cont(
+                    df,
+                    ["k"],
+                    "v",
+                    {"p50": 0.5},
+                    extra_aggs=[F.count(F.lit(1)).alias(alias)],
+                    strategy=strat,
+                )
+    with pytest.raises(ValueError, match="alias"):
+        group_percentile_cont(
+            df,
+            ["k"],
+            "v",
+            {"p50": 0.5},
+            extra_aggs=[
+                F.count(F.lit(1)).alias("c"),
+                F.max("v").alias("c"),
+            ],
+            strategy="range",
+        )
+
+
+def test_group_percentile_materialize_matches_diamond(spark):
+    """materialize=True (the cluster lever: checkpoint the fused build
+    side) must be a pure plan change — identical output to the default
+    concurrent-diamond plan, including extra aggregates."""
+    from lambda_arc_events_filter_spark.functions.stats import (
+        group_percentile_cont,
+    )
+
+    rows = [(chr(97 + i % 3), float(i * 7 % 23)) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    kw = dict(
+        keys=["k"],
+        value_col="v",
+        quantiles={"p25": 0.25, "p90": 0.9},
+        extra_aggs=[F.count(F.lit(1)).alias("n_rows")],
+        strategy="range",
+    )
+    want = {
+        r.k: (r.p25, r.p90, r.n_rows)
+        for r in group_percentile_cont(df, **kw).collect()
+    }
+    got = {
+        r.k: (r.p25, r.p90, r.n_rows)
+        for r in group_percentile_cont(df, materialize=True, **kw).collect()
+    }
+    assert got == want and len(want) == 3
 
 
 def test_group_percentile_band_bounds_session_cache(spark):
