@@ -26,3 +26,42 @@ def bounded_put(cache: dict[K, V], key: K, value: V, max_entries: int) -> V:
         cache.pop(next(iter(cache)))
     cache[key] = value
     return value
+
+
+#: RDD ids of session-RESIDENT materializations (corpus indexes: the tf
+#: index, the IVF index).  The prepared-plan cache may only cache a plan
+#: whose RDD scans all appear here: a resident index is the engine's
+#: architecture (build once per session, probe many times — reuse is the
+#: point), while any OTHER checkpointed RDD in a query plan is a
+#: query-private intermediate whose reuse across executions is result
+#: caching and fakes the benchmark (see registry.register).  Ids are
+#: monotonically increasing ints; stale ids from evicted indexes are
+#: harmless (an RDD id is never reissued), the trim just bounds memory.
+RESIDENT_RDD_IDS: set[int] = set()
+_RESIDENT_MAX = 4096
+
+
+def rdd_scan_ids(jplan) -> list[int]:
+    """RDD ids of every ``LogicalRDD`` leaf in a JVM logical plan."""
+    out: list[int] = []
+    leaves = jplan.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() == "LogicalRDD":
+            out.append(leaf.rdd().id())
+    return out
+
+
+def bless_resident(df):
+    """Mark every RDD scan in ``df``'s plan as session-resident (an index
+    whose cross-execution reuse is intended).  Returns ``df`` so builders
+    can wrap their ``localCheckpoint()`` call site.  No-op on sessions
+    without JVM access (Connect mode)."""
+    try:
+        ids = rdd_scan_ids(df._jdf.queryExecution().logical())
+    except Exception:
+        return df
+    while len(RESIDENT_RDD_IDS) + len(ids) > _RESIDENT_MAX:
+        RESIDENT_RDD_IDS.pop()
+    RESIDENT_RDD_IDS.update(ids)
+    return df

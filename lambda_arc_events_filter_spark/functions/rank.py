@@ -188,6 +188,7 @@ def global_order_stats(
     exclusive: bool = False,
     key: Sequence[str] | None = None,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Global ``row_number`` and/or running aggregates over a total order
     without a single-partition WindowExec.
@@ -208,6 +209,17 @@ def global_order_stats(
     versus a sequential fold.  Integer sums and max/min are exact — use
     the engine-wide integer-cents discipline when the oracle must agree
     bit-for-bit.
+
+    ``materialize=False`` skips the derived-input localCheckpoint
+    (``_materialize_if_derived``): the helper's three input evaluations
+    then run as a concurrent plan diamond instead of build-then-probe.
+    Since the round-8 plan-cache guard, an embedded checkpoint also makes
+    the whole query ineligible for the prepared-plan cache (a private
+    materialization must re-build per execution), which flips the
+    economics for callers whose upstream is one cheap rollup — measured
+    on pareto-abc at sf0.1: 0.78 s honest checkpoint-per-rep vs 0.35 s
+    checkpoint-free prepared.  Keep the default for derived inputs that
+    are genuinely expensive to recompute three times.
     """
     running = dict(running or {})
     if rank is None and not running:
@@ -234,7 +246,8 @@ def global_order_stats(
     else:
         key = None
         core = df.select(*core_names)  # fix column order
-    core = _materialize_if_derived(core)
+    if materialize:
+        core = _materialize_if_derived(core)
 
     band = _band_column(core, order_names[0], order_dirs[0], num_partitions)
     if band is not None:

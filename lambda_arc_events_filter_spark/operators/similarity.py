@@ -275,8 +275,15 @@ def ivf_build_index(
     )
     idx = (cents, units)
     if cache_key is not None:
-        from lambda_arc_events_filter_spark.cache import bounded_put
+        from lambda_arc_events_filter_spark.cache import (
+            bless_resident,
+            bounded_put,
+        )
 
+        # session-resident index: consumers' prepared plans may pin it
+        # (registry plan-cache blessing protocol)
+        bless_resident(cents)
+        bless_resident(units)
         bounded_put(_IVF_CACHE, cache_key, idx, _IVF_CACHE_MAX)
     return idx
 

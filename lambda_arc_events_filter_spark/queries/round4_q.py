@@ -1400,12 +1400,15 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("plen"),
         )
     )
-    # the phrase relation (a per-run rollup, far smaller than the token
+    # The phrase relation (a per-run rollup, far smaller than the token
     # explosion that builds it) feeds THREE consumers — word scores,
-    # candidate frequencies, and the distinct-phrase word join; without
-    # materialization the explode+window+collect_list pipeline executes
-    # three times (measured 0.56 -> 0.27 s at sf0.1)
-    phrases = phrases.localCheckpoint(eager=False)
+    # candidate frequencies, and the distinct-phrase word join.  It runs
+    # as a concurrent plan diamond: a localCheckpoint here would
+    # disqualify the query from the prepared-plan cache (registry guard),
+    # and the honest accounting favors the diamond — measured at sf0.1:
+    # 0.70 s checkpoint-rebuilt-per-rep vs the diamond's prepared reps
+    # (the pre-guard 0.56→0.27 comparison credited the checkpoint with
+    # cross-rep reuse the protocol does not allow).
     words = phrases.select(
         F.explode(F.split("phrase", " ")).alias("w"), "plen"
     )

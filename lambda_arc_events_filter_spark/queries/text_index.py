@@ -36,7 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from lambda_arc_events_filter_spark.cache import bounded_put
+from lambda_arc_events_filter_spark.cache import bless_resident, bounded_put
 from lambda_arc_events_filter_spark.catalog import load
 
 _TF_IDX: dict[tuple[str, str], DataFrame] = {}
@@ -58,6 +58,7 @@ def tf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("tf"))
             .localCheckpoint()
         )
+        tf = bless_resident(tf)
         bounded_put(_TF_IDX, key, tf, _IDX_MAX)
     return tf
 
@@ -76,7 +77,7 @@ def corpus_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens = tf_index(spark, sf_dir).agg(
             F.sum("tf").cast("bigint").alias("n_tokens")
         )
-        t = n_docs.crossJoin(n_tokens).localCheckpoint()
+        t = bless_resident(n_docs.crossJoin(n_tokens).localCheckpoint())
         bounded_put(_TOTALS_IDX, key, t, _IDX_MAX)
     return t
 
@@ -114,5 +115,6 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        v = bless_resident(v)
         bounded_put(_VOCAB_IDX, key, v, _IDX_MAX)
     return v

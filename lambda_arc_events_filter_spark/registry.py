@@ -55,15 +55,24 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
             key = (spark.sparkContext.applicationId, sf_dir, name)
             jplan = _PLAN_CACHE.get(key)
             if jplan is None:
-                from lambda_arc_events_filter_spark.cache import bounded_put
+                from lambda_arc_events_filter_spark.cache import (
+                    RESIDENT_RDD_IDS,
+                    bounded_put,
+                    rdd_scan_ids,
+                )
 
                 df = fn(spark, sf_dir)
-                bounded_put(
-                    _PLAN_CACHE,
-                    key,
-                    df._jdf.queryExecution().logical(),
-                    _PLAN_CACHE_MAX,
-                )
+                jlogical = df._jdf.queryExecution().logical()
+                # Cache ONLY plans whose RDD scans are all blessed
+                # session-resident indexes (cache.bless_resident).  Any
+                # other LogicalRDD — a query-private localCheckpoint, a
+                # driver-computed createDataFrame — is per-execution work;
+                # caching such a plan would pin its materialized blocks
+                # across executions and silently convert the prepared-
+                # statement protocol into result caching (round-8 audit:
+                # 48 registrations carried exactly this leak).
+                if all(r in RESIDENT_RDD_IDS for r in rdd_scan_ids(jlogical)):
+                    bounded_put(_PLAN_CACHE, key, jlogical, _PLAN_CACHE_MAX)
                 return df
             jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                 spark._jsparkSession, jplan
@@ -91,12 +100,16 @@ def register(
     streaming, approximate sketches) — the driver then records a weaker
     rows-only check, and the judge sees which.
 
-    ``plan_cache=False`` opts out of the prepared-plan cache.  Required for
-    queries whose fn materializes intermediates (``localCheckpoint``): the
-    cached logical plan would reference the checkpointed RDD and repeat
-    executions would skip recomputing it — result caching, which would
-    fake the benchmark.  Streaming/source/sink tags are exempted
-    automatically.
+    ``plan_cache=False`` opts out of the prepared-plan cache.  Use it for
+    queries whose fn materializes intermediates (``localCheckpoint``) or
+    embeds driver-computed data: the cached logical plan would reference
+    the materialized RDD and repeat executions would skip recomputing it —
+    result caching, which would fake the benchmark.  Since round 8 the
+    wrapper ENFORCES this structurally: a plan whose RDD scans are not all
+    blessed session-resident indexes (``cache.bless_resident``) is never
+    cached, whatever the flag says — the flag remains as documentation and
+    as a way to skip the wrapper entirely.  Streaming/source/sink tags are
+    exempted automatically.
     """
 
     def deco(fn: QueryFn) -> QueryFn:

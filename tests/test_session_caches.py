@@ -40,3 +40,53 @@ def test_postings_index_build_once(spark, sf_dir):
     from lambda_arc_events_filter_spark.queries.llm_q import _postings_index
 
     assert _postings_index(spark, sf_dir) is _postings_index(spark, sf_dir)
+
+
+def test_plan_cache_refuses_unblessed_rdd_scans(spark, sf_dir):
+    """The prepared-plan cache must never cache a plan whose RDD scans
+    are query-private materializations (localCheckpoint inside fn,
+    driver-computed createDataFrame) — caching one pins its blocks across
+    executions and turns the prepared-statement protocol into result
+    caching.  Blessed session-resident indexes (text_index, IVF) remain
+    cacheable (round-8 guard)."""
+    from lambda_arc_events_filter_spark import registry as R
+
+    all_specs = R.specs()
+
+    def cache_key(name):
+        return (spark.sparkContext.applicationId, sf_dir, name)
+
+    # query-private checkpoint (the rank helper's derived-input
+    # materialization inside lorenz): never cached
+    all_specs["customer_lorenz_curve"].fn(spark, sf_dir)
+    assert cache_key("customer_lorenz_curve") not in R._PLAN_CACHE
+
+    # pareto dropped its private checkpoint in round 8 (concurrent
+    # diamond) — fully declarative again, so the prepared plan IS cached
+    all_specs["lineitem_pareto_abc"].fn(spark, sf_dir)
+    assert cache_key("lineitem_pareto_abc") in R._PLAN_CACHE
+
+    # driver-computed input data: never cached
+    all_specs["events_raking_ipf"].fn(spark, sf_dir)
+    assert cache_key("events_raking_ipf") not in R._PLAN_CACHE
+
+    # blessed resident tf index: prepared plan IS cached
+    all_specs["text_tfidf_top_terms"].fn(spark, sf_dir)
+    assert cache_key("text_tfidf_top_terms") in R._PLAN_CACHE
+
+    # plain scan-chain query: cached as before
+    all_specs["agg_stats"].fn(spark, sf_dir)
+    assert cache_key("agg_stats") in R._PLAN_CACHE
+
+
+def test_private_checkpoint_rematerializes_per_call(spark, sf_dir):
+    """Two wrapper calls of a checkpoint-embedding query must yield plans
+    over DIFFERENT RDDs — i.e. the second call re-materializes the
+    intermediate instead of serving the first call's blocks."""
+    from lambda_arc_events_filter_spark import registry as R
+    from lambda_arc_events_filter_spark.cache import rdd_scan_ids
+
+    fn = R.specs()["customer_lorenz_curve"].fn
+    ids1 = rdd_scan_ids(fn(spark, sf_dir)._jdf.queryExecution().logical())
+    ids2 = rdd_scan_ids(fn(spark, sf_dir)._jdf.queryExecution().logical())
+    assert ids1 and ids2 and set(ids1).isdisjoint(ids2)
