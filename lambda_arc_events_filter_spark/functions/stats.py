@@ -286,7 +286,7 @@ def group_percentile_cont(
     )
     # per-(band, group) counts → running offset per group.  This relation
     # is |bands|·|groups| rows — small, but it grows with group
-    # cardinality, so it is never broadcast (see hit_bands below).
+    # cardinality, so its joins carry no forced broadcast hint (below).
     sizes = fused.filter(F.col("_gid") == 0).select("_band", *keys, "_cnt")
     w_off = (
         Window.partitionBy(*keys)
@@ -324,24 +324,29 @@ def group_percentile_cont(
     in_band = lambda t: (F.col(t) > F.col("_off")) & (  # noqa: E731
         F.col(t) <= F.col("_off") + F.col("_cnt")
     )
-    # targets (|groups|·|quantiles| rows) broadcasts INTO offsets — the
-    # smaller side by a factor of |bands|/|quantiles|; offsets itself is
-    # never broadcast (ADVICE r7: an F.broadcast hint builds regardless
-    # of size, so the bigger relation must stay on the streamed side).
-    # ``_off`` rides along on the surviving hit rows — constant per
-    # (band, group), so the dropDuplicates keeps a deterministic value —
-    # which removes the former second offsets join against the ranked
-    # fact relation entirely.
+    # The two offsets joins carry NO broadcast hint (ADVICE r7): offsets
+    # is |bands|·|groups| rows and grows with group cardinality, and a
+    # forced F.broadcast builds regardless of size.  The static planner's
+    # size estimate (or AQE's runtime conversion on a cluster) picks
+    # broadcast while the relation is genuinely small and falls back to a
+    # shuffle join when it is not — measured at sf0.1 the planner
+    # auto-broadcasts and the plan is within noise of the forced hint
+    # (0.68 vs 0.72 s prepared), so the hint bought nothing but the OOM
+    # risk.  An alternative shape that threads _off through hit_bands to
+    # skip the second offsets join entirely was measured and LOSES
+    # (1.34 vs 1.02 s prepared, round 8).
     hit_bands = (
-        _join_null_safe(offsets, targets, keys, broadcast=True)
+        _join_null_safe(targets, offsets, keys)
         .filter(in_band("_lo") | in_band("_hi"))
-        .select("_band", *keys, "_off")
+        .select("_band", *keys)
         .dropDuplicates(["_band", *keys])
     )
     bd_hit = _join_null_safe(bd, hit_bands, ["_band", *keys], broadcast=True)
     w_local = Window.partitionBy("_band", *keys).orderBy(value_col)
-    ranked = bd_hit.withColumn(
-        "_lr", F.row_number().over(w_local)
+    ranked = _join_null_safe(
+        bd_hit.withColumn("_lr", F.row_number().over(w_local)),
+        offsets.select("_band", *keys, "_off"),
+        ["_band", *keys],
     ).withColumn("_rank", F.col("_lr") + F.col("_off"))
 
     # broadcast the targets into the ranked relation: only the rows AT a
@@ -362,8 +367,7 @@ def group_percentile_cont(
         .pivot("q_alias", aliases)
         .agg((v_lo + F.max("_frac") * (v_hi - v_lo)).alias("_v"))
     )
-    # ``wide`` is |groups|·|quantiles| cells — the same size class as the
-    # already-broadcast ``targets``; without the hint the planner has no
-    # size estimate for an aggregate output and falls back to a
-    # sort-merge join (two exchanges + two sorts on tiny relations).
-    return _join_null_safe(base, wide, keys, broadcast=True).drop("_n")
+    # ``wide`` is |groups|·|quantiles| cells; like the offsets joins it is
+    # left unhinted — the planner's size estimate picks broadcast while
+    # the group count is small and a shuffle join when it is not.
+    return _join_null_safe(base, wide, keys).drop("_n")
