@@ -1408,7 +1408,13 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the honest accounting favors the diamond — measured at sf0.1:
     # 0.70 s checkpoint-rebuilt-per-rep vs the diamond's prepared reps
     # (the pre-guard 0.56→0.27 comparison credited the checkpoint with
-    # cross-rep reuse the protocol does not allow).
+    # cross-rep reuse the protocol does not allow).  Also measured and
+    # REJECTED (round 8): in-row segmentation via boundary-pair HOFs
+    # (filter/transform/element_at over the token array, no explode or
+    # window) — exact-parity output but 3.5 s vs 0.6 s at sf0.1: the
+    # nested interpreted lambdas evaluate per token position, losing by
+    # 6× to this codegen'd explode + doc-keyed window even though the
+    # window costs a shuffle.
     words = phrases.select(
         F.explode(F.split("phrase", " ")).alias("w"), "plen"
     )
