@@ -263,7 +263,7 @@ def _hot_posting_keys(post: DataFrame, max_doc_freq: int) -> DataFrame:
 
 
 def exact_jaccard_pairs(
-    shingled: DataFrame,
+    shingled: DataFrame | None,
     id_col: str,
     block_col: str,
     threshold: float,
@@ -294,8 +294,9 @@ def exact_jaccard_pairs(
     ``postings``: a prebuilt postings-index relation (from
     ``postings_index``-style sharing at the query layer) with columns
     (_id, _blk, sk, _n); when given, the internal shingle build is
-    skipped — the inverted index is a corpus artifact all the dedup
-    family probes, exactly like the IVF index on the embedding side.
+    skipped (``shingled`` may then be None) — the inverted index is a
+    corpus artifact all the dedup family probes, exactly like the IVF
+    index on the embedding side.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     if postings is not None:

@@ -280,6 +280,34 @@ def contamination_ngram_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: as a CTE fragment so the recursive-closure oracle below builds on the
 #: exact pair set the Spark side also starts from (same set
 #: ``dedup_minhash_lsh`` verifies against).
+#: Session index: UNBLOCKED shingle postings (block key = constant 1),
+#: the corpus artifact behind every whole-corpus near-dup pair build
+#: (_PAIR_CTE family: connected components, representatives, degree /
+#: triangle / two-hop graph stats, dup-rate by source).  The lang-blocked
+#: twin lives in llm_q._postings_index; the UNBLOCKED pair set is a
+#: different artifact (cross-lang pairs included), hence its own cache.
+#: Blessed (cache.bless_resident) so pure-probe consumers ride the
+#: prepared-plan cache.
+_POSTINGS_UNBLOCKED_IDX: dict[tuple, DataFrame] = {}
+
+
+def _postings_unblocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lambda_arc_events_filter_spark.cache import bless_resident, bounded_put
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    post = _POSTINGS_UNBLOCKED_IDX.get(key)
+    if post is None:
+        d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
+            "_blk", F.lit(1)
+        )
+        post = D.shingle_postings(
+            d, "doc_id", extra_cols=("_blk",), with_sizes=True
+        ).localCheckpoint()
+        bless_resident(post)
+        bounded_put(_POSTINGS_UNBLOCKED_IDX, key, post, 4)
+    return post
+
+
 _PAIR_CTE = """
     tok AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
     pos AS (SELECT doc_id, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
@@ -325,10 +353,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer would retain.  The oracle computes the same closure with a
     recursive CTE over the identical pair set.
     """
-    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
-        "_one", F.lit(1)
+    pairs = D.exact_jaccard_pairs(
+        None,
+        id_col="doc_id",
+        block_col="_one",
+        threshold=0.5,
+        postings=_postings_unblocked(spark, sf_dir),
     )
-    pairs = D.exact_jaccard_pairs(d, id_col="doc_id", block_col="_one", threshold=0.5)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -608,7 +639,8 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: semantic dedup (cluster once, prune many times / incrementally —
 #: Abbas et al. run exactly this split), so they localCheckpoint like the
 #: IVF index and the dedup postings; the per-run phase is the pair scan.
-#: Requires plan_cache=False on the consuming query (see register()).
+#: Blessed via cache.bless_resident, so consumers may ride the
+#: prepared-plan cache (registry guard admits blessed RDD scans).
 _SEMDEDUP_INDEX: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _SEMDEDUP_DIM = 64
 
@@ -616,7 +648,7 @@ _SEMDEDUP_DIM = 64
 def _semdedup_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    from lambda_arc_events_filter_spark.cache import bounded_put
+    from lambda_arc_events_filter_spark.cache import bless_resident, bounded_put
     from lambda_arc_events_filter_spark.operators import similarity as S
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -628,6 +660,7 @@ def _semdedup_index(
             .select("vec_id", "cluster")
             .localCheckpoint()
         )
+        bless_resident(assign)  # session index (registry blessing protocol)
         # unit vectors flattened to scalar columns AFTER the checkpoint:
         # extracting v[i] from a live transform() expression re-evaluates
         # the whole normalization per component (CollapseProject inlining
@@ -652,6 +685,7 @@ def _semdedup_index(
         m = (
             assign.join(flat, "vec_id").repartition(width).localCheckpoint()
         )
+        bless_resident(m)
         dim = _SEMDEDUP_DIM
         a_side = m.select(
             F.col("cluster"),
@@ -728,9 +762,10 @@ def _semdedup_index(
     GROUP BY m.cluster, acc.n_dup_pairs, acc.n_pruned
     """,
     tags=("llm", "vector", "dedup"),
-    # the fn consumes session-checkpointed index relations; a cached
-    # logical plan would bake in their RDD ids (see register() docstring)
-    plan_cache=False,
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
@@ -983,11 +1018,12 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     run-over-run — the property a 100 TB dedup rewrite needs so a
     resumed job doesn't flip representatives mid-corpus.
     """
-    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
-        "_one", F.lit(1)
-    )
     pairs = D.exact_jaccard_pairs(
-        d, id_col="doc_id", block_col="_one", threshold=0.5
+        None,
+        id_col="doc_id",
+        block_col="_one",
+        threshold=0.5,
+        postings=_postings_unblocked(spark, sf_dir),
     )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -1024,7 +1060,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE c * 1.0 / least(nx.n, ny.n) >= 0.9
     """,
     tags=("llm", "curation", "dedup"),
-    plan_cache=False,  # probes the checkpointed postings relation
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-CONTAINMENT pairs: shared-shingle count normalized by the
@@ -1092,7 +1131,10 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM deg GROUP BY degree
     """,
     tags=("llm", "curation", "dedup"),
-    plan_cache=False,  # shares the checkpointed postings via pair build
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the near-dup pair graph (Jaccard ≥ 0.5
@@ -1109,11 +1151,12 @@ def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lambda_arc_events_filter_spark.operators import dedup as D
 
-    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
-        "_one", F.lit(1)
-    )
     pairs = D.exact_jaccard_pairs(
-        d, id_col="doc_id", block_col="_one", threshold=0.5
+        None,
+        id_col="doc_id",
+        block_col="_one",
+        threshold=0.5,
+        postings=_postings_unblocked(spark, sf_dir),
     )
     sym = pairs.select(F.col("id_a").alias("node")).unionAll(
         pairs.select(F.col("id_b").alias("node"))
@@ -1149,7 +1192,10 @@ def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tri
     """,
     tags=("llm", "curation", "dedup"),
-    plan_cache=False,  # shares the checkpointed postings via pair build
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph: counts a<b<c node triples
@@ -1167,11 +1213,12 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lambda_arc_events_filter_spark.operators import dedup as D
 
-    d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
-        "_one", F.lit(1)
-    )
     edge = D.exact_jaccard_pairs(
-        d, id_col="doc_id", block_col="_one", threshold=0.5
+        None,
+        id_col="doc_id",
+        block_col="_one",
+        threshold=0.5,
+        postings=_postings_unblocked(spark, sf_dir),
     ).select("id_a", "id_b")
     e1 = edge.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = edge.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
@@ -1232,7 +1279,10 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN pair_mix m USING (source)
     """,
     tags=("llm", "curation", "dedup"),
-    plan_cache=False,  # shares the checkpointed postings via pair build
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication accountability per source: what fraction of each
@@ -1248,11 +1298,12 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lambda_arc_events_filter_spark.operators import dedup as D2
 
-    d = D2.with_tokens(load(spark, sf_dir, "documents")).withColumn(
-        "_one", F.lit(1)
-    )
     edge = D2.exact_jaccard_pairs(
-        d, id_col="doc_id", block_col="_one", threshold=0.5
+        None,
+        id_col="doc_id",
+        block_col="_one",
+        threshold=0.5,
+        postings=_postings_unblocked(spark, sf_dir),
     ).select("id_a", "id_b")
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
@@ -1324,7 +1375,10 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY node
     """,
     tags=("llm", "curation", "dedup"),
-    plan_cache=False,  # shares the checkpointed postings via pair build
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def dedup_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop neighborhood size per document in the near-dup graph: how
@@ -1341,11 +1395,12 @@ def dedup_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lambda_arc_events_filter_spark.operators import dedup as D3
 
-    d = D3.with_tokens(load(spark, sf_dir, "documents")).withColumn(
-        "_one", F.lit(1)
-    )
     edge = D3.exact_jaccard_pairs(
-        d, id_col="doc_id", block_col="_one", threshold=0.5
+        None,
+        id_col="doc_id",
+        block_col="_one",
+        threshold=0.5,
+        postings=_postings_unblocked(spark, sf_dir),
     ).select("id_a", "id_b")
     sym = edge.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")

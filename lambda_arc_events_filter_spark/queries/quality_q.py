@@ -43,8 +43,10 @@ from lambda_arc_events_filter_spark.registry import register
     LIMIT 100
     """,
     tags=("llm", "curation"),
-    # plan_cache=False: probes the session tf INDEX (text_index.py)
-    plan_cache=False,
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top-100 terms by total frequency, with
@@ -88,8 +90,10 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.doc_id
     """,
     tags=("llm", "curation"),
-    # plan_cache=False: probes the session tf INDEX (text_index.py)
-    plan_cache=False,
+    # plan_cache=True since round 8: the probed session index is BLESSED
+    # (cache.bless_resident), so the registry guard admits the prepared
+    # plan; every probe stage still re-executes per call — only the
+    # client-side plan rebuild is skipped (prepared-statement protocol).
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
