@@ -1080,10 +1080,10 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: cost tracks posting-list mass; hot postings get the
     ``max_doc_freq`` cap.
     """
-    from lambda_arc_events_filter_spark.operators import dedup as D
-
-    d = D.with_tokens(load(spark, sf_dir, "documents"))
-    post = D.shingle_postings(d, "doc_id", n=3, with_sizes=True)
+    # probe the session unblocked-postings index (round 8) — identical
+    # (_id, sk, _n) relation, built once per session instead of
+    # re-shingling the corpus per execution
+    post = _postings_unblocked(spark, sf_dir).drop("_blk")
     a = post.select(
         F.col("_id").alias("id_a"), "sk", F.col("_n").alias("na")
     )

@@ -240,6 +240,22 @@ def test_interval_overlap_plans_equi_join_not_nested_loop(spark, sf_dir):
     assert not I.uses_nested_loop_join(df), I.formatted_plan(df)[:1500]
 
 
+def test_pair_family_probes_unblocked_postings_index(spark, sf_dir):
+    """The _PAIR_CTE family must PROBE the session unblocked-postings
+    index: no Generate/explode (re-shingling) in their plans — a
+    regression here re-runs the corpus shingle build per call (round 8:
+    six per-call postings builds were replaced by one blessed index)."""
+    for name in (
+        "dedup_shingle_containment",
+        "dedup_graph_degree_stats",
+        "dedup_graph_triangles",
+        "dedup_graph_two_hop",
+        "corpus_dup_rate_by_source",
+    ):
+        plan = I.formatted_plan(ALL[name].fn(spark, sf_dir))
+        assert "Generate" not in plan, (name, plan[:1500])
+
+
 def test_text_index_consumers_probe_not_retokenize(spark, sf_dir):
     """The tf-index consumers must PROBE the session index: their plans
     contain no Generate/explode (re-tokenization) — tfidf additionally
