@@ -90,3 +90,31 @@ def test_private_checkpoint_rematerializes_per_call(spark, sf_dir):
     ids1 = rdd_scan_ids(fn(spark, sf_dir)._jdf.queryExecution().logical())
     ids2 = rdd_scan_ids(fn(spark, sf_dir)._jdf.queryExecution().logical())
     assert ids1 and ids2 and set(ids1).isdisjoint(ids2)
+
+
+def test_every_headline_query_is_prepared_cacheable(spark):
+    """Bench protection: every HEADLINE query must either ride the
+    prepared-plan cache (its plan's RDD scans are all blessed indexes)
+    or carry a structural exemption (streaming/source/sink tags).  A
+    regression here means some headline fn grew a query-private
+    materialization — its bench reps would silently pay a per-rep py4j
+    rebuild (or worse, before the round-8 guard, reuse results)."""
+    import bench
+    from lambda_arc_events_filter_spark import registry as R
+
+    sf_dir = "/root/testdata/sf0.001"
+    sp = R.specs()
+    exempt_tags = R._NO_PLAN_CACHE_TAGS
+    failures = []
+    for name in bench.HEADLINE:
+        spec = sp[name]
+        if exempt_tags & set(spec.tags):
+            continue
+        spec.fn(spark, sf_dir)
+        if (spark.sparkContext.applicationId, sf_dir, name) not in R._PLAN_CACHE:
+            failures.append(name)
+    assert not failures, (
+        "headline queries no longer prepared-cacheable: "
+        f"{failures} — either bless the session index they probe or "
+        "remove the query-private materialization"
+    )
