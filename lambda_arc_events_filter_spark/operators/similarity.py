@@ -278,13 +278,17 @@ def ivf_build_index(
         from lambda_arc_events_filter_spark.cache import (
             bless_resident,
             bounded_put,
+            release_plans_for,
         )
 
         # session-resident index: consumers' prepared plans may pin it
         # (registry plan-cache blessing protocol)
         bless_resident(cents)
         bless_resident(units)
-        bounded_put(_IVF_CACHE, cache_key, idx, _IVF_CACHE_MAX)
+        bounded_put(
+            _IVF_CACHE, cache_key, idx, _IVF_CACHE_MAX,
+            on_evict=release_plans_for,
+        )
     return idx
 
 

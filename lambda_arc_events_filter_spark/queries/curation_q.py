@@ -292,20 +292,13 @@ _POSTINGS_UNBLOCKED_IDX: dict[tuple, DataFrame] = {}
 
 
 def _postings_unblocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lambda_arc_events_filter_spark.cache import bless_resident, bounded_put
+    from lambda_arc_events_filter_spark.queries.postings import (
+        build_postings_index,
+    )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    post = _POSTINGS_UNBLOCKED_IDX.get(key)
-    if post is None:
-        d = D.with_tokens(load(spark, sf_dir, "documents")).withColumn(
-            "_blk", F.lit(1)
-        )
-        post = D.shingle_postings(
-            d, "doc_id", extra_cols=("_blk",), with_sizes=True
-        ).localCheckpoint()
-        bless_resident(post)
-        bounded_put(_POSTINGS_UNBLOCKED_IDX, key, post, 4)
-    return post
+    return build_postings_index(
+        spark, sf_dir, _POSTINGS_UNBLOCKED_IDX, F.lit(1)
+    )
 
 
 _PAIR_CTE = """
@@ -648,7 +641,11 @@ _SEMDEDUP_DIM = 64
 def _semdedup_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    from lambda_arc_events_filter_spark.cache import bless_resident, bounded_put
+    from lambda_arc_events_filter_spark.cache import (
+        bless_resident,
+        bounded_put,
+        release_plans_for,
+    )
     from lambda_arc_events_filter_spark.operators import similarity as S
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -697,7 +694,10 @@ def _semdedup_index(
             F.col("vec_id").alias("ib"),
             *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)],
         )
-        idx = bounded_put(_SEMDEDUP_INDEX, key, (assign, a_side, b_side), 8)
+        idx = bounded_put(
+            _SEMDEDUP_INDEX, key, (assign, a_side, b_side), 8,
+            on_evict=release_plans_for,
+        )
     return idx
 
 

@@ -10,7 +10,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from lambda_arc_events_filter_spark.cache import bless_resident, bounded_put
+from lambda_arc_events_filter_spark.cache import (
+    bless_resident,
+    bounded_put,
+    release_plans_for,
+)
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.operators import dedup as D
@@ -45,18 +49,13 @@ _POSTINGS_IDX_MAX = 4
 
 
 def _postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    post = _POSTINGS_IDX.get(key)
-    if post is None:
-        d = D.with_tokens(load(spark, sf_dir, "documents")).withColumnRenamed(
-            "lang", "_blk"
-        )
-        post = D.shingle_postings(
-            d, "doc_id", extra_cols=("_blk",), with_sizes=True
-        ).localCheckpoint()
-        bless_resident(post)  # session index: prepared plans may pin it
-        bounded_put(_POSTINGS_IDX, key, post, _POSTINGS_IDX_MAX)
-    return post
+    from lambda_arc_events_filter_spark.queries.postings import (
+        build_postings_index,
+    )
+
+    return build_postings_index(
+        spark, sf_dir, _POSTINGS_IDX, F.col("lang"), _POSTINGS_IDX_MAX
+    )
 
 
 #: (applicationId, sf_dir) → localCheckpointed uncapped (_id, _n, minhash)
@@ -72,7 +71,10 @@ def _minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         post = _postings_index(spark, sf_dir).drop("_blk")
         sig = D.minhash_signatures(post).localCheckpoint()
         bless_resident(sig)
-        bounded_put(_MINHASH_SIG_IDX, key, sig, _POSTINGS_IDX_MAX)
+        bounded_put(
+            _MINHASH_SIG_IDX, key, sig, _POSTINGS_IDX_MAX,
+            on_evict=release_plans_for,
+        )
     return sig
 
 

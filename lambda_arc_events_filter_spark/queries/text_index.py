@@ -36,7 +36,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from lambda_arc_events_filter_spark.cache import bless_resident, bounded_put
+from lambda_arc_events_filter_spark.cache import (
+    bless_resident,
+    bounded_put,
+    release_plans_for,
+)
 from lambda_arc_events_filter_spark.catalog import load
 
 _TF_IDX: dict[tuple[str, str], DataFrame] = {}
@@ -59,7 +63,7 @@ def tf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         tf = bless_resident(tf)
-        bounded_put(_TF_IDX, key, tf, _IDX_MAX)
+        bounded_put(_TF_IDX, key, tf, _IDX_MAX, on_evict=release_plans_for)
     return tf
 
 
@@ -78,7 +82,7 @@ def corpus_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tf").cast("bigint").alias("n_tokens")
         )
         t = bless_resident(n_docs.crossJoin(n_tokens).localCheckpoint())
-        bounded_put(_TOTALS_IDX, key, t, _IDX_MAX)
+        bounded_put(_TOTALS_IDX, key, t, _IDX_MAX, on_evict=release_plans_for)
     return t
 
 
@@ -116,5 +120,5 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         v = bless_resident(v)
-        bounded_put(_VOCAB_IDX, key, v, _IDX_MAX)
+        bounded_put(_VOCAB_IDX, key, v, _IDX_MAX, on_evict=release_plans_for)
     return v

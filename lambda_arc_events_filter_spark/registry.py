@@ -46,6 +46,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: cannot grow driver memory without limit.
 _PLAN_CACHE: dict[tuple[str, str, str], object] = {}
 _PLAN_CACHE_MAX = 1024
+
+# Coupled eviction: when a session index is evicted from its own bounded
+# cache, cache.release_plans_for drops every prepared plan of the same
+# (applicationId, sf_dir) — otherwise cached plans would pin the evicted
+# index's LogicalRDD (and its executor blocks) for the session lifetime.
+from lambda_arc_events_filter_spark.cache import PLAN_CACHE_SINKS
+
+PLAN_CACHE_SINKS.append(_PLAN_CACHE)
 _NO_PLAN_CACHE_TAGS = frozenset({"streaming", "source", "sink"})
 
 
@@ -56,22 +64,23 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
             jplan = _PLAN_CACHE.get(key)
             if jplan is None:
                 from lambda_arc_events_filter_spark.cache import (
-                    RESIDENT_RDD_IDS,
                     bounded_put,
+                    is_blessed,
                     rdd_scan_ids,
                 )
 
                 df = fn(spark, sf_dir)
                 jlogical = df._jdf.queryExecution().logical()
-                # Cache ONLY plans whose RDD scans are all blessed
-                # session-resident indexes (cache.bless_resident).  Any
-                # other LogicalRDD — a query-private localCheckpoint, a
-                # driver-computed createDataFrame — is per-execution work;
-                # caching such a plan would pin its materialized blocks
-                # across executions and silently convert the prepared-
-                # statement protocol into result caching (round-8 audit:
-                # 48 registrations carried exactly this leak).
-                if all(r in RESIDENT_RDD_IDS for r in rdd_scan_ids(jlogical)):
+                # Cache ONLY plans whose RDD scans (incl. those inside
+                # subquery expressions) are all blessed session-resident
+                # indexes OF THIS APPLICATION (cache.bless_resident).
+                # Any other LogicalRDD — a query-private localCheckpoint,
+                # a driver-computed createDataFrame — is per-execution
+                # work; caching such a plan would pin its materialized
+                # blocks across executions and silently convert the
+                # prepared-statement protocol into result caching
+                # (round-8 audit: 48 registrations carried this leak).
+                if is_blessed(key[0], rdd_scan_ids(jlogical)):
                     bounded_put(_PLAN_CACHE, key, jlogical, _PLAN_CACHE_MAX)
                 return df
             jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(

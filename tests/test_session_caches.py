@@ -118,3 +118,43 @@ def test_every_headline_query_is_prepared_cacheable(spark):
         f"{failures} — either bless the session index they probe or "
         "remove the query-private materialization"
     )
+
+
+def test_blessing_is_application_scoped():
+    """RDD ids restart at 0 with every new SparkContext, so a blessing
+    must never leak across applications (round-8 review): a stale id
+    from a stopped session admitting a new session's private checkpoint
+    would re-open the result-caching hole."""
+    from lambda_arc_events_filter_spark import cache as C
+
+    C.RESIDENT_RDD_IDS[("app-old", 5)] = None
+    try:
+        assert C.is_blessed("app-old", [5])
+        assert not C.is_blessed("app-new", [5])
+        assert C.is_blessed("app-new", [])  # vacuous: no RDD scans
+    finally:
+        C.RESIDENT_RDD_IDS.pop(("app-old", 5), None)
+
+
+def test_index_eviction_releases_dependent_plans():
+    """bounded_put's on_evict hook + release_plans_for must drop every
+    prepared plan of the evicted (applicationId, sf_dir) so the plan
+    cache cannot pin an evicted index's executor blocks."""
+    from lambda_arc_events_filter_spark import cache as C
+
+    sink: dict = {
+        ("app", "/sf/a", "q1"): object(),
+        ("app", "/sf/a", "q2"): object(),
+        ("app", "/sf/b", "q1"): object(),
+    }
+    C.PLAN_CACHE_SINKS.append(sink)
+    try:
+        idx: dict = {}
+        C.bounded_put(idx, ("app", "/sf/a"), "A", 1, on_evict=C.release_plans_for)
+        C.bounded_put(idx, ("app", "/sf/b"), "B", 1, on_evict=C.release_plans_for)
+        # inserting /sf/b evicted /sf/a → its two plans must be gone
+        assert ("app", "/sf/a", "q1") not in sink
+        assert ("app", "/sf/a", "q2") not in sink
+        assert ("app", "/sf/b", "q1") in sink
+    finally:
+        C.PLAN_CACHE_SINKS.remove(sink)

@@ -20,15 +20,17 @@ from lambda_arc_events_filter_spark.session import fixture_conf, get_spark
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
-    # args[0] is the sf_dir whenever it LOOKS like a path (contains a
-    # separator) — a mistyped directory must error loudly, not be silently
-    # reinterpreted as a query name with the remaining names running
-    # against the default fixture dir (ADVICE r7).
-    if args and os.sep in args[0]:
-        if not os.path.isdir(args[0]):
-            print(f"timeq: sf_dir {args[0]!r} is not a directory", file=sys.stderr)
-            return 2
+    # args[0] is the sf_dir when it IS a directory (including a bare
+    # relative name like "sf0.1") or LOOKS like a path (contains a
+    # separator).  A separator-containing non-directory is a mistyped
+    # sf_dir and must error loudly, not be silently reinterpreted as a
+    # query name with the remaining names running against the default
+    # fixture dir (ADVICE r7; r8 review kept bare-dir invocations valid).
+    if args and os.path.isdir(args[0]):
         sf_dir, names = args[0], args[1:]
+    elif args and os.sep in args[0]:
+        print(f"timeq: sf_dir {args[0]!r} is not a directory", file=sys.stderr)
+        return 2
     else:
         sf_dir, names = "/root/testdata/sf0.1", args
     spark = get_spark("timeq", extra_conf=fixture_conf())
