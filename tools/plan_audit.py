@@ -29,6 +29,7 @@ import os
 import re
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_GRAFT_DEDUP_PARTITIONS", "4")
 
 from lambda_arc_events_filter_spark.registry import specs
