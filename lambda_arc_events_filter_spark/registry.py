@@ -70,7 +70,7 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
                 )
 
                 df = fn(spark, sf_dir)
-                jlogical = df._jdf.queryExecution().logical()
+                qe = df._jdf.queryExecution()
                 # Cache ONLY plans whose RDD scans (incl. those inside
                 # subquery expressions) are all blessed session-resident
                 # indexes OF THIS APPLICATION (cache.bless_resident).
@@ -80,8 +80,14 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
                 # blocks across executions and silently convert the
                 # prepared-statement protocol into result caching
                 # (round-8 audit: 48 registrations carried this leak).
-                if is_blessed(key[0], rdd_scan_ids(jlogical)):
-                    bounded_put(_PLAN_CACHE, key, jlogical, _PLAN_CACHE_MAX)
+                # The scan walks the ANALYZED plan — in the raw plan a
+                # temp-view reference is an UnresolvedRelation that can
+                # hide a checkpointed relation behind the name — while
+                # the RAW plan is what gets cached (Dataset.ofRows
+                # re-analyzes it per execution, so view references
+                # re-resolve instead of freezing).
+                if is_blessed(key[0], rdd_scan_ids(qe.analyzed())):
+                    bounded_put(_PLAN_CACHE, key, qe.logical(), _PLAN_CACHE_MAX)
                 return df
             jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                 spark._jsparkSession, jplan

@@ -158,3 +158,19 @@ def test_index_eviction_releases_dependent_plans():
         assert ("app", "/sf/b", "q1") in sink
     finally:
         C.PLAN_CACHE_SINKS.remove(sink)
+
+
+def test_rdd_scan_ids_sees_subquery_checkpoints(spark):
+    """A LogicalRDD reachable only through an IN-subquery must be visible
+    to the guard (collectLeaves alone does not descend into subquery
+    expressions — round-8 review finding)."""
+    from lambda_arc_events_filter_spark.cache import rdd_scan_ids
+
+    ck = spark.range(5).localCheckpoint()
+    ck.createOrReplaceTempView("_guard_subq_ckv")
+    df = spark.sql(
+        "select id from range(10) where id in (select id from _guard_subq_ckv)"
+    )
+    # the RAW plan hides the checkpoint behind an UnresolvedRelation —
+    # the registry therefore inspects the ANALYZED plan
+    assert rdd_scan_ids(df._jdf.queryExecution().analyzed())
