@@ -52,7 +52,14 @@ PLAN_CACHE_SINKS: list[dict] = []
 
 def release_plans_for(evicted_key) -> None:
     """Drop every registered prepared plan whose key starts with the
-    evicted index-cache key's (applicationId, sf_dir) prefix."""
+    evicted index-cache key's (applicationId, sf_dir) prefix.
+
+    Deliberately coarse: plans over still-live indexes (and plans with no
+    RDD dependency) of the same sf_dir are invalidated too, each paying
+    one ~0.2 s re-preparation on its next call.  The safe direction —
+    under-caching — is chosen over per-plan dependency tracking because
+    index eviction only happens when a session cycles more sf_dirs than
+    the index bound (4), a maintenance pattern, not a serving one."""
     if not (isinstance(evicted_key, tuple) and len(evicted_key) >= 2):
         return
     prefix = evicted_key[:2]
@@ -83,24 +90,21 @@ _RESIDENT_MAX = 4096
 def _iter_plans(jplan):
     """The plan plus every subquery plan nested in its expressions —
     ``collectLeaves`` alone does not descend into IN/EXISTS/scalar
-    subqueries, which would hide a LogicalRDD from the guard."""
+    subqueries, which would hide a LogicalRDD from the guard.  Raises if
+    the subquery API is unavailable: a caller deciding CACHEABILITY must
+    fail CLOSED (an unseen subquery RDD would be silently admitted —
+    fewer visible ids makes the blessing check MORE permissive)."""
     yield jplan
-    try:
-        subs = jplan.subqueriesAll()
-        for i in range(subs.size()):
-            yield subs.apply(i)
-    except Exception:
-        # older/newer API shape without subqueriesAll: fall back to the
-        # top-level plan only (strictly less permissive paths below keep
-        # correctness: an unseen RDD can only cause a MISSED cache, not
-        # an admitted private one — except via subqueries, hence the
-        # primary path above)
-        return
+    subs = jplan.subqueriesAll()
+    for i in range(subs.size()):
+        yield subs.apply(i)
 
 
 def rdd_scan_ids(jplan) -> list[int]:
     """RDD ids of every ``LogicalRDD`` leaf in a JVM logical plan,
-    including plans nested inside subquery expressions."""
+    including plans nested inside subquery expressions.  Raises when the
+    plan cannot be fully enumerated — callers must treat that as
+    'unknown scans present', never as 'no scans'."""
     out: list[int] = []
     for plan in _iter_plans(jplan):
         leaves = plan.collectLeaves()
@@ -109,6 +113,21 @@ def rdd_scan_ids(jplan) -> list[int]:
             if leaf.getClass().getSimpleName() == "LogicalRDD":
                 out.append(leaf.rdd().id())
     return out
+
+
+def has_unresolved_relations(jplan) -> bool:
+    """True when any leaf is an UnresolvedRelation — a by-NAME reference
+    (temp view, catalog table) whose target is global mutable state.  A
+    cached raw plan re-resolves names per execution, so a fixed-name view
+    re-registered for a different dataset would silently swap the data
+    under a prepared plan, and a dropped per-call view leaves the cached
+    plan permanently unexecutable; such plans are never cached."""
+    for plan in _iter_plans(jplan):
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            if leaves.apply(i).getClass().getSimpleName() == "UnresolvedRelation":
+                return True
+    return False
 
 
 def is_blessed(app_id: str, rdd_ids: list[int]) -> bool:

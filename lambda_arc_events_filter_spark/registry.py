@@ -35,11 +35,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: logical plan.  Building a query through the Python DataFrame API costs
 #: 0.15-0.25 s of py4j round-trips (one per Column expression) — pure
 #: client-side constant overhead a resident engine pays once.  We cache the
-#: ANALYZED LOGICAL plan and wrap it in a fresh QueryExecution per call
-#: (``Dataset.ofRows``), so every execution re-plans physically and re-runs
-#: all stages — measured: cached-plan collect equals fresh-build execution
-#: time, unlike re-collecting the same DataFrame, which would silently
-#: reuse AQE stage results (result caching, NOT what a benchmark may skip).
+#: RAW logical plan (``qe.logical()``) and wrap it in a fresh
+#: QueryExecution per call (``Dataset.ofRows``), so every execution
+#: re-analyzes, re-plans physically, and re-runs all stages — measured:
+#: cached-plan collect equals fresh-build execution time, unlike
+#: re-collecting the same DataFrame, which would silently reuse AQE stage
+#: results (result caching, NOT what a benchmark may skip).  Plans that
+#: reference relations BY NAME (temp views) are never cached — see the
+#: cacheability check in ``_with_plan_cache``.
 #: Queries tagged streaming/source/sink are exempt: their fn performs the
 #: actual run/write per call.  Bounded (cache.bounded_put): FIFO-evicted
 #: past _PLAN_CACHE_MAX entries so a long-lived session over many sf_dirs
@@ -59,34 +62,44 @@ _NO_PLAN_CACHE_TAGS = frozenset({"streaming", "source", "sink"})
 
 def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = None
         try:
             key = (spark.sparkContext.applicationId, sf_dir, name)
             jplan = _PLAN_CACHE.get(key)
             if jplan is None:
                 from lambda_arc_events_filter_spark.cache import (
                     bounded_put,
+                    has_unresolved_relations,
                     is_blessed,
                     rdd_scan_ids,
                 )
 
                 df = fn(spark, sf_dir)
                 qe = df._jdf.queryExecution()
-                # Cache ONLY plans whose RDD scans (incl. those inside
-                # subquery expressions) are all blessed session-resident
-                # indexes OF THIS APPLICATION (cache.bless_resident).
-                # Any other LogicalRDD — a query-private localCheckpoint,
-                # a driver-computed createDataFrame — is per-execution
-                # work; caching such a plan would pin its materialized
-                # blocks across executions and silently convert the
-                # prepared-statement protocol into result caching
-                # (round-8 audit: 48 registrations carried this leak).
-                # The scan walks the ANALYZED plan — in the raw plan a
-                # temp-view reference is an UnresolvedRelation that can
-                # hide a checkpointed relation behind the name — while
-                # the RAW plan is what gets cached (Dataset.ofRows
-                # re-analyzes it per execution, so view references
-                # re-resolve instead of freezing).
-                if is_blessed(key[0], rdd_scan_ids(qe.analyzed())):
+                # Cache ONLY plans that are (a) free of by-NAME relation
+                # references in their RAW form — a temp view is global
+                # mutable state, so a cached plan re-resolving the name
+                # per execution could silently read another dataset
+                # after the view is re-registered, or die on a dropped
+                # per-call view — and (b) whose RDD scans (incl. those
+                # inside subquery expressions) are all blessed
+                # session-resident indexes OF THIS APPLICATION
+                # (cache.bless_resident).  Any other LogicalRDD — a
+                # query-private localCheckpoint, a driver-computed
+                # createDataFrame — is per-execution work; caching it
+                # would convert the prepared-statement protocol into
+                # result caching (round-8 audit: 48 registrations
+                # carried this leak).  The RDD scan walks the ANALYZED
+                # plan (in the raw plan a view name can hide a
+                # checkpointed relation); the RAW plan is what gets
+                # cached.  Scan failures fail CLOSED (no caching).
+                try:
+                    cacheable = not has_unresolved_relations(
+                        qe.logical()
+                    ) and is_blessed(key[0], rdd_scan_ids(qe.analyzed()))
+                except Exception:
+                    cacheable = False
+                if cacheable:
                     bounded_put(_PLAN_CACHE, key, qe.logical(), _PLAN_CACHE_MAX)
                 return df
             jds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
@@ -94,6 +107,11 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
             )
             return DataFrame(jds, spark)
         except Exception:  # e.g. Connect-mode session without _jvm
+            # self-repair: a cached plan that can no longer analyze
+            # (dropped view, stopped context) must not poison every
+            # subsequent call with an exception + silent rebuild
+            if key is not None:
+                _PLAN_CACHE.pop(key, None)
             return fn(spark, sf_dir)
 
     wrapped.__name__ = fn.__name__

@@ -92,7 +92,7 @@ def test_private_checkpoint_rematerializes_per_call(spark, sf_dir):
     assert ids1 and ids2 and set(ids1).isdisjoint(ids2)
 
 
-def test_every_headline_query_is_prepared_cacheable(spark):
+def test_every_headline_query_is_prepared_cacheable(spark, sf_dir):
     """Bench protection: every HEADLINE query must either ride the
     prepared-plan cache (its plan's RDD scans are all blessed indexes)
     or carry a structural exemption (streaming/source/sink tags).  A
@@ -102,7 +102,6 @@ def test_every_headline_query_is_prepared_cacheable(spark):
     import bench
     from lambda_arc_events_filter_spark import registry as R
 
-    sf_dir = "/root/testdata/sf0.001"
     sp = R.specs()
     exempt_tags = R._NO_PLAN_CACHE_TAGS
     failures = []
@@ -174,3 +173,27 @@ def test_rdd_scan_ids_sees_subquery_checkpoints(spark):
     # the RAW plan hides the checkpoint behind an UnresolvedRelation —
     # the registry therefore inspects the ANALYZED plan
     assert rdd_scan_ids(df._jdf.queryExecution().analyzed())
+
+
+def test_view_name_plans_are_never_cached(spark, sf_dir):
+    """A raw plan referencing a temp VIEW by name must not be cached: the
+    name is global mutable state — re-registered for another dataset it
+    would silently swap data under the prepared plan; dropped, it leaves
+    a permanently unexecutable entry (round-8 review findings 1-2)."""
+    from lambda_arc_events_filter_spark import registry as R
+    from lambda_arc_events_filter_spark.cache import has_unresolved_relations
+
+    df = spark.range(3)
+    df.createOrReplaceTempView("_guard_view_probe")
+    sql_df = spark.sql("select * from _guard_view_probe")
+    assert has_unresolved_relations(sql_df._jdf.queryExecution().logical())
+    assert not has_unresolved_relations(df._jdf.queryExecution().logical())
+
+    # end-to-end: the registered SQL-front-door queries build through
+    # temp views, so their plans must be absent from the cache after a call
+    for name in ("window_ignore_nulls", "sql_frontdoor"):
+        if name not in R.specs():
+            continue
+        R.specs()[name].fn(spark, sf_dir)
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        assert key not in R._PLAN_CACHE, name

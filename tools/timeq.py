@@ -33,6 +33,7 @@ def main() -> int:
         return 2
     else:
         sf_dir, names = "/root/testdata/sf0.1", args
+    print(f"timeq: sf_dir={sf_dir}", file=sys.stderr)
     spark = get_spark("timeq", extra_conf=fixture_conf())
     all_specs = specs()
     # one throwaway action to absorb JVM/first-job warmup
