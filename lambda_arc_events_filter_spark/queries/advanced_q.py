@@ -162,22 +162,15 @@ def _stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from lambda_arc_events_filter_spark.streaming.stateful import user_value_stats
 
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
+    # transformWithStateInPandas REQUIRES the RocksDB provider; the
+    # requirement rides run_to_memory's state_store parameter (set at
+    # query start, restored after) instead of hand-managed session conf —
+    # the round-8 review found run_to_memory's own provider override
+    # silently clobbered a caller-set provider.
+    s = events_stream(spark, sf_dir)
+    return run_to_memory(
+        user_value_stats(s), "tws", mode="update", state_store="rocksdb"
     )
-    rocks = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
-    try:
-        s = events_stream(spark, sf_dir)
-        return run_to_memory(user_value_stats(s), "tws", mode="update")
-    finally:
-        if prev is not None:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
 
 
 if tws_available():

@@ -15,10 +15,12 @@ session.py for prod.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.catalog import SCHEMAS, load
 from lambda_arc_events_filter_spark.registry import register
 from lambda_arc_events_filter_spark.sources import readers
 from lambda_arc_events_filter_spark.sources.streams import events_stream, run_to_memory
@@ -441,10 +443,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = _sharded_events_path(spark, sf_dir)
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string"
-        )
+        spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -453,22 +452,41 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total_value"),
     )
     store_root = readers.scratch_dir("upsert_store")
-    state: dict[str, str | int | None] = {"path": None, "v": 0}
+    os.makedirs(store_root, exist_ok=True)
+    pointer = os.path.join(store_root, "_LATEST")
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        new_path = f"{store_root}/v{state['v']}"
-        state["v"] = int(state["v"]) + 1
-        if state["path"] is None:
+    # Restart safety is DURABLE, not driver-memory (round-8 review): the
+    # version path derives from the BATCH id (a checkpoint replay
+    # overwrites the same version with identical content), and the
+    # current-version pointer is a file advanced by atomic rename AFTER
+    # the data commit — a restarted driver recovers the pointer from
+    # disk, so batches the checkpoint skips still merge against the
+    # store they committed.  This is the _last_checkpoint/_delta_log
+    # pointer mechanic in one file.
+    def _latest() -> str | None:
+        try:
+            with open(pointer) as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        new_path = f"{store_root}/b{batch_id}"
+        prev_path = _latest()
+        if prev_path is None:
             out = batch_df
         else:
             prev = spark.read.schema(
                 "user_id long, n_events long, total_value double"
-            ).parquet(str(state["path"]))
+            ).parquet(prev_path)
             out = prev.join(batch_df, "user_id", "left_anti").unionByName(
                 batch_df
             )
-        out.write.parquet(new_path)
-        state["path"] = new_path
+        out.write.mode("overwrite").parquet(new_path)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(new_path)
+        os.replace(tmp, pointer)
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -485,7 +503,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return (
         spark.read.schema("user_id long, n_events long, total_value double")
-        .parquet(str(state["path"]))
+        .parquet(str(_latest()))
         .select(
             "user_id",
             "n_events",
@@ -713,10 +731,11 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM gaps
-    ), wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    ), wm AS (SELECT epoch_ms(max(ts)) AS wms FROM events),
     per AS (
       SELECT user_id, sess_id,
              min(ts)                      AS session_start,
+             max(ts)                      AS last_ts,
              max(ts) + INTERVAL 30 MINUTE AS session_end,
              CAST(count(*) AS BIGINT)     AS n_events,
              round(sum(value), 4)         AS total_value,
@@ -725,7 +744,8 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_start, session_end, n_events, total_value
     FROM per, wm
-    WHERE sess_id < last_sess OR session_end < wm.w
+    WHERE sess_id < last_sess
+       OR epoch_ms(last_ts) + 2400000 < wm.wms
     """,
     tags=("streaming", "session", "stateful"),
 )
@@ -743,8 +763,13 @@ def stream_session_timeout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline, watermark-independent); a user's FINAL session appears only
     if the final watermark (max ts − 10 min) passed its end.  Spark
     fires an event-time timeout when the watermark strictly exceeds the
-    registered deadline, hence ``session_end < wm`` (vs ``<=`` for the
-    declarative session_window's own append gate).
+    registered deadline, and BOTH quantities are ms-floored on the
+    engine side (``setTimeoutTimestamp`` takes ms; the watermark tracker
+    collects event times in ms) — so the oracle's timeout gate compares
+    at the same ms precision, ``epoch_ms(last_ts) + 2400000 <
+    epoch_ms(max ts)``: a µs-precision gate could disagree in the sliver
+    where the ms difference is exactly gap+delay but the sub-ms parts
+    differ (round-8 review; a regeneration-lottery one-row red).
     """
     s = events_stream(spark, sf_dir)
     from lambda_arc_events_filter_spark.streaming.stateful import (

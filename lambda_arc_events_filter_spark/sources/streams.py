@@ -76,6 +76,7 @@ def run_to_memory(
     mode: str = "append",
     state_partitions: int | None = 8,
     drain: bool = False,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow trigger,
     memory sink) and return the materialized result as a batch DataFrame.
@@ -117,13 +118,22 @@ def run_to_memory(
     # provider skips RocksDB's per-partition-per-batch instance open
     # (measured at sf0.1 tumbling: 1.45 s → 1.14 s).  RocksDB remains the
     # session default for prod-shaped unbounded sinks, where state outgrows
-    # the heap; force it here with SPARK_GRAFT_STATE_STORE=rocksdb.
-    if os.environ.get("SPARK_GRAFT_STATE_STORE", "memory") != "rocksdb":
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "HDFSBackedStateStoreProvider",
-        )
+    # the heap.  Callers whose operator REQUIRES RocksDB
+    # (transformWithStateInPandas rejects other providers) pass
+    # ``state_store="rocksdb"`` — the round-8 review found the old
+    # env-only switch silently clobbered a provider the caller had set on
+    # the session; the parameter makes the requirement explicit.
+    # SPARK_GRAFT_STATE_STORE=rocksdb remains the env-level override.
+    store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE", "memory")
+    provider = (
+        "RocksDBStateStoreProvider"
+        if store == "rocksdb"
+        else "HDFSBackedStateStoreProvider"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." + provider,
+    )
     try:
         writer = (
             df.writeStream.format("memory").queryName(qname).outputMode(mode)
@@ -155,7 +165,14 @@ def run_to_memory(
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    return df.sparkSession.table(qname)
+    # Resolve the memory-sink table, then DROP the temp view: the
+    # returned DataFrame holds the resolved relation, while leaving the
+    # view registered would pin every materialized result in the driver
+    # catalog for the session lifetime (round-8 review).
+    out = spark.table(qname)
+    out._jdf.queryExecution().analyzed()  # resolve before the view drops
+    spark.catalog.dropTempView(qname)
+    return out
 
 
 def write_stream_parquet(
@@ -207,6 +224,20 @@ def kinesis_stream(
     try:
         return reader.load()
     except Exception as ex:  # pragma: no cover - connector not in container
+        # Only the connector-missing failure mode is rebranded with the
+        # actionable message; a real configuration/auth error from an
+        # INSTALLED connector propagates untouched (round-8 review: the
+        # blanket rebrand sent operators to the wrong fix).
+        msg = str(ex)
+        if not any(
+            marker in msg
+            for marker in (
+                "Failed to find data source",
+                "DATA_SOURCE_NOT_FOUND",
+                "ClassNotFoundException",
+            )
+        ):
+            raise
         raise RuntimeError(
             "Kinesis connector (spark-sql-kinesis / aws-kinesis format) is "
             "not available in this environment; use "

@@ -72,13 +72,25 @@ def filter_events(
 ) -> DataFrame:
     """A3: the reference's namesake operator — keep events matching the
     configured predicates.  Predicates compile to Catalyst filters and push
-    down to the source scan in batch mode."""
+    down to the source scan in batch mode.
+
+    ``None`` means "predicate not configured" (no filter); an EMPTY
+    allowlist means "match nothing" — a deconfigured allowlist must fail
+    closed, not silently forward everything (round-8 review; the old
+    truthiness test conflated the two).
+    """
     e = F.col(event_col)
     cond = F.lit(True)
-    if types:
-        cond = cond & e.getField("type").isin(*types)
-    if operations:
-        cond = cond & e.getField("operation").isin(*operations)
+    if types is not None:
+        cond = cond & (
+            e.getField("type").isin(*types) if types else F.lit(False)
+        )
+    if operations is not None:
+        cond = cond & (
+            e.getField("operation").isin(*operations)
+            if operations
+            else F.lit(False)
+        )
     if published is not None:
         cond = cond & (e.getField("published") == F.lit(published))
     if extra is not None:

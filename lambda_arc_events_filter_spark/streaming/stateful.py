@@ -46,12 +46,25 @@ STATE_SCHEMA = StructType(
 CONVERSION_WINDOW_S = 30 * 60
 
 
-def conversion_stats(events: DataFrame) -> DataFrame:
+def conversion_stats(
+    events: DataFrame, idle_ttl_s: int | None = None
+) -> DataFrame:
     """Per-user view→purchase conversion counters over an event stream.
 
     Input: streaming DataFrame with (event_id, ts, user_id, event_type).
     Output (update mode): one row per user per batch with cumulative
     counters.
+
+    ``idle_ttl_s`` is the BOUNDED-STATE lever for an unbounded feed: when
+    set (requires a watermark on ``events``), a user whose last event is
+    older than the TTL has their state evicted via an event-time timeout —
+    update mode has already emitted their running counters, so eviction
+    loses nothing emitted; a user returning after the TTL restarts their
+    counters (the documented trade).  Default ``None`` keeps lifetime
+    counters — the exact-oracle profile used by the driver check, viable
+    while |users| fits state (fixture) but NOT the posture for an
+    unbounded production feed: state grows O(all users ever).  See
+    ``session_stats_timeout`` below for the eviction machinery pattern.
 
     The state function is a CLOSURE, not a module-level function, on
     purpose: cloudpickle serializes closures by value, so Spark's Python
@@ -64,15 +77,23 @@ def conversion_stats(events: DataFrame) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if idle_ttl_s is not None and state.hasTimedOut:
+            # running counters were already emitted in update mode;
+            # eviction only releases the state entry
+            state.remove()
+            return
         if state.exists:
             n_views, n_purchases, n_conversions, last_view_ts = state.get
         else:
             n_views = n_purchases = n_conversions = 0
             last_view_ts = None
+        max_ts = None
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for _, row in pdf.iterrows():
                 et = row["event_type"]
+                if max_ts is None or row["ts"] > max_ts:
+                    max_ts = row["ts"]
                 if et == "view":
                     n_views += 1
                     last_view_ts = row["ts"]
@@ -85,6 +106,12 @@ def conversion_stats(events: DataFrame) -> DataFrame:
                     ):
                         n_conversions += 1
         state.update((n_views, n_purchases, n_conversions, last_view_ts))
+        if idle_ttl_s is not None and max_ts is not None:
+            wm = state.getCurrentWatermarkMs()
+            deadline = int(max_ts.value // 1_000_000) + idle_ttl_s * 1000
+            # setTimeoutTimestamp rejects deadlines at/below the current
+            # watermark — a key already past its TTL times out next batch
+            state.setTimeoutTimestamp(max(deadline, wm + 1))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -99,7 +126,11 @@ def conversion_stats(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if idle_ttl_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -187,3 +187,13 @@ def test_catalog_handles_both_ts_units(spark, tmp_path):
         shutil.rmtree(d)
     assert loaded["us"] == loaded["ns"], loaded
     assert loaded["us"][0][1] == ts[0]
+
+
+def test_filter_empty_allowlist_matches_nothing(spark):
+    """None = predicate not configured (no filter); EMPTY allowlist =
+    match nothing.  A deconfigured allowlist must fail closed, not
+    silently forward every event (round-8 review)."""
+    decoded = decode_kinesis_records(_records_df(spark))
+    assert filter_events(decoded, types=[]).count() == 0
+    assert filter_events(decoded, operations=[]).count() == 0
+    assert filter_events(decoded, types=None).count() == decoded.count()
