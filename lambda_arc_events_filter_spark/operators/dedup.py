@@ -59,90 +59,6 @@ def minhash_params(num_hashes: int = 128, seed: int = 42) -> list[tuple[int, int
     ]
 
 
-def with_minhash_signature(
-    df: DataFrame,
-    num_hashes: int = 128,
-    seed: int = 42,
-    shingles_col: str = "shingles",
-    id_col: str | None = None,
-) -> DataFrame:
-    """128-permutation MinHash signature as ``array<bigint>``.
-
-    sig_j = min over shingles s of (a_j · (xxhash64(s) mod P) + b_j) mod P.
-
-    Two implementations with identical output:
-    - HOF form (``id_col=None``): per-row nested transform/aggregate — no
-      shuffle, but Catalyst evaluates lambda HOFs INTERPRETED, which costs
-      ~10× at k=128.
-    - explode+aggregate form (``id_col`` given): explode shingles, hash
-      once, compute the k permutations as k codegen'd ``min()`` aggregate
-      expressions, reassemble the array.  One extra (map-side-combinable)
-      shuffle buys whole-stage-codegen arithmetic — ~5× faster at sf0.1
-      and the form that scales (aggregation state is k longs per doc).
-    """
-    params = minhash_params(num_hashes, seed)
-    if id_col is None:
-        params_arr = (
-            "array("
-            + ",".join(f"struct({a}L as a, {b}L as b)" for a, b in params)
-            + ")"
-        )
-        hashed = (
-            f"transform({shingles_col}, s -> pmod(xxhash64(s), {MINHASH_P}))"
-        )
-        expr = (
-            f"transform({params_arr}, h -> aggregate(_sh_hashed, {MINHASH_P}L,"
-            f" (m, x) -> least(m, pmod(h.a * x + h.b, {MINHASH_P}))))"
-        )
-        return (
-            df.withColumn("_sh_hashed", F.expr(hashed))
-            .withColumn("minhash", F.expr(expr))
-            .drop("_sh_hashed")
-        )
-    # group on the id only (never the wide text/shingle columns), then
-    # join the signature back to the input rows
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles_col).alias("_s")
-    ).withColumn("_x", F.expr(f"pmod(xxhash64(_s), {MINHASH_P})"))
-    aggs = [
-        F.min(F.expr(f"pmod({a}L * _x + {b}L, {MINHASH_P})")).alias(f"_m{j}")
-        for j, (a, b) in enumerate(params)
-    ]
-    sig_cols = [f"_m{j}" for j in range(num_hashes)]
-    sig = (
-        exploded.groupBy(id_col)
-        .agg(*aggs)
-        .withColumn("minhash", F.array(*sig_cols))
-        .drop(*sig_cols)
-    )
-    return df.join(sig, id_col)
-
-
-def lsh_band_explode(
-    df: DataFrame,
-    id_col: str,
-    bands: int = 16,
-    rows: int = 8,
-    sig_col: str = "minhash",
-) -> DataFrame:
-    """Explode a signature into (id, band_index, band_hash) rows.
-
-    Two documents land in the same (band_index, band_hash) bucket iff a
-    whole band of their signatures agrees — the classic b·r LSH amplification
-    (b=16, r=8 → ~50% recall at J≈0.78, ≈1.0 at J≥0.9).
-    """
-    # xxhash64 hashes the sliced long array DIRECTLY (Spark hash
-    # expressions support ArrayType) — no per-band string building in the
-    # hottest explode, unlike the concat_ws form this replaces.
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), b -> struct(b as band_idx,"
-        f" xxhash64(slice({sig_col}, b * {rows} + 1, {rows})) as band_hash))"
-    )
-    return df.select(
-        F.col(id_col), F.explode(F.expr(band_expr)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
-
-
 def shingle_postings(
     df: DataFrame,
     id_col: str,
@@ -465,7 +381,7 @@ def minhash_lsh_pairs(
     # band-explode carrying _n, so the final Jaccard needs no size joins:
     # candidate pairs leave the band join already knowing both set sizes.
     # xxhash64 over the sliced long array directly — no per-band string
-    # building (see lsh_band_explode).  (A bucket-collect_list + pair
+    # building (xxhash64 over the sliced signature array).  (A bucket-collect_list + pair
     # explode variant was measured ~25% slower here: collect_list drops
     # the aggregate off the codegen path, while this self-join of the
     # checkpointed signatures is AQE-broadcast with no shuffle.)
@@ -563,19 +479,52 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
-    Candidate blocking on 16-bit fingerprint prefix (a ≤6-bit difference
-    leaves at least one of the four 16-bit quarters intact — pigeonhole), so
-    the join is equi on (quarter_idx, quarter_value), never all-pairs.
+    Candidate blocking is COMBINATION blocking (Manku et al. WWW'07
+    family): the 64-bit fingerprint splits into ``s = max_hamming + 2``
+    sub-blocks, and every pair of sub-blocks (i < j) forms one candidate
+    key.  Soundness is pigeonhole: ``max_hamming`` differing bits touch
+    at most that many sub-blocks, leaving ≥ 2 intact, so at least one
+    (i, j) key matches exactly — RECALL IS GUARANTEED at the configured
+    radius.  (The previous 4×16-bit single-quarter scheme guaranteed
+    only d ≤ 3 and silently dropped true pairs at Hamming 4-6 — round-8
+    review.)  Keys stay wide (two sub-blocks concatenated, ~16 bits at
+    the default), so buckets stay near-singleton and the join is equi on
+    (pair_id, value_pair), never all-pairs; the candidate fan-out is
+    C(s, 2) rows per doc — 28 at the default — the explicit price of
+    sound recall, still a constant per row at any corpus scale.
     """
-    quarters = simhashed.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), q -> struct(q as q,"
-                " cast(shiftright(simhash, q * 16) & 65535 as int) as qv))"
+    if not 0 <= max_hamming <= 62:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming must be in [0, 62], got "
+            f"{max_hamming} (s = max_hamming + 2 sub-blocks must each "
+            "hold >= 1 of the 64 fingerprint bits)"
+        )
+    s = max_hamming + 2
+    base, rem = divmod(64, s)
+    widths = [base + 1 if i < rem else base for i in range(s)]
+    offs = [sum(widths[:i]) for i in range(s)]
+
+    def sub(i: int):
+        return F.expr(f"shiftright(simhash, {offs[i]})").bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    key_structs = []
+    pair_id = 0
+    for i in range(s):
+        for j in range(i + 1, s):
+            key_structs.append(
+                F.struct(
+                    F.lit(pair_id).alias("q"),
+                    # 2^32 separator: sub-block widths are ≤ 22 bits for
+                    # any s ≥ 3, so the (i, j) value pair packs into one
+                    # collision-free long
+                    (sub(i) * F.lit(1 << 32) + sub(j)).alias("qv"),
+                )
             )
-        ).alias("b"),
+            pair_id += 1
+    quarters = simhashed.select(
+        id_col, "simhash", F.explode(F.array(*key_structs)).alias("b")
     ).select(id_col, "simhash", "b.q", "b.qv")
     a = quarters.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "q", "qv"

@@ -163,14 +163,18 @@ def cosine_pairs_rp_lsh(
             f" as int))"
         ).alias("_bits"),
     )
+    # band key = xxhash64 of the sliced bit run — an 8-byte integer key
+    # instead of per-bit string casts + concat (the same replaced-for-cost
+    # idiom dedup.shingle_postings documents).  A hash collision can only
+    # MERGE buckets, i.e. add candidates that the exact re-score below
+    # filters — recall is unaffected.
     banded = sig.select(
         "_id",
         "_v",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> struct(b as band,"
-                f" concat_ws('', transform(slice(_bits, b * {rows} + 1,"
-                f" {rows}), x -> cast(x as string))) as bits))"
+                f" xxhash64(slice(_bits, b * {rows} + 1, {rows})) as bits))"
             )
         ).alias("bb"),
     ).select("_id", "_v", "bb.band", "bb.bits")

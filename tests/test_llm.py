@@ -93,12 +93,35 @@ def test_simhash_separates_constructed_dups(spark):
     )
     sh = D.with_simhash(df, id_col="doc_id")
     h = {r["doc_id"]: r["simhash"] for r in sh.collect()}
-    ham = lambda a, b: bin(h[a] ^ h[b]).count("1")  # noqa: E731
+    # mask to 64 bits BEFORE popcount: simhash is a signed long, and
+    # bin() of a negative XOR renders sign-magnitude, not two's
+    # complement (bit 63 set on one side made this count garbage)
+    mask = (1 << 64) - 1
+    ham = lambda a, b: bin((h[a] ^ h[b]) & mask).count("1")  # noqa: E731
     assert ham(1, 2) <= 8, f"near-dup pair too far: {ham(1, 2)}"
     assert ham(1, 3) > 16 and ham(2, 3) > 16
-    # pigeonhole candidate blocking finds the near pair
-    near = D.simhash_near_pairs(sh, id_col="doc_id", max_hamming=8)
+    # combination blocking GUARANTEES recall at the configured radius:
+    # call at the measured distance, not a hopeful larger one
+    near = D.simhash_near_pairs(sh, id_col="doc_id", max_hamming=ham(1, 2))
     assert (1, 2) in _pairs(near)
+
+
+def test_simhash_blocking_recall_guaranteed_at_radius(spark):
+    """Adversarial recall pin for the combination blocking: fingerprints
+    differing in exactly 4/5/6 bits SPREAD ONE PER 16-BIT QUARTER — the
+    inputs the old single-quarter scheme silently dropped (round-8
+    review) — must all surface as candidates and pairs."""
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    # flip bit k*16 + k for k in 0..d-1: one flipped bit per old quarter
+    for d in (4, 5, 6):
+        flipped = base
+        for k in range(d):
+            flipped ^= 1 << ((k * 16 + k) % 64)
+        rows.append((d, flipped))
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = _pairs(D.simhash_near_pairs(sh, id_col="doc_id", max_hamming=6))
+    assert {(0, 4), (0, 5), (0, 6)} <= got
 
 
 def test_simhash_deterministic_on_fixtures(spark, sf_dir):
@@ -184,17 +207,25 @@ def test_compressibility_matches_direct_zlib(spark, sf_dir):
     }
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert sum(r["n_docs"] for r in out.values()) == docs.count()
-    sample = docs.orderBy("doc_id").limit(20).collect()
-    for row in sample:
-        raw = row["text"].encode("utf-8")
-        ratio = len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
-        assert 0 < ratio < 2_000_000
-    # recompute one source's mean through an independent aggregation
-    one = sorted(out)[0]
-    direct = [
-        len(zlib.compress(r["text"].encode("utf-8"), 6))
-        * 1_000_000
-        // len(r["text"].encode("utf-8"))
-        for r in docs.filter(FF.col("source") == one).collect()
-    ]
-    assert out[one]["mean_ratio_ppm"] == sum(direct) // len(direct)
+
+    def direct_ratio(text: str) -> int:
+        raw = text.encode("utf-8")
+        return len(zlib.compress(raw, 6)) * 1_000_000 // max(len(raw), 1)
+
+    # recompute EVERY per-source rollup cell through an independent
+    # driver-side zlib pass: the keep-band counters, not just the mean —
+    # a swapped/inverted band comparison must fail loudly here (the old
+    # sample loop asserted only 0 < ratio < 2e6 against nothing)
+    for src, row in out.items():
+        direct = [
+            direct_ratio(r["text"])
+            for r in docs.filter(FF.col("source") == src).collect()
+        ]
+        assert row["n_docs"] == len(direct)
+        assert row["n_too_compressible"] == sum(
+            1 for x in direct if x < 350_000
+        ), src
+        assert row["n_incompressible"] == sum(
+            1 for x in direct if x > 950_000
+        ), src
+        assert row["mean_ratio_ppm"] == sum(direct) // len(direct), src
