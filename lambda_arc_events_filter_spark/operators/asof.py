@@ -37,7 +37,30 @@ def asof_join(
     older than that are nulled out, like pandas ``merge_asof(tolerance=…)``.
     ``tiebreakers``: extra ordering columns making same-instant right rows
     deterministic (last by tiebreaker wins).
+
+    Structural preconditions are checked at plan-construction time (the
+    interval-operator discipline, ADVICE r7): the internal ``_side`` /
+    ``_asof_*`` names must not pre-exist on either input — ``withColumn``
+    would silently overwrite a caller's column and the output would carry
+    a constant instead of their data — and every ``value_cols`` entry must
+    be a RIGHT-side column (a left-only name would union-pad to NULL on
+    right rows and yield an all-NULL carry, silently).
     """
+    reserved = {"_side", "_asof_time"} | {f"_asof_{c}" for c in value_cols}
+    for side_name, df in (("left", left), ("right", right)):
+        hit = reserved & set(df.columns)
+        if hit:
+            raise ValueError(
+                f"asof_join: {side_name} side already has reserved "
+                f"column(s) {sorted(hit)} (internal names)"
+            )
+    missing = [c for c in value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(
+            f"asof_join: value_cols {missing} not in right side "
+            f"(columns: {sorted(right.columns)}) — the carry would be "
+            "all-NULL"
+        )
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.withColumn("_side", F.lit(0))
     cols = sorted(set(l_tag.columns) | set(r_tag.columns))

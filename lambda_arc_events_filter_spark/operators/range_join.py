@@ -29,7 +29,17 @@ def banded_range_join(
     (band, band+1) to cover ranges spanning a band edge.  The band size
     equals the range width — the provably sufficient choice (any interval
     of length w intersects at most 2 w-aligned buckets).
+
+    Precondition (checked): neither side may already carry the internal
+    ``_band`` column — ``withColumn`` would silently overwrite it and the
+    caller's data would vanish from the output.
     """
+    for side_name, df in (("left", left), ("right", right)):
+        if "_band" in df.columns:
+            raise ValueError(
+                f"banded_range_join: {side_name} side already has a "
+                "'_band' column (reserved internal name)"
+            )
     w = width_seconds
     l_banded = left.withColumn(
         "_band",

@@ -52,6 +52,13 @@ def salted_join(
             f"salted_join supports how='inner'|'left', got {how!r}: the "
             "exploded small side would duplicate unmatched rows salt times"
         )
+    for side_name, df in (("big", big), ("small", small)):
+        if "_shard" in df.columns:
+            raise ValueError(
+                f"salted_join: {side_name} side already has a '_shard' "
+                "column (reserved internal name; withColumn would "
+                "silently overwrite it)"
+            )
     b = big.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt))
     )

@@ -390,3 +390,49 @@ def test_asof_join_same_instant_and_tiebreakers(spark):
     # t0: both same-instant rows visible, seq=2 ('b') wins the tie;
     # t1: the newer same-instant row ('c') supersedes the carry-forward
     assert rows == {t0: "b", t1: "c"}
+
+
+def test_reusable_join_operators_refuse_reserved_columns(spark):
+    """The interval-operator precondition discipline, extended to the other
+    reusable join operators: a caller column colliding with an internal
+    name must raise at plan-construction time, not be silently overwritten
+    (asof_join's `_side` would come out constant-1; salted_join's `_shard`
+    and banded_range_join's `_band` would vanish)."""
+    import datetime as dt
+
+    import pytest
+
+    from lambda_arc_events_filter_spark.operators.asof import asof_join
+    from lambda_arc_events_filter_spark.operators.range_join import (
+        banded_range_join,
+    )
+    from lambda_arc_events_filter_spark.operators.skew import salted_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    plain = spark.createDataFrame([(1, t0, 1.0)], "k long, t timestamp, v double")
+    with_side = plain.withColumn("_side", F.lit(9))
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(with_side, plain, key="k", time_col="t", value_cols=["v"])
+    with pytest.raises(ValueError, match="_asof_time"):
+        asof_join(
+            plain, plain.withColumn("_asof_time", F.lit(0)),
+            key="k", time_col="t", value_cols=["v"],
+        )
+    # a left-only value_col would union-pad to NULL on right rows and
+    # carry nothing — refuse instead of emitting an all-NULL column
+    with pytest.raises(ValueError, match="value_cols"):
+        asof_join(
+            plain.withColumn("extra", F.lit(1)), plain,
+            key="k", time_col="t", value_cols=["extra"],
+        )
+    with pytest.raises(ValueError, match="_band"):
+        banded_range_join(
+            plain.withColumn("_band", F.lit(0)),
+            plain.select(F.col("t").alias("t2")),
+            "t", "t2", 600,
+        )
+    with pytest.raises(ValueError, match="_shard"):
+        salted_join(
+            plain.withColumn("_shard", F.lit(0)),
+            plain.select("k"), on="k", salt_col="t",
+        )
