@@ -31,6 +31,19 @@ def _events(sf_dir: str) -> pd.DataFrame:
     return pd.read_parquet(f"{sf_dir}/events.parquet")
 
 
+def _r(v, nd: int = 6) -> float:
+    """Round-half-up at nd decimals of the double's shortest decimal
+    representation — Spark's F.round semantics (BigDecimal.valueOf).
+    Where a query rounds an INTERMEDIATE (part of its definition), the
+    re-derivation must mirror that convention exactly; pandas .round is
+    banker's and flips half-boundary values (seen: a per-user round-6
+    mean shifting a downstream variance by 2e-6)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _rows(spark, sf_dir, name):
     return [r.asDict() for r in specs()[name].fn(spark, sf_dir).collect()]
 
@@ -202,3 +215,191 @@ def test_spearman_matches_pandas_rank_corr(spark, sf_dir):
     (r,) = _rows(spark, sf_dir, "score_spearman_rank_corr")
     assert r["n_events"] == len(s)
     assert abs(r["spearman_rho"] - rho) < 2e-6
+
+
+def test_logrank_matches_fraction_route(spark, sf_dir):
+    """Log-rank O/E/V recomputed with exact Fractions from the cohort
+    risk sets (query: integer expression tree + range-partitioned
+    reverse running sums)."""
+    e = _events(sf_dir)
+    day = e.ts.dt.floor("D")
+    per = e.assign(day=day).groupby("user_id").agg(
+        first_day=("day", "min"), last_day=("day", "max")
+    )
+    conv = (
+        e[e.event_type == "purchase"].assign(day=day).groupby("user_id")["day"].min()
+    )
+    per["conv_day"] = conv
+    per["t"] = (per.conv_day.fillna(per.last_day) - per.first_day).dt.days
+    per["g"] = per.index % 2
+    per["d"] = per.conv_day.notna()
+    obs1 = obs0 = 0
+    sum_e1 = sum_v = Fraction(0)
+    times = sorted(per.t.unique())
+    for t in times:
+        at = per[per.t >= t]
+        here = per[per.t == t]
+        d1 = int((here.d & (here.g == 1)).sum())
+        d0 = int((here.d & (here.g == 0)).sum())
+        d, n = d1 + d0, len(at)
+        n1 = int((at.g == 1).sum())
+        if d == 0:
+            continue
+        obs1 += d1
+        obs0 += d0
+        sum_e1 += Fraction(d * n1, n)
+        if n > 1:
+            sum_v += (
+                Fraction(d)
+                * Fraction(n1, n)
+                * (1 - Fraction(n1, n))
+                * Fraction(n - d, n - 1)
+            )
+    chi2 = float(Fraction((obs1 - sum_e1) ** 2) / sum_v)
+    (r,) = _rows(spark, sf_dir, "users_logrank_test")
+    assert (r["observed_1"], r["observed_0"]) == (obs1, obs0)
+    assert abs(r["expected_1"] - float(sum_e1)) < 2e-6
+    assert abs(r["expected_0"] - float(obs1 + obs0 - sum_e1)) < 2e-6
+    assert abs(r["chi_square"] - chi2) < 2e-6
+
+
+def test_cuped_matches_numpy_moments(spark, sf_dir):
+    """CUPED theta-adjustment recomputed with numpy population moments.
+    The pre/post split, the per-user round-6 means, and the round-6
+    theta/x-bar are part of the query definition; the ALGEBRA
+    (theta = cov/var, y' = y - theta(x - xbar), per-variant moments) is
+    what this pins."""
+    import numpy as np
+
+    e = _events(sf_dir)
+    us = e.ts.astype("int64")  # datetime64[us] -> epoch micros
+    m_us = (int(us.min()) + int(us.max())) // 2
+    pu = pd.DataFrame({"user_id": e.user_id, "pre": us < m_us, "value": e.value})
+    x = pu[pu.pre].groupby("user_id").value.mean().map(_r)
+    y = pu[~pu.pre].groupby("user_id").value.mean().map(_r)
+    both = pd.DataFrame({"x": x, "y": y}).dropna()
+    th = _r(np.cov(both.x, both.y, ddof=0)[0, 1] / np.var(both.x))
+    mx = _r(both.x.mean())
+    adj = both.y - th * (both.x - mx)
+    got = {r["variant"]: r for r in _rows(spark, sf_dir, "events_cuped_adjusted_ab")}
+    for v in (0, 1):
+        sel = both.index % 2 == v
+        r = got[v]
+        assert r["n_users"] == int(sel.sum())
+        assert abs(r["mean_raw"] - both.y[sel].mean()) < 2e-6
+        assert abs(r["mean_cuped"] - adj[sel].mean()) < 2e-6
+        assert abs(r["var_raw"] - float(np.var(both.y[sel]))) < 2e-6
+        assert abs(r["var_cuped"] - float(np.var(adj[sel]))) < 2e-6
+        # CUPED must not move the pooled mean and must not raise variance
+    pooled_raw = float(both.y.mean())
+    pooled_adj = float(adj.mean())
+    # exact only for unrounded theta/x-bar; the definition rounds both
+    # to 6dp, so the pooled mean may drift by ~|round err| * mean|x - mx|
+    assert abs(pooled_raw - pooled_adj) < 1e-6
+    assert float(np.var(adj)) <= float(np.var(both.y)) + 1e-12
+
+
+def test_theil_sen_matches_numpy_medians(spark, sf_dir):
+    """Theil-Sen slope/intercept recomputed as numpy medians over the
+    explicit O(n^2) pairwise-slope list."""
+    import numpy as np
+
+    e = _events(sf_dir)
+    daily = (
+        e.assign(t=e.ts.astype("int64") // (86400 * 10**6))
+        .groupby("t")
+        .value.mean()
+        .map(_r)
+    )
+    t = daily.index.to_numpy()
+    y = daily.to_numpy()
+    slopes = [
+        _r((y[j] - y[i]) / (t[j] - t[i]), 9)
+        for i in range(len(t))
+        for j in range(len(t))
+        if t[j] > t[i]
+    ]
+    slope = float(np.median(slopes))
+    icepts = [_r(v, 9) for v in (y - slope * t)]
+    intercept = float(np.median(icepts))
+    (r,) = _rows(spark, sf_dir, "daily_theil_sen_trend")
+    assert r["n_days"] == len(t)
+    assert abs(r["slope_per_day"] - slope) < 2e-6
+    assert abs(r["intercept"] - intercept) < 2e-6
+
+
+def test_mutual_information_matches_entropy_identity(spark, sf_dir):
+    """Per-cell MI contributions recomputed from the contingency counts,
+    AND the identity I(X;Y) = H(X) + H(Y) - H(X,Y) as a second,
+    algebra-independent route to the total."""
+    e = _events(sf_dir)
+    dow = (e.ts.dt.dayofweek + 1) % 7
+    cells = e.assign(dow=dow).groupby(["event_type", "dow"]).size()
+    rt, ct, n = cells.groupby("event_type").sum(), cells.groupby("dow").sum(), int(cells.sum())
+    got = {
+        (r["event_type"], r["dow"]): r
+        for r in _rows(spark, sf_dir, "events_mutual_information")
+    }
+    assert set(got) == set(cells.index)
+    total_mine = 0.0
+    for (et, d), o in cells.items():
+        o = int(o)
+        mi = o / n * math.log(o * n / (int(rt[et]) * int(ct[d])))
+        total_mine += mi
+        r = got[(et, d)]
+        assert r["n_events"] == o
+        assert abs(r["p_joint"] - o / n) < 6e-7
+        assert abs(r["mi_contrib"] - mi) < 2e-6, (et, d)
+
+    def h(counts):
+        return -math.fsum(c / n * math.log(c / n) for c in counts)
+
+    i_entropy = h(rt.values) + h(ct.values) - h(cells.values)
+    assert abs(total_mine - i_entropy) < 1e-9
+
+
+def test_gini_matches_mean_absolute_difference(spark, sf_dir):
+    """Gini recomputed by the mean-absolute-difference identity
+    G = sum_ij |x_i - x_j| / (2 n^2 mean) — a different formula from the
+    query's rank form 2*sum(i*x_i)/(n*total) - (n+1)/n."""
+    import numpy as np
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (
+        (o.o_totalprice * 100)
+        .round()
+        .astype("int64")
+        .groupby(o.o_custkey)
+        .sum()
+        .to_numpy()
+    )
+    n, total = len(cents), int(cents.sum())
+    mad = float(np.abs(cents[:, None] - cents[None, :]).sum())
+    gini = mad / (2 * n * total)
+    top = int(np.sort(cents)[n - n // 10 :].sum()) if n // 10 else 0
+    (r,) = _rows(spark, sf_dir, "customer_revenue_gini")
+    assert r["n_customers"] == n
+    assert abs(r["total_revenue"] - total / 100) < 0.011
+    assert abs(r["gini"] - gini) < 2e-6
+    assert abs(r["top_decile_share"] - top / total) < 2e-6
+
+
+def test_acf_matches_deviation_route(spark, sf_dir):
+    """Sample ACF at lags 1-7 recomputed from explicit mean-deviations
+    (query: exact-integer moment assembly n^2 p - nS(A+B) + n_k S^2)."""
+    e = _events(sf_dir)
+    daily = e.groupby(e.ts.dt.date).size()
+    xbar = daily.mean()
+    denom = math.fsum((v - xbar) ** 2 for v in daily)
+    got = {r["lag"]: r for r in _rows(spark, sf_dir, "events_acf_daily")}
+    days = set(daily.index)
+    for lag in range(1, 8):
+        pairs = [
+            (daily[d], daily[d - pd.Timedelta(days=lag)])
+            for d in daily.index
+            if d - pd.Timedelta(days=lag) in days
+        ]
+        acf = math.fsum((a - xbar) * (b - xbar) for a, b in pairs) / denom
+        r = got[lag]
+        assert r["n_pairs"] == len(pairs)
+        assert abs(r["acf"] - acf) < 2e-6, lag
