@@ -403,3 +403,197 @@ def test_acf_matches_deviation_route(spark, sf_dir):
         r = got[lag]
         assert r["n_pairs"] == len(pairs)
         assert abs(r["acf"] - acf) < 2e-6, lag
+
+
+def test_ewma_matches_python_recurrence(spark, sf_dir):
+    """s_t = 0.3 x_t + 0.7 s_{t-1} replayed as a literal python loop
+    (the query runs it as per-row prefix HOF folds)."""
+    e = _events(sf_dir)
+    daily = (
+        e.assign(day=e.ts.dt.floor("D")).groupby("day").value.mean().map(_r)
+    )
+    got = {r["day"]: r for r in _rows(spark, sf_dir, "events_ewma_daily")}
+    s = None
+    for day, x in daily.sort_index().items():
+        s = x if s is None else 0.3 * x + 0.7 * s
+        r = got[day.to_pydatetime()]
+        assert abs(r["x"] - x) < 1e-9
+        assert abs(r["ewma"] - s) < 2e-6, day
+    assert len(got) == len(daily)
+
+
+def test_holt_matches_python_recurrence(spark, sf_dir):
+    """Coupled level/trend recurrence replayed as a literal python loop
+    (the query folds once with a struct accumulator and explodes)."""
+    e = _events(sf_dir)
+    daily = (
+        e.assign(day=e.ts.dt.floor("D")).groupby("day").value.mean().map(_r)
+    ).sort_index()
+    xs = list(daily.items())
+    got = {r["day"]: r for r in _rows(spark, sf_dir, "events_holt_smoothing")}
+    assert len(got) == len(xs)
+    l, b = xs[0][1], xs[1][1] - xs[0][1]
+    for i, (day, x) in enumerate(xs):
+        if i:
+            l_new = 0.3 * x + 0.7 * (l + b)
+            b = 0.2 * (l_new - l) + 0.8 * b
+            l = l_new
+        r = got[day.to_pydatetime()]
+        assert abs(r["level"] - l) < 2e-6, day
+        assert abs(r["trend"] - b) < 2e-6, day
+        assert abs(r["forecast_next"] - (l + b)) < 2e-6, day
+
+
+def test_hurst_rs_matches_numpy_route(spark, sf_dir):
+    """R/S per block from explicit cumulative deviations and the H fit
+    via numpy polyfit (query: exact-integer moments + closed-form OLS)."""
+    import numpy as np
+
+    e = _events(sf_dir)
+    cents = (
+        e.assign(
+            day=e.ts.dt.floor("D"), c=(e.value * 100).round().astype("int64")
+        )
+        .groupby("day")
+        .c.sum()
+    )
+    d0 = cents.index.min()
+    idx = {(d - d0).days: int(v) for d, v in cents.items()}
+    ndays = len(idx)
+    got = {r["block_size"]: r for r in _rows(spark, sf_dir, "events_hurst_rs")}
+    pts = []
+    for n in (5, 10, 15):
+        rs_vals = []
+        for blk in range(ndays // n):
+            xs = [(i % n, idx[i]) for i in sorted(idx) if i // n == blk]
+            vals = [v for _, v in xs]
+            sx, sxx = sum(vals), math.fsum(v * v for v in vals)
+            run = 0.0
+            devs = []
+            for pos, v in xs:
+                run += v
+                devs.append(run - (pos + 1) * (sx / n))
+            s_std = math.sqrt(sxx / n - (sx / n) ** 2)
+            rs_vals.append((max(devs) - min(devs)) / s_std)
+        mean_rs = math.fsum(rs_vals) / len(rs_vals)
+        pts.append((math.log(n), math.log(mean_rs)))
+        r = got[n]
+        assert r["n_blocks"] == len(rs_vals)
+        assert abs(r["mean_rs"] - mean_rs) < 2e-6, n
+    h = float(np.polyfit([p[0] for p in pts], [p[1] for p in pts], 1)[0])
+    assert abs(got[5]["hurst"] - h) < 2e-6
+
+
+def test_psi_matches_pandas_route(spark, sf_dir):
+    """PSI per event type: halves by the deterministic (ts, event_id)
+    ntile, quintile edges frozen on the first half (pandas linear
+    quantile == quantile_cont), epsilon-smoothed sum — recomputed wholly
+    in pandas."""
+    e = _events(sf_dir)
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "events_psi_drift")}
+    for et, grp in e.groupby("event_type"):
+        g = grp.sort_values(["ts", "event_id"])
+        n = len(g)
+        first = g.value.iloc[: (n + 1) // 2]
+        second = g.value.iloc[(n + 1) // 2 :]
+        edges = [first.quantile(q) for q in (0.2, 0.4, 0.6, 0.8)]
+
+        def bin_of(v):
+            for i, ed in enumerate(edges):
+                if v < ed:
+                    return i
+            return 4
+
+        import collections
+
+        cf = collections.Counter(bin_of(v) for v in first)
+        cs = collections.Counter(bin_of(v) for v in second)
+        bins = sorted(set(cf) | set(cs))
+        psi = math.fsum(
+            (cf[b] / len(first) + 1e-6 - (cs[b] / len(second) + 1e-6))
+            * math.log(
+                (cf[b] / len(first) + 1e-6) / (cs[b] / len(second) + 1e-6)
+            )
+            for b in bins
+        )
+        r = got[et]
+        assert r["n_bins"] == len(bins), et
+        assert abs(r["psi"] - psi) < 2e-6, et
+        assert r["psi"] >= 0  # PSI is a symmetrized KL: nonnegative
+
+
+def test_kl_divergence_matches_counter_route(spark, sf_dir):
+    """Per-source KL vs the corpus token distribution recomputed from
+    python Counters with fsum; KL >= 0 (Gibbs) as the identity check."""
+    import collections
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_src: dict = {}
+    corpus: collections.Counter = collections.Counter()
+    for src, text in zip(d.source, d.text):
+        toks = text.split(" ")
+        per_src.setdefault(src, collections.Counter()).update(toks)
+        corpus.update(toks)
+    n_c = sum(corpus.values())
+    got = {r["source"]: r for r in _rows(spark, sf_dir, "corpus_kl_divergence")}
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = math.fsum(
+            (c / n_s) * math.log((c / n_s) / (corpus[t] / n_c))
+            for t, c in cnt.items()
+        )
+        r = got[src]
+        assert r["n_tokens"] == n_s and r["n_terms"] == len(cnt), src
+        assert abs(r["kl_vs_corpus"] - kl) < 2e-6, src
+        assert kl > -1e-12, src
+
+
+def test_theil_index_matches_share_route(spark, sf_dir):
+    """Theil T recomputed as the share form sum((x/S) ln(x n / S))
+    (query: the decomposed (sum x ln x)/S + ln n - ln S)."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (o.o_totalprice * 100).round().astype("int64").groupby(o.o_custkey).sum()
+    n, s = len(cents), int(cents.sum())
+    theil = math.fsum((x / s) * math.log(x * n / s) for x in cents)
+    (r,) = _rows(spark, sf_dir, "customer_theil_index")
+    assert r["n_customers"] == n
+    assert abs(r["theil_t"] - theil) < 2e-6
+    assert -1e-9 < theil < math.log(n) + 1e-9  # Theil T range
+
+
+def test_zipf_slope_matches_numpy_lstsq(spark, sf_dir):
+    """Zipf OLS over the top-1000 (f desc, term) terms via numpy polyfit
+    (query: closed-form normal equations from exact integer ranks)."""
+    import collections
+
+    import numpy as np
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = collections.Counter()
+    for text in d.text:
+        cnt.update(text.split(" "))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    u = np.log(np.arange(1, len(top) + 1, dtype=float))
+    v = np.log(np.array([f for _, f in top], dtype=float))
+    slope, intercept = np.polyfit(u, v, 1)
+    (r,) = _rows(spark, sf_dir, "tokens_zipf_slope")
+    assert r["n_terms"] == len(top)
+    assert abs(r["zipf_slope"] - slope) < 2e-6
+    assert abs(r["zipf_intercept"] - intercept) < 2e-6
+
+
+def test_median_ci_matches_sorted_lookup(spark, sf_dir):
+    """Order-statistic CI recomputed by direct sorted-array indexing
+    (query: banded global rank + broadcast rank filter)."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    xs = o.sort_values(["o_totalprice", "o_orderkey"]).o_totalprice.to_numpy()
+    n = len(xs)
+    lo_r = math.floor((n - 1.96 * math.sqrt(n)) / 2)
+    hi_r = math.ceil(1 + (n + 1.96 * math.sqrt(n)) / 2)
+    m1, m2 = math.floor((n + 1) / 2), math.ceil((n + 1) / 2)
+    (r,) = _rows(spark, sf_dir, "orders_median_ci_binomial")
+    assert r["n_orders"] == n
+    assert abs(r["median"] - (xs[m1 - 1] + xs[m2 - 1]) / 2) < 0.011
+    assert abs(r["ci_lo"] - xs[lo_r - 1]) < 0.011
+    assert abs(r["ci_hi"] - xs[hi_r - 1]) < 0.011
+    assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
