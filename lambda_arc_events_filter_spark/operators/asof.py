@@ -46,6 +46,25 @@ def asof_join(
     be a RIGHT-side column (a left-only name would union-pad to NULL on
     right rows and yield an all-NULL carry, silently).
     """
+    # value_cols entries must not collide among themselves or with time_col
+    # (ADVICE r8): value_cols=['time'] with time_col='time', or a duplicated
+    # entry, would alias two different carries to the same '_asof_*' output
+    # column — the same silent-collision class the reserved-name check below
+    # prevents for input columns.
+    if time_col in value_cols:
+        raise ValueError(
+            f"asof_join: value_cols must not include time_col "
+            f"({time_col!r}) — the match timestamp is always carried as "
+            "'_asof_time'"
+        )
+    aliases = [f"_asof_{c}" for c in value_cols] + ["_asof_time"]
+    alias_dupes = {a for a in aliases if aliases.count(a) > 1}
+    if alias_dupes:
+        raise ValueError(
+            f"asof_join: output alias collision {sorted(alias_dupes)} — "
+            "duplicate value_cols entries, or an entry named 'time', map "
+            "two carries onto one '_asof_*' column"
+        )
     reserved = {"_side", "_asof_time"} | {f"_asof_{c}" for c in value_cols}
     for side_name, df in (("left", left), ("right", right)):
         hit = reserved & set(df.columns)

@@ -425,6 +425,17 @@ def test_reusable_join_operators_refuse_reserved_columns(spark):
             plain.withColumn("extra", F.lit(1)), plain,
             key="k", time_col="t", value_cols=["extra"],
         )
+    # value_cols colliding among themselves or with time_col (ADVICE r8):
+    # each would map two different carries onto one '_asof_*' output column
+    with pytest.raises(ValueError, match="time_col"):
+        asof_join(plain, plain, key="k", time_col="t", value_cols=["t"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(plain, plain, key="k", time_col="t", value_cols=["v", "v"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(
+            plain, plain.withColumn("time", F.lit(0)),
+            key="k", time_col="t", value_cols=["time"],
+        )
     with pytest.raises(ValueError, match="_band"):
         banded_range_join(
             plain.withColumn("_band", F.lit(0)),

@@ -374,7 +374,18 @@ def test_gini_matches_mean_absolute_difference(spark, sf_dir):
         .to_numpy()
     )
     n, total = len(cents), int(cents.sum())
-    mad = float(np.abs(cents[:, None] - cents[None, :]).sum())
+    # Chunked pairwise sum (ADVICE r8): the full n x n |x_i - x_j| matrix is
+    # O(n^2) MEMORY, which blows past RAM if SPARK_GRAFT_TEST_SF_DIR points at
+    # a larger scale factor.  Chunking keeps peak memory at chunk*n while the
+    # formula stays the mean-absolute-difference identity — still independent
+    # of the query's sorted-rank form.
+    chunk = 1024
+    mad = float(
+        sum(
+            np.abs(cents[i : i + chunk, None] - cents[None, :]).sum()
+            for i in range(0, n, chunk)
+        )
+    )
     gini = mad / (2 * n * total)
     top = int(np.sort(cents)[n - n // 10 :].sum()) if n // 10 else 0
     (r,) = _rows(spark, sf_dir, "customer_revenue_gini")
