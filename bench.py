@@ -129,6 +129,71 @@ def _materialize(name: str, df) -> None:
         df.collect()
 
 
+#: Same-session DuckDB canary (VERDICT r8 ask #1).  Session-to-session host
+#: variance (~1.3×, observed up to 1.8× between the driver's recording and a
+#: same-tree local run) is the biggest error bar on the headline ratio the
+#: gate reads.  Re-running a small DuckDB reference subset IN THIS SESSION
+#: calibrates it out: host_normalizer = (canary wall now) / (canary wall when
+#: BASELINE_NUMBERS.json was recorded), and normalized_total = value /
+#: host_normalizer is the Spark total as-if run on the baseline-recording
+#: host.  The subset mixes q01 with the three largest stable DuckDB line
+#: items (~3.4 s of the 6.9 s recorded total) so the calibration signal
+#: dwarfs per-query timer noise.
+_CANARY = (
+    "q01_pricing_summary",
+    "tokens_bpe_merge_rounds",
+    "dedup_minhash_lsh",
+    "join_range_theta",
+)
+
+
+def _duck_canary(sf_dir: str, all_specs) -> dict | None:
+    """Run the canary oracles through DuckDB (same protocol as
+    tools/baseline.py: warm + median of 3, pandas materialization) and
+    return per-query seconds plus the normalizer vs BASELINE_NUMBERS.json.
+    Returns None — normalization skipped, never faked — when the recorded
+    file is missing or was recorded at a different scale factor."""
+    import statistics
+
+    from lambda_arc_events_filter_spark.testing import duck_connection
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(root, "BASELINE_NUMBERS.json")) as f:
+            recorded = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if os.path.normpath(recorded.get("sf_dir", "")) != os.path.normpath(
+        sf_dir
+    ):
+        return None
+    rec_q = recorded.get("queries", {})
+    if any(n not in rec_q for n in _CANARY):
+        return None
+    con = duck_connection(sf_dir)
+    session: dict[str, float] = {}
+    for name in _CANARY:
+        spec = all_specs.get(name)
+        if spec is None or spec.oracle is None:
+            return None
+        con.sql(spec.oracle).fetchdf()  # warm
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            con.sql(spec.oracle).fetchdf()
+            reps.append(time.time() - t0)
+        session[name] = round(statistics.median(reps), 4)
+    con.close()
+    recorded_total = round(sum(rec_q[n] for n in _CANARY), 4)
+    session_total = round(sum(session.values()), 4)
+    return {
+        "queries": session,
+        "session_total": session_total,
+        "recorded_total": recorded_total,
+        "host_normalizer": round(session_total / recorded_total, 4),
+    }
+
+
 def _measure_floor(spark) -> dict[str, float]:
     """Local-mode per-query floor: the wall cost of dispatching and
     collecting an EMPTY single-stage plan through each result path.
@@ -153,8 +218,12 @@ def _measure_floor(spark) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench", extra_conf=fixture_conf())
     all_specs = specs()
+    # DuckDB canary BEFORE the Spark JVM exists: both engines use every
+    # core, and calibration must not be polluted by the other engine's
+    # warm-up running concurrently.
+    canary = _duck_canary(sf_dir, all_specs)
+    spark = get_spark("bench", extra_conf=fixture_conf())
     names = [n for n in HEADLINE if n in all_specs]
     if len(sys.argv) > 1:  # optional substring filter for local iteration
         names = [n for n in names if any(f in n for f in sys.argv[1:])]
@@ -213,6 +282,7 @@ def main() -> None:
     detail = {
         "detail": True,
         "floor": floors,
+        "duck_canary": canary,
         "queries_compute_only": compute_only,
         # result materialization is per-query (Arrow→pandas for
         # >10k-row results, plain collect otherwise — see
@@ -220,10 +290,10 @@ def main() -> None:
         "arrow_results": sorted(_ARROW_RESULTS & set(names)),
     }
     print(json.dumps(detail, separators=(",", ":")))
-    print(contract_line(timings, total, compute_only, sf))
+    print(contract_line(timings, total, compute_only, sf, canary))
 
 
-def contract_line(timings, total, compute_only, sf) -> str:
+def contract_line(timings, total, compute_only, sf, canary=None) -> str:
     """The driver-contract JSON line: guaranteed ≤1800 chars.  Precision
     degrades 3 → 2 decimals if the headline set grows the line past the
     budget; the terminal fallback drops the per-query map entirely
@@ -240,6 +310,14 @@ def contract_line(timings, total, compute_only, sf) -> str:
         # the honest wall total.
         "compute_only_total": round(sum(compute_only.values()), 4),
     }
+    if canary is not None:
+        # Same-session host calibration (see _CANARY): normalized_total is
+        # "value" rescaled to the BASELINE_NUMBERS-recording host's speed.
+        # "value" is untouched — raw wall stays the headline number.
+        base["host_normalizer"] = canary["host_normalizer"]
+        base["normalized_total"] = round(
+            total / canary["host_normalizer"], 4
+        )
     for queries in (
         {n: round(t, 3) for n, t in timings.items()},
         {n: round(t, 2) for n, t in timings.items()},

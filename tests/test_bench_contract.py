@@ -35,7 +35,22 @@ for n in (39, 200, 2000):
     assert obj["sf"] == 0.1
     assert isinstance(obj["value"], float)
     assert isinstance(obj["compute_only_total"], float)
+    # no canary -> normalization fields honestly absent, never faked
+    assert "host_normalizer" not in obj and "normalized_total" not in obj
     print(n, len(line), "queries" in obj)
+
+# same-session host calibration (VERDICT r8 ask #1): with a canary the
+# contract line carries host_normalizer and value-rescaled normalized_total
+timings = {{"q01": 1.0, "q02": 2.0}}
+canary = {{"queries": {{}}, "session_total": 4.2, "recorded_total": 3.0,
+          "host_normalizer": 1.4}}
+line = bench.contract_line(timings, 3.0, {{k: v for k, v in timings.items()}},
+                           "0.1", canary)
+obj = json.loads(line)
+assert obj["host_normalizer"] == 1.4
+assert abs(obj["normalized_total"] - 3.0 / 1.4) < 1e-3
+assert obj["value"] == 3.0  # raw wall untouched
+print("canary", len(line), True)
 """
 
 
@@ -49,9 +64,14 @@ def test_contract_line_parses_and_never_overflows():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l.split() for l in out.stdout.strip().splitlines()]
+    assert ["canary"] == [l[0] for l in lines if l[0] == "canary"]
     # 39-query headline keeps the per-query map; a 2000-query set must
     # drop it rather than overflow the driver window
-    by_n = {int(n): (int(length), has_q) for n, length, has_q in lines}
+    by_n = {
+        int(n): (int(length), has_q)
+        for n, length, has_q in lines
+        if n != "canary"
+    }
     assert by_n[39][1] == "True"
     assert by_n[2000][1] == "False"
     assert all(length <= 1800 for length, _ in by_n.values())
