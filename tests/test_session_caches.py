@@ -197,3 +197,54 @@ def test_view_name_plans_are_never_cached(spark, sf_dir):
         R.specs()[name].fn(spark, sf_dir)
         key = (spark.sparkContext.applicationId, sf_dir, name)
         assert key not in R._PLAN_CACHE, name
+
+
+def test_blessed_index_eviction_end_to_end(spark, sf_dir):
+    """Blessing-lifecycle adversarial path (VERDICT r8 ask #5): force a
+    blessed tf index out of its bound-4 cache through the REAL runtime
+    eviction path (four further bounded_put insertions — alternate path
+    SPELLINGS of the same fixture dir, distinct keys, all readable), then
+    assert (a) every dependent prepared plan of that (app, sf_dir) is
+    dropped with it — coupled eviction at runtime, not just the unit-level
+    hook — and (b) the next query run rebuilds a fresh index and still
+    value-matches its DuckDB oracle."""
+    import os
+
+    from lambda_arc_events_filter_spark import registry as R
+    from lambda_arc_events_filter_spark.queries import text_index as TI
+    from lambda_arc_events_filter_spark.testing import (
+        check_query,
+        duck_connection,
+    )
+
+    spec = R.specs()["text_tfidf_top_terms"]
+    app = spark.sparkContext.applicationId
+    plan_key = (app, sf_dir, "text_tfidf_top_terms")
+    idx_key = (app, sf_dir)
+
+    spec.fn(spark, sf_dir).collect()
+    assert plan_key in R._PLAN_CACHE
+    idx_before = TI._TF_IDX[idx_key]
+
+    head, tail = os.path.dirname(sf_dir), os.path.basename(sf_dir)
+    spellings = [
+        sf_dir + "/",
+        sf_dir + "//",
+        f"{head}/./{tail}",
+        f"{head}/../{os.path.basename(head)}/{tail}",
+    ]
+    assert len(set(spellings) | {sf_dir}) == 5
+    for alt in spellings:
+        TI.tf_index(spark, alt)
+
+    # (a) index evicted AND its dependent prepared plans released
+    assert idx_key not in TI._TF_IDX
+    assert plan_key not in R._PLAN_CACHE
+    assert not any(k[:2] == idx_key for k in R._PLAN_CACHE)
+
+    # (b) next run rebuilds (new index object) and still matches the oracle
+    con = duck_connection(sf_dir)
+    assert check_query(spec, spark, con, sf_dir) == []
+    con.close()
+    assert TI._TF_IDX[idx_key] is not idx_before
+    assert plan_key in R._PLAN_CACHE
