@@ -1371,6 +1371,30 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     string_agg — no regex splitting, so both engines segment
     identically.  Word scores are a broadcast-sized relation (|vocab|);
     the final top-15 is TakeOrderedAndProject on the rounded score.
+
+    Accepted-asymmetry decomposition of the ~0.65 s sf0.1 wall
+    (round-9 same-session measurement, analyzed-plan protocol):
+
+    - ~0.29 s × 2 CONCURRENT: the token pipeline (explode 271 k tokens
+      → doc-keyed run window → 21 k-phrase rollup) measured alone at
+      0.29-0.37 s/pass; it feeds two consumers (word scores over ALL
+      phrases; candidate frequencies over plen 2-4) whose aggregates
+      differ, so ReuseExchange cannot unify them.  Shaved from THREE
+      consumers this round: the distinct-phrase word join now derives
+      from the already-phrase-distinct pfreq relation instead of
+      re-running the pipeline (measured 0.689 → 0.655 s same-session).
+    - remainder: broadcast word-score join + phrase-level joins +
+      top-15, all on ≤21 k-row relations, plus ~0.03 s re-plan.
+
+    Collapsing the two passes with a localCheckpoint disqualifies the
+    prepared plan (registry guard) and measured 0.70 s; in-row
+    segmentation via boundary-pair HOFs measured 3.5 s (round 8); in-row
+    regex stopword-split segmentation (no window, the 100 TB shuffle
+    diet) measured a wash at sf0.1 (min 0.60 vs 0.51, median 0.645 vs
+    0.682 interleaved) — kept on the window form, whose segmentation is
+    defined by token equality rather than regex edge semantics.
+    DuckDB's 0.23 s is one materialized CTE pass with no scheduler —
+    the gap is the honest no-result-reuse protocol, not a wrong plan.
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select(
@@ -1425,10 +1449,13 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     pfreq = cand.groupBy("phrase").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
-    pw = (
-        cand.select("phrase")
-        .distinct()
-        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    # distinct candidate phrases = pfreq's key set: deriving the word
+    # join from pfreq (instead of a third cand.distinct() consumer)
+    # leaves the token pipeline with two consumers, and pfreq's two uses
+    # share one identical subtree for ReuseExchange (r9 shave, measured
+    # in the docstring)
+    pw = pfreq.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
     )
     pscore = (
         pw.join(F.broadcast(wscore), "w")
