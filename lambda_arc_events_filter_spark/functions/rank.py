@@ -185,6 +185,7 @@ def global_order_stats(
     *,
     rank: str | None = None,
     running: Mapping[str, tuple[str, str]] | None = None,
+    totals: Mapping[str, tuple[str, str]] | None = None,
     exclusive: bool = False,
     key: Sequence[str] | None = None,
     num_partitions: int | None = None,
@@ -198,6 +199,16 @@ def global_order_stats(
     row_number (long).  ``running``: alias → (column_name, kind) with
     kind in {sum, max, min}.  ``exclusive=True`` ends every running frame
     one row BEFORE the current row (NULL on the first global row).
+
+    ``totals``: alias → (column_name, kind) attaches the GRAND aggregate
+    of a column to every output row — for free.  The per-band summary
+    the offsets already need also carries each band's total, and the
+    grand value is one more window expression over the same ≤ bands+2-row
+    single-partition relation (same partition spec and ordering, so no
+    extra exchange, no extra pass over the fact).  Callers that need a
+    running share (cum/total) previously paid a THIRD fact evaluation
+    for a separate ``df.agg(...)`` + crossJoin — measured on pareto-abc
+    at sf0.1: 0.35 s three-pass vs 0.26 s with ``totals`` (r9).
 
     If ``df`` has columns beyond the order/base columns, pass ``key`` — a
     unique key that is PART of the order — and the helper computes on the
@@ -222,14 +233,23 @@ def global_order_stats(
     are genuinely expensive to recompute three times.
     """
     running = dict(running or {})
+    totals = dict(totals or {})
     if rank is None and not running:
         raise ValueError("need at least one of rank=/running=")
-    for alias, (_, kind) in running.items():
+    for alias, (_, kind) in {**running, **totals}.items():
         if kind not in _AGGS:
             raise ValueError(f"unknown running kind {kind!r} for {alias!r}")
+    taken = set(running) | ({rank} if rank else set()) | set(df.columns)
+    bad = [a for a in totals if a in taken]
+    if bad:
+        raise ValueError(
+            f"totals aliases {bad} collide with running/rank/input columns"
+        )
     num_partitions = _default_partitions(df, num_partitions)
     cols, order_names, order_dirs = _parse_order(order_by)
-    base_names = [c for c, _ in running.values()]
+    base_names = [c for c, _ in running.values()] + [
+        c for c, _ in totals.values()
+    ]
     core_names = list(dict.fromkeys(order_names + base_names))
 
     extra = [c for c in df.columns if c not in core_names]
@@ -280,6 +300,9 @@ def global_order_stats(
     for alias, (base, kind) in running.items():
         agg, _ = _AGGS[kind]
         aggs.append(agg(base).alias(f"_pt_{alias}"))
+    for alias, (base, kind) in totals.items():
+        agg, _ = _AGGS[kind]
+        aggs.append(agg(base).alias(f"_tt_{alias}"))
     # coalesce(1): the summary is ≤ bands+2 rows, and a single partition
     # SATISFIES the offsets window's clustering requirement — Catalyst
     # then plans the window with no exchange (one fewer stage per helper
@@ -303,6 +326,19 @@ def global_order_stats(
     for alias, (_, kind) in running.items():
         agg, _ = _AGGS[kind]
         off_cols.append(agg(f"_pt_{alias}").over(w_off).alias(f"_po_{alias}"))
+    if totals:
+        # grand aggregates: one more window expression over the same
+        # single-partition tiny relation — full-range frame, same
+        # partition spec and ordering, so Catalyst plans it inside the
+        # existing WindowExec group with no extra exchange
+        w_all = (
+            Window.partitionBy(F.col("_pid") - F.col("_pid"))
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        for alias, (_, kind) in totals.items():
+            agg, _ = _AGGS[kind]
+            off_cols.append(agg(f"_tt_{alias}").over(w_all).alias(alias))
     offsets = sizes.select(*off_cols)
 
     out = local.join(F.broadcast(offsets), "_pid")
@@ -319,6 +355,7 @@ def global_order_stats(
             alias, F.coalesce(combine(local_c, off_c), local_c, off_c)
         )
         result_cols.append(alias)
+    result_cols.extend(totals)  # rode in on the offsets broadcast join
     drop = ["_pid", "_lrn", "_orn"]
     drop += [f"_lr_{a}" for a in running] + [f"_po_{a}" for a in running]
     out = out.drop(*drop)
