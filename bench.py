@@ -170,28 +170,36 @@ def _duck_canary(sf_dir: str, all_specs) -> dict | None:
     rec_q = recorded.get("queries", {})
     if any(n not in rec_q for n in _CANARY):
         return None
-    con = duck_connection(sf_dir)
-    session: dict[str, float] = {}
-    for name in _CANARY:
-        spec = all_specs.get(name)
-        if spec is None or spec.oracle is None:
+    # Any canary-side failure (fixture drift, DuckDB error, corrupt
+    # recording) degrades to canary=None — it must never take down the
+    # Spark bench whose artifact is the round's contract.
+    try:
+        con = duck_connection(sf_dir)
+        session: dict[str, float] = {}
+        for name in _CANARY:
+            spec = all_specs.get(name)
+            if spec is None or spec.oracle is None:
+                return None
+            con.sql(spec.oracle).fetchdf()  # warm
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                con.sql(spec.oracle).fetchdf()
+                reps.append(time.time() - t0)
+            session[name] = round(statistics.median(reps), 4)
+        con.close()
+        recorded_total = round(sum(rec_q[n] for n in _CANARY), 4)
+        if not recorded_total > 0:
             return None
-        con.sql(spec.oracle).fetchdf()  # warm
-        reps = []
-        for _ in range(3):
-            t0 = time.time()
-            con.sql(spec.oracle).fetchdf()
-            reps.append(time.time() - t0)
-        session[name] = round(statistics.median(reps), 4)
-    con.close()
-    recorded_total = round(sum(rec_q[n] for n in _CANARY), 4)
-    session_total = round(sum(session.values()), 4)
-    return {
-        "queries": session,
-        "session_total": session_total,
-        "recorded_total": recorded_total,
-        "host_normalizer": round(session_total / recorded_total, 4),
-    }
+        session_total = round(sum(session.values()), 4)
+        return {
+            "queries": session,
+            "session_total": session_total,
+            "recorded_total": recorded_total,
+            "host_normalizer": round(session_total / recorded_total, 4),
+        }
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _measure_floor(spark) -> dict[str, float]:
@@ -221,8 +229,10 @@ def main() -> None:
     all_specs = specs()
     # DuckDB canary BEFORE the Spark JVM exists: both engines use every
     # core, and calibration must not be polluted by the other engine's
-    # warm-up running concurrently.
-    canary = _duck_canary(sf_dir, all_specs)
+    # warm-up running concurrently.  Skipped on filtered local-iteration
+    # runs — the normalizer is only meaningful against the full headline
+    # total, and the ~3.5 s canary would tax every iteration loop.
+    canary = _duck_canary(sf_dir, all_specs) if len(sys.argv) <= 1 else None
     spark = get_spark("bench", extra_conf=fixture_conf())
     names = [n for n in HEADLINE if n in all_specs]
     if len(sys.argv) > 1:  # optional substring filter for local iteration

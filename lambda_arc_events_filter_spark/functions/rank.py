@@ -245,6 +245,28 @@ def global_order_stats(
         raise ValueError(
             f"totals aliases {bad} collide with running/rank/input columns"
         )
+    # The helper's internal working columns and its generated-prefix
+    # namespaces are reserved too: an alias or input column landing on
+    # one (e.g. totals={'_orn': ...}, or an input column named ``_tt_x``
+    # with totals alias ``x``) would produce duplicate columns in the
+    # offsets relation and be silently dropped by the final ``drop``
+    # instead of raising (same class as asof_join's reserved-name check).
+    reserved_exact = {"_pid", "_orn", "_cnt", "_lrn"}
+    reserved_prefixes = ("_lr_", "_po_", "_pt_", "_tt_")
+    aliases = set(running) | set(totals) | ({rank} if rank else set())
+    for name_set, what in ((aliases, "alias"), (set(df.columns), "column")):
+        hit = sorted(
+            c
+            for c in name_set
+            if c in reserved_exact or c.startswith(reserved_prefixes)
+        )
+        if hit:
+            raise ValueError(
+                f"global_order_stats: {what}s {hit} collide with the "
+                f"helper's reserved internal names "
+                f"({sorted(reserved_exact)} and prefixes "
+                f"{list(reserved_prefixes)})"
+            )
     num_partitions = _default_partitions(df, num_partitions)
     cols, order_names, order_dirs = _parse_order(order_by)
     base_names = [c for c, _ in running.values()] + [

