@@ -146,8 +146,22 @@ _CANARY = (
     "join_range_theta",
 )
 
+#: Second, DISJOINT canary set (r9 verdict ask #8): if a DuckDB-side plan
+#: change, fixture quirk, or cache effect skews one canary query, the two
+#: normalizers diverge and the artifact shows it — a single-set canary
+#: would silently fold the skew into every normalized ratio.  Both sets
+#: are emitted; ``host_normalizer`` (the gate input) stays the primary
+#: set for cross-round continuity, ``host_normalizer_b`` is the
+#: cross-check (~1.9 s of recorded DuckDB mass: the #2/#3/#6 line items).
+_CANARY_B = (
+    "dedup_prefix_cosine_pairs",
+    "semdedup_cluster_prune",
+    "dedup_ngram_jaccard",
+    "text_rake_keyphrases",
+)
 
-def _duck_canary(sf_dir: str, all_specs) -> dict | None:
+
+def _duck_canary(sf_dir: str, all_specs, names=_CANARY) -> dict | None:
     """Run the canary oracles through DuckDB (same protocol as
     tools/baseline.py: warm + median of 3, pandas materialization) and
     return per-query seconds plus the normalizer vs BASELINE_NUMBERS.json.
@@ -168,7 +182,7 @@ def _duck_canary(sf_dir: str, all_specs) -> dict | None:
     ):
         return None
     rec_q = recorded.get("queries", {})
-    if any(n not in rec_q for n in _CANARY):
+    if any(n not in rec_q for n in names):
         return None
     # Any canary-side failure (fixture drift, DuckDB error, corrupt
     # recording) degrades to canary=None — it must never take down the
@@ -176,7 +190,7 @@ def _duck_canary(sf_dir: str, all_specs) -> dict | None:
     try:
         con = duck_connection(sf_dir)
         session: dict[str, float] = {}
-        for name in _CANARY:
+        for name in names:
             spec = all_specs.get(name)
             if spec is None or spec.oracle is None:
                 return None
@@ -188,7 +202,7 @@ def _duck_canary(sf_dir: str, all_specs) -> dict | None:
                 reps.append(time.time() - t0)
             session[name] = round(statistics.median(reps), 4)
         con.close()
-        recorded_total = round(sum(rec_q[n] for n in _CANARY), 4)
+        recorded_total = round(sum(rec_q[n] for n in names), 4)
         if not recorded_total > 0:
             return None
         session_total = round(sum(session.values()), 4)
@@ -233,6 +247,11 @@ def main() -> None:
     # runs — the normalizer is only meaningful against the full headline
     # total, and the ~3.5 s canary would tax every iteration loop.
     canary = _duck_canary(sf_dir, all_specs) if len(sys.argv) <= 1 else None
+    canary_b = (
+        _duck_canary(sf_dir, all_specs, _CANARY_B)
+        if len(sys.argv) <= 1
+        else None
+    )
     spark = get_spark("bench", extra_conf=fixture_conf())
     names = [n for n in HEADLINE if n in all_specs]
     if len(sys.argv) > 1:  # optional substring filter for local iteration
@@ -293,6 +312,7 @@ def main() -> None:
         "detail": True,
         "floor": floors,
         "duck_canary": canary,
+        "duck_canary_b": canary_b,
         "queries_compute_only": compute_only,
         # result materialization is per-query (Arrow→pandas for
         # >10k-row results, plain collect otherwise — see
@@ -300,10 +320,12 @@ def main() -> None:
         "arrow_results": sorted(_ARROW_RESULTS & set(names)),
     }
     print(json.dumps(detail, separators=(",", ":")))
-    print(contract_line(timings, total, compute_only, sf, canary))
+    print(contract_line(timings, total, compute_only, sf, canary, canary_b))
 
 
-def contract_line(timings, total, compute_only, sf, canary=None) -> str:
+def contract_line(
+    timings, total, compute_only, sf, canary=None, canary_b=None
+) -> str:
     """The driver-contract JSON line: guaranteed ≤1800 chars.  Precision
     degrades 3 → 2 decimals if the headline set grows the line past the
     budget; the terminal fallback drops the per-query map entirely
@@ -328,6 +350,11 @@ def contract_line(timings, total, compute_only, sf, canary=None) -> str:
         base["normalized_total"] = round(
             total / canary["host_normalizer"], 4
         )
+    if canary_b is not None:
+        # Disjoint second canary set (r9 ask #8): a cross-check only —
+        # the gate keeps reading host_normalizer; divergence between the
+        # two flags a DuckDB-side skew in one set.
+        base["host_normalizer_b"] = canary_b["host_normalizer"]
     for queries in (
         {n: round(t, 3) for n, t in timings.items()},
         {n: round(t, 2) for n, t in timings.items()},

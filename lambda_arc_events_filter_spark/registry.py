@@ -108,8 +108,26 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
                 except Exception:
                     cacheable = False
                 if cacheable:
+                    # Cache the OPTIMIZED plan (round 10): re-execution
+                    # still re-plans physically and re-runs every stage
+                    # (no stage-output or result reuse — the protocol
+                    # line), but the optimizer fixed-point over an
+                    # already-optimized tree converges in one cheap
+                    # iteration instead of re-deriving every rewrite.
+                    # Measured per-execution (sf0.1, toPandas):
+                    # fn_string_suite 0.184→0.157, agg_stats
+                    # 1.068→1.030, q01 0.191→0.183.  Optimizer
+                    # idempotency over the whole registry is proven by
+                    # the SPARK_GRAFT_CHECK_REUSE=1 sweep, which
+                    # oracle-checks the REUSED execution of all 377
+                    # queries (r10).  The build call executes this same
+                    # QueryExecution anyway, so forcing the lazy
+                    # optimizedPlan here adds no net build cost.
                     bounded_put(
-                        _PLAN_CACHE, key, qe.analyzed(), _PLAN_CACHE_MAX
+                        _PLAN_CACHE,
+                        key,
+                        qe.optimizedPlan(),
+                        _PLAN_CACHE_MAX,
                     )
                 return df
             of_rows = _OF_ROWS.get(key[0])

@@ -203,7 +203,16 @@ def check_query(spec, spark, con, sf_dir: str) -> list[str]:
     value reprs).  For oracle-less specs, just runs the Spark side (errors
     propagate) and returns [].
     """
+    import os
+
     sdf = spec.fn(spark, sf_dir)
+    if os.environ.get("SPARK_GRAFT_CHECK_REUSE") == "1":
+        # Exercise the registry's prepared-plan REUSE path: the first
+        # call above populated the plan cache at build time; this second
+        # call goes through the cached optimized plan, and it is the
+        # REUSED execution whose values get oracle-checked.  A normal
+        # sweep only ever proves the first (build) execution.
+        sdf = spec.fn(spark, sf_dir)
     spdf = sdf.toPandas()
     if spec.oracle is None:
         return []

@@ -50,7 +50,21 @@ obj = json.loads(line)
 assert obj["host_normalizer"] == 1.4
 assert abs(obj["normalized_total"] - 3.0 / 1.4) < 1e-3
 assert obj["value"] == 3.0  # raw wall untouched
+assert "host_normalizer_b" not in obj  # no second canary -> honestly absent
 print("canary", len(line), True)
+
+# disjoint second canary (r9 ask #8): cross-check normalizer only — the
+# gate input (host_normalizer / normalized_total) stays set A's
+canary_b = {{"queries": {{}}, "session_total": 3.0, "recorded_total": 2.0,
+            "host_normalizer": 1.5}}
+line = bench.contract_line(timings, 3.0, {{k: v for k, v in timings.items()}},
+                           "0.1", canary, canary_b)
+obj = json.loads(line)
+assert obj["host_normalizer"] == 1.4
+assert obj["host_normalizer_b"] == 1.5
+assert abs(obj["normalized_total"] - 3.0 / 1.4) < 1e-3
+assert set(bench._CANARY).isdisjoint(bench._CANARY_B)
+print("canary_b", len(line), True)
 """
 
 
@@ -70,7 +84,7 @@ def test_contract_line_parses_and_never_overflows():
     by_n = {
         int(n): (int(length), has_q)
         for n, length, has_q in lines
-        if n != "canary"
+        if n not in ("canary", "canary_b")
     }
     assert by_n[39][1] == "True"
     assert by_n[2000][1] == "False"
