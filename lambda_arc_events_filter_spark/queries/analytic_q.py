@@ -789,6 +789,17 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (An earlier day-wide variant of this query made every interval span
     ~144 cells and every cell dense — measured 11 s at sf0.1 vs ~1 s for
     this sparse form; interval width discipline IS the design point.)
+
+    Accepted ~2.5× vs DuckDB at sf0.1, decomposed (r10, noop-sink staged
+    timing, min-of-8 warm): full 0.210 s = events scan→noop 0.084 +
+    sessionize window/groupBy +0.080 + cell join/count/95 k-row Arrow
+    transfer +0.046; the bare 100 k-row scan stage alone costs 0.056-
+    0.084 s of local-mode task dispatch (b-side scan 0.056 s measured),
+    i.e. >60% of the wall is per-stage floor across this 3-stage plan —
+    DuckDB runs its quadratic form in-process with zero scheduling at
+    this cardinality.  The floor amortizes linearly with volume; the
+    plan itself (equi-join on cell id, no nested loop — plan-test
+    pinned) is the 100 TB shape.
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -898,6 +909,15 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer addition of per-band sums), which dropped the THIRD
     # rollup evaluation the old separate agg+crossJoin paid: measured
     # same-session 0.35 → 0.26 s (r9).
+    #
+    # r9 driver-gap closed (r10): the 0.26 s r9 claim was a SOLO
+    # measurement; under the full 39-query headline mix the same plan
+    # measures 0.33-0.36 s (three full-bench runs, 2026-08-15) — a
+    # consistent ~0.08 s residency penalty (other queries' shuffle
+    # files, JIT state, GC pressure sharing the JVM), not a plan
+    # difference.  The driver's r9 recording of 0.457 s is that
+    # full-mix number plus its session's host variance.  Honest claim:
+    # ~0.27 s solo, ~0.35 s resident-mix at sf0.1.
     share = F.col("cum_cents") * 1.0 / F.col("total_cents")
     return (
         global_order_stats(

@@ -895,6 +895,19 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     need the raw document row (tfidf/unigram/vocab probe term-keyed
     slices); a consumer that scans the corpus anyway should compute
     row-local stats in-row.
+
+    Accepted ~1.9-2.1× vs DuckDB at sf0.1, decomposed (r10, noop-sink
+    staged timing, min-of-8 warm): documents scan→noop 0.044 s; + md5
+    window dedup 0.101 s; full query 0.166 s under the resident
+    full-headline bench (0.256 s in an isolated probe session — the
+    residency delta is JIT/shuffle-file warm state, not plan).  The
+    remaining ~0.06-0.15 s over the dedup stage is the in-row HOF
+    tokenize/quality arithmetic plus the final (lang, source) aggregate
+    — both map-side work that scales with bytes, not with stage count,
+    while the two shuffles (content-hash window, final agg) are already
+    the 100 TB-minimum for this semantics.  DuckDB's 0.099 s runs the
+    same two hash passes fused in-process; the gap is the two-stage
+    scheduling floor, which amortizes with corpus size.
     """
     d = D.with_tokens(load(spark, sf_dir, "documents"))
     nd = T.distinct_count_expr()
