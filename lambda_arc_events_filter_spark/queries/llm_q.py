@@ -1430,12 +1430,16 @@ def tokens_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-needed decision relation.  That deletes one full
     re-segmentation (filter + re-position + window) per summary branch.
     The dense re-position ``row_number`` after each merge pass is gone
-    too: the island id is a running count of NON-matches (``sum(1−m)``)
-    rather than ``pos − sum(m)``, which is match-run-constant without
-    requiring consecutive positions, so round 2 windows order by the
-    surviving original positions directly.  Measured at sf0.1
-    (same-session solo, bench protocol, 2026-08-15): 1.837 s → 0.970 s
-    (−47%).  Full incremental PAIR-count maintenance (top2 from top1's
+    too, and greedy selection itself is STREAK PARITY — ``merged ⇔
+    streak odd``, with ``streak = sum(m) − sum(m)@(last non-match)``,
+    every term a running expression over the single (doc_id, pos)
+    window — so a decision pass plans as ONE exchange + ONE sort (the
+    earlier (doc_id, island, m) row_number needed no exchange but
+    forced two extra fact-scale SortExecs per pass).  Measured at sf0.1
+    (2026-08-15): bench solo 1.837 s → 0.883-1.125 s across runs; the
+    streak-vs-island step alone, interleaved same-session prepared-plan
+    A/B min-of-8: 1.654 → 1.428 s (−14%), identical output.  Full
+    incremental PAIR-count maintenance (top2 from top1's
     counts + a ±delta around merge sites) was prototyped on paper and
     rejected: it still needs one full windowed pass over the stream for
     the new adjacencies, saves only the second pair groupBy (map-side
@@ -1461,11 +1465,16 @@ def tokens_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
         )
-        # island = running count of NON-matches: constant across a run of
-        # consecutive m=1 rows, bumps on every m=0 row — same grouping as
-        # the classic pos − sum(m) subtraction but correct over
-        # NON-CONSECUTIVE positions, which lets round 2 keep the
-        # surviving original positions (no dense re-position pass).
+        # Greedy-leftmost selection by STREAK PARITY, one window spec for
+        # the whole decision pass: merged = "odd position within the run
+        # of consecutive matches".  streak_i = cum1_i − cum1@(last m=0
+        # row) — both terms are running expressions over the SAME
+        # (doc_id, pos) window, so the physical plan needs ONE exchange +
+        # ONE sort per pass.  The previous (doc_id, island, m) row_number
+        # partition was exchange-free (doc_id hash satisfies the finer
+        # clustering) but forced TWO extra fact-scale SortExecs per pass
+        # (into island order and back to pos order for the lag); streak
+        # parity deletes both.  Correct over non-consecutive positions.
         flag = (
             t.crossJoin(F.broadcast(top))
             .withColumn(
@@ -1476,23 +1485,15 @@ def tokens_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0),
             )
-            .withColumn("island", F.sum(F.lit(1) - F.col("m")).over(wr))
+            .withColumn("cum1", F.sum("m").over(wr))
         )
+        anchor = F.last(
+            F.when(F.col("m") == 0, F.col("cum1")), ignorenulls=True
+        ).over(wr)
         dec = flag.withColumn(
             "merged",
             (F.col("m") == 1)
-            & (
-                (
-                    F.row_number().over(
-                        Window.partitionBy("doc_id", "island", "m").orderBy(
-                            "pos"
-                        )
-                    )
-                    - 1
-                )
-                % 2
-                == 0
-            ),
+            & ((F.col("cum1") - F.coalesce(anchor, F.lit(0))) % 2 == 1),
         )
         nxt_toks = (
             dec.withColumn(
