@@ -21,6 +21,35 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        # one per plan-shape family that stresses optimizer idempotency:
+        # window+agg diamond, decorrelated subquery, generator, rollup,
+        # banded-rank helper, multi-window streak chain
+        "q01_pricing_summary",
+        "subquery_correlated",
+        "fn_generator_outer",
+        "agg_rollup",
+        "lineitem_pareto_abc",
+        "tokens_bpe_merge_rounds",
+    ],
+)
+def test_prepared_plan_reuse_matches_build(name, spark, sf_dir):
+    """The registry caches the OPTIMIZED plan (registry.py r10); a reused
+    execution must be value-identical to the build execution.  The full
+    registry-wide proof is the SPARK_GRAFT_CHECK_REUSE=1 sweep
+    (SWEEP_r10_reuse.txt); this pins the property per plan-shape family
+    so an optimizer-idempotency regression fails fast in CI."""
+    from lambda_arc_events_filter_spark.testing import compare_pandas_strict
+
+    spec = ALL[name]
+    build = spec.fn(spark, sf_dir).toPandas()  # fills the plan cache
+    reused = spec.fn(spark, sf_dir).toPandas()  # served from cached plan
+    problems = compare_pandas_strict(reused, build)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
 
