@@ -672,10 +672,11 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     was MEASURED and loses):
 
     - ~0.11 s: Catalyst re-plan per execution (``Dataset.ofRows`` over
-      the cached analyzed plan re-runs optimizer + physical planning —
-      the honest prepared-statement protocol; skipping it would reuse
-      shuffle outputs and fake the number: same-DataFrame re-collect
-      measures 0.05 s).
+      the cached plan re-runs physical planning — the honest
+      prepared-statement protocol; skipping it would reuse shuffle
+      outputs and fake the number: same-DataFrame re-collect measures
+      0.05 s).  The r10 optimized-plan cache trimmed this term by
+      ~35-40 ms (ofRows-level A/B: 1.068 → 1.030 s).
     - ~0.35-0.45 s: one job whose dominant work is the fused
       grouping-sets aggregate executing 3× / the lineitem scan 4×
       CONCURRENTLY — column pruning specializes each consumer's copy of

@@ -35,19 +35,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: logical plan.  Building a query through the Python DataFrame API costs
 #: 0.15-0.25 s of py4j round-trips (one per Column expression) — pure
 #: client-side constant overhead a resident engine pays once.  We cache the
-#: ANALYZED logical plan (``qe.analyzed()``) and wrap it in a fresh
-#: QueryExecution per call (``Dataset.ofRows``), so every execution
-#: re-optimizes, re-plans physically, and re-runs all stages — measured
-#: (r9, agg_stats): analyzed-plan collect 0.546 s vs same-DataFrame
-#: re-collect 0.042 s, so no stage output is reused (result caching, NOT
-#: what a benchmark may skip).  Caching analyzed rather than RAW is the
-#: r8-verdict ask #3 lever: re-running the analyzer batches over an
-#: unresolved tree costs 9-48 ms/query (measured raw-vs-analyzed
-#: plan-only: agg_stats 122→74 ms, q01 21→12 ms) and is provably
-#: equivalent here — analysis is deterministic given the session conf,
-#: and plans that resolve BY NAME (temp views, the one mutable input to
-#: analysis) are never cached; the check runs on the RAW plan, where a
-#: view reference is still visible as an UnresolvedRelation.
+#: OPTIMIZED logical plan (``qe.optimizedPlan()``, r10; analyzed in r8-9,
+#: raw before that) and wrap it in a fresh QueryExecution per call
+#: (``Dataset.ofRows``), so every execution re-plans physically and
+#: re-runs all stages — measured (r9, agg_stats): prepared-plan collect
+#: 0.546 s vs same-DataFrame re-collect 0.042 s, so no stage output is
+#: reused (result caching, NOT what a benchmark may skip).  Each caching
+#: step is provably equivalent and measured: raw→analyzed (r8 ask #3)
+#: saved the 9-48 ms/query analyzer batches (agg_stats 122→74 ms
+#: plan-only), analyzed→optimized (r10) saves the optimizer fixed-point
+#: re-derivation (per-execution toPandas: fn_string_suite 0.184→0.157 s,
+#: agg_stats 1.068→1.030 s), with optimizer idempotency proven by the
+#: SPARK_GRAFT_CHECK_REUSE=1 whole-registry oracle sweep
+#: (SWEEP_r10_reuse.txt) plus a per-plan-shape pytest.  Analysis and
+#: optimization are deterministic given the session conf, and plans that
+#: resolve BY NAME (temp views, the one mutable input to analysis) are
+#: never cached; the check runs on the RAW plan, where a view reference
+#: is still visible as an UnresolvedRelation.
 #: Queries tagged streaming/source/sink are exempt: their fn performs the
 #: actual run/write per call.  Bounded (cache.bounded_put): FIFO-evicted
 #: past _PLAN_CACHE_MAX entries so a long-lived session over many sf_dirs
