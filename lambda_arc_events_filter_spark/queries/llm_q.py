@@ -1446,98 +1446,103 @@ def tokens_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined, ~15 ms here), and triples the correctness surface around
     overlapping (a,a) islands.
     """
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
-
-    def bpe_round(t: DataFrame, rnd: int):
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pairs = t.withColumn("nxt", F.lead("tok").over(w)).filter(
-            F.col("nxt").isNotNull()
-        )
-        top = (
-            pairs.groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-        )
-        # Greedy-leftmost selection by STREAK PARITY, one window spec for
-        # the whole decision pass: merged = "odd position within the run
-        # of consecutive matches".  streak_i = cum1_i − cum1@(last m=0
-        # row) — both terms are running expressions over the SAME
-        # (doc_id, pos) window, so the physical plan needs ONE exchange +
-        # ONE sort per pass.  The previous (doc_id, island, m) row_number
-        # partition was exchange-free (doc_id hash satisfies the finer
-        # clustering) but forced TWO extra fact-scale SortExecs per pass
-        # (into island order and back to pos order for the lag); streak
-        # parity deletes both.  Correct over non-consecutive positions.
-        flag = (
-            t.crossJoin(F.broadcast(top))
-            .withColumn(
-                "m",
-                F.when(
-                    (F.col("tok") == F.col("a"))
-                    & (F.lead("tok").over(w) == F.col("b")),
-                    1,
-                ).otherwise(0),
-            )
-            .withColumn("cum1", F.sum("m").over(wr))
-        )
-        anchor = F.last(
-            F.when(F.col("m") == 0, F.col("cum1")), ignorenulls=True
-        ).over(wr)
-        dec = flag.withColumn(
-            "merged",
-            (F.col("m") == 1)
-            & ((F.col("cum1") - F.coalesce(anchor, F.lit(0))) % 2 == 1),
-        )
-        nxt_toks = (
-            dec.withColumn(
-                "consumed", F.lag("merged", 1, False).over(w)
-            )
-            .filter(~F.col("consumed"))
-            .select(
-                "doc_id",
-                "pos",
-                F.when(
-                    F.col("merged"),
-                    F.concat_ws(" ", "tok", "b"),
-                )
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-        )
-        # merge-delta identity: every selected merge removes exactly one
-        # token (non-overlapping by construction), so the post-round
-        # count is derivable from the decision relation — no second
-        # evaluation of the re-segmented stream just to count it.
-        summary = (
-            top.crossJoin(
-                F.broadcast(
-                    dec.agg(
-                        (
-                            F.count(F.lit(1))
-                            - F.sum(F.col("merged").cast("long"))
-                        ).alias("tokens_after")
-                    )
-                )
-            )
-            .select(
-                F.lit(rnd).alias("round"),
-                F.concat_ws(" ", "a", "b").alias("merged_pair"),
-                F.col("c").alias("pair_count"),
-                "tokens_after",
-            )
-        )
-        return nxt_toks, summary
-
-    t2, s1 = bpe_round(toks, 1)
-    _, s2 = bpe_round(t2, 2)
+    t2, s1 = bpe_merge_round(toks, 1)
+    _, s2 = bpe_merge_round(t2, 2)
     return s1.unionByName(s2)
+
+
+def bpe_merge_round(t: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE training round over a ``(doc_id, pos, tok)`` stream:
+    returns ``(next_tokens, summary)`` — the re-segmented stream and the
+    1-row (round, merged_pair, pair_count, tokens_after) summary.  Greedy
+    leftmost, ties by (count desc, a, b); positions need only be ordered
+    per doc, not dense.  Module-level so the property test
+    (tests/test_properties.py) drives the exact shipped logic against a
+    pure-Python greedy reference on generated corpora."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs = t.withColumn("nxt", F.lead("tok").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    top = (
+        pairs.groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "a", "b")
+        .limit(1)
+    )
+    # Greedy-leftmost selection by STREAK PARITY, one window spec for
+    # the whole decision pass: merged = "odd position within the run
+    # of consecutive matches".  streak_i = cum1_i − cum1@(last m=0
+    # row) — both terms are running expressions over the SAME
+    # (doc_id, pos) window, so the physical plan needs ONE exchange +
+    # ONE sort per pass.  The previous (doc_id, island, m) row_number
+    # partition was exchange-free (doc_id hash satisfies the finer
+    # clustering) but forced TWO extra fact-scale SortExecs per pass
+    # (into island order and back to pos order for the lag); streak
+    # parity deletes both.  Correct over non-consecutive positions.
+    flag = (
+        t.crossJoin(F.broadcast(top))
+        .withColumn(
+            "m",
+            F.when(
+                (F.col("tok") == F.col("a"))
+                & (F.lead("tok").over(w) == F.col("b")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("cum1", F.sum("m").over(wr))
+    )
+    anchor = F.last(
+        F.when(F.col("m") == 0, F.col("cum1")), ignorenulls=True
+    ).over(wr)
+    dec = flag.withColumn(
+        "merged",
+        (F.col("m") == 1)
+        & ((F.col("cum1") - F.coalesce(anchor, F.lit(0))) % 2 == 1),
+    )
+    nxt_toks = (
+        dec.withColumn(
+            "consumed", F.lag("merged", 1, False).over(w)
+        )
+        .filter(~F.col("consumed"))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("merged"),
+                F.concat_ws(" ", "tok", "b"),
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+    )
+    # merge-delta identity: every selected merge removes exactly one
+    # token (non-overlapping by construction), so the post-round
+    # count is derivable from the decision relation — no second
+    # evaluation of the re-segmented stream just to count it.
+    summary = (
+        top.crossJoin(
+            F.broadcast(
+                dec.agg(
+                    (
+                        F.count(F.lit(1))
+                        - F.sum(F.col("merged").cast("long"))
+                    ).alias("tokens_after")
+                )
+            )
+        )
+        .select(
+            F.lit(rnd).alias("round"),
+            F.concat_ws(" ", "a", "b").alias("merged_pair"),
+            F.col("c").alias("pair_count"),
+            "tokens_after",
+        )
+    )
+    return nxt_toks, summary
 
 
 # ---------------------------------------------------------------------------

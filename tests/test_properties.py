@@ -915,3 +915,87 @@ def test_month_proration_telescoping_conserves_and_bounds(spark, rows):
         assert abs(r["alloc"] - exact) < 1.0 + 1e-9
     for rid, cents, *_ in data:
         assert per[rid] == cents
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy-leftmost merge round vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+#: Small alphabet so hypothesis reliably generates overlapping (x, x)
+#: islands — the one case where greedy-leftmost selection is subtle
+#: (maximal runs of consecutive matches must merge at even offsets).
+_bpe_docs_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _ref_bpe_round(docs):
+    """Pure-Python reference: global top pair (count desc, then a, b) and
+    sequential greedy-leftmost application per doc."""
+    from collections import Counter
+
+    counts = Counter()
+    for toks in docs:
+        for x, y in zip(toks, toks[1:]):
+            counts[(x, y)] += 1
+    if not counts:
+        return None, docs
+    (a, b), cnt = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[0]
+    merges = 0
+    out_docs = []
+    for toks in docs:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + " " + b)
+                i += 2
+                merges += 1
+            else:
+                out.append(toks[i])
+                i += 1
+        out_docs.append(out)
+    total_after = sum(len(t) for t in out_docs)
+    return (a + " " + b, cnt, total_after), out_docs
+
+
+@given(docs=_bpe_docs_strategy)
+@settings(**SETTINGS)
+def test_bpe_merge_round_matches_sequential_greedy(spark, docs):
+    """The streak-parity relational BPE round (queries/llm_q.py::
+    bpe_merge_round) must equal a sequential greedy-leftmost fold for any
+    corpus: same chosen pair, same merge count, same post-round token
+    count, and the same re-segmented stream token-for-token."""
+    from hypothesis import assume
+
+    from lambda_arc_events_filter_spark.queries.llm_q import bpe_merge_round
+
+    ref, ref_docs = _ref_bpe_round(docs)
+    assume(ref is not None)  # needs at least one adjacent pair
+
+    rows = [
+        (d, p, tok)
+        for d, toks in enumerate(docs)
+        for p, tok in enumerate(toks)
+    ]
+    t = spark.createDataFrame(rows, "doc_id long, pos long, tok string")
+    nxt, summary = bpe_merge_round(t, 1)
+    s = summary.collect()
+    assert len(s) == 1
+    assert (s[0]["merged_pair"], s[0]["pair_count"], s[0]["tokens_after"]) == ref
+
+    got = {
+        d: [tok for _, tok in sorted((p, tok) for _, p, tok in rows_d)]
+        for d, rows_d in __import__("itertools").groupby(
+            sorted(
+                ((r["doc_id"], r["pos"], r["tok"]) for r in nxt.collect()),
+                key=lambda x: (x[0], x[1]),
+            ),
+            key=lambda x: x[0],
+        )
+    }
+    want = {d: toks for d, toks in enumerate(ref_docs) if toks}
+    assert got == want
