@@ -52,6 +52,10 @@ def main() -> int:
     lines: list[str] = []
 
     def emit(line: str) -> None:
+        # one PHYSICAL line per query: exception texts and oracle diffs
+        # can embed newlines, which would silently break the artifact's
+        # line-count invariant
+        line = " ".join(line.split())
         lines.append(line)
         print(line, flush=True)
 
