@@ -13,7 +13,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from lambda_arc_events_filter_spark.catalog import load
-from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
+from lambda_arc_events_filter_spark.functions.exact import (
+    round_int_ratio,
+    round_int_ratio_sql,
+)
 from lambda_arc_events_filter_spark.operators import dedup as D
 from lambda_arc_events_filter_spark.operators.graph import connected_components
 from lambda_arc_events_filter_spark.registry import register
@@ -1765,4 +1768,73 @@ def customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("g_seg").alias("n_with_segment"),
         F.sum("balance_from_web").alias("n_balance_from_web"),
         F.sum("g_cents").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus duplicated-n-gram fraction (RefinedWeb/MassiveText signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_dup_ngram_fraction",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    g AS (SELECT doc_id, array_to_string(sp[i:i+4], ' ') AS gram
+          FROM t, LATERAL (SELECT unnest(range(1, len(sp) - 3)) AS i)),
+    d AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+    per AS (SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM g JOIN d USING (gram) GROUP BY 1)
+    SELECT doc_id, n_grams, n_dup,
+           {round_int_ratio_sql('n_dup', 'n_grams', 6)} AS dup_frac
+    FROM per
+    """,
+    tags=("llm", "curation", "text"),
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CROSS-CORPUS duplicated-5-gram fraction — the
+    RefinedWeb/MassiveText boilerplate signal: what share of a document's
+    5-gram positions also occur in at least one OTHER document.  Complements
+    the intra-doc Gopher repetition gate (``text_repetition_rules``) and the
+    pairwise similarity family (``dedup_ngram_jaccard``): this one is a
+    corpus-global per-doc score, the quantity curation pipelines threshold
+    to strip template/boilerplate-heavy pages before training.
+
+    Scale shape: gram construction is a pure MAP (HOF ``transform`` over a
+    position ``sequence`` — no per-gram shuffle to build), and the
+    "appears in ≥2 documents" test is ``min(doc_id) ≠ max(doc_id)`` over a
+    gram-partitioned window — CONSTANT-memory per gram (no
+    ``collect_set``/count-distinct state), one hash exchange on the gram,
+    then one map-combinable per-doc aggregate.  Two shuffles total at any
+    corpus size; a pathologically hot gram ("the the the...") costs one
+    skewed min/max partition, the standard salting lever.  Docs shorter
+    than 5 tokens have no grams and are absent from the output in both
+    engines (the oracle's inner join, the engine's explode of an empty
+    array).  The fraction rounds via the engine-wide integer half-up
+    discipline (``round_int_ratio``), so the cut line is engine-exact.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tokens) >= 5 THEN "
+                "  transform(sequence(1, size(tokens) - 4), "
+                "            i -> array_join(slice(tokens, i, 5), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    wg = Window.partitionBy("gram")
+    flagged = grams.withColumn(
+        "dup",
+        (F.min("doc_id").over(wg) != F.max("doc_id").over(wg)).cast("long"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("dup").alias("n_dup"),
+        round_int_ratio(F.sum("dup"), F.count(F.lit(1)), 6).alias("dup_frac"),
     )

@@ -1455,25 +1455,15 @@ def tokens_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.unionByName(s2)
 
 
-def bpe_merge_round(t: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
-    """One BPE training round over a ``(doc_id, pos, tok)`` stream:
-    returns ``(next_tokens, summary)`` — the re-segmented stream and the
-    1-row (round, merged_pair, pair_count, tokens_after) summary.  Greedy
-    leftmost, ties by (count desc, a, b); positions need only be ordered
-    per doc, not dense.  Module-level so the property test
-    (tests/test_properties.py) drives the exact shipped logic against a
-    pure-Python greedy reference on generated corpora."""
+def _bpe_decide(t: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Greedy-leftmost merge decision + re-segmentation for a
+    ``(doc_id, pos, tok, a, b)`` stream (``a``/``b`` = the pair to merge,
+    attached either as a broadcast 1-row join — training — or as
+    literals — applying a fixed merge table).  Returns ``(dec,
+    next_tokens)``: the per-row decision relation (column ``merged``) and
+    the re-segmented stream."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pairs = t.withColumn("nxt", F.lead("tok").over(w)).filter(
-        F.col("nxt").isNotNull()
-    )
-    top = (
-        pairs.groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), "a", "b")
-        .limit(1)
-    )
     # Greedy-leftmost selection by STREAK PARITY, one window spec for
     # the whole decision pass: merged = "odd position within the run
     # of consecutive matches".  streak_i = cum1_i − cum1@(last m=0
@@ -1484,18 +1474,14 @@ def bpe_merge_round(t: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
     # clustering) but forced TWO extra fact-scale SortExecs per pass
     # (into island order and back to pos order for the lag); streak
     # parity deletes both.  Correct over non-consecutive positions.
-    flag = (
-        t.crossJoin(F.broadcast(top))
-        .withColumn(
-            "m",
-            F.when(
-                (F.col("tok") == F.col("a"))
-                & (F.lead("tok").over(w) == F.col("b")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("cum1", F.sum("m").over(wr))
-    )
+    flag = t.withColumn(
+        "m",
+        F.when(
+            (F.col("tok") == F.col("a"))
+            & (F.lead("tok").over(w) == F.col("b")),
+            1,
+        ).otherwise(0),
+    ).withColumn("cum1", F.sum("m").over(wr))
     anchor = F.last(
         F.when(F.col("m") == 0, F.col("cum1")), ignorenulls=True
     ).over(wr)
@@ -1520,6 +1506,28 @@ def bpe_merge_round(t: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
             .alias("tok"),
         )
     )
+    return dec, nxt_toks
+
+
+def bpe_merge_round(t: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE TRAINING round over a ``(doc_id, pos, tok)`` stream:
+    returns ``(next_tokens, summary)`` — the re-segmented stream and the
+    1-row (round, merged_pair, pair_count, tokens_after) summary.  Greedy
+    leftmost, ties by (count desc, a, b); positions need only be ordered
+    per doc, not dense.  Module-level so the property test
+    (tests/test_properties.py) drives the exact shipped logic against a
+    pure-Python greedy reference on generated corpora."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = t.withColumn("nxt", F.lead("tok").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    top = (
+        pairs.groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "a", "b")
+        .limit(1)
+    )
+    dec, nxt_toks = _bpe_decide(t.crossJoin(F.broadcast(top)))
     # merge-delta identity: every selected merge removes exactly one
     # token (non-overlapping by construction), so the post-round
     # count is derivable from the decision relation — no second
@@ -1541,6 +1549,36 @@ def bpe_merge_round(t: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
             F.col("c").alias("pair_count"),
             "tokens_after",
         )
+    )
+    return nxt_toks, summary
+
+
+#: Fixed merge table for the APPLY (inference) half of the tokenizer —
+#: configuration baked as literals, like ``_ring_points``: an ordered
+#: merge list a trained tokenizer ships with.  Pair 2 is an (x, x) pair
+#: so overlap islands are exercised on organic data.
+_BPE_MERGES = (("table", "hash"), ("a", "a"), ("value", "table"))
+
+
+def bpe_apply_pair(t: DataFrame, a: str, b: str, rnd: int):
+    """Apply ONE fixed merge (a, b) to a ``(doc_id, pos, tok)`` stream:
+    returns ``(next_tokens, summary)`` with summary columns (round,
+    merged_pair, n_merges, tokens_after).  Same greedy-leftmost decision
+    kernel as training (``_bpe_decide``), but the pair arrives as plan
+    LITERALS — no pair-count aggregate, no broadcast, fully codegen."""
+    dec, nxt_toks = _bpe_decide(
+        t.withColumn("a", F.lit(a)).withColumn("b", F.lit(b))
+    )
+    summary = dec.agg(
+        F.sum(F.col("merged").cast("long")).alias("n_merges"),
+        (F.count(F.lit(1)) - F.sum(F.col("merged").cast("long"))).alias(
+            "tokens_after"
+        ),
+    ).select(
+        F.lit(rnd).alias("round"),
+        F.lit(f"{a} {b}").alias("merged_pair"),
+        "n_merges",
+        "tokens_after",
     )
     return nxt_toks, summary
 
@@ -2179,3 +2217,103 @@ def text_compressibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# J1b: BPE merge APPLICATION (tokenizer inference over a fixed merge table)
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_SQL = """
+  flag{r} AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN tok = '{a}'
+                 AND lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) = '{b}'
+                THEN 1 ELSE 0 END AS m
+    FROM toks{r}
+  ),
+  isl{r} AS (
+    SELECT *, pos - sum(m) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM flag{r}
+  ),
+  dec{r} AS (
+    SELECT *, CASE WHEN m = 1 AND (row_number() OVER
+                 (PARTITION BY doc_id, island, m ORDER BY pos) - 1) % 2 = 0
+              THEN 1 ELSE 0 END AS merged
+    FROM isl{r}
+  ),
+  toks{r1} AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+           CASE WHEN merged = 1 THEN tok || ' ' || '{b}' ELSE tok END AS tok
+    FROM (SELECT *, lag(merged) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS consumed
+          FROM dec{r})
+    WHERE consumed IS NULL OR consumed = 0
+  )
+"""
+
+
+def _bpe_apply_oracle() -> str:
+    parts = [
+        "WITH toks1 AS (\n"
+        "  SELECT doc_id, t.i AS pos, t.w AS tok\n"
+        "  FROM documents,\n"
+        "       LATERAL (SELECT unnest(string_split(text, ' ')) AS w,\n"
+        "                generate_subscripts(string_split(text, ' '), 1) AS i) t\n"
+        ")"
+    ]
+    for r, (a, b) in enumerate(_BPE_MERGES, start=1):
+        parts.append(_BPE_APPLY_SQL.format(r=r, r1=r + 1, a=a, b=b))
+    selects = []
+    for r, (a, b) in enumerate(_BPE_MERGES, start=1):
+        selects.append(
+            f"SELECT {r} AS round, '{a} {b}' AS merged_pair,\n"
+            f"  (SELECT CAST(count(*) AS BIGINT) FROM toks{r})\n"
+            f"  - (SELECT CAST(count(*) AS BIGINT) FROM toks{r + 1}) AS n_merges,\n"
+            f"  (SELECT CAST(count(*) AS BIGINT) FROM toks{r + 1}) AS tokens_after"
+        )
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "tokens_bpe_apply_merges",
+    oracle=_bpe_apply_oracle(),
+    tags=("llm", "text", "iterative"),
+)
+def tokens_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1b: the INFERENCE half of the tokenizer — apply a fixed, ordered
+    merge table (``_BPE_MERGES``, configuration baked as literals) to the
+    corpus word stream, the way a trained BPE tokenizer encodes text:
+    round r greedy-leftmost-merges pair r in the stream produced by
+    rounds < r.  Reports per round the merge count and the corpus token
+    count after — the accounting a tokenization pass emits per shard.
+
+    Shares the training kernel (``_bpe_decide``: streak-parity greedy
+    selection, one exchange + one sort per round) but with the pair as
+    plan LITERALS: no pair-count aggregate, no broadcast join, each
+    round's decision fully inside WholeStageCodegen.  Order matters and
+    the oracle proves it: round 1 consumes 'table hash' occurrences, so
+    round 3's 'value table' only matches 'table' tokens that survived —
+    and the engine's n_merges comes from ``sum(merged)`` while the
+    oracle's comes from the stream-length DELTA, so oracle equality
+    re-proves the merge-delta identity per round on organic data.  The
+    (a, a) round exercises overlap islands (odd-streak selection) on the
+    real corpus.  At 100 TB this is a per-doc map + window pipeline with
+    no corpus-global state at all — the ideal shard-parallel shape; a
+    real K-merge table unrolls K rounds or checkpoints every ~10 (the
+    measured diamond-vs-checkpoint polarity in
+    ``tokens_bpe_merge_rounds``).
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    summaries = []
+    for r, (a, b) in enumerate(_BPE_MERGES, start=1):
+        t, s = bpe_apply_pair(t, a, b, r)
+        summaries.append(s)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out
