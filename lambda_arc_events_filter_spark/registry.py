@@ -123,8 +123,8 @@ def _with_plan_cache(name: str, fn: QueryFn) -> QueryFn:
                     # 1.068→1.030, q01 0.191→0.183.  Optimizer
                     # idempotency over the whole registry is proven by
                     # the SPARK_GRAFT_CHECK_REUSE=1 sweep, which
-                    # oracle-checks the REUSED execution of all 377
-                    # queries (r10).  The build call executes this same
+                    # oracle-checks the REUSED execution of the whole
+                    # registry (r10).  The build call executes this same
                     # QueryExecution anyway, so forcing the lazy
                     # optimizedPlan here adds no net build cost.
                     bounded_put(
