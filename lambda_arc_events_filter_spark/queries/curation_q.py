@@ -1838,3 +1838,146 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dup").alias("n_dup"),
         round_int_ratio(F.sum("dup"), F.count(F.lit(1)), 6).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights (hashed n-gram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+#: hashed-feature width for the DSIR estimator.  64 buckets keeps the
+#: per-bucket statistics relation broadcast-sized at ANY corpus scale —
+#: the whole point of the hashed estimator is that model size is fixed
+#: while the corpus grows.
+_DSIR_BUCKETS = 64
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS bg
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+    ),
+    hb AS (
+      SELECT doc_id, lang,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(bg, ''),
+                   c -> ascii(c))),
+                 (a, b) -> (a * 31 + b) % 2147483647) % {_DSIR_BUCKETS}
+               AS b
+      FROM big
+    ),
+    dc AS (
+      SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+      FROM hb GROUP BY 1, 2, 3
+    ),
+    bs AS (
+      SELECT b, sum(c) AS r_b,
+             sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS t_b
+      FROM dc GROUP BY 1
+    ),
+    tot AS (SELECT sum(r_b) AS rr, sum(t_b) AS tt FROM bs)
+    SELECT dc.doc_id, dc.lang,
+           CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+           round(sum(dc.c * (ln(bs.t_b + 1) - ln(tot.tt + {_DSIR_BUCKETS})
+                             - ln(bs.r_b + 1)
+                             + ln(tot.rr + {_DSIR_BUCKETS}))), 6)
+             AS dsir_logweight
+    FROM dc JOIN bs USING (b), tot
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed-bigram distribution
+    is.  Adjacent-token bigrams hash into a fixed 64-bucket feature
+    space (the repo's cross-engine rolling hash); the TARGET distribution
+    is estimated from the 'en' slice (the stand-in for a curated
+    high-quality domain), the RAW distribution from the whole corpus,
+    both with add-1 smoothing; a document's log importance weight is
+    sum_g log(p_target(g) / p_raw(g)) over its bigram occurrences.
+    Sampling proportionally to these weights is the DSIR recipe for
+    domain-matched pretraining selection.
+
+    One fact-scale shuffle total: explode bigrams -> hash -> one
+    (doc_id, lang, bucket) count (map-side combinable).  Both bucket
+    marginals DERIVE from that relation (r_b = sum over docs, t_b = the
+    lang='en' conditional sum), so the corpus is scanned and shuffled
+    once; the 64-row stats and 1-row totals broadcast back (scalar-
+    subquery shape).  Model size is FIXED at 64 buckets regardless of
+    corpus size — the hashed estimator's contract — so at 100 TB the
+    plan is one map-combinable shuffle plus two broadcasts, and a hot
+    bucket ("the the" mass) skews only the 64-row re-aggregate, not the
+    doc-keyed pass.  ln() on integer-valued doubles differs across
+    libms by <=1 ulp; the summed weight rounds at 6 decimals, ~8 orders
+    of magnitude above that noise.  Docs with fewer than 2 tokens have
+    no bigrams and are absent in both engines.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
+                " i -> concat(tokens[i-1], ' ', tokens[i]))"
+            )
+        ).alias("bg"),
+    )
+    # coalesce(-1) makes the bucket key NON-NULLABLE (bg is never null —
+    # it concatenates non-null array cells — so -1 never occurs): without
+    # it the self-join's isnotnull() pushes to DIFFERENT depths on the
+    # probe and build branches (below the (doc,lang,b) aggregate on one,
+    # above it on the other), the two fact exchanges stop canonicalizing
+    # equal, and ReuseExchange plans a second full corpus scan (measured
+    # on the r10 open tree: 2 FileScans -> 1 with this line).
+    bucket = F.coalesce(
+        F.expr(
+            "pmod(aggregate(split(bg, ''), 0L,"
+            f" (a, c) -> pmod(a * 31 + ascii(c), 2147483647)),"
+            f" {_DSIR_BUCKETS})"
+        ),
+        F.lit(-1),
+    )
+    dc = (
+        bg.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Grand totals attach to the bucket stats via a single-partition
+    # window: the relation is 64 rows BY CONSTRUCTION (the hashed model's
+    # fixed width), so the unbounded-window rule doesn't apply, and the
+    # alternative — a separate 1-row aggregate crossJoined back — planned
+    # as a second full fact scan (ReuseExchange did not unify the two
+    # bucket-stats subtrees under AQE; measured on the r10 open tree).
+    w_all = Window.partitionBy()
+    bs = (
+        dc.groupBy("b")
+        .agg(
+            F.sum("c").alias("r_b"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("c")).otherwise(0)
+            ).alias("t_b"),
+        )
+        .withColumn("rr", F.sum("r_b").over(w_all))
+        .withColumn("tt", F.sum("t_b").over(w_all))
+    )
+    lr = (
+        F.log(F.col("t_b") + 1)
+        - F.log(F.col("tt") + _DSIR_BUCKETS)
+        - F.log(F.col("r_b") + 1)
+        + F.log(F.col("rr") + _DSIR_BUCKETS)
+    )
+    return (
+        dc.join(F.broadcast(bs), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * lr), 6).alias("dsir_logweight"),
+        )
+    )

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.stats import group_percentile_cont
+from lambda_arc_events_filter_spark.operators import dedup as D
+from lambda_arc_events_filter_spark.operators import text as T
 from lambda_arc_events_filter_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -736,4 +738,137 @@ def events_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_best"),
         )
         .orderBy("threshold_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier: full-batch gradient-descent logistic
+# regression as ONE declarative plan (no driver-side parameter loop)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_quality_logreg_gd",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             len(sp) / 100.0                              AS x1,
+             len(list_distinct(sp)) * 1.0 / len(sp)       AS x2,
+             len(list_filter(sp, t -> list_contains(
+                 ['a', 'the', 'and', 'of', 'to'], t)))
+               * 1.0 / len(sp)                            AS x3
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS sp
+            FROM documents)
+    ),
+    it1 AS (
+      SELECT sum(y - 0.5) / count(*)        AS b0,
+             sum(x1 * (y - 0.5)) / count(*) AS b1,
+             sum(x2 * (y - 0.5)) / count(*) AS b2,
+             sum(x3 * (y - 0.5)) / count(*) AS b3
+      FROM feat
+    ),
+    p1 AS (
+      SELECT f.*,
+             1.0 / (1.0 + exp(-(it1.b0 + it1.b1 * f.x1
+                                + it1.b2 * f.x2 + it1.b3 * f.x3))) AS p
+      FROM feat f, it1
+    ),
+    delta AS (
+      SELECT sum(y - p) / count(*)        AS d0,
+             sum(x1 * (y - p)) / count(*) AS d1,
+             sum(x2 * (y - p)) / count(*) AS d2,
+             sum(x3 * (y - p)) / count(*) AS d3
+      FROM p1
+    ),
+    it2 AS (
+      SELECT it1.b0 + delta.d0 AS b0, it1.b1 + delta.d1 AS b1,
+             it1.b2 + delta.d2 AS b2, it1.b3 + delta.d3 AS b3
+      FROM it1, delta
+    )
+    SELECT f.doc_id, f.lang, CAST(f.y AS BIGINT) AS label,
+           round(1.0 / (1.0 + exp(-(it2.b0 + it2.b1 * f.x1
+                 + it2.b2 * f.x2 + it2.b3 * f.x3))), 6) AS prob,
+           round(1.0 / (1.0 + exp(-(it2.b0 + it2.b1 * f.x1
+                 + it2.b2 * f.x2 + it2.b3 * f.x3))), 6) >= 0.5 AS pred
+    FROM feat f, it2
+    """,
+    tags=("ml", "llm"),
+)
+def docs_quality_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model TRAINING as a declarative plan: a logistic-
+    regression quality classifier (label = the 'en' slice, features =
+    token count / type-token ratio / stopword ratio + intercept) fit by
+    TWO full-batch gradient-descent steps (eta = 1, w_0 = 0) and scored
+    back over every document — the data-side twin of the quality-
+    classifier gate (GPT-3/LLaMA-style "looks like the reference
+    corpus" filtering) that most curation stacks train offline.
+
+    The whole fit is ONE lazy plan — no driver-side parameter loop, no
+    collect: step 1's sigmoid at w=0 is the constant 0.5, so the first
+    gradient is a plain 4-component aggregate; it broadcasts back
+    (scalar-subquery shape) to score step 2's residuals, whose gradient
+    aggregate broadcasts back again for the final projection.  Each GD
+    step is sum(x_j * residual)/N — map-side combinable, one 4-double
+    row moving between stages; at 100 TB each step is one scan + one
+    partial-agg tree, the textbook distributed-GD shape (the feature
+    relation recomputes per consumer as a plan diamond; a cluster run
+    of MANY steps would persist it once — the engine-wide materialize
+    lever).  Gradient sums are order-sensitive doubles: cross-engine
+    noise is ~1e-13 against a round-6 emit, and ``pred`` compares the
+    ROUNDED probability so the hashed cell and the decision can never
+    disagree between engines.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    n_tok = T.token_count_expr()
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (n_tok / F.lit(100.0)).alias("x1"),
+        (T.distinct_count_expr() * 1.0 / n_tok).alias("x2"),
+        (T.stopword_count_expr() * 1.0 / n_tok).alias("x3"),
+    )
+
+    def grad(scored: DataFrame, resid: F.Column, names: tuple[str, ...]):
+        cnt = F.count(F.lit(1))
+        return scored.agg(
+            (F.sum(resid) / cnt).alias(names[0]),
+            *[
+                (F.sum(F.col(f"x{j}") * resid) / cnt).alias(names[j])
+                for j in (1, 2, 3)
+            ],
+        )
+
+    def logit(b: str) -> F.Column:
+        return (
+            F.col(f"{b}0")
+            + F.col(f"{b}1") * F.col("x1")
+            + F.col(f"{b}2") * F.col("x2")
+            + F.col(f"{b}3") * F.col("x3")
+        )
+
+    sigmoid = lambda z: F.lit(1.0) / (F.lit(1.0) + F.exp(-z))  # noqa: E731
+    it1 = grad(feat, F.col("y") - 0.5, ("b0", "b1", "b2", "b3"))
+    p1 = feat.join(F.broadcast(it1)).withColumn("p", sigmoid(logit("b")))
+    delta = grad(p1, F.col("y") - F.col("p"), ("d0", "d1", "d2", "d3"))
+    it2 = (
+        it1.join(F.broadcast(delta))
+        .select(
+            *[
+                (F.col(f"b{j}") + F.col(f"d{j}")).alias(f"w{j}")
+                for j in range(4)
+            ]
+        )
+    )
+    prob = F.round(sigmoid(logit("w")), 6)
+    return (
+        feat.join(F.broadcast(it2))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("y").cast("bigint").alias("label"),
+            prob.alias("prob"),
+            (prob >= 0.5).alias("pred"),
+        )
     )

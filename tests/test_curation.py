@@ -89,3 +89,76 @@ def test_repetition_flags_constructed_docs(spark):
     finally:
         Q.load = orig
     assert out == {1: True, 2: False, 3: False}
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_bigram_count_and_target_direction(spark, sf_dir):
+    """Structural pins: n_bigrams = token_count - 1 per doc, and the
+    DSIR direction guarantee — documents FROM the target slice ('en')
+    must average a higher log importance weight than the rest, since the
+    target distribution was estimated from them."""
+    out = specs()["corpus_dsir_weights"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n_tokens"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .collect()
+    }
+    assert len(out) == len(docs)
+    for r in out:
+        assert r["n_bigrams"] == docs[r["doc_id"]] - 1
+    en = [r["dsir_logweight"] for r in out if r["lang"] == "en"]
+    rest = [r["dsir_logweight"] for r in out if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_dsir_weight_is_per_bucket_additive(spark, sf_dir):
+    """The weight must equal sum_b c_db * log-ratio_b recomputed
+    independently from the corpus bucket counts (add-1 smoothing,
+    64 buckets)."""
+    import math
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+            )
+        ).alias("bg"),
+    ).withColumn(
+        "b",
+        F.expr(
+            "pmod(aggregate(split(bg, ''), 0L,"
+            " (a, c) -> pmod(a * 31 + ascii(c), 2147483647)), 64)"
+        ),
+    )
+    rows = bg.groupBy("doc_id", "lang", "b").count().collect()
+    r_b: dict[int, int] = {}
+    t_b: dict[int, int] = {}
+    for r in rows:
+        r_b[r["b"]] = r_b.get(r["b"], 0) + r["count"]
+        if r["lang"] == "en":
+            t_b[r["b"]] = t_b.get(r["b"], 0) + r["count"]
+    rr, tt = sum(r_b.values()), sum(t_b.values())
+    expected: dict[int, float] = {}
+    for r in rows:
+        lr = (
+            math.log(t_b.get(r["b"], 0) + 1)
+            - math.log(tt + 64)
+            - math.log(r_b[r["b"]] + 1)
+            + math.log(rr + 64)
+        )
+        expected[r["doc_id"]] = expected.get(r["doc_id"], 0.0) + r["count"] * lr
+    out = specs()["corpus_dsir_weights"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert abs(r["dsir_logweight"] - round(expected[r["doc_id"]], 6)) < 2e-6

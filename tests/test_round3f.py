@@ -347,3 +347,60 @@ def test_mg_heavy_hitters_invariant_to_partitioning(spark, sf_dir):
         .collect()
     }
     assert out == exact
+
+
+# ---------------------------------------------------------------------------
+# Gradient-descent logistic regression (docs_quality_logreg_gd)
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_gd_probabilities_and_separation(spark, sf_dir):
+    """Pins: prob in (0,1); pred is exactly (rounded prob >= 0.5); two GD
+    steps from w=0 must move label-1 ('en') docs to a strictly higher
+    mean probability than label-0 docs (the stopword-ratio feature
+    separates them by construction of the fixture corpus)."""
+    out = specs()["docs_quality_logreg_gd"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0.0 < r["prob"] < 1.0
+        assert r["pred"] == (r["prob"] >= 0.5)
+        assert r["label"] == (1 if r["lang"] == "en" else 0)
+    pos = [r["prob"] for r in out if r["label"] == 1]
+    neg = [r["prob"] for r in out if r["label"] == 0]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_logreg_gd_matches_numpy_reference(spark, sf_dir):
+    """The fitted per-doc probability must equal a NumPy re-implementation
+    of the same two full-batch GD steps (eta=1, w0=0) on the same
+    features, to round-6."""
+    import numpy as np
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.size(F.split("text", " ")) / 100.0).alias("x1"),
+        (
+            F.size(F.array_distinct(F.split("text", " ")))
+            * 1.0
+            / F.size(F.split("text", " "))
+        ).alias("x2"),
+        F.expr(
+            "size(filter(split(text, ' '), t -> array_contains("
+            "array('a','the','and','of','to'), t)))"
+            " / cast(size(split(text, ' ')) as double)"
+        ).alias("x3"),
+    ).collect()
+    ids = [r["doc_id"] for r in feats]
+    X = np.array([[1.0, r["x1"], r["x2"], r["x3"]] for r in feats])
+    y = np.array([r["y"] for r in feats])
+    w = np.zeros(4)
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        w = w + X.T @ (y - p) / len(y)
+    probs = dict(zip(ids, 1.0 / (1.0 + np.exp(-X @ w))))
+    out = specs()["docs_quality_logreg_gd"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert abs(r["prob"] - round(probs[r["doc_id"]], 6)) < 2e-6
