@@ -2317,3 +2317,92 @@ def tokens_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF path vs exact ground truth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_at_k",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+    q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 20),
+    bf AS (SELECT qid, nid FROM (
+        SELECT q.qid, e.vec_id nid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                          e.vec_id) AS rk
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.qid) WHERE rk <= 5),
+    ex AS (SELECT label, unnest(v) val, generate_subscripts(v, 1) pos FROM e),
+    cent AS (SELECT label AS cell, list(m ORDER BY pos) AS centroid
+             FROM (SELECT label, pos, round(avg(val), 6) AS m
+                   FROM ex GROUP BY 1, 2)
+             GROUP BY label),
+    probe AS (SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qv, centroid), 6) DESC,
+                          cell) AS pr
+        FROM q CROSS JOIN cent) WHERE pr <= 2),
+    iv AS (SELECT qid, nid FROM (
+        SELECT probe.qid, e.vec_id nid,
+               row_number() OVER (PARTITION BY probe.qid
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                          e.vec_id) AS rk
+        FROM probe
+        JOIN e ON e.label = probe.cell
+        JOIN q ON q.qid = probe.qid
+        WHERE e.vec_id <> probe.qid) WHERE rk <= 5)
+    SELECT bf.qid AS query_id,
+           CAST(count(iv.nid) AS BIGINT) AS n_hits,
+           (CAST((2 * CAST(count(iv.nid) AS HUGEINT) * 1000000 + 5)
+                 AS HUGEINT) // 10) / 1000000.0 AS recall_at_5
+    FROM bf LEFT JOIN iv ON iv.qid = bf.qid AND iv.nid = bf.nid
+    GROUP BY 1
+    """,
+    tags=("llm", "similarity", "evaluation"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@5 of the IVF approximate path
+    against exact brute-force ground truth, per query point: the
+    acceptance metric every production ANN deployment tracks before
+    trading exactness for the nprobe/ncells scan reduction.  The driver
+    oracle replays BOTH paths in SQL, so the evaluation itself (not just
+    each path) is value-checked.
+
+    Both paths share the probe set (vec_id < 20) and the session-cached
+    IVF index ``ann_ivf_topk`` builds (build-once/probe-many).  Exact
+    side: corpus never shuffles, query side broadcasts, WindowGroupLimit
+    caps per-query candidates (operators/similarity.brute_force_topk).
+    Approx side: centroid table broadcasts, only probed cells score.
+    The recall join is per-(query, neighbor) over 5·|Q| rows — broadcast
+    scale by construction.  At 100 TB the exact side is the expensive
+    leg, which is WHY it's the ground-truth harness (run on a sampled
+    query set, as here) rather than the serving path; recall rounds via
+    the engine-wide integer half-up discipline, so the cut is
+    engine-exact.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(q, e, k=5)
+    idx = S.ivf_build_index(
+        e, cache_key=(spark.sparkContext.applicationId, sf_dir, "embeddings")
+    )
+    approx = S.ivf_topk(q, k=5, nprobe=2, index=idx)
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+            "n_hits"
+        ),
+        round_int_ratio(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(5), 6
+        ).alias("recall_at_5"),
+    )

@@ -4091,3 +4091,94 @@ def events_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential A/B testing: Wald SPRT over daily conversion checkpoints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_sequential_sprt",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_conv
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n_obs, n_conv,
+             n_conv * ln(0.22 / 0.18)
+               + (n_obs - n_conv) * ln(0.78 / 0.82) AS llr_day,
+             sum(n_conv * ln(0.22 / 0.18)
+                 + (n_obs - n_conv) * ln(0.78 / 0.82))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr_cum
+      FROM d
+    )
+    SELECT day, n_obs, n_conv,
+           round(llr_day, 6) AS llr_day,
+           round(llr_cum, 6) AS llr_cum,
+           CASE WHEN round(llr_cum, 6) >= round(ln(19.0), 6)
+                  THEN 'accept_h1'
+                WHEN round(llr_cum, 6) <= -round(ln(19.0), 6)
+                  THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c
+    """,
+    tags=("events", "stats", "sequential"),
+)
+def events_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential hypothesis testing (Wald SPRT): monitor the purchase
+    conversion rate against H0: p = 0.18 vs H1: p = 0.22 with DAILY
+    checkpoints — the always-valid early-stopping readout an
+    experimentation platform runs instead of a fixed-horizon test, so an
+    experiment stops the day the evidence clears the boundary rather
+    than at a pre-committed sample size.  Each day contributes
+    llr = conv·ln(p1/p0) + (n−conv)·ln((1−p1)/(1−p0)); the running sum
+    crosses ln((1−β)/α) = ln 19 (α = β = 0.05) to accept H1, −ln 19 to
+    accept H0, else the test continues.
+
+    One map-side-combinable daily rollup is the only fact-scale shuffle
+    — the sequential scan runs over the CALENDAR-BOUNDED day series
+    (≤ the experiment's span; same bounded-relation class as
+    ``events_ewma_daily``, allowlisted in the single-partition-window
+    lint with that justification).  Decision compares ROUNDED cumulative
+    evidence to the ROUNDED boundary on both engines, so the emitted
+    cell and the decision can never disagree cross-engine.  ln() on the
+    shared literals is identical-input libm — noise orders of magnitude
+    under the round-6 emit.
+    """
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_conv"),
+    )
+    lr1 = F.log(F.lit(0.22) / F.lit(0.18))
+    lr0 = F.log(F.lit(0.78) / F.lit(0.82))
+    llr_day = F.col("n_conv") * lr1 + (F.col("n_obs") - F.col("n_conv")) * lr0
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bound = F.round(F.log(F.lit(19.0)), 6)
+    cum = F.round(F.col("llr_cum_raw"), 6)
+    return (
+        d.withColumn("llr_day_raw", llr_day)
+        .withColumn("llr_cum_raw", F.sum("llr_day_raw").over(w))
+        .select(
+            "day",
+            "n_obs",
+            "n_conv",
+            F.round("llr_day_raw", 6).alias("llr_day"),
+            cum.alias("llr_cum"),
+            F.when(cum >= bound, "accept_h1")
+            .when(cum <= -bound, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+    )

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from lambda_arc_events_filter_spark.catalog import load
 from lambda_arc_events_filter_spark.operators import dedup as D
 from lambda_arc_events_filter_spark.operators import similarity as S
+from lambda_arc_events_filter_spark.registry import specs
 from lambda_arc_events_filter_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
@@ -229,3 +230,35 @@ def test_compressibility_matches_direct_zlib(spark, sf_dir):
             1 for x in direct if x > 950_000
         ), src
         assert row["mean_ratio_ppm"] == sum(direct) // len(direct), src
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_matches_operator_intersection(spark, sf_dir):
+    """recall@5 must equal |exact_top5 ∩ ivf_top5| / 5 recomputed from
+    the two underlying operators directly, for every probe query."""
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.operators import similarity as S
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {}
+    for r in S.brute_force_topk(q, e, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    idx = S.ivf_build_index(
+        e,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, "embeddings"),
+    )
+    approx = {}
+    for r in S.ivf_topk(q, k=5, nprobe=2, index=idx).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out = specs()["ann_recall_at_k"].fn(spark, sf_dir).collect()
+    assert {r["query_id"] for r in out} == set(exact)
+    for r in out:
+        inter = len(exact[r["query_id"]] & approx.get(r["query_id"], set()))
+        assert r["n_hits"] == inter
+        assert abs(r["recall_at_5"] - inter / 5) < 1e-9
+        assert 0.0 <= r["recall_at_5"] <= 1.0

@@ -336,6 +336,14 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # bounded by the calendar span, and a recurrence cannot re-associate
     # without changing float results (statistics_q.events_ewma_daily).
     "events_ewma_daily",
+    # grand totals over the hashed-feature bucket stats: the relation is
+    # 64 rows BY CONSTRUCTION (the DSIR model's fixed width) at any
+    # corpus size (curation_q.corpus_dsir_weights).
+    "corpus_dsir_weights",
+    # SPRT running evidence over the DAILY rollup: series length is
+    # bounded by the experiment's calendar span
+    # (statistics_q.events_ab_sequential_sprt).
+    "events_ab_sequential_sprt",
 }
 
 

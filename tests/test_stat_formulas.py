@@ -608,3 +608,42 @@ def test_median_ci_matches_sorted_lookup(spark, sf_dir):
     assert abs(r["ci_lo"] - xs[lo_r - 1]) < 0.011
     assert abs(r["ci_hi"] - xs[hi_r - 1]) < 0.011
     assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+
+
+# ---------------------------------------------------------------------------
+# Sequential SPRT
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_prefix_sum_and_decision_rule(spark, sf_dir):
+    """llr_cum must be the running prefix sum of llr_day in day order;
+    the decision must be exactly the boundary rule on the rounded
+    evidence; daily n_obs must account for every event."""
+    import math
+
+    rows = (
+        specs()["events_ab_sequential_sprt"]
+        .fn(spark, sf_dir)
+        .orderBy("day")
+        .collect()
+    )
+    assert rows
+    bound = round(math.log(19.0), 6)
+    cum = 0.0
+    for r in rows:
+        assert r["n_conv"] <= r["n_obs"]
+        cum += r["llr_day"]
+        # rounded per-day terms re-summed: tolerance covers the
+        # round-then-sum vs sum-then-round gap over <=31 days
+        assert abs(r["llr_cum"] - cum) < 31 * 5e-7 + 1e-9
+        cum = r["llr_cum"]
+        if r["llr_cum"] >= bound:
+            assert r["decision"] == "accept_h1"
+        elif r["llr_cum"] <= -bound:
+            assert r["decision"] == "accept_h0"
+        else:
+            assert r["decision"] == "continue"
+    from lambda_arc_events_filter_spark.catalog import load
+
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r["n_obs"] for r in rows) == total
