@@ -1941,3 +1941,110 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (3 raters, missing ratings — beyond Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "labels_krippendorff_alpha",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 260 THEN 1 ELSE 0 END AS la,
+             CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1
+                  ELSE 0 END                            AS lb,
+             CASE WHEN len(string_split(text, ' ')) >= 20 THEN
+                    CASE WHEN len(list_distinct(string_split(text, ' ')))
+                              * 10 >= 7 * len(string_split(text, ' '))
+                         THEN 1 ELSE 0 END
+                  ELSE NULL END                         AS lc
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, v FROM (
+        SELECT doc_id, la AS v FROM lab
+        UNION ALL SELECT doc_id, lb FROM lab
+        UNION ALL SELECT doc_id, lc FROM lab
+      ) WHERE v IS NOT NULL
+    ),
+    u AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(v) AS BIGINT) AS o1,
+             CAST(count(*) - sum(v) AS BIGINT) AS o0
+      FROM r GROUP BY 1 HAVING count(*) >= 2
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(m) AS BIGINT) AS n_ratings,
+             CAST(sum(o1) AS BIGINT) AS n_pos,
+             CAST(sum(o0) AS BIGINT) AS n_neg,
+             sum(o1 * o0 * 1.0 / (m - 1)) AS dsum
+      FROM u
+    )
+    SELECT n_units, n_ratings, n_pos, n_neg,
+           round(1.0 - (n_ratings - 1) * dsum / (1.0 * n_pos * n_neg), 6)
+             AS alpha
+    FROM t
+    """,
+    tags=("llm", "stats", "curation"),
+)
+def labels_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) across THREE weak labelers with
+    MISSING ratings — the two cases Cohen's kappa (``labels_cohen_kappa``)
+    structurally cannot express: kappa is pairwise-complete-only, while
+    annotation audits routinely have >2 raters and abstentions.  Raters:
+    the kappa pair (length prior, token-count prior) plus a
+    type-token-ratio rater that ABSTAINS on short docs (<20 tokens) —
+    alpha counts such units with whatever ratings exist (units need >=2).
+    alpha = 1 − (n−1)·Σ_u o1_u·o0_u/(m_u−1) / (n1·n0), the standard
+    nominal coincidence form.
+
+    One map stage computes all three labels per doc (no joins — the
+    raters are column expressions), an unpivot (Expand, C14 machinery)
+    makes the (unit, rating) relation, one map-combinable groupBy builds
+    per-unit coincidence counts, and the 1-row total assembles alpha
+    from exact int64 sums and halves (m_u−1 ∈ {1,2}, so every per-unit
+    term is an exact binary rational) — bit-for-bit cross-engine, same
+    discipline as kappa.  Scale: one fact-width shuffle on doc_id (3×
+    fan-out from the unpivot), then a scalar aggregate.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    n_tok = F.size("tokens")
+    nd = F.size(F.array_distinct("tokens"))
+    lab = d.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 260, 1).otherwise(0).alias("la"),
+        F.when(n_tok >= 50, 1).otherwise(0).alias("lb"),
+        F.when(
+            n_tok >= 20,
+            F.when(nd * 10 >= 7 * n_tok, 1).otherwise(0),
+        ).alias("lc"),
+    )
+    r = lab.selectExpr(
+        "doc_id", "stack(3, la, lb, lc) AS v"
+    ).filter(F.col("v").isNotNull())
+    u = (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("v").alias("o1"),
+            (F.count(F.lit(1)) - F.sum("v")).alias("o0"),
+        )
+        .filter(F.col("m") >= 2)
+    )
+    return u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("m").cast("bigint").alias("n_ratings"),
+        F.sum("o1").cast("bigint").alias("n_pos"),
+        F.sum("o0").cast("bigint").alias("n_neg"),
+        F.round(
+            F.lit(1.0)
+            - (F.sum("m") - 1)
+            * F.sum(F.col("o1") * F.col("o0") * 1.0 / (F.col("m") - 1))
+            / (F.sum("o1") * 1.0 * F.sum("o0")),
+            6,
+        ).alias("alpha"),
+    )

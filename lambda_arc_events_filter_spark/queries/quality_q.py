@@ -2691,3 +2691,62 @@ def events_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document character entropy (gibberish / encoding-noise signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS f
+      FROM ch GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(f) AS BIGINT)    AS n_chars_total,
+           CAST(count(*) AS BIGINT)  AS n_distinct_chars,
+           round((ln(sum(f)) - sum(f * ln(f)) / sum(f)) / ln(2), 6)
+             AS char_entropy_bits
+    FROM f GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution, in
+    bits — the cheap gibberish/encoding-noise detector every quality
+    stack runs before tokenization: natural text sits in a narrow
+    entropy band (~3.5-4.5 bits for English), while base64 blobs, binary
+    spills, and aaaa-runs land far outside it.  Uses the factored form
+    H = log2(L) − (Σ f·ln f)/(L·ln 2), so only integer-valued ln() terms
+    appear (f and L are exact counts — the same libm-noise class every
+    ln-based query in this engine rounds through at 6 decimals).
+
+    One explode → (doc_id, char) count — map-side combinable, the
+    fan-out is bytes-proportional exactly like tokenization — then a
+    doc-keyed re-aggregate.  Both shuffles are keyed by doc_id(+char):
+    at 100 TB this is the token-count plan with a finer unit, no skew
+    beyond the per-doc length distribution itself.
+    """
+    d = load(spark, sf_dir, "documents")
+    f = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    L = F.sum("f")
+    return f.groupBy("doc_id").agg(
+        L.cast("bigint").alias("n_chars_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            (F.log(L) - F.sum(F.col("f") * F.log("f")) / L)
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("char_entropy_bits"),
+    )

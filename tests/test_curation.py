@@ -162,3 +162,28 @@ def test_dsir_weight_is_per_bucket_additive(spark, sf_dir):
     out = specs()["corpus_dsir_weights"].fn(spark, sf_dir).collect()
     for r in out:
         assert abs(r["dsir_logweight"] - round(expected[r["doc_id"]], 6)) < 2e-6
+
+
+def test_char_entropy_matches_counter(spark, sf_dir):
+    """Per-doc entropy must equal the Counter-based reference, and a
+    constant-character string must score exactly 0 bits."""
+    import math
+    from collections import Counter
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    out = specs()["text_char_entropy"].fn(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in out} == set(texts)
+    for r in out:
+        cnt = Counter(texts[r["doc_id"]])
+        L = sum(cnt.values())
+        h = (
+            math.log(L) - sum(f * math.log(f) for f in cnt.values()) / L
+        ) / math.log(2)
+        assert r["n_chars_total"] == L
+        assert r["n_distinct_chars"] == len(cnt)
+        assert abs(r["char_entropy_bits"] - round(h, 6)) < 2e-6

@@ -647,3 +647,61 @@ def test_sprt_prefix_sum_and_decision_rule(spark, sf_dir):
 
     total = load(spark, sf_dir, "events").count()
     assert sum(r["n_obs"] for r in rows) == total
+
+
+def test_krippendorff_alpha_matches_reference(spark, sf_dir):
+    """Alpha must equal the textbook nominal coincidence computation on
+    the same three weak labels, re-derived row-by-row in Python; the
+    abstaining rater must actually abstain (n_ratings < 3 * n_units
+    whenever short docs exist)."""
+    docs = (
+        specs()["text_quality_scores"].fn(spark, sf_dir).collect()
+    )  # doc_id, n_tokens, type_token_ratio ...
+    from lambda_arc_events_filter_spark.catalog import load
+
+    raw = {
+        r["doc_id"]: r
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    units = []
+    for d in docs:
+        la = 1 if raw[d["doc_id"]]["n_chars"] >= 260 else 0
+        lb = 1 if d["n_tokens"] >= 50 else 0
+        units.append((d["doc_id"], [la, lb]))
+    # third rater recomputed exactly from tokens
+    toks = {
+        r["doc_id"]: (r["nd"], r["nt"])
+        for r in load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "size(array_distinct(split(text, ' '))) AS nd",
+            "size(split(text, ' ')) AS nt",
+        )
+        .collect()
+    }
+    by_doc = {}
+    for doc_id, ratings in units:
+        nd, nt = toks[doc_id]
+        if nt >= 20:
+            ratings = ratings + [1 if nd * 10 >= 7 * nt else 0]
+        by_doc[doc_id] = ratings
+    uu = {k: v for k, v in by_doc.items() if len(v) >= 2}
+    n = sum(len(v) for v in uu.values())
+    n1 = sum(sum(v) for v in uu.values())
+    n0 = n - n1
+    dsum = sum(
+        sum(v) * (len(v) - sum(v)) / (len(v) - 1) for v in uu.values()
+    )
+    expected = round(1.0 - (n - 1) * dsum / (n1 * n0), 6)
+    out = specs()["labels_krippendorff_alpha"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_units"] == len(uu)
+    assert r["n_ratings"] == n
+    assert r["n_pos"] == n1 and r["n_neg"] == n0
+    assert abs(r["alpha"] - expected) < 2e-6
+    assert r["n_ratings"] < 3 * r["n_units"] or all(
+        len(v) == 3 for v in uu.values()
+    )
