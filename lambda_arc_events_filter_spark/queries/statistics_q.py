@@ -4182,3 +4182,113 @@ def events_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: set INTERSECTION / DIFFERENCE cardinality (beyond HLL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_theta_set_ops",
+    oracle=None,  # hash-seeded sketch; error bound pinned in pytest
+    tags=("agg", "sketch"),
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Datasketches) AS VALUES: per-event-type user
+    sketches via ``theta_sketch_agg``, then UNION / INTERSECTION /
+    DIFFERENCE cardinality estimates across behaviors — the set-algebra
+    HLL structurally cannot do (``agg_hll_sketch_union`` merges unions
+    only; theta's KMV retention supports ∩ and ∖), powering audience-
+    overlap questions ("how many users both click AND purchase?") from
+    per-segment sketches without rescanning raw events.
+
+    One map-combinable pass builds all per-type sketches; the set
+    algebra runs on the tiny sketch relation.  At 100 TB the sketches
+    are the persisted per-partition artifact and every overlap query is
+    sketch-side only.  Approximate by design (seeded KMV hashing — no
+    DuckDB twin) → rows-only driver check; the error bound vs exact
+    intersection/difference counts is pinned in tests/test_approx.py.
+    """
+    e = load(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("_sk")
+    )
+    click = sk.filter(F.col("event_type") == "click").select(
+        F.col("_sk").alias("_a")
+    )
+    buy = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("_sk").alias("_b")
+    )
+    both = click.join(F.broadcast(buy))
+    return both.select(
+        F.expr("theta_sketch_estimate(_a)").alias("approx_click"),
+        F.expr("theta_sketch_estimate(_b)").alias("approx_purchase"),
+        F.expr("theta_sketch_estimate(theta_union(_a, _b))").alias(
+            "approx_union"
+        ),
+        F.expr("theta_sketch_estimate(theta_intersection(_a, _b))").alias(
+            "approx_both"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(_a, _b))").alias(
+            "approx_click_only"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL sketch: mergeable quantiles (partial-sketch rollup for percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_kll_quantile_merge",
+    oracle=None,  # rank-error sketch; bound pinned in pytest
+    tags=("agg", "sketch"),
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Datasketches) AS VALUES: per-event-type
+    value sketches via ``kll_sketch_agg_double``, merged across types
+    with ``kll_sketch_merge_double`` and queried for p50/p90/p99 — the
+    MERGEABLE quantile path that ``approx_percentile`` cannot provide as
+    a reusable artifact: build per-partition/day sketches once, answer
+    percentile questions over ANY later subset by merging sketches, no
+    raw-data rescan.  This is the sketch-side dual of the exact
+    sort-based percentiles in ``agg_stats`` (the documented scale
+    alternative).
+
+    One map-combinable pass builds the per-type sketches (k=200 default,
+    ~1.65% one-sided rank error at 99% confidence); merge + quantile
+    queries run on the tiny sketch relation.  Approximate by design
+    (rank-error guarantee, not value equality — no DuckDB twin) →
+    rows-only driver check; the rank-error bound vs exact quantiles is
+    pinned in tests/test_approx.py.
+    """
+    e = load(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("_sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_type = sk.select(
+        F.col("event_type").alias("scope"),
+        F.expr("kll_sketch_get_quantile_double(_sk, 0.5)").alias("p50"),
+        F.expr("kll_sketch_get_quantile_double(_sk, 0.9)").alias("p90"),
+        F.expr("kll_sketch_get_quantile_double(_sk, 0.99)").alias("p99"),
+    )
+    # kll_sketch_merge_double is a 2-ary scalar merge (no aggregate
+    # form): fold the per-type sketches — a bounded list, one per
+    # event_type — with an ordered HOF reduce
+    total = sk.agg(
+        F.expr(
+            "aggregate(slice(collect_list(_sk), 2,"
+            " greatest(size(collect_list(_sk)) - 1, 0)),"
+            " collect_list(_sk)[0],"
+            " (a, x) -> kll_sketch_merge_double(a, x))"
+        ).alias("_m")
+    ).select(
+        F.lit("total").alias("scope"),
+        F.expr("kll_sketch_get_quantile_double(_m, 0.5)").alias("p50"),
+        F.expr("kll_sketch_get_quantile_double(_m, 0.9)").alias("p90"),
+        F.expr("kll_sketch_get_quantile_double(_m, 0.99)").alias("p99"),
+    )
+    return per_type.unionAll(total)

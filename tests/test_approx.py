@@ -51,3 +51,65 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
         em, ep = exact[k]
         assert abs(am - em) / em < 0.02, (k, am, em)
         assert abs(ap - ep) / ep < 0.02, (k, ap, ep)
+
+
+def test_theta_set_ops_error_bounds(spark, sf_dir):
+    """Theta union/intersection/difference estimates vs exact set
+    algebra on the click/purchase user sets.  At fixture cardinalities
+    (< the sketch's k=4096 retention) theta sketches operate in exact
+    mode, so the tolerance is tight; 2% covers any future fixture
+    growth past k."""
+    e = load(spark, sf_dir, "events")
+    click = {
+        r.user_id
+        for r in e.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    buy = {
+        r.user_id
+        for r in e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    out = ALL["agg_theta_set_ops"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    for approx, exact in (
+        (r["approx_click"], len(click)),
+        (r["approx_purchase"], len(buy)),
+        (r["approx_union"], len(click | buy)),
+        (r["approx_both"], len(click & buy)),
+        (r["approx_click_only"], len(click - buy)),
+    ):
+        assert abs(approx - exact) <= max(2, 0.02 * max(exact, 1))
+
+
+def test_kll_quantiles_within_rank_error(spark, sf_dir):
+    """Every KLL quantile answer must sit within ±3% RANK error of the
+    target quantile in the exact sorted data (k=200 guarantees ~1.65%
+    at 99% confidence), per scope and for the merged total."""
+    import bisect
+
+    e = load(spark, sf_dir, "events")
+    by_type: dict[str, list[float]] = {}
+    for r in e.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for vs in by_type.values():
+        vs.sort()
+    all_vals = sorted(v for vs in by_type.values() for v in vs)
+    out = ALL["agg_kll_quantile_merge"].fn(spark, sf_dir).collect()
+    scopes = {r["scope"] for r in out}
+    assert "total" in scopes and len(scopes) == len(by_type) + 1
+    for r in out:
+        vs = all_vals if r["scope"] == "total" else by_type[r["scope"]]
+        n = len(vs)
+        for q, got in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+            # rank of the returned value in the exact data
+            rank = bisect.bisect_right(vs, got) / n
+            lo = bisect.bisect_left(vs, got) / n
+            assert lo - 0.03 <= q <= rank + 0.03, (
+                r["scope"], q, got, lo, rank,
+            )
