@@ -1981,3 +1981,106 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("c") * lr), 6).alias("dsir_logweight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption mask manifest (T5/UL2 denoising-objective data prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_span_corruption_masks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+      )
+    ),
+    st AS (
+      SELECT doc_id, pos,
+             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(
+                      doc_id || ':' || pos, ''), c -> ascii(c))),
+                    (a, b) -> (a * 31 + b) % 2147483647) % 10 = 0
+                  THEN 1 ELSE 0 END AS is_start
+      FROM t
+    ),
+    mk AS (
+      SELECT doc_id, pos,
+             max(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 2 PRECEDING
+                                 AND CURRENT ROW) AS masked
+      FROM st
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS isle
+      FROM mk WHERE masked = 1
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY min(pos)) AS BIGINT) AS span_id,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(max(pos) AS BIGINT) AS end_pos,
+           CAST(count(*) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, isle
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption manifest: deterministically select
+    ~10% of token positions as span starts (content-stable hash of
+    (doc_id, pos) — reproducible across re-runs and topologies, the same
+    discipline as ``corpus_shard_assignment``), extend each start 3
+    tokens, and MERGE overlapping/adjacent selections into maximal mask
+    spans — the (doc, span) manifest a denoising-objective data loader
+    consumes (mask these, predict them).  Completes the training-prep
+    family: chunking (``doc_chunk_token_windows``) → packing
+    (``corpus_pack_token_budget``) → masking (this).
+
+    One doc-keyed shuffle drives everything: position explode → hash
+    start flags (map) → a 3-row running max marks covered positions →
+    gaps-and-islands (pos − row_number, the D22 kernel) merges overlaps
+    exactly — no self-join, no interval logic; span assembly is one
+    (doc, island) aggregate on the SAME partitioning (no second
+    exchange).  At 100 TB the plan is explode + one window + one
+    aggregate, all keyed by doc_id; skew equals the document-length
+    distribution, the lever the dedup family already documents.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos", "_tok"),
+    ).drop("_tok")
+    h = F.expr(
+        "pmod(aggregate(split(concat(cast(doc_id as string), ':',"
+        " cast(pos as string)), ''), 0L,"
+        " (a, c) -> pmod(a * 31 + ascii(c), 2147483647)), 10)"
+    )
+    st = t.withColumn("is_start", F.when(h == 0, 1).otherwise(0))
+    w_cover = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mk = st.withColumn("masked", F.max("is_start").over(w_cover)).filter(
+        F.col("masked") == 1
+    )
+    w_rn = Window.partitionBy("doc_id").orderBy("pos")
+    isl = mk.withColumn("isle", F.col("pos") - F.row_number().over(w_rn))
+    spans = isl.groupBy("doc_id", "isle").agg(
+        F.min("pos").cast("bigint").alias("start_pos"),
+        F.max("pos").cast("bigint").alias("end_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("span_len"),
+    )
+    w_span = Window.partitionBy("doc_id").orderBy("start_pos")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w_span).cast("bigint").alias("span_id"),
+        "start_pos",
+        "end_pos",
+        "span_len",
+    )

@@ -187,3 +187,46 @@ def test_char_entropy_matches_counter(spark, sf_dir):
         assert r["n_chars_total"] == L
         assert r["n_distinct_chars"] == len(cnt)
         assert abs(r["char_entropy_bits"] - round(h, 6)) < 2e-6
+
+
+def test_span_corruption_masks_structure(spark, sf_dir):
+    """Spans must be disjoint, separated by at least one unmasked token,
+    each at least 1 and at most bounded by merges; every span must cover
+    every hash-selected start position, and every masked position must
+    trace back to a start within 2 positions."""
+    out = specs()["corpus_span_corruption_masks"].fn(spark, sf_dir).collect()
+    assert out
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def rolling(s: str) -> int:
+        a = 0
+        for c in s:
+            a = (a * 31 + ord(c)) % 2147483647
+        return a
+
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["start_pos"])
+        n = len(texts[doc_id])
+        starts = {
+            p for p in range(n) if rolling(f"{doc_id}:{p}") % 10 == 0
+        }
+        masked = set()
+        prev_end = -2
+        for i, s in enumerate(spans):
+            assert s["span_id"] == i + 1
+            assert s["span_len"] == s["end_pos"] - s["start_pos"] + 1
+            assert s["start_pos"] > prev_end + 1  # disjoint, gap >= 1
+            prev_end = s["end_pos"]
+            assert s["end_pos"] < n
+            masked.update(range(s["start_pos"], s["end_pos"] + 1))
+            assert s["start_pos"] in starts  # span begins at a start
+        expected = set()
+        for p in starts:
+            expected.update(range(p, min(p + 3, n)))
+        assert masked == expected
