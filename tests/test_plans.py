@@ -362,3 +362,59 @@ def test_no_single_partition_window_over_unbounded_relation(spark, sf_dir):
         if bad:
             offenders[name] = bad[0]
     assert not offenders, f"single-partition windows: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: scale-shape pins for the new operators
+# ---------------------------------------------------------------------------
+
+
+def _final_executed(df):
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("Initial Plan")[0]
+
+
+def test_dsir_single_fact_scan_with_reuse(spark, sf_dir):
+    """corpus_dsir_weights must read the corpus ONCE: the bucket-stats
+    build side rides a ReusedExchange of the probe side's fact exchange
+    (the non-nullable bucket key makes the subtrees canonical-equal);
+    the stats join back is a broadcast."""
+    df = ALL["corpus_dsir_weights"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert final.count("FileScan parquet") == 1, "corpus scanned more than once"
+    assert "ReusedExchange" in final
+    assert I.uses_broadcast_join(df)
+    assert not I.has_python_in_plan(df)
+
+
+def test_logreg_gd_is_collect_free_broadcast_diamond(spark, sf_dir):
+    """docs_quality_logreg_gd: the whole 2-step GD fit is one lazy plan —
+    gradient aggregates broadcast back (1-row builds), no Python
+    boundary; the feature relation recomputes as a plan diamond (3 scans
+    max) rather than a driver loop."""
+    df = ALL["docs_quality_logreg_gd"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert not I.has_python_in_plan(df)
+    assert 1 <= final.count("FileScan parquet") <= 3
+    assert "BroadcastExchange" in final
+
+
+def test_hopping_window_is_expand_plus_one_aggregate(spark, sf_dir):
+    """batch_hopping_window_agg: the TVF's multi-window assignment plans
+    as Expand (fixed 2x fan-out) feeding ONE keyed hash aggregate — no
+    join, no window exec."""
+    df = ALL["batch_hopping_window_agg"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert "Expand" in final
+    assert I.executed_hash_exchanges(df) == 1
+    assert "WindowExec" not in final and " Window " not in final
+
+
+def test_span_masks_single_doc_keyed_exchange(spark, sf_dir):
+    """corpus_span_corruption_masks: explode + cover-window + islands +
+    span aggregate all share ONE doc_id-keyed exchange partitioning (the
+    window's), with no extra shuffle for the island aggregate."""
+    df = ALL["corpus_span_corruption_masks"].fn(spark, sf_dir)
+    assert I.executed_hash_exchanges(df) <= 1
+    assert not I.has_python_in_plan(df)
