@@ -4292,3 +4292,104 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("kll_sketch_get_quantile_double(_m, 0.99)").alias("p99"),
     )
     return per_type.unionAll(total)
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch (SRM) guardrail for the A/B assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_srm_check",
+    oracle="""
+    WITH arm AS (
+      SELECT user_id % 2 AS grp, CAST(count(DISTINCT user_id) AS BIGINT) n
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT sum(CASE WHEN grp = 1 THEN n END) AS n_treat,
+             sum(CASE WHEN grp = 0 THEN n END) AS n_ctrl
+      FROM arm
+    ),
+    s AS (
+      SELECT n_treat, n_ctrl,
+             (n_treat - n_ctrl) * (n_treat - n_ctrl) * 1.0
+               / (n_treat + n_ctrl) AS chi2
+      FROM m
+    ),
+    c AS (
+      SELECT *, sqrt(chi2) AS az,
+             1.0 / (1.0 + 0.2316419 * sqrt(chi2)) AS t
+      FROM s
+    )
+    SELECT CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           round(chi2, 6) AS chi2,
+           round(2 * (exp(-az * az / 2) / sqrt(2 * pi())
+                 * (0.319381530 * t - 0.356563782 * t * t
+                    + 1.781477937 * t * t * t
+                    - 1.821255978 * t * t * t * t
+                    + 1.330274429 * t * t * t * t * t)), 6) AS p_value,
+           round(2 * (exp(-az * az / 2) / sqrt(2 * pi())
+                 * (0.319381530 * t - 0.356563782 * t * t
+                    + 1.781477937 * t * t * t
+                    - 1.821255978 * t * t * t * t
+                    + 1.330274429 * t * t * t * t * t)), 6) < 0.001
+             AS srm_flag
+    FROM c
+    """,
+    tags=("events", "stats"),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: before ANY A/B readout
+    (``events_ab_welch_ztest`` and friends), test whether the observed
+    user split actually matches the designed 50/50 allocation — a
+    significant mismatch means broken assignment (bot filtering,
+    redirect loss, logging bugs) and invalidates every downstream
+    metric.  Chi-square 1-df goodness of fit, which for two arms reduces
+    to (n1−n0)²/(n1+n0); the p-value is the two-sided normal tail at
+    z = √χ² via the same Abramowitz-Stegun 26.2.17 polynomial the
+    z-test query pins (identical 5-term arithmetic in both engines),
+    and the flag compares the ROUNDED p-value so the cell and the
+    decision agree cross-engine.
+
+    One distinct-user count per arm (two-level aggregate,
+    map-combinable) — the guardrail costs one scan at any traffic
+    volume; the test statistic is row-level arithmetic on a 2-row
+    relation.
+    """
+    import math
+
+    e = load(spark, sf_dir, "events")
+    arm = e.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    m = arm.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("n"))).alias("n_treat"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n"))).alias("n_ctrl"),
+    )
+    chi2 = (
+        (F.col("n_treat") - F.col("n_ctrl"))
+        * (F.col("n_treat") - F.col("n_ctrl"))
+        * 1.0
+        / (F.col("n_treat") + F.col("n_ctrl"))
+    )
+    s = m.withColumn("chi2", chi2)
+    az = F.sqrt(F.col("chi2"))
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = (
+        0.319381530 * t
+        - 0.356563782 * t * t
+        + 1.781477937 * t * t * t
+        - 1.821255978 * t * t * t * t
+        + 1.330274429 * t * t * t * t * t
+    )
+    pdf = F.exp(-az * az / 2) / F.lit(math.sqrt(2 * math.pi))
+    p = F.round(2 * pdf * poly, 6)
+    return s.select(
+        F.col("n_treat").cast("bigint").alias("n_treat"),
+        F.col("n_ctrl").cast("bigint").alias("n_ctrl"),
+        F.round("chi2", 6).alias("chi2"),
+        p.alias("p_value"),
+        (p < 0.001).alias("srm_flag"),
+    )

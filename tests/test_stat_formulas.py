@@ -705,3 +705,24 @@ def test_krippendorff_alpha_matches_reference(spark, sf_dir):
     assert r["n_ratings"] < 3 * r["n_units"] or all(
         len(v) == 3 for v in uu.values()
     )
+
+
+def test_srm_check_chi2_and_flag(spark, sf_dir):
+    """chi2 must equal (n1-n0)^2/(n1+n0) on exact distinct-user counts;
+    the flag must be exactly (rounded p < 0.001); a fair parity split on
+    a contiguous user-id space must NOT flag."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    users = {
+        r.user_id
+        for r in load(spark, sf_dir, "events").select("user_id").collect()
+    }
+    n1 = sum(1 for u in users if u % 2 == 1)
+    n0 = len(users) - n1
+    out = specs()["events_ab_srm_check"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (n1, n0)
+    assert abs(r["chi2"] - round((n1 - n0) ** 2 / (n1 + n0), 6)) < 2e-6
+    assert r["srm_flag"] == (r["p_value"] < 0.001)
+    assert not r["srm_flag"], "parity split over contiguous ids flagged SRM"
