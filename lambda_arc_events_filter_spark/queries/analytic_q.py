@@ -3548,3 +3548,171 @@ def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.sum("cents"), F.lit(0)).alias("exposure_cents"),
         F.count(F.when(F.col("gap_days") == 0, 1)).alias("n_same_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation over the co-purchase graph (semi-supervised spreading)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS co
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst, co FROM pairs
+      UNION ALL SELECT pb, pa, co FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (
+      SELECT n.node, p.p_brand AS label
+      FROM nodes n JOIN part p ON p.p_partkey = n.node
+      WHERE n.node % 3 = 0
+    ),
+    v1 AS (
+      SELECT e.src AS node, l0.label, sum(e.co) AS w
+      FROM edges e
+      JOIN l0 ON l0.node = e.dst
+      LEFT JOIN l0 s ON s.node = e.src
+      WHERE s.node IS NULL
+      GROUP BY 1, 2
+    ),
+    p1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY w DESC, label) AS rn
+        FROM v1) WHERE rn = 1
+    ),
+    l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM p1),
+    v2 AS (
+      SELECT e.src AS node, l1.label, sum(e.co) AS w
+      FROM edges e
+      JOIN l1 ON l1.node = e.dst
+      LEFT JOIN l1 s ON s.node = e.src
+      WHERE s.node IS NULL
+      GROUP BY 1, 2
+    ),
+    p2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY w DESC, label) AS rn
+        FROM v2) WHERE rn = 1
+    )
+    SELECT n.node AS p_partkey,
+           coalesce(l0.label, p1.label, p2.label) AS label,
+           CASE WHEN l0.label IS NOT NULL THEN 0
+                WHEN p1.label IS NOT NULL THEN 1
+                WHEN p2.label IS NOT NULL THEN 2 END AS labeled_round
+    FROM nodes n
+    LEFT JOIN l0 ON l0.node = n.node
+    LEFT JOIN p1 ON p1.node = n.node
+    LEFT JOIN p2 ON p2.node = n.node
+    """,
+    tags=("graph", "ml", "analytics"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over the co-purchase graph —
+    the graph-algorithm class the registry's CC / PageRank / triangle
+    family doesn't cover: a third of parts arrive labeled (brand, the
+    seed set), and labels spread to unlabeled neighbors by
+    weight-majority vote (edge weight = co-purchase count) for two
+    synchronous rounds.  Frozen-front variant: seeds are clamped and a
+    node freezes at its first label — deterministic by construction
+    (ties break on (weight DESC, label ASC)), which is the property that
+    makes the operator oracle-able where classic oscillating LP is not.
+
+    Per round: one edges ⋈ labeled-frontier hash join (the label
+    relation is the small side and only grows by the newly-frozen
+    front), an anti-join mask of already-labeled nodes, a (node, label)
+    weight aggregate, and a WindowGroupLimit argmax — all keyed by node
+    id, no global structure.  Pair mass is Σ basket² (bounded fanout,
+    the ``parts_copurchase_similarity`` scale note), and rounds unroll
+    exactly like the PageRank/k-means precedents (broadcast-or-keyed
+    per-round joins, no driver mutation).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = op.select(F.col("o"), F.col("p").alias("pa"))
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "co"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("src"), F.col("pa").alias("dst"), "co"
+        )
+    ).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    l0 = (
+        nodes.filter(F.col("node") % 3 == 0)
+        .join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("node"),
+                    F.col("p_brand").alias("label"),
+                )
+            ),
+            "node",
+        )
+    )
+
+    def spread(labeled: DataFrame) -> DataFrame:
+        cand = (
+            edges.join(
+                labeled.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .join(
+                labeled.select(F.col("node").alias("src")),
+                "src",
+                "left_anti",
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.sum("co").alias("w"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("w").desc(), F.col("label")
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+
+    p1 = spread(l0.select("node", "label"))
+    l1 = l0.select("node", "label").unionAll(p1)
+    p2 = spread(l1)
+    return (
+        nodes.join(
+            l0.select("node", F.col("label").alias("lab0")), "node", "left"
+        )
+        .join(p1.select("node", F.col("label").alias("lab1")), "node", "left")
+        .join(p2.select("node", F.col("label").alias("lab2")), "node", "left")
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.coalesce("lab0", "lab1", "lab2").alias("label"),
+            F.when(F.col("lab0").isNotNull(), 0)
+            .when(F.col("lab1").isNotNull(), 1)
+            .when(F.col("lab2").isNotNull(), 2)
+            .alias("labeled_round"),
+        )
+    )
