@@ -1746,3 +1746,159 @@ def users_geo_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_users").alias("total_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over user geo points (banded radius join + connected components)
+# ---------------------------------------------------------------------------
+
+_HAV_SQL = """2 * 6371.0 * asin(sqrt(least(1.0,
+    pow(sin(radians(b.lat - a.lat) / 2), 2)
+    + cos(radians(a.lat)) * cos(radians(b.lat))
+      * pow(sin(radians(b.lon - a.lon) / 2), 2))))"""
+
+
+@register(
+    "users_geo_dbscan_clusters",
+    oracle="""
+    WITH RECURSIVE pts AS ({pts}),
+    pr AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM pts a JOIN pts b ON a.user_id <> b.user_id
+      WHERE round({hav}, 3) <= 200.0
+    ),
+    deg AS (SELECT ua, count(*) AS n FROM pr GROUP BY 1),
+    core AS (SELECT ua AS node FROM deg WHERE n >= 3),
+    ce AS (
+      SELECT pr.ua AS a, pr.ub AS b
+      FROM pr JOIN core c1 ON c1.node = pr.ua
+              JOIN core c2 ON c2.node = pr.ub
+    ),
+    reach(src, dst) AS (
+      SELECT a, a FROM ce
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN ce e ON r.dst = e.a
+    ),
+    lab AS (SELECT src AS node, min(dst) AS label FROM reach GROUP BY 1),
+    corelab AS (
+      SELECT c.node, coalesce(l.label, c.node) AS cluster_id
+      FROM core c LEFT JOIN lab l ON l.node = c.node
+    ),
+    border AS (
+      SELECT pr.ua AS node, min(cl.cluster_id) AS cluster_id
+      FROM pr
+      JOIN corelab cl ON cl.node = pr.ub
+      LEFT JOIN core s ON s.node = pr.ua
+      WHERE s.node IS NULL
+      GROUP BY 1
+    )
+    SELECT p.user_id,
+           CASE WHEN cl.node IS NOT NULL THEN 'core'
+                WHEN bo.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(cl.cluster_id, bo.cluster_id) AS cluster_id
+    FROM pts p
+    LEFT JOIN corelab cl ON cl.node = p.user_id
+    LEFT JOIN border bo ON bo.node = p.user_id
+    """.format(pts=_PTS_SQL, hav=_HAV_SQL),
+    tags=("geo", "ml", "graph"),
+    plan_cache=False,  # iterative CC checkpoints a label relation
+)
+def users_geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (eps = 200 km, minPts = 4 incl. self) over the user point
+    set, composed ENTIRELY from the engine's proven kernels: the exact
+    latitude-banded radius equi-join (``users_geo_radius_join``'s 5°-band
+    trick — exact for any eps ≤ band height) finds eps-neighbor pairs;
+    degree ≥ 3 marks CORE points; iterative min-label connected
+    components (``operators/graph``, the D22/CC kernel) clusters the
+    core-core graph; border points attach to their minimum core
+    neighbor's cluster; everything else is noise.  The oracle replays the
+    quadratic truth with a recursive-CTE closure — density clustering
+    with an exact cross-engine answer, which sklearn-style DBSCAN (BFS
+    order, non-deterministic border ties) cannot give: the min-label /
+    min-cluster tie-breaks are what make the operator oracle-able.
+
+    Scale: pair generation is the banded equi-join (shuffle key = band,
+    population bounded by point density per band); degree + border are
+    keyed aggregates over the pair relation; CC iterates on the
+    CORE-CORE subgraph only (≤ pair mass), with the graph kernel's
+    per-round checkpoint discipline.  The classic scale trap — a full
+    distance matrix — never materializes.
+    """
+    from lambda_arc_events_filter_spark.operators.graph import (
+        connected_components,
+    )
+
+    pts = _user_points(spark, sf_dir)
+    band = F.floor(F.col("lat") / 5.0).cast("long")
+    a = pts.select("user_id", "lat", "lon", band.alias("band"))
+    b = pts.select(
+        F.col("user_id").alias("ub"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.explode(F.array(band - 1, band.cast("long"), band + 1)).alias(
+            "band"
+        ),
+    )
+    km = F.round(
+        _haversine_km(F.col("lat"), F.col("lon"), F.col("blat"), F.col("blon")),
+        3,
+    )
+    pr = (
+        a.join(b, "band")
+        .filter(F.col("user_id") != F.col("ub"))
+        .withColumn("km", km)
+        .filter(F.col("km") <= 200.0)
+        .select(F.col("user_id").alias("ua"), "ub")
+        .localCheckpoint(eager=False)  # feeds degree, CC edges, border
+    )
+    core = (
+        pr.groupBy("ua")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select(F.col("ua").alias("node"))
+    )
+    ce = (
+        pr.join(core.select(F.col("node").alias("ua")), "ua")
+        .join(core.select(F.col("node").alias("ub")), "ub")
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+    )
+    lab = connected_components(ce, src="src", dst="dst")
+    corelab = core.join(lab, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("cluster_id")
+    )
+    border = (
+        pr.join(
+            corelab.select(F.col("node").alias("ub"), "cluster_id"), "ub"
+        )
+        .join(core.select(F.col("node").alias("ua")), "ua", "left_anti")
+        .groupBy(F.col("ua").alias("node"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        pts.select("user_id")
+        .join(
+            corelab.select(
+                F.col("node").alias("user_id"),
+                F.col("cluster_id").alias("c_core"),
+            ),
+            "user_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("node").alias("user_id"),
+                F.col("cluster_id").alias("c_border"),
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.when(F.col("c_core").isNotNull(), "core")
+            .when(F.col("c_border").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("c_core", "c_border").alias("cluster_id"),
+        )
+    )

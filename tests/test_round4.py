@@ -238,3 +238,71 @@ def test_pq_assign_is_map_only_over_corpus(spark, sf_dir):
     # the only exchange allowed is the 1-row codebook broadcast
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
     assert "Exchange rangepartitioning" not in plan, plan[:2000]
+
+
+def test_dbscan_reference_replay(spark, sf_dir):
+    """DBSCAN roles and clusters must match a direct Python replay:
+    quadratic haversine, degree>=3 cores, union-find over core-core
+    pairs with min-id labels, border = min core-neighbor cluster."""
+    import math
+
+    from lambda_arc_events_filter_spark.registry import specs
+
+    out = specs()["users_geo_dbscan_clusters"].fn(spark, sf_dir).collect()
+    got = {r["user_id"]: (r["role"], r["cluster_id"]) for r in out}
+    users = sorted(got)
+    pts = {
+        u: (
+            ((u * 2654435761) % 16000) / 100.0 - 80.0,
+            ((u * 40503) % 36000) / 100.0 - 180.0,
+        )
+        for u in users
+    }
+
+    def hav(a, b):
+        la, lo = pts[a]
+        lb, lo2 = pts[b]
+        arg = min(
+            1.0,
+            math.sin(math.radians(lb - la) / 2) ** 2
+            + math.cos(math.radians(la))
+            * math.cos(math.radians(lb))
+            * math.sin(math.radians(lo2 - lo) / 2) ** 2,
+        )
+        return round(2 * 6371.0 * math.asin(math.sqrt(arg)), 3)
+
+    nbr = {u: [] for u in users}
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            if hav(ua, ub) <= 200.0:
+                nbr[ua].append(ub)
+                nbr[ub].append(ua)
+    core = {u for u in users if len(nbr[u]) >= 3}
+    parent = {u: u for u in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u in core:
+        for v in nbr[u]:
+            if v in core:
+                ra, rb = find(u), find(v)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for u in core:
+        comp.setdefault(find(u), []).append(u)
+    label = {u: min(comp[find(u)]) for u in core}
+    for u in users:
+        role, cid = got[u]
+        if u in core:
+            assert role == "core" and cid == label[u], u
+        else:
+            cores_near = sorted(label[v] for v in nbr[u] if v in core)
+            if cores_near:
+                assert role == "border" and cid == cores_near[0], u
+            else:
+                assert role == "noise" and cid is None, u
