@@ -152,8 +152,9 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = d.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
-                " i -> struct(tokens[i-1] as w1, tokens[i] as w2))"
+                "if(size(tokens) < 2, array(),"
+                " transform(sequence(1, size(tokens) - 1),"
+                " i -> struct(tokens[i-1] as w1, tokens[i] as w2)))"
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
@@ -383,8 +384,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
-                " i -> struct(tokens[i-1] as w1, tokens[i] as w2))"
+                "if(size(tokens) < 2, array(),"
+                " transform(sequence(1, size(tokens) - 1),"
+                " i -> struct(tokens[i-1] as w1, tokens[i] as w2)))"
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")

@@ -1924,8 +1924,9 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(tokens) - 1, 0)),"
-                " i -> concat(tokens[i-1], ' ', tokens[i]))"
+                "if(size(tokens) < 2, array(),"
+                " transform(sequence(1, size(tokens) - 1),"
+                " i -> concat(tokens[i-1], ' ', tokens[i])))"
             )
         ).alias("bg"),
     )

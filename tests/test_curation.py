@@ -131,8 +131,9 @@ def test_dsir_weight_is_per_bucket_additive(spark, sf_dir):
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
-                " i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+                "if(size(split(text, ' ')) < 2, array(),"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i])))"
             )
         ).alias("bg"),
     ).withColumn(
@@ -292,3 +293,53 @@ def test_label_propagation_frozen_front_semantics(spark, sf_dir):
                 if rounds.get(nb) is not None and rounds[nb] < rd - 1
             ]
             assert not earlier, (k, rd)
+
+
+def test_bigram_queries_survive_single_token_docs(spark, tmp_path):
+    """Regression (r11 ADVICE): the bigram expr used by corpus_dsir_weights,
+    text_pmi_bigrams and text_bigram_logprob built positions via
+    ``sequence(1, greatest(size(tokens)-1, 0))`` — for a 1-token doc Spark's
+    sequence(1, 0) is the DESCENDING [1, 0], so ``tokens[1]`` is out of
+    bounds: an INVALID_ARRAY_INDEX crash under Spark 4 ANSI mode, or two
+    spurious null-bucket rows with ANSI off.  The fixture corpus never has
+    docs under 10 tokens, so the bug was latent; this pins the guarded
+    rewrite on a corpus that DOES contain 1-token and empty-text docs."""
+    import pandas as pd
+
+    from lambda_arc_events_filter_spark.queries.corpus_stats_q import (
+        text_bigram_logprob,
+        text_pmi_bigrams,
+    )
+    from lambda_arc_events_filter_spark.queries.curation_q import (
+        corpus_dsir_weights,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "word",  # 1 token: no bigrams
+                "",  # split('', ' ') -> [''], also 1 element
+                " ".join(["alpha beta"] * 25),
+                " ".join(["beta gamma"] * 25),
+            ],
+            "lang": ["en", "en", "en", "fr"],
+            "source": ["s"] * 4,
+            "n_chars": [4, 0, 274, 274],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    dsir = corpus_dsir_weights(spark, sf).toPandas()
+    # short docs contribute no bigrams => absent, and no null rows anywhere
+    assert set(dsir["doc_id"]) == {3, 4}
+    assert not dsir.isnull().any().any()
+
+    pmi = text_pmi_bigrams(spark, sf).toPandas()
+    assert len(pmi) > 0
+    assert not pmi[["w1", "w2"]].isnull().any().any()
+
+    lp = text_bigram_logprob(spark, sf).toPandas()
+    id_col = "doc_id" if "doc_id" in lp.columns else lp.columns[0]
+    assert 1 not in set(lp[id_col]) and 2 not in set(lp[id_col])
