@@ -4277,12 +4277,19 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # kll_sketch_merge_double is a 2-ary scalar merge (no aggregate
     # form): fold the per-type sketches — a bounded list, one per
-    # event_type — with an ordered HOF reduce
+    # event_type — with an ordered HOF reduce.  collect_list order is
+    # shuffle-dependent and KLL merge is merge-order-dependent, so sort
+    # the (event_type, sketch) structs by event_type FIRST: the fold
+    # order — hence the total p50/p90/p99 — is run-to-run deterministic.
     total = sk.agg(
         F.expr(
-            "aggregate(slice(collect_list(_sk), 2,"
-            " greatest(size(collect_list(_sk)) - 1, 0)),"
-            " collect_list(_sk)[0],"
+            "transform(array_sort(collect_list(struct(event_type, _sk))),"
+            " s -> s._sk)"
+        ).alias("_sks")
+    ).select(
+        F.expr(
+            "aggregate(slice(_sks, 2, greatest(size(_sks) - 1, 0)),"
+            " _sks[0],"
             " (a, x) -> kll_sketch_merge_double(a, x))"
         ).alias("_m")
     ).select(
@@ -4307,14 +4314,15 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     ),
     m AS (
-      SELECT sum(CASE WHEN grp = 1 THEN n END) AS n_treat,
-             sum(CASE WHEN grp = 0 THEN n END) AS n_ctrl
+      SELECT coalesce(sum(CASE WHEN grp = 1 THEN n END), 0) AS n_treat,
+             coalesce(sum(CASE WHEN grp = 0 THEN n END), 0) AS n_ctrl
       FROM arm
     ),
     s AS (
       SELECT n_treat, n_ctrl,
-             (n_treat - n_ctrl) * (n_treat - n_ctrl) * 1.0
-               / (n_treat + n_ctrl) AS chi2
+             CASE WHEN n_treat + n_ctrl = 0 THEN 0.0
+                  ELSE (n_treat - n_ctrl) * (n_treat - n_ctrl) * 1.0
+                       / (n_treat + n_ctrl) END AS chi2
       FROM m
     ),
     c AS (
@@ -4364,11 +4372,19 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm = e.groupBy((F.col("user_id") % 2).alias("grp")).agg(
         F.countDistinct("user_id").alias("n")
     )
+    # coalesce: an EMPTY arm (every user in one parity class) must yield
+    # a finite chi2 and srm_flag=true — without it the conditional sum is
+    # NULL and the guardrail silently goes NULL exactly when the
+    # sample-ratio mismatch is maximal (r11 ADVICE).
     m = arm.agg(
-        F.sum(F.when(F.col("grp") == 1, F.col("n"))).alias("n_treat"),
-        F.sum(F.when(F.col("grp") == 0, F.col("n"))).alias("n_ctrl"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 1, F.col("n"))), F.lit(0)
+        ).alias("n_treat"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 0, F.col("n"))), F.lit(0)
+        ).alias("n_ctrl"),
     )
-    chi2 = (
+    chi2 = F.when(F.col("n_treat") + F.col("n_ctrl") == 0, F.lit(0.0)).otherwise(
         (F.col("n_treat") - F.col("n_ctrl"))
         * (F.col("n_treat") - F.col("n_ctrl"))
         * 1.0

@@ -113,3 +113,53 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
             assert lo - 0.03 <= q <= rank + 0.03, (
                 r["scope"], q, got, lo, rank,
             )
+
+
+def test_kll_merge_fold_is_order_invariant(spark, sf_dir):
+    """Regression (r11 ADVICE): KLL merge is merge-order-dependent and
+    collect_list order is shuffle-dependent, so the merged-total
+    quantiles could vary run to run.  The fold now array_sorts the
+    (event_type, sketch) structs before folding; feeding the SAME
+    per-type sketch blobs in opposite input orders must produce
+    identical total quantiles.  (End-to-end repeat-run equality is not
+    pinnable: the per-type sketch BUILD itself depends on insertion
+    order and KLL compaction randomness.)"""
+    import pyspark.sql.functions as F
+
+    e = load(spark, sf_dir, "events")
+    blobs = (
+        e.groupBy("event_type")
+        .agg(F.expr("kll_sketch_agg_double(value)").alias("_sk"))
+        .collect()
+    )
+    assert len(blobs) >= 2
+
+    def fold(rows):
+        df = spark.createDataFrame(
+            [(r["event_type"], bytearray(r["_sk"])) for r in rows],
+            "event_type string, _sk binary",
+        ).coalesce(1)
+        out = (
+            df.agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(event_type, _sk))),"
+                    " s -> s._sk)"
+                ).alias("_sks")
+            )
+            .select(
+                F.expr(
+                    "aggregate(slice(_sks, 2, greatest(size(_sks) - 1, 0)),"
+                    " _sks[0],"
+                    " (a, x) -> kll_sketch_merge_double(a, x))"
+                ).alias("_m")
+            )
+            .select(
+                F.expr("kll_sketch_get_quantile_double(_m, 0.5)"),
+                F.expr("kll_sketch_get_quantile_double(_m, 0.9)"),
+                F.expr("kll_sketch_get_quantile_double(_m, 0.99)"),
+            )
+            .collect()[0]
+        )
+        return tuple(out)
+
+    assert fold(blobs) == fold(list(reversed(blobs)))

@@ -726,3 +726,31 @@ def test_srm_check_chi2_and_flag(spark, sf_dir):
     assert abs(r["chi2"] - round((n1 - n0) ** 2 / (n1 + n0), 6)) < 2e-6
     assert r["srm_flag"] == (r["p_value"] < 0.001)
     assert not r["srm_flag"], "parity split over contiguous ids flagged SRM"
+
+
+def test_srm_check_empty_arm_flags_not_null(spark, tmp_path):
+    """Regression (r11 ADVICE): with one parity arm EMPTY (every user_id
+    even), the conditional arm sum was NULL, so chi2/p_value/srm_flag all
+    went NULL exactly when the sample-ratio mismatch is maximal.  The
+    coalesce(...,0) guard must yield finite chi2 = n and srm_flag=true."""
+    import pandas as pd
+
+    n_users = 50
+    ev = pd.DataFrame(
+        {
+            "event_id": range(n_users),
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": [2 * i for i in range(n_users)],  # all even: grp 0
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    ev.to_parquet(str(tmp_path / "events.parquet"))
+    out = specs()["events_ab_srm_check"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (0, n_users)
+    assert r["chi2"] == float(n_users)
+    assert r["p_value"] is not None
+    assert r["srm_flag"] is True
