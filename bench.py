@@ -355,6 +355,19 @@ def contract_line(
         # the gate keeps reading host_normalizer; divergence between the
         # two flags a DuckDB-side skew in one set.
         base["host_normalizer_b"] = canary_b["host_normalizer"]
+    if canary is not None and canary_b is not None:
+        # Self-reported validity (r10 verdict ask #2): BASELINE.md's
+        # round-10 stability rule — a >10% split between the two
+        # independent canary normalizers means the host was disturbed
+        # during recording and the normalized reading is a band, not a
+        # point.  BENCH_r10 was recorded with a 21% split and nothing in
+        # the artifact said so; now the reading rule lives IN the
+        # artifact.
+        a = canary["host_normalizer"]
+        b = canary_b["host_normalizer"]
+        split = round(abs(a - b) / min(a, b) * 100, 1)
+        base["canary_split_pct"] = split
+        base["disturbed"] = split > 10.0
     for queries in (
         {n: round(t, 3) for n, t in timings.items()},
         {n: round(t, 2) for n, t in timings.items()},

@@ -64,7 +64,27 @@ assert obj["host_normalizer"] == 1.4
 assert obj["host_normalizer_b"] == 1.5
 assert abs(obj["normalized_total"] - 3.0 / 1.4) < 1e-3
 assert set(bench._CANARY).isdisjoint(bench._CANARY_B)
+# self-reported validity (r10 verdict ask #2): |1.4-1.5|/1.4 = 7.1% —
+# inside BASELINE.md's 10% stability rule, so NOT disturbed
+assert obj["canary_split_pct"] == 7.1
+assert obj["disturbed"] is False
 print("canary_b", len(line), True)
+
+# a >10% A/B split must flag the artifact disturbed (the r10 record was
+# taken at a 21% split with no in-artifact signal — never again)
+canary_wild = {{"queries": {{}}, "session_total": 5.1, "recorded_total": 3.0,
+               "host_normalizer": 1.7}}
+line = bench.contract_line(timings, 3.0, {{k: v for k, v in timings.items()}},
+                           "0.1", canary, canary_wild)
+obj = json.loads(line)
+assert obj["canary_split_pct"] == 21.4
+assert obj["disturbed"] is True
+# single-canary runs can't compute a split: fields honestly absent
+line = bench.contract_line(timings, 3.0, {{k: v for k, v in timings.items()}},
+                           "0.1", canary)
+obj = json.loads(line)
+assert "canary_split_pct" not in obj and "disturbed" not in obj
+print("canary_split", len(line), True)
 """
 
 
@@ -84,7 +104,7 @@ def test_contract_line_parses_and_never_overflows():
     by_n = {
         int(n): (int(length), has_q)
         for n, length, has_q in lines
-        if n not in ("canary", "canary_b")
+        if n not in ("canary", "canary_b", "canary_split")
     }
     assert by_n[39][1] == "True"
     assert by_n[2000][1] == "False"
