@@ -54,6 +54,18 @@ def agg_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming moments (n, Σx, Σy, Σxx, Σxy), so the whole row is one
     map-side-combinable pass — the cheapest possible statistical query
     shape at any scale.
+
+    Accepted ~2.2× vs DuckDB at sf0.1, decomposed (r11, noop-sink staged
+    timing, min-of-8 warm): full 0.168 s = bare 3-column lineitem
+    scan→noop 0.102 s (61% — the 11 MB fixture file splits into 15 scan
+    tasks under the fixture's parallelism-forcing maxPartitionBytes, so
+    the stage is local-mode task dispatch + parquet decode) + moments
+    agg / 3-row collect 0.066 s, over an 0.018 s empty-plan dispatch
+    floor; DuckDB runs the same scan in-process with zero scheduling in
+    0.050 s.  Widening maxPartitionBytes to collapse the splits moves
+    the wall 0.19-0.25 s — inside host noise, so there is nothing left
+    to shave: the plan is already one scan + one map-combinable agg,
+    and the scan-stage floor amortizes to real parallel work at volume.
     """
     li = load(spark, sf_dir, "lineitem")
     y, x = F.col("l_extendedprice"), F.col("l_quantity")
