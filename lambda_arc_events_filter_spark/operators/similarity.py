@@ -243,6 +243,82 @@ _IVF_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _IVF_CACHE_MAX = 8
 
 
+def corpus_units(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The probe-side corpus layout: (neighbor_id, cell, unit vector),
+    partitioned by cell — the shape every IVF consumer scores against."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("cell"),
+            unit_vector_expr(vec_col).alias("c_unit"),
+        )
+        .repartition("cell")
+    )
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-(cell, position) sufficient statistics (component sum, count) —
+    the incrementally-maintainable form of the centroid table.  Persist
+    THESE, not the derived means: rounded centroids cannot absorb an
+    append (the rounding error re-scales by the old count), while (s, n)
+    merge associatively with any number of deltas and re-derive the same
+    rounded means a full rebuild produces."""
+    return (
+        corpus.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(
+            F.sum(F.col("v").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def ivf_refresh_append(
+    snapshot_stats: DataFrame,
+    snapshot_units: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold an appended delta into a persisted IVF index WITHOUT
+    rescanning the snapshot: stats-merge (union + re-aggregate over the
+    tiny (cell, pos) relation) re-derives the centroids, and the delta's
+    unit vectors append to the cell-partitioned corpus as new partitions
+    — the snapshot side is never read, moved, or rewritten.  A delta
+    introducing a brand-new cell just appears in the merged relations.
+    Equivalence to a one-shot full rebuild is the operator's contract
+    (oracle-checked by ``ann_ivf_incremental_refresh``)."""
+    merged = (
+        snapshot_stats.unionByName(ivf_cell_stats(delta, vec_col, label_col))
+        .groupBy(label_col, "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    cents = (
+        merged.withColumn("m", F.round(F.col("s") / F.col("n"), 6))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col(label_col).alias("cell"),
+            F.expr("transform(pm, x -> x.m)").alias("centroid"),
+        )
+        .coalesce(1)
+    )
+    units = snapshot_units.unionByName(
+        corpus_units(delta, id_col, vec_col, label_col)
+    )
+    return cents, units
+
+
 def ivf_build_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -268,15 +344,7 @@ def ivf_build_index(
         if hit is not None:
             return hit
     cents = label_centroids(corpus, label_col, vec_col).coalesce(1).localCheckpoint()
-    units = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(label_col).alias("cell"),
-            unit_vector_expr(vec_col).alias("c_unit"),
-        )
-        .repartition("cell")
-        .localCheckpoint()
-    )
+    units = corpus_units(corpus, id_col, vec_col, label_col).localCheckpoint()
     idx = (cents, units)
     if cache_key is not None:
         from lambda_arc_events_filter_spark.cache import (

@@ -2085,3 +2085,127 @@ def corpus_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_pos",
         "span_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (suffix-array family, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_ESS_K = 15  # anchor width in tokens (Lee et al. use 50; fixture docs are 10-99)
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    g AS (SELECT doc_id, len(sp) AS n_tokens, i AS pos, i + {_ESS_K} - 1 AS e,
+                 md5(array_to_string(sp[i:i+{_ESS_K}-1], ' ')) AS gk
+          FROM t, LATERAL (SELECT unnest(range(1, len(sp) - {_ESS_K} + 2)) AS i)),
+    p AS (SELECT doc_id, n_tokens, pos, e,
+                 min(doc_id) OVER (PARTITION BY gk) AS d_min,
+                 max(doc_id) OVER (PARTITION BY gk) AS d_max
+          FROM g),
+    dup AS (SELECT doc_id, n_tokens, pos, e FROM p WHERE d_min <> d_max),
+    m AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM dup),
+    f AS (SELECT *, CASE WHEN prev_e IS NULL OR pos > prev_e + 1
+                         THEN 1 ELSE 0 END AS nf
+          FROM m),
+    isl AS (SELECT *, sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+            FROM f),
+    sp2 AS (SELECT doc_id, isle, min(n_tokens) AS n_tokens,
+                   min(pos) AS s, max(e) AS e2
+            FROM isl GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(min(n_tokens) AS BIGINT)       AS n_tokens,
+           CAST(count(*) AS BIGINT)            AS n_spans,
+           CAST(sum(e2 - s + 1) AS BIGINT)     AS dup_tokens,
+           CAST(max(e2 - s + 1) AS BIGINT)     AS max_span_len,
+           {{dup_frac}} AS dup_frac
+    FROM sp2 GROUP BY doc_id
+    """.format(
+        dup_frac=round_int_ratio_sql("sum(e2 - s + 1)", "min(n_tokens)", 6)
+    ),
+    tags=("llm", "curation", "dedup"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, the suffix-array family of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): find
+    MAXIMAL runs of tokens that occur verbatim in at least one other
+    document, per document — the cross-document boilerplate (licenses,
+    navigation chrome, templated headers) that n-gram Jaccard dilutes
+    and MinHash cannot localize.  Relational reconstruction of the
+    suffix-array sweep: a position is "covered" iff the k-token anchor
+    starting there also occurs in another doc, and a maximal duplicated
+    run of length L >= k is exactly a maximal island of covered
+    positions (its anchors cover [s, s+L-1] contiguously), so
+    gaps-and-islands interval union over covered anchors recovers the
+    same spans the suffix-array scan emits, k-approximated at the run
+    boundaries like the original (runs shorter than k are invisible by
+    construction there too).
+
+    Plan: anchor posexplode (guarded for sub-k docs) -> ONE shuffle on
+    the 128-bit md5 anchor digest (the shuffle never carries the k-token
+    text, only the fixed-width key — at 100 TB that is the difference
+    between moving the corpus and moving ~3x its row count in digests)
+    with a min/max-doc window marking cross-doc positions (no join-back:
+    the postings relation IS the window input) -> ONE doc-keyed shuffle
+    for the island merge (running-max window + prefix-sum island ids,
+    the gaps-and-islands discipline shared with ``events_sessionize``)
+    -> per-doc aggregate.  Cost is Sigma df per anchor — linear in
+    corpus size, never n²; a pathologically hot anchor ("the the ...")
+    skews one window partition and takes the standard posting-cap /
+    salting lever documented in operators/dedup.py.  Docs shorter than
+    k tokens or with no cross-doc anchor are absent in both engines.
+    """
+    k = _ESS_K
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    g = d.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"if(size(tokens) < {k}, array(),"
+                f" transform(sequence(1, size(tokens) - {k} + 1),"
+                f" i -> md5(array_join(slice(tokens, i, {k}), ' '))))"
+            )
+        ).alias("p0", "gk"),
+    )
+    wg = Window.partitionBy("gk")
+    dup = (
+        g.withColumn("d_min", F.min("doc_id").over(wg))
+        .withColumn("d_max", F.max("doc_id").over(wg))
+        .filter(F.col("d_min") != F.col("d_max"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("p0") + 1).alias("pos"),
+            (F.col("p0") + k).alias("e"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.withColumn(
+        "nf",
+        F.when(prev_e.isNull() | (F.col("pos") > prev_e + 1), 1).otherwise(0),
+    ).withColumn(
+        "isle",
+        F.sum("nf").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "isle").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("s"),
+        F.max("e").alias("e2"),
+    )
+    span_len = F.col("e2") - F.col("s") + 1
+    return spans.groupBy("doc_id").agg(
+        F.min("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(span_len).cast("bigint").alias("dup_tokens"),
+        F.max(span_len).cast("bigint").alias("max_span_len"),
+        round_int_ratio(F.sum(span_len), F.min("n_tokens"), 6).alias(
+            "dup_frac"
+        ),
+    )

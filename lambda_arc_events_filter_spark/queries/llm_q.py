@@ -359,6 +359,69 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_incremental_refresh",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+    ex AS (SELECT label, unnest(v) val, generate_subscripts(v, 1) pos FROM e),
+    cent AS (SELECT label AS cell, list(m ORDER BY pos) AS centroid
+             FROM (SELECT label, pos, round(avg(val), 6) AS m
+                   FROM ex GROUP BY 1, 2)
+             GROUP BY label),
+    q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+    probe AS (SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(list_cosine_similarity(qv, centroid), 6) DESC,
+                          cell) AS pr
+        FROM q CROSS JOIN cent) WHERE pr <= 2),
+    cand AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                    round(list_cosine_similarity(q.qv, e.v), 6) AS score
+             FROM probe
+             JOIN e ON e.label = probe.cell
+             JOIN q ON q.qid = probe.qid
+             WHERE e.vec_id <> q.qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM cand)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+    """,
+    tags=("llm", "similarity", "incremental"),
+    plan_cache=False,
+)
+def ann_ivf_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance on corpus APPEND — the
+    steady-state story for a 100 TB retrieval corpus, which is
+    append-mostly: 80% of the embeddings play the persisted snapshot
+    (its per-(cell, pos) sufficient statistics and cell-partitioned unit
+    vectors localCheckpointed — the local stand-in for the persisted
+    index artifacts, exactly ``ivf_build_index``'s convention), the
+    vec_id % 5 == 0 rows arrive as the append, and the refresh path
+    scans ONLY the delta: stats-merge over the tiny (cell, pos) relation
+    re-derives the centroids, delta unit vectors append as new cell
+    partitions, and the snapshot corpus is never rescanned, reshuffled,
+    or rewritten.  The DuckDB oracle is the ONE-SHOT FULL REBUILD
+    running the same nprobe=2 / k=5 probe — hash-equality of the probe
+    results IS the proof that snapshot ⊎ delta ≡ rebuild (the D117/H5
+    incremental discipline applied to the ANN index).
+
+    Persisting (sum, count) rather than the rounded centroid is the
+    design point: rounded means cannot absorb an append, while
+    sufficient statistics merge associatively with any number of deltas
+    and re-derive exactly the rebuild's rounded means.  plan_cache=False:
+    the fn materializes the snapshot artifacts via localCheckpoint.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    snap = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    snap_stats = S.ivf_cell_stats(snap).localCheckpoint()
+    snap_units = S.corpus_units(snap).localCheckpoint()
+    cents, units = S.ivf_refresh_append(snap_stats, snap_units, delta)
+    return S.ivf_topk(
+        e.filter(F.col("vec_id") < 5), k=5, nprobe=2, index=(cents, units)
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)

@@ -262,3 +262,108 @@ def test_ann_recall_matches_operator_intersection(spark, sf_dir):
         assert r["n_hits"] == inter
         assert abs(r["recall_at_5"] - inter / 5) < 1e-9
         assert 0.0 <= r["recall_at_5"] <= 1.0
+
+
+def test_exact_substring_spans_on_constructed_duplication(spark, tmp_path):
+    """dedup_exact_substring must recover the EXACT maximal shared runs:
+    two docs share a 40-token verbatim run (one island covering all 26
+    of its 15-token anchors) and a separate pair of 20-token runs split
+    by unique filler (two islands); sub-k docs and fully unique docs are
+    absent."""
+    import pandas as pd
+
+    common = [f"c{i}" for i in range(40)]
+    run1 = [f"r{i}" for i in range(20)]
+    run2 = [f"s{i}" for i in range(20)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                " ".join([f"a{i}" for i in range(10)] + common
+                         + [f"z{i}" for i in range(5)]),
+                " ".join([f"b{i}" for i in range(5)] + common),
+                " ".join(run1 + [f"g{i}" for i in range(7)] + run2),
+                " ".join(run2 + [f"h{i}" for i in range(9)] + run1),
+                "tiny doc under fifteen tokens stays invisible here ok",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [0] * 5,
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    from lambda_arc_events_filter_spark.queries.curation_q import (
+        dedup_exact_substring,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in dedup_exact_substring(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1/2: one maximal span, exactly the 40 shared tokens
+    for did, n_toks in ((1, 55), (2, 45)):
+        r = out[did]
+        assert (r["n_spans"], r["dup_tokens"], r["max_span_len"]) == (1, 40, 40)
+        assert r["n_tokens"] == n_toks
+    # docs 3/4: TWO 20-token runs separated by unique filler -> 2 islands
+    for did in (3, 4):
+        r = out[did]
+        assert (r["n_spans"], r["dup_tokens"], r["max_span_len"]) == (2, 40, 20)
+
+
+def test_ivf_refresh_append_equals_full_rebuild(spark, sf_dir):
+    """snapshot ⊎ delta ≡ rebuild, Spark-vs-Spark and exactly: the merged
+    centroid table must equal label_centroids over the full corpus, and
+    the refreshed index's probe results must equal probing a one-shot
+    ivf_build_index."""
+    from lambda_arc_events_filter_spark.operators import similarity as S
+
+    e = load(spark, sf_dir, "embeddings")
+    snap = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    cents, units = S.ivf_refresh_append(
+        S.ivf_cell_stats(snap).localCheckpoint(),
+        S.corpus_units(snap).localCheckpoint(),
+        delta,
+    )
+    rebuilt = {
+        r["cell"]: r["centroid"]
+        for r in S.label_centroids(e).collect()
+    }
+    merged = {r["cell"]: r["centroid"] for r in cents.collect()}
+    assert merged == rebuilt
+    q = e.filter(F.col("vec_id") < 5)
+    got = {
+        tuple(r)
+        for r in S.ivf_topk(q, k=5, nprobe=2, index=(cents, units)).collect()
+    }
+    want = {
+        tuple(r)
+        for r in S.ivf_topk(
+            q, k=5, nprobe=2, index=S.ivf_build_index(e)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_refresh_delta_with_new_cell(spark):
+    """An append introducing a brand-new cell must surface that cell in
+    the merged centroids (exactly the delta's mean) and leave snapshot
+    cells' centroids untouched."""
+    from lambda_arc_events_filter_spark.operators import similarity as S
+
+    snap = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 2.0], 0), (3, [3.0, 3.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    delta = spark.createDataFrame(
+        [(4, [5.0, 7.0], 2), (5, [6.0, 8.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents, units = S.ivf_refresh_append(
+        S.ivf_cell_stats(snap), S.corpus_units(snap), delta
+    )
+    got = {r["cell"]: r["centroid"] for r in cents.collect()}
+    assert got == {0: [0.5, 1.0], 1: [3.0, 3.0], 2: [5.5, 7.5]}
+    assert units.count() == 5

@@ -418,3 +418,20 @@ def test_span_masks_single_doc_keyed_exchange(spark, sf_dir):
     df = ALL["corpus_span_corruption_masks"].fn(spark, sf_dir)
     assert I.executed_hash_exchanges(df) <= 1
     assert not I.has_python_in_plan(df)
+
+
+def test_exact_substring_two_exchanges_and_pruned_scan(spark, sf_dir):
+    """dedup_exact_substring: ONE exchange on the md5 anchor digest (the
+    cross-doc window) + ONE on doc_id (island merge); both per-doc
+    aggregates must reuse the doc_id partitioning, and the documents
+    scan must read only (doc_id, text)."""
+    import re
+
+    df = ALL["dedup_exact_substring"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 2, f"expected 2 exchanges, plan has {n_exchanges}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"doc_id", "text"}
