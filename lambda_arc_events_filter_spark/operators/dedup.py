@@ -306,6 +306,106 @@ def minhash_signatures(
     return sig
 
 
+def band_relation(sig: DataFrame, bands: int = 16, rows: int = 6) -> DataFrame:
+    """LSH band keys of a (_id, _n, minhash) signature relation: one row
+    per (doc, band) with the band's xxhash64 bucket key — the join side
+    of candidate generation, shared by the one-shot and append paths."""
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> struct(b as band_idx,"
+        f" xxhash64(slice(minhash, b * {rows} + 1, {rows})) as band_hash))"
+    )
+    return sig.select(
+        "_id", "_n", F.explode(F.expr(band_expr)).alias("band")
+    ).select("_id", "_n", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs_append(
+    snap_post: DataFrame,
+    snap_sig: DataFrame,
+    delta_shingled: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int = 96,
+    bands: int = 16,
+    rows: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup on corpus APPEND: the near-dup pairs
+    a new shard introduces — (delta × snapshot) ∪ (delta × delta) —
+    WITHOUT re-pairing the snapshot against itself.
+
+    MinHash signatures are per-document, so the delta's postings and
+    signatures derive from the delta alone; the snapshot contributes
+    only its PERSISTED index artifacts (postings + signatures — exactly
+    what ``minhash_signatures`` documents as the stored index).  The
+    band join probes delta bands against snapshot ∪ delta bands, so
+    every candidate involves a delta doc by construction and the
+    snapshot×snapshot quadrant — the overwhelming mass at 100 TB — is
+    never generated.  Verification counts over snapshot ∪ delta
+    postings, so emitted jaccard values are exact.  Together with the
+    snapshot's own pair set this reproduces the one-shot pair set
+    exactly (pinned in tests/test_llm.py); the per-append cost is
+    O(|delta| + band collisions), independent of snapshot size.
+    """
+    delta_post = shingle_postings(
+        delta_shingled, id_col, with_sizes=True
+    ).localCheckpoint()
+    delta_sig = minhash_signatures(
+        delta_post, num_hashes, seed
+    ).localCheckpoint()
+    db = band_relation(delta_sig, bands, rows)
+    all_bands = band_relation(snap_sig, bands, rows).unionByName(db)
+    joined = db.select(
+        F.col("_id").alias("_ida"),
+        F.col("_n").alias("_na"),
+        "band_idx",
+        "band_hash",
+    ).join(
+        all_bands.select(
+            F.col("_id").alias("_idb"),
+            F.col("_n").alias("_nb"),
+            "band_idx",
+            "band_hash",
+        ),
+        ["band_idx", "band_hash"],
+    )
+    # normalize (id_a < id_b) AFTER the join: delta×delta pairs arrive in
+    # both orientations, delta×snapshot in one — least/greatest + distinct
+    # collapses both cases
+    candidates = (
+        joined.filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            F.when(F.col("_ida") < F.col("_idb"), F.col("_na"))
+            .otherwise(F.col("_nb"))
+            .alias("n_a"),
+            F.when(F.col("_ida") < F.col("_idb"), F.col("_nb"))
+            .otherwise(F.col("_na"))
+            .alias("n_b"),
+        )
+        .distinct()
+    )
+    post = snap_post.unionByName(delta_post)
+    pa = post.select(F.col("_id").alias("id_a"), "sk").join(
+        F.broadcast(candidates), "id_a"
+    )
+    pb = post.select(F.col("_id").alias("id_b"), "sk")
+    return (
+        pa.join(pb, ["id_b", "sk"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str,
@@ -385,13 +485,7 @@ def minhash_lsh_pairs(
     # explode variant was measured ~25% slower here: collect_list drops
     # the aggregate off the codegen path, while this self-join of the
     # checkpointed signatures is AQE-broadcast with no shuffle.)
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), b -> struct(b as band_idx,"
-        f" xxhash64(slice(minhash, b * {rows} + 1, {rows})) as band_hash))"
-    )
-    bands_df = sig.select(
-        "_id", "_n", F.explode(F.expr(band_expr)).alias("band")
-    ).select("_id", "_n", "band.band_idx", "band.band_hash")
+    bands_df = band_relation(sig, bands, rows)
     candidates = (
         bands_df.select(
             F.col("_id").alias("id_a"),

@@ -223,6 +223,56 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_ORACLE_APPEND = _JACCARD_ORACLE_UNBLOCKED.replace(
+    "WHERE c * 1.0 / (nx.n + ny.n - c) >= 0.5",
+    "WHERE c * 1.0 / (nx.n + ny.n - c) >= 0.5"
+    " AND (id_a % 5 = 0 OR id_b % 5 = 0)",
+)
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_JACCARD_ORACLE_APPEND,
+    tags=("llm", "dedup", "incremental"),
+    # snapshot index artifacts are rebuilt + localCheckpointed per call
+    # (no session-blessed residency), so the registry guard declines the
+    # prepared plan; explicit opt-out as documentation.
+    plan_cache=False,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup on corpus APPEND — the dedup twin
+    of ``ann_ivf_incremental_refresh``'s steady-state discipline: 80% of
+    the corpus plays the already-deduplicated snapshot (its postings +
+    signature index localCheckpointed, the persisted-artifact stand-in),
+    the doc_id % 5 == 0 docs arrive as the new shard, and the query
+    emits exactly the near-dup pairs the append INTRODUCES — delta ×
+    snapshot and delta × delta — without ever generating the snapshot ×
+    snapshot quadrant, which is the overwhelming candidate mass on a
+    100 TB corpus that re-runs dedup per ingest batch.
+
+    The oracle is the one-shot full-corpus exact all-pairs Jaccard
+    RESTRICTED to pairs touching the delta: hash-equality proves
+    append-time dedup finds precisely the pairs a full re-run would
+    (LSH recall ≈ 1 at the fixture's planted-dup similarity, same
+    b=16/r=6 argument as ``dedup_minhash_lsh``); the snapshot-only
+    complement is pinned Spark-side in tests/test_llm.py
+    (snapshot-pairs ∪ append-pairs == one-shot pairs).  Per-append cost
+    is O(|delta| + band collisions) independent of snapshot size: delta
+    signatures derive from delta docs alone, and at scale the delta's
+    band keys broadcast-probe the band-bucketed snapshot index.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    snap = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    snap_post = D.shingle_postings(
+        snap, "doc_id", with_sizes=True
+    ).localCheckpoint()
+    snap_sig = D.minhash_signatures(snap_post).localCheckpoint()
+    return D.minhash_lsh_pairs_append(
+        snap_post, snap_sig, delta, id_col="doc_id", threshold=0.5
+    )
+
+
 @register("dedup_simhash_pairs", oracle=None, tags=("llm", "dedup"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 6 of 64 bits), candidate-blocked

@@ -367,3 +367,35 @@ def test_ivf_refresh_delta_with_new_cell(spark):
     got = {r["cell"]: r["centroid"] for r in cents.collect()}
     assert got == {0: [0.5, 1.0], 1: [3.0, 3.0], 2: [5.5, 7.5]}
     assert units.count() == 5
+
+
+def test_minhash_append_pairs_complete_the_one_shot_set(spark, sf_dir):
+    """snapshot-internal pairs ∪ append pairs must equal the one-shot
+    full-corpus pair set exactly — i.e. incremental dedup misses nothing
+    a full re-run would find, and invents nothing it wouldn't."""
+    from lambda_arc_events_filter_spark.operators import dedup as D
+
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    one_shot = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(d, "doc_id", 0.5).collect()
+    }
+    snap = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    snap_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(snap, "doc_id", 0.5).collect()
+    }
+    snap_post = D.shingle_postings(
+        snap, "doc_id", with_sizes=True
+    ).localCheckpoint()
+    snap_sig = D.minhash_signatures(snap_post).localCheckpoint()
+    append_pairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs_append(
+            snap_post, snap_sig, delta, id_col="doc_id", threshold=0.5
+        ).collect()
+    }
+    assert append_pairs and snap_pairs
+    assert snap_pairs.isdisjoint(append_pairs)
+    assert snap_pairs | append_pairs == one_shot
