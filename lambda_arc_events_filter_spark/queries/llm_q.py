@@ -16,7 +16,10 @@ from lambda_arc_events_filter_spark.cache import (
     release_plans_for,
 )
 from lambda_arc_events_filter_spark.catalog import load
-from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
+from lambda_arc_events_filter_spark.functions.exact import (
+    round_int_ratio,
+    round_int_ratio_sql,
+)
 from lambda_arc_events_filter_spark.operators import dedup as D
 from lambda_arc_events_filter_spark.operators import similarity as S
 from lambda_arc_events_filter_spark.operators import text as T
@@ -712,6 +715,173 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike md5-of-text it doubles as a cross-engine content checksum."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint_expr().alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003 — the MOSS algorithm)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # token k-gram width
+_WIN_W = 5  # winnowing window (selection guarantee: runs >= k + w - 1 = 8)
+_WIN_POSPACK = 1_048_576  # 2^20: (hash, pos) packed into one BIGINT key
+
+_WINNOW_SELECTED_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') sp FROM documents),
+    g AS (SELECT doc_id, len(sp) - {_WIN_K - 1} AS n_grams, i AS pos,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split_regex(
+                array_to_string(sp[i:i+{_WIN_K - 1}], ' '), ''),
+                c -> ascii(c))),
+              (a, b) -> (a * {T.FINGERPRINT_BASE} + b)
+                        % {T.FINGERPRINT_P}) AS h
+          FROM t, LATERAL (SELECT unnest(range(1, len(sp) - {_WIN_K - 2}))
+                           AS i)),
+    k AS (SELECT doc_id, n_grams, pos,
+                 h * {_WIN_POSPACK} + ({_WIN_POSPACK - 1} - pos) AS key
+          FROM g),
+    w AS (SELECT doc_id, n_grams, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+                   AS sel
+          FROM k),
+    s AS (SELECT DISTINCT doc_id, n_grams, sel
+          FROM w WHERE pos >= {_WIN_W})
+"""
+
+
+def _winnowing_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected winnowing fingerprints per doc: (doc_id, n_grams, sel)
+    where sel packs (k-gram rolling hash, rightmost-tie position) into
+    one BIGINT so a single frame-min implements winnowing's
+    min-with-rightmost-tie selection rule.  Position packing caps docs
+    at 2^20 k-grams — beyond that, widen the pack constant (the key
+    stays < 2^52, exact in doubles and BIGINTs everywhere)."""
+    k, wlen = _WIN_K, _WIN_W
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    g = d.select(
+        "doc_id",
+        (F.size("tokens") - (k - 1)).alias("n_grams"),
+        F.posexplode(
+            F.expr(
+                f"if(size(tokens) < {k}, array(),"
+                f" transform(sequence(1, size(tokens) - {k} + 1),"
+                f" i -> aggregate(split(array_join(slice(tokens, i, {k}),"
+                f" ' '), ''), 0L,"
+                f" (h, c) -> pmod(h * {T.FINGERPRINT_BASE} + ascii(c),"
+                f" {T.FINGERPRINT_P}))))"
+            )
+        ).alias("p0", "h"),
+    )
+    keyed = g.select(
+        "doc_id",
+        "n_grams",
+        (F.col("p0") + 1).alias("pos"),
+        (
+            F.col("h") * _WIN_POSPACK
+            + (F.lit(_WIN_POSPACK - 1) - (F.col("p0") + 1))
+        ).alias("key"),
+    )
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(wlen - 1), 0)
+    )
+    return (
+        keyed.withColumn("sel", F.min("key").over(wd))
+        .filter(F.col("pos") >= wlen)
+        .select("doc_id", "n_grams", "sel")
+        .distinct()
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_WINNOW_SELECTED_SQL
+    + f"""
+    SELECT doc_id,
+           CAST(min(n_grams) AS BIGINT) AS n_grams,
+           CAST(min(n_grams) - {_WIN_W - 1} AS BIGINT) AS n_windows,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           {round_int_ratio_sql(f'count(*)', f'min(n_grams) - {_WIN_W - 1}', 6)}
+             AS fp_density
+    FROM s GROUP BY doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    local fingerprinting algorithm): hash every k=4-token gram with the
+    engine's cross-exact polynomial rolling hash, slide a w=5 window
+    over the hash sequence, and select each window's minimum (rightmost
+    tie-break) — giving the winnowing GUARANTEE that any verbatim run of
+    >= k + w - 1 = 8 tokens shared between documents shares at least one
+    selected fingerprint, at an expected density of 2/(w+1) of
+    positions.  The (hash, rightmost-pos) selection rule is ONE integer
+    frame-min: the hash packs with the negated position into a single
+    BIGINT, so min(key) IS argmin-with-rightmost-tie — no struct
+    comparison, identical arithmetic in both engines.
+
+    Per doc: gram count, window count, selected-fingerprint count, and
+    selection density.  Plan: guarded gram posexplode -> ONE doc-keyed
+    exchange serving the bounded 5-row frame window, the distinct, and
+    the per-doc aggregate — a document never leaves its partition, so
+    the operator scales with corpus size like any doc-keyed pass.
+    """
+    fps = _winnowing_selected(spark, sf_dir)
+    return fps.groupBy("doc_id").agg(
+        F.min("n_grams").cast("bigint").alias("n_grams"),
+        (F.min("n_grams") - (_WIN_W - 1)).cast("bigint").alias("n_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        round_int_ratio(
+            F.count(F.lit(1)), F.min("n_grams") - (_WIN_W - 1), 6
+        ).alias("fp_density"),
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=_WINNOW_SELECTED_SQL
+    + f"""
+    , fp AS (SELECT DISTINCT doc_id, sel // {_WIN_POSPACK} AS fph FROM s)
+    SELECT id_a, id_b, n_shared FROM (
+      SELECT a.doc_id id_a, b.doc_id id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fp a JOIN fp b ON a.fph = b.fph AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    WHERE n_shared >= 2
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-sharing candidate pairs over the winnowing selection —
+    MOSS's match step: docs sharing >= 2 selected fingerprint hashes,
+    with the shared count.  The winnowing guarantee makes this a
+    RECALL-complete candidate set for verbatim overlaps of >= 8 tokens
+    (each such run contributes a shared fingerprint) at ~2/(w+1) the
+    index size of full k-gram postings — the classic
+    cheaper-index/bounded-recall point between exact shingle Jaccard
+    (full postings) and MinHash (fixed-size signatures).
+
+    Inverted-index equi-join on the fingerprint hash: cost Σ df² over
+    SELECTED hashes only; a hot boilerplate fingerprint takes the same
+    posting-frequency cap lever as the shingle family
+    (operators/dedup.py).  On the fixture the top shared counts land
+    exactly on the planted near-dup pairs.
+    """
+    fps = (
+        _winnowing_selected(spark, sf_dir)
+        .select("doc_id", F.expr(f"sel div {_WIN_POSPACK}").alias("fph"))
+        .distinct()
+    )
+    pairs = (
+        fps.select(F.col("doc_id").alias("id_a"), "fph")
+        .join(fps.select(F.col("doc_id").alias("id_b"), "fph"), "fph")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return pairs
 
 
 @register(

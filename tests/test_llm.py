@@ -399,3 +399,72 @@ def test_minhash_append_pairs_complete_the_one_shot_set(spark, sf_dir):
     assert append_pairs and snap_pairs
     assert snap_pairs.isdisjoint(append_pairs)
     assert snap_pairs | append_pairs == one_shot
+
+
+def test_winnowing_guarantee_on_constructed_overlap(spark, tmp_path):
+    """The winnowing (k=4, w=5) guarantee: any shared verbatim run of
+    >= k + w - 1 = 8 tokens must share at least one selected
+    fingerprint; disjoint-vocabulary docs share none."""
+    import pandas as pd
+
+    shared8 = [f"q{i}" for i in range(8)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join([f"a{i}" for i in range(12)] + shared8
+                         + [f"b{i}" for i in range(12)]),
+                " ".join([f"c{i}" for i in range(9)] + shared8
+                         + [f"d{i}" for i in range(9)]),
+                " ".join([f"e{i}" for i in range(30)]),
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0] * 3,
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    from lambda_arc_events_filter_spark.queries.llm_q import (
+        _WIN_POSPACK,
+        _winnowing_selected,
+    )
+
+    fps = _winnowing_selected(spark, str(tmp_path)).select(
+        "doc_id", F.expr(f"sel div {_WIN_POSPACK}").alias("fph")
+    )
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fph"])
+    assert by_doc[1] & by_doc[2], "8-token shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_density_near_expected(spark, sf_dir):
+    """Winnowing selects ~2/(w+1) = 1/3 of window positions in expectation
+    on random-ish text; the fixture's corpus-mean density must land in a
+    generous band around it (repetition pulls it down, short docs up)."""
+    rows = specs()["text_winnowing_fingerprints"].fn(spark, sf_dir).collect()
+    assert rows
+    mean_density = sum(r["fp_density"] for r in rows) / len(rows)
+    assert 0.15 < mean_density < 0.55, mean_density
+
+
+def test_winnowing_pairs_recover_planted_near_dups(spark, sf_dir):
+    """The highest shared-fingerprint pairs must be exactly near-dup pairs
+    the exact-Jaccard operator confirms (winnowing is their cheap
+    candidate generator)."""
+    from lambda_arc_events_filter_spark.operators import dedup as D
+
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(d, "doc_id", 0.5).collect()
+    }
+    win = sorted(
+        specs()["dedup_winnowing_pairs"].fn(spark, sf_dir).collect(),
+        key=lambda r: -r["n_shared"],
+    )
+    assert win
+    top = [(r["id_a"], r["id_b"]) for r in win[: len(exact)]]
+    hits = sum(1 for p in top if p in exact)
+    assert hits >= len(exact) * 0.8, (hits, len(exact))

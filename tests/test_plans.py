@@ -435,3 +435,15 @@ def test_exact_substring_two_exchanges_and_pruned_scan(spark, sf_dir):
     assert m and set(
         c.split(":")[0] for c in m.group(1).split(",")
     ) == {"doc_id", "text"}
+
+
+def test_winnowing_fingerprints_single_doc_exchange(spark, sf_dir):
+    """text_winnowing_fingerprints: ONE doc-keyed exchange must serve the
+    bounded 5-row frame window, the distinct, and the per-doc aggregate —
+    a document never leaves its partition."""
+    import re
+
+    df = ALL["text_winnowing_fingerprints"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
