@@ -2094,6 +2094,53 @@ def corpus_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ESS_K = 15  # anchor width in tokens (Lee et al. use 50; fixture docs are 10-99)
 
 
+def _exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated spans (doc_id, n_tokens, isle, s, e2)
+    — the suffix-array-sweep reconstruction shared by the measurement
+    (``dedup_exact_substring``) and the cut manifest
+    (``dedup_exact_substring_cut``).  See the former's docstring for the
+    anchor/window/islands derivation."""
+    k = _ESS_K
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    g = d.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                f"if(size(tokens) < {k}, array(),"
+                f" transform(sequence(1, size(tokens) - {k} + 1),"
+                f" i -> md5(array_join(slice(tokens, i, {k}), ' '))))"
+            )
+        ).alias("p0", "gk"),
+    )
+    wg = Window.partitionBy("gk")
+    dup = (
+        g.withColumn("d_min", F.min("doc_id").over(wg))
+        .withColumn("d_max", F.max("doc_id").over(wg))
+        .filter(F.col("d_min") != F.col("d_max"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("p0") + 1).alias("pos"),
+            (F.col("p0") + k).alias("e"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.withColumn(
+        "nf",
+        F.when(prev_e.isNull() | (F.col("pos") > prev_e + 1), 1).otherwise(0),
+    ).withColumn(
+        "isle",
+        F.sum("nf").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "isle").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("s"),
+        F.max("e").alias("e2"),
+    )
+
+
 @register(
     "dedup_exact_substring",
     oracle=f"""
@@ -2160,45 +2207,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting lever documented in operators/dedup.py.  Docs shorter than
     k tokens or with no cross-doc anchor are absent in both engines.
     """
-    k = _ESS_K
-    d = D.with_tokens(load(spark, sf_dir, "documents"))
-    g = d.select(
-        "doc_id",
-        F.size("tokens").alias("n_tokens"),
-        F.posexplode(
-            F.expr(
-                f"if(size(tokens) < {k}, array(),"
-                f" transform(sequence(1, size(tokens) - {k} + 1),"
-                f" i -> md5(array_join(slice(tokens, i, {k}), ' '))))"
-            )
-        ).alias("p0", "gk"),
-    )
-    wg = Window.partitionBy("gk")
-    dup = (
-        g.withColumn("d_min", F.min("doc_id").over(wg))
-        .withColumn("d_max", F.max("doc_id").over(wg))
-        .filter(F.col("d_min") != F.col("d_max"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("p0") + 1).alias("pos"),
-            (F.col("p0") + k).alias("e"),
-        )
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    prev_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    isl = dup.withColumn(
-        "nf",
-        F.when(prev_e.isNull() | (F.col("pos") > prev_e + 1), 1).otherwise(0),
-    ).withColumn(
-        "isle",
-        F.sum("nf").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy("doc_id", "isle").agg(
-        F.min("n_tokens").alias("n_tokens"),
-        F.min("pos").alias("s"),
-        F.max("e").alias("e2"),
-    )
+    spans = _exact_dup_spans(spark, sf_dir)
     span_len = F.col("e2") - F.col("s") + 1
     return spans.groupBy("doc_id").agg(
         F.min("n_tokens").cast("bigint").alias("n_tokens"),
@@ -2208,4 +2217,117 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_int_ratio(F.sum(span_len), F.min("n_tokens"), 6).alias(
             "dup_frac"
         ),
+    )
+
+
+@register(
+    "dedup_exact_substring_cut",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    g AS (SELECT doc_id, len(sp) AS n_tokens, i AS pos, i + {_ESS_K} - 1 AS e,
+                 md5(array_to_string(sp[i:i+{_ESS_K}-1], ' ')) AS gk
+          FROM t, LATERAL (SELECT unnest(range(1, len(sp) - {_ESS_K} + 2)) AS i)),
+    p AS (SELECT doc_id, n_tokens, pos, e,
+                 min(doc_id) OVER (PARTITION BY gk) AS d_min,
+                 max(doc_id) OVER (PARTITION BY gk) AS d_max
+          FROM g),
+    dup AS (SELECT doc_id, n_tokens, pos, e FROM p WHERE d_min <> d_max),
+    m AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM dup),
+    f AS (SELECT *, CASE WHEN prev_e IS NULL OR pos > prev_e + 1
+                         THEN 1 ELSE 0 END AS nf
+          FROM m),
+    isl AS (SELECT *, sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+            FROM f),
+    sp2 AS (SELECT doc_id, isle, min(n_tokens) AS n_tokens,
+                   min(pos) AS s, max(e) AS e2
+            FROM isl GROUP BY 1, 2),
+    sq AS (SELECT doc_id, n_tokens, s, e2,
+                  lag(e2) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn,
+                  count(*) OVER (PARTITION BY doc_id) AS nspans
+           FROM sp2),
+    keep AS (
+      SELECT doc_id, coalesce(prev_e, 0) + 1 AS ks, s - 1 AS ke FROM sq
+      WHERE s - 1 >= coalesce(prev_e, 0) + 1
+      UNION ALL
+      SELECT doc_id, e2 + 1 AS ks, n_tokens AS ke FROM sq
+      WHERE rn = nspans AND e2 < n_tokens)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ks)
+                AS BIGINT) AS seg_id,
+           CAST(ks AS BIGINT) AS keep_start,
+           CAST(ke AS BIGINT) AS keep_end,
+           CAST(ke - ks + 1 AS BIGINT) AS seg_len
+    FROM keep
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of exact-substring dedup — Lee et al. 2022's
+    cut step as a rewrite manifest: for every document with duplicated
+    runs, the ordered keep-intervals (token positions) remaining after
+    cutting every maximal cross-doc duplicated span.  This is what the
+    pipeline's rewrite job consumes: each (doc_id, keep_start, keep_end)
+    row is one ``slice(tokens, ...)`` of the cleaned output, so the cut
+    itself is a narrow per-doc map over the manifest join — no second
+    dedup pass.  Cut policy: remove duplicated spans from EVERY holder
+    (the conservative all-copies policy; keeper election composes via
+    the ``dedup_cluster_representatives`` machinery when one copy should
+    survive).  A doc whose every token is covered emits NO keep rows —
+    fully-boilerplate docs drop entirely; docs with no duplicated runs
+    are absent (nothing to rewrite) — both facts hold in both engines.
+
+    Plan: the shared span relation (see ``_exact_dup_spans``: one anchor
+    shuffle + one doc-keyed islands pass), then the interval COMPLEMENT
+    entirely inside the same doc partitioning: lag(prev span end) gives
+    head/middle gaps, the rn = nspans row contributes the tail, one
+    union, one row_number — no new exchange beyond the span relation's
+    own (plan-tested).
+    """
+    spans = _exact_dup_spans(spark, sf_dir)
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    sq = (
+        spans.withColumn("prev_e", F.lag("e2").over(wd))
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn(
+            "nspans", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    # Each span row yields up to TWO keep candidates — the gap before it
+    # and (on the last span only) the tail — via one explode, NOT a
+    # union: a union's two branches re-derive the whole span subtree and
+    # their differing pushed predicates break ReuseExchange (measured: 2
+    # FileScans / 4 exchanges as a union, 1 scan / 2 exchanges this way).
+    gap_ks = F.coalesce(F.col("prev_e"), F.lit(0)) + 1
+    tail_ok = (F.col("rn") == F.col("nspans")) & (
+        F.col("e2") < F.col("n_tokens")
+    )
+    cand = sq.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    gap_ks.cast("long").alias("ks"),
+                    (F.col("s") - 1).cast("long").alias("ke"),
+                ),
+                F.struct(
+                    F.when(tail_ok, F.col("e2") + 1).cast("long").alias("ks"),
+                    F.col("n_tokens").cast("long").alias("ke"),
+                ),
+            )
+        ).alias("seg"),
+    )
+    keep = cand.filter(
+        F.col("seg.ks").isNotNull() & (F.col("seg.ke") >= F.col("seg.ks"))
+    ).select("doc_id", F.col("seg.ks").alias("ks"), F.col("seg.ke").alias("ke"))
+    wk = Window.partitionBy("doc_id").orderBy("ks")
+    return keep.select(
+        "doc_id",
+        F.row_number().over(wk).cast("bigint").alias("seg_id"),
+        F.col("ks").cast("bigint").alias("keep_start"),
+        F.col("ke").cast("bigint").alias("keep_end"),
+        (F.col("ke") - F.col("ks") + 1).cast("bigint").alias("seg_len"),
     )

@@ -468,3 +468,55 @@ def test_winnowing_pairs_recover_planted_near_dups(spark, sf_dir):
     top = [(r["id_a"], r["id_b"]) for r in win[: len(exact)]]
     hits = sum(1 for p in top if p in exact)
     assert hits >= len(exact) * 0.8, (hits, len(exact))
+
+
+def test_exact_substring_cut_manifest_complements_spans(spark, tmp_path):
+    """The cut manifest must emit exactly the interval complement of the
+    duplicated spans: head/middle/tail keep segments with correct
+    boundaries, fully-duplicated docs dropping entirely (no keep rows),
+    and clean docs absent."""
+    import pandas as pd
+
+    common = [f"c{i}" for i in range(40)]
+    run1 = [f"r{i}" for i in range(20)]
+    run2 = [f"s{i}" for i in range(20)]
+    clone = [f"x{i}" for i in range(20)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": [
+                " ".join([f"a{i}" for i in range(10)] + common
+                         + [f"z{i}" for i in range(5)]),
+                " ".join([f"b{i}" for i in range(5)] + common),
+                " ".join(run1 + [f"g{i}" for i in range(7)] + run2),
+                " ".join(run2 + [f"h{i}" for i in range(9)] + run1),
+                "clean doc with nothing shared at all in this text ok",
+                " ".join(clone),
+                " ".join(clone),
+            ],
+            "lang": ["en"] * 7,
+            "source": ["s"] * 7,
+            "n_chars": [0] * 7,
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    from lambda_arc_events_filter_spark.queries.curation_q import (
+        dedup_exact_substring_cut,
+    )
+
+    segs = {}
+    for r in dedup_exact_substring_cut(spark, str(tmp_path)).collect():
+        segs.setdefault(r["doc_id"], []).append(
+            (r["seg_id"], r["keep_start"], r["keep_end"], r["seg_len"])
+        )
+    for v in segs.values():
+        v.sort()
+    # doc 1: span [11,50] of 55 -> keep [1,10] + [51,55]
+    assert segs[1] == [(1, 1, 10, 10), (2, 51, 55, 5)]
+    # doc 2: span [6,45] of 45 -> head keep only
+    assert segs[2] == [(1, 1, 5, 5)]
+    # docs 3/4: two runs, middle filler survives
+    assert segs[3] == [(1, 21, 27, 7)]
+    assert segs[4] == [(1, 21, 29, 9)]
+    # clean doc absent; fully-duplicated clones drop entirely
+    assert 5 not in segs and 6 not in segs and 7 not in segs

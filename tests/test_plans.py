@@ -447,3 +447,17 @@ def test_winnowing_fingerprints_single_doc_exchange(spark, sf_dir):
     plan = I.formatted_plan(df)
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+
+
+def test_exact_substring_cut_reuses_span_subtree(spark, sf_dir):
+    """dedup_exact_substring_cut derives both gap and tail keep segments
+    from ONE explode over the span relation — a union formulation
+    re-derived the whole span subtree per branch (2 scans / 4
+    exchanges); this pins the single-scan, two-exchange shape."""
+    import re
+
+    df = ALL["dedup_exact_substring_cut"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert (n_exchanges, n_scans) == (2, 1), (n_exchanges, n_scans)
