@@ -116,14 +116,17 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
 
 
 def test_kll_merge_fold_is_order_invariant(spark, sf_dir):
-    """Regression (r11 ADVICE): KLL merge is merge-order-dependent and
-    collect_list order is shuffle-dependent, so the merged-total
-    quantiles could vary run to run.  The fold now array_sorts the
-    (event_type, sketch) structs before folding; feeding the SAME
-    per-type sketch blobs in opposite input orders must produce
-    identical total quantiles.  (End-to-end repeat-run equality is not
-    pinnable: the per-type sketch BUILD itself depends on insertion
-    order and KLL compaction randomness.)"""
+    """Regression (r11 ADVICE): collect_list order is shuffle-dependent
+    and KLL merge is merge-order-dependent, so the merged-total
+    quantiles could vary with partitioning.  The fold now array_sorts
+    the (event_type, sketch) structs before folding — this pins that the
+    SORTED SKETCH SEQUENCE (the fold input) is identical for opposite
+    input orders, and that the resulting quantiles agree within the
+    sketch's own rank-error band.  Exact value equality is NOT pinnable:
+    kll_sketch_merge_double itself flips random compaction coins, so
+    even identical ordered inputs can differ run-to-run within the
+    error guarantee (observed: p90 115.72 vs 114.69 on the same
+    blobs)."""
     import pyspark.sql.functions as F
 
     e = load(spark, sf_dir, "events")
@@ -134,19 +137,20 @@ def test_kll_merge_fold_is_order_invariant(spark, sf_dir):
     )
     assert len(blobs) >= 2
 
-    def fold(rows):
+    def sorted_seq_and_quantiles(rows):
         df = spark.createDataFrame(
             [(r["event_type"], bytearray(r["_sk"])) for r in rows],
             "event_type string, _sk binary",
         ).coalesce(1)
+        agg = df.agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(event_type, _sk))),"
+                " s -> s._sk)"
+            ).alias("_sks")
+        )
+        (seq,) = agg.collect()
         out = (
-            df.agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(event_type, _sk))),"
-                    " s -> s._sk)"
-                ).alias("_sks")
-            )
-            .select(
+            agg.select(
                 F.expr(
                     "aggregate(slice(_sks, 2, greatest(size(_sks) - 1, 0)),"
                     " _sks[0],"
@@ -160,6 +164,13 @@ def test_kll_merge_fold_is_order_invariant(spark, sf_dir):
             )
             .collect()[0]
         )
-        return tuple(out)
+        return [bytes(b) for b in seq["_sks"]], tuple(out)
 
-    assert fold(blobs) == fold(list(reversed(blobs)))
+    seq_fwd, q_fwd = sorted_seq_and_quantiles(blobs)
+    seq_rev, q_rev = sorted_seq_and_quantiles(list(reversed(blobs)))
+    # the fix's guarantee: the fold consumes an identical sorted sequence
+    assert seq_fwd == seq_rev and len(seq_fwd) >= 2
+    # merge randomness bounded by the sketch guarantee (k=200 ~ 1.65%
+    # one-sided rank error; 5% value band is generous at this skew)
+    for a, b in zip(q_fwd, q_rev):
+        assert abs(a - b) <= 0.05 * max(abs(a), abs(b)), (q_fwd, q_rev)
