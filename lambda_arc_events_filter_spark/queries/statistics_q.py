@@ -4425,3 +4425,421 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_value"),
         (p < 0.001).alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise strength (MM fixed-point)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_bradley_terry_strength",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_linenumber, p_brand AS brand, l_quantity
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    comp AS (
+      SELECT CASE WHEN a.l_quantity > b.l_quantity
+                  THEN a.brand ELSE b.brand END AS w,
+             CASE WHEN a.l_quantity > b.l_quantity
+                  THEN b.brand ELSE a.brand END AS l
+      FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
+        AND (a.l_linenumber, a.brand, a.l_quantity)
+          < (b.l_linenumber, b.brand, b.l_quantity)
+      WHERE a.brand <> b.brand AND a.l_quantity <> b.l_quantity
+    ),
+    c AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c FROM comp GROUP BY 1, 2),
+    qual AS (SELECT w AS brand FROM c INTERSECT SELECT l FROM c),
+    c2 AS (
+      SELECT c.w, c.l, c.c FROM c
+      JOIN qual qw ON c.w = qw.brand JOIN qual ql ON c.l = ql.brand
+    ),
+    opp AS (
+      SELECT i, j, sum(c) AS n FROM (
+        SELECT w AS i, l AS j, c FROM c2
+        UNION ALL SELECT l AS i, w AS j, c FROM c2
+      ) GROUP BY 1, 2
+    ),
+    wins AS (SELECT w AS brand, CAST(sum(c) AS BIGINT) AS wins
+             FROM c2 GROUP BY 1),
+    games AS (SELECT i AS brand, CAST(sum(n) AS BIGINT) AS games
+              FROM opp GROUP BY 1),
+    p1 AS (
+      SELECT g.brand, round(coalesce(w.wins, 0) * 2.0 / g.games, 9) AS p
+      FROM games g LEFT JOIN wins w ON w.brand = g.brand
+    ),
+    p2 AS (
+      SELECT o.i AS brand, round(w.wins / sum(o.n / (pi.p + pj.p)), 9) AS p
+      FROM opp o JOIN p1 pi ON pi.brand = o.i JOIN p1 pj ON pj.brand = o.j
+      JOIN wins w ON w.brand = o.i GROUP BY o.i, w.wins
+    ),
+    p3 AS (
+      SELECT o.i AS brand, round(w.wins / sum(o.n / (pi.p + pj.p)), 9) AS p
+      FROM opp o JOIN p2 pi ON pi.brand = o.i JOIN p2 pj ON pj.brand = o.j
+      JOIN wins w ON w.brand = o.i GROUP BY o.i, w.wins
+    )
+    SELECT p3.brand, w.wins, g.games,
+           round(p3.p / (SELECT avg(p) FROM p3), 6) AS strength
+    FROM p3 JOIN wins w ON w.brand = p3.brand
+    JOIN games g ON g.brand = p3.brand
+    ORDER BY p3.brand
+    """,
+    tags=("stats", "iterative", "agg"),
+    plan_cache=False,  # checkpoints the comparison matrix (see docstring)
+)
+def parts_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry (1952) pairwise-preference strength per brand, fit
+    with three Hunter-(2004)-MM iterations — the model behind RLHF
+    preference-pair reward aggregation and ranking-from-comparisons
+    pipelines.  Comparisons are mined from order baskets: within each
+    order, every DISTINCT line pair with differing brands and differing
+    quantities is a "game" the higher-quantity brand wins; the MM update
+    is ``p_i ← W_i / Σ_j n_ij/(p_i+p_j)`` from the uniform vector, and
+    the report normalizes to mean 1 so strengths are relative odds.
+
+    Scale shape: pair generation is IN-ROW — one exchange keyed on
+    ``l_orderkey`` builds the per-order distinct-line array (bounded by
+    lines-per-order, a schema constant) and a nested-``transform`` HOF
+    emits ordered pairs without any fact self-join; the comparison
+    matrix that leaves the fact stage is ≤ |brands|² rows.  Each MM
+    round is then a join-aggregate over that tiny matrix with the
+    rating vector broadcast both sides — the pagerank discipline
+    (round4_q.py): iterate on the AGGREGATED relation, never re-touch
+    facts.  The pair set is pinned to a strict lexicographic order on
+    distinct (linenumber, brand, quantity) triples so both engines
+    enumerate the identical multiset (the fixture has duplicate
+    linenumbers within orders; ``collect_set`` + ``sort_array`` here ≡
+    DISTINCT + row-value ``<`` in the oracle).  Ratings round to 9
+    between rounds (identical trajectories) and to 6 at the end.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = li.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("brand"),
+        "l_quantity",
+    )
+    basket = lines.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_set(F.struct("l_linenumber", "brand", "l_quantity"))
+        ).alias("xs")
+    )
+    comp = basket.select(
+        F.explode(
+            F.expr(
+                """
+                filter(
+                  flatten(transform(xs, (a, i) -> transform(xs, (b, j) ->
+                    IF(j > i AND a.brand <> b.brand
+                           AND a.l_quantity <> b.l_quantity,
+                       named_struct(
+                         'w', IF(a.l_quantity > b.l_quantity,
+                                 a.brand, b.brand),
+                         'l', IF(a.l_quantity > b.l_quantity,
+                                 b.brand, a.brand)),
+                       CAST(NULL AS struct<w: string, l: string>))))),
+                  x -> x IS NOT NULL)
+                """
+            )
+        ).alias("g")
+    )
+    # ≤ |brands|² rows; EVERY downstream relation (qual, opp, wins,
+    # games, 3 MM rounds) re-reads it, so without this checkpoint the
+    # fact-scale pair generation would re-execute once per consumer
+    # (measured 50 s → ~3 s at sf0.01).  plan_cache=False above: the
+    # cached plan would pin this materialized RDD.
+    c = comp.groupBy(
+        F.col("g.w").alias("w"), F.col("g.l").alias("l")
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
+    qual = c.select(F.col("w").alias("brand")).distinct().join(
+        c.select(F.col("l").alias("brand")).distinct(), "brand"
+    )
+    c2 = c.join(
+        F.broadcast(qual.withColumnRenamed("brand", "w")), "w"
+    ).join(F.broadcast(qual.withColumnRenamed("brand", "l")), "l")
+    opp = (
+        c2.select(F.col("w").alias("i"), F.col("l").alias("j"), "c")
+        .unionAll(c2.select(F.col("l").alias("i"), F.col("w").alias("j"), "c"))
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("n"))
+    )
+    wins = c2.groupBy("w").agg(F.sum("c").alias("wins")).select(
+        F.col("w").alias("brand"), F.col("wins").cast("bigint").alias("wins")
+    )
+    games = opp.groupBy("i").agg(F.sum("n").alias("games")).select(
+        F.col("i").alias("brand"),
+        F.col("games").cast("bigint").alias("games"),
+    )
+    prev = games.join(F.broadcast(wins), "brand", "left").select(
+        "brand",
+        F.round(
+            F.coalesce(F.col("wins"), F.lit(0)) * 2.0 / F.col("games"), 9
+        ).alias("p"),
+    )
+    for _ in range(2):  # p1 computed above; two more MM rounds → p3
+        pi = prev.select(F.col("brand").alias("i"), F.col("p").alias("pi"))
+        pj = prev.select(F.col("brand").alias("j"), F.col("p").alias("pj"))
+        prev = (
+            opp.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("n") / (F.col("pi") + F.col("pj"))).alias("den"))
+            .join(F.broadcast(wins.withColumnRenamed("brand", "i")), "i")
+            .select(
+                F.col("i").alias("brand"),
+                F.round(F.col("wins") / F.col("den"), 9).alias("p"),
+            )
+        )
+    mean_p = prev.agg(F.avg("p").alias("mp"))
+    return (
+        prev.join(F.broadcast(wins), "brand")
+        .join(F.broadcast(games), "brand")
+        .crossJoin(F.broadcast(mean_p))
+        .select(
+            "brand",
+            "wins",
+            "games",
+            F.round(F.col("p") / F.col("mp"), 6).alias("strength"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-group jackknife CI for a ratio metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_jackknife_ratio_ci",
+    oracle="""
+    WITH g AS (
+      SELECT n_name AS grp, CAST(count(*) AS BIGINT) AS n_g,
+             sum(o_totalprice) AS s_g
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS grps,
+                 CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s FROM g),
+    loo AS (
+      SELECT grp, (t.s - g.s_g) / (t.n - g.n_g) AS th FROM g, t
+    ),
+    m AS (SELECT avg(th) AS thbar FROM loo),
+    v AS (SELECT sum((th - thbar) * (th - thbar)) AS ss FROM loo, m)
+    SELECT t.grps AS n_groups, t.n AS n_orders,
+           round(t.s / t.n, 6) AS estimate,
+           round(sqrt((t.grps - 1.0) / t.grps * v.ss), 6) AS se_jack,
+           round(t.s / t.n
+                 - 1.959964 * sqrt((t.grps - 1.0) / t.grps * v.ss),
+                 6) AS ci_lo,
+           round(t.s / t.n
+                 + 1.959964 * sqrt((t.grps - 1.0) / t.grps * v.ss),
+                 6) AS ci_hi
+    FROM t, v
+    """,
+    tags=("stats", "agg"),
+)
+def orders_jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife (Quenouille 1956 / Tukey 1958) CI for
+    a ratio metric — average order value ``Σ totalprice / Σ orders``
+    grouped by customer nation.  Ratio metrics have no closed-form SE
+    (the denominator is random); the delete-one jackknife is the
+    standard experimentation-platform answer: recompute the ratio
+    leaving each group out (closed form from per-group sums — no
+    resampling pass), then ``se² = (G−1)/G · Σ(θ₍g₎ − θ̄)²``.
+
+    Scale shape: ONE fact-scale aggregate keyed on ``o_custkey``
+    (map-side combinable) collapses orders before any join; the
+    customer→nation enrichment then joins ≤|customers| rows with nation
+    broadcast, and every jackknife step after that operates on the
+    G=25-row group relation via broadcast cross joins — leave-one-out
+    NEVER rescans facts, which is exactly why the closed-form grouped
+    jackknife (not bootstrap resampling) is the estimator a 100 TB
+    metrics pipeline runs.  z = 1.959964 (two-sided 95%), round-6.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    percust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("o_totalprice").alias("s_c")
+    )
+    g = (
+        percust.join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("grp"))
+        .agg(
+            F.sum("n_c").cast("bigint").alias("n_g"),
+            F.sum("s_c").alias("s_g"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("grps"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").alias("s"),
+    )
+    loo = g.crossJoin(F.broadcast(t)).select(
+        ((F.col("s") - F.col("s_g")) / (F.col("n") - F.col("n_g"))).alias(
+            "th"
+        )
+    )
+    m = loo.agg(F.avg("th").alias("thbar"))
+    v = (
+        loo.crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                (F.col("th") - F.col("thbar"))
+                * (F.col("th") - F.col("thbar"))
+            ).alias("ss")
+        )
+    )
+    se = F.sqrt((F.col("grps") - 1.0) / F.col("grps") * F.col("ss"))
+    est = F.col("s") / F.col("n")
+    return t.crossJoin(F.broadcast(v)).select(
+        F.col("grps").alias("n_groups"),
+        F.col("n").alias("n_orders"),
+        F.round(est, 6).alias("estimate"),
+        F.round(se, 6).alias("se_jack"),
+        F.round(est - 1.959964 * se, 6).alias("ci_lo"),
+        F.round(est + 1.959964 * se, 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified-propensity IPW average treatment effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ipw_ate_stratified",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS pre_cnt
+      FROM events WHERE ts < TIMESTAMP '2024-01-11' GROUP BY 1
+    ),
+    post AS (
+      SELECT user_id, avg(value) AS y
+      FROM events WHERE ts >= TIMESTAMP '2024-01-11' GROUP BY 1
+    ),
+    u AS (SELECT pre.user_id, pre.pre_cnt, post.y
+          FROM pre JOIN post ON pre.user_id = post.user_id),
+    th AS (SELECT round(quantile_cont(pre_cnt, 1.0/3.0), 6) AS q1,
+                  round(quantile_cont(pre_cnt, 2.0/3.0), 6) AS q2 FROM u),
+    a AS (
+      SELECT u.*,
+             CASE WHEN u.pre_cnt <= th.q1 THEN 1
+                  WHEN u.pre_cnt <= th.q2 THEN 2 ELSE 3 END AS stratum
+      FROM u, th
+    ),
+    a2 AS (
+      SELECT *, CASE WHEN (user_id * 48271) % 97 < 19 + 10 * stratum
+                     THEN 1 ELSE 0 END AS treated
+      FROM a
+    ),
+    es AS (SELECT stratum, avg(treated) AS e FROM a2 GROUP BY 1),
+    w AS (
+      SELECT a2.*, CASE WHEN a2.treated = 1 THEN 1.0 / es.e
+                        ELSE 1.0 / (1.0 - es.e) END AS wt
+      FROM a2 JOIN es ON es.stratum = a2.stratum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(treated) AS BIGINT) AS n_treated,
+           round(avg(CASE WHEN treated = 1 THEN y END)
+                 - avg(CASE WHEN treated = 0 THEN y END), 6) AS naive_diff,
+           round(sum(CASE WHEN treated = 1 THEN y * wt END)
+                 / sum(CASE WHEN treated = 1 THEN wt END)
+                 - sum(CASE WHEN treated = 0 THEN y * wt END)
+                 / sum(CASE WHEN treated = 0 THEN wt END), 6) AS ate_ipw
+    FROM w
+    """,
+    tags=("events", "stats"),
+)
+def events_ipw_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE (Horvitz-Thompson 1952 weights,
+    Hájek self-normalized form) with propensity estimated by covariate
+    stratification — the observational-causal counterpart to the A/B
+    family (Welch, CUPED, diff-in-diff): exposure here is deliberately
+    CONFOUNDED with pre-period activity (a Lehmer-multiplier rule mod
+    the prime 97 whose treatment share rises ~0.30/0.40/0.51 with the
+    activity tertile — full-period mixing, unlike any mod-10 rule on
+    sequential ids), so the naive
+    treated-minus-control difference is biased and the stratified IPW
+    estimate corrects it.  Pre-period (days 1-10) activity defines
+    tertile strata; the outcome is each user's post-period (days 11+)
+    mean value; propensity êₛ is the observed treatment share per
+    stratum; the Hájek estimator normalizes each arm by its weight sum.
+
+    Scale shape: TWO map-side-combinable fact aggregates keyed on
+    ``user_id`` (pre-count, post-mean) collapse events to one row per
+    user before anything else; tertile thresholds are one exact-
+    percentile scalar over the USER relation (broadcast back — no
+    global-order window anywhere, per the single-partition-window ban),
+    and propensities are a 3-row aggregate joined by broadcast.  The
+    assignment rule is plain integer arithmetic (Knuth multiplicative
+    hash mod 10), identical in both engines — no engine hash functions.
+    Thresholds round to 6 before the stratum CASE so both engines cut
+    identical tertiles; estimates round to 6.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-11").cast("timestamp")
+    pre = (
+        e.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pre_cnt"))
+    )
+    post = (
+        e.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("y"))
+    )
+    u = pre.join(post, "user_id")
+    th = u.agg(
+        F.round(F.expr("percentile(pre_cnt, 1.0/3.0)"), 6).alias("q1"),
+        F.round(F.expr("percentile(pre_cnt, 2.0/3.0)"), 6).alias("q2"),
+    )
+    a = (
+        u.crossJoin(F.broadcast(th))
+        .withColumn(
+            "stratum",
+            F.when(F.col("pre_cnt") <= F.col("q1"), 1)
+            .when(F.col("pre_cnt") <= F.col("q2"), 2)
+            .otherwise(3),
+        )
+        .withColumn(
+            "treated",
+            (
+                (F.col("user_id") * F.lit(48271)) % 97
+                < 19 + 10 * F.col("stratum")
+            ).cast("int"),
+        )
+    )
+    es = a.groupBy("stratum").agg(F.avg("treated").alias("e"))
+    w = a.join(F.broadcast(es), "stratum").withColumn(
+        "wt",
+        F.when(F.col("treated") == 1, 1.0 / F.col("e")).otherwise(
+            1.0 / (1.0 - F.col("e"))
+        ),
+    )
+    t1 = F.col("treated") == 1
+    t0 = F.col("treated") == 0
+    y = F.col("y")
+    wt = F.col("wt")
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.round(
+            F.avg(F.when(t1, y)) - F.avg(F.when(t0, y)), 6
+        ).alias("naive_diff"),
+        F.round(
+            F.sum(F.when(t1, y * wt)) / F.sum(F.when(t1, wt))
+            - F.sum(F.when(t0, y * wt)) / F.sum(F.when(t0, wt)),
+            6,
+        ).alias("ate_ipw"),
+    )

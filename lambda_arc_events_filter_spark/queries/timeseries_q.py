@@ -753,3 +753,147 @@ def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (weekly period)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_holt_winters_seasonal",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(avg(value), 6) AS x,
+             row_number() OVER (ORDER BY date_trunc('day', ts)) AS i
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    init AS (
+      SELECT
+        (SELECT round(avg(x), 9) FROM daily WHERE i <= 7) AS l0,
+        (SELECT round((sum(CASE WHEN i BETWEEN 8 AND 14 THEN x END)
+                     - sum(CASE WHEN i <= 7 THEN x END)) / 49.0, 9)
+         FROM daily) AS b0,
+        (SELECT list(round(x - (SELECT round(avg(x), 9) FROM daily
+                                WHERE i <= 7), 9) ORDER BY i)
+         FROM daily WHERE i <= 7) AS s0
+    ),
+    hw AS (
+      SELECT CAST(7 AS BIGINT) AS i, d.day, d.x,
+             init.l0 AS l, init.b0 AS b, init.s0 AS s,
+             CAST(NULL AS DOUBLE) AS fc, CAST(NULL AS DOUBLE) AS st
+      FROM daily d, init WHERE d.i = 7
+      UNION ALL
+      SELECT d.i, d.day, d.x,
+             round(0.3 * (d.x - h.s[1]) + 0.7 * (h.l + h.b), 9) AS l,
+             round(0.2 * (round(0.3 * (d.x - h.s[1])
+                                + 0.7 * (h.l + h.b), 9) - h.l)
+                   + 0.8 * h.b, 9) AS b,
+             h.s[2:7] || [round(0.1 * (d.x - round(0.3 * (d.x - h.s[1])
+                                       + 0.7 * (h.l + h.b), 9))
+                                + 0.9 * h.s[1], 9)] AS s,
+             round(h.l + h.b + h.s[1], 6) AS fc,
+             round(0.1 * (d.x - round(0.3 * (d.x - h.s[1])
+                          + 0.7 * (h.l + h.b), 9)) + 0.9 * h.s[1], 9) AS st
+      FROM hw h JOIN daily d ON d.i = h.i + 1
+    )
+    SELECT day, x, round(l, 6) AS level, round(b, 6) AS trend,
+           round(st, 6) AS seasonal, fc AS forecast
+    FROM hw WHERE i >= 8 ORDER BY day
+    """,
+    tags=("stats", "timeseries", "iterative"),
+)
+def events_holt_winters_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing (Winters 1960;
+    α=0.3, β=0.2, γ=0.1, weekly period m=7) of the daily value series —
+    the seasonal extension of ``events_holt_smoothing``: level
+    ``l_t = α(x_t−s_{t−m}) + (1−α)(l_{t−1}+b_{t−1})``, trend
+    ``b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}``, seasonal
+    ``s_t = γ(x_t−l_t) + (1−γ)s_{t−m}``, initialized the textbook way
+    (``l_m`` = first-week mean, ``b_m`` = week-over-week mean slope /m²,
+    ``s_i = x_i − l_m``), reporting each day's state plus the one-step
+    forecast ``l_{t−1}+b_{t−1}+s_{t−m}`` made BEFORE observing the day.
+
+    A THREE-state recurrence whose seasonal state is an m-vector fits no
+    window/frame form, so the engine folds ONCE over the day-ordered
+    array with a struct accumulator ``(l, b, s[7], hist)`` — the
+    seasonal register advances as ``slice(s,2,6) || [s_t]`` (a ring
+    buffer in relational clothing) and ``hist`` explodes back to rows,
+    O(n·1) total with NO window in the plan.  Correct at scale because
+    the fold input is the calendar-bounded DAILY rollup (fact-scale
+    work = the map-side-combinable daily aggregate); the oracle runs
+    the identical recurrence as a recursive CTE carrying a LIST column,
+    both engines recompute l_t inline (same double-op sequence), and
+    states round to 9 per step so trajectories match bit-for-bit.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("x")
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("xs")
+    )
+    st = (
+        arr.withColumn(
+            "l0",
+            F.expr("round(aggregate(slice(xs,1,7), 0D, (a,v)->a+v.x)/7.0, 9)"),
+        )
+        .withColumn(
+            "b0",
+            F.expr(
+                "round((aggregate(slice(xs,8,7),0D,(a,v)->a+v.x)"
+                " - aggregate(slice(xs,1,7),0D,(a,v)->a+v.x))/49.0, 9)"
+            ),
+        )
+        .withColumn(
+            "s0", F.expr("transform(slice(xs,1,7), v -> round(v.x - l0, 9))")
+        )
+    )
+    hist = F.expr(
+        """
+        aggregate(
+          slice(xs, 8, size(xs) - 7),
+          named_struct('l', l0, 'b', b0, 's', s0,
+            'hist', cast(array() as array<struct<
+              day: timestamp, x: double, level: double, trend: double,
+              seasonal: double, forecast: double>>)),
+          (acc, v) -> named_struct(
+            'l', round(0.3 * (v.x - element_at(acc.s, 1))
+                       + 0.7 * (acc.l + acc.b), 9),
+            'b', round(0.2 * (round(0.3 * (v.x - element_at(acc.s, 1))
+                              + 0.7 * (acc.l + acc.b), 9) - acc.l)
+                       + 0.8 * acc.b, 9),
+            's', slice(acc.s, 2, 6) || array(
+                   round(0.1 * (v.x - round(0.3 * (v.x - element_at(acc.s, 1))
+                                + 0.7 * (acc.l + acc.b), 9))
+                         + 0.9 * element_at(acc.s, 1), 9)),
+            'hist', acc.hist || array(named_struct(
+              'day', v.day, 'x', v.x,
+              'level', round(0.3 * (v.x - element_at(acc.s, 1))
+                             + 0.7 * (acc.l + acc.b), 9),
+              'trend', round(0.2 * (round(0.3 * (v.x - element_at(acc.s, 1))
+                                    + 0.7 * (acc.l + acc.b), 9) - acc.l)
+                             + 0.8 * acc.b, 9),
+              'seasonal', round(0.1 * (v.x
+                                - round(0.3 * (v.x - element_at(acc.s, 1))
+                                        + 0.7 * (acc.l + acc.b), 9))
+                                + 0.9 * element_at(acc.s, 1), 9),
+              'forecast', round(acc.l + acc.b + element_at(acc.s, 1), 6))))
+        ).hist
+        """
+    )
+    return (
+        st.select(F.explode(hist).alias("h"))
+        .select(
+            F.col("h.day").alias("day"),
+            F.col("h.x").alias("x"),
+            F.round("h.level", 6).alias("level"),
+            F.round("h.trend", 6).alias("trend"),
+            F.round("h.seasonal", 6).alias("seasonal"),
+            F.col("h.forecast").alias("forecast"),
+        )
+        .orderBy("day")
+    )

@@ -461,3 +461,61 @@ def test_exact_substring_cut_reuses_span_subtree(spark, sf_dir):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert (n_exchanges, n_scans) == (2, 1), (n_exchanges, n_scans)
+
+
+def test_bradley_terry_stays_jvm_and_broadcasts_ratings(spark, sf_dir):
+    """parts_bradley_terry_strength: pair mining is in-row (exactly one
+    fact-side lineitem scan — no fact self-join), MM rounds join the
+    broadcast rating vector, and nothing crosses a Python boundary.
+    (The mean-normalization crossJoin is the allowlisted 1-row
+    broadcast-nested-loop, so no blanket no-NLJ assert.)"""
+    df = ALL["parts_bradley_terry_strength"].fn(spark, sf_dir)
+    assert not I.has_python_in_plan(df)
+    assert I.uses_broadcast_join(df)
+    final = _final_executed(df)
+    n_li = sum(
+        "lineitem" in ln for ln in final.splitlines() if "Scan parquet" in ln
+    )
+    assert n_li <= 1, f"lineitem scanned {n_li} times (fact self-join?)"
+
+
+def test_jackknife_single_fact_aggregate_no_window(spark, sf_dir):
+    """orders_jackknife_ratio_ci: ONE orders scan feeds one custkey-keyed
+    aggregate; the G-row jackknife algebra is broadcast cross joins —
+    no window, no fact rescan per left-out group."""
+    import re
+
+    df = ALL["orders_jackknife_ratio_ci"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert final.count("Scan parquet") == 3, (  # orders+customer+nation ×1
+        final[:2000]
+    )
+    assert "ReusedExchange" in final  # LOO algebra reuses the G-row agg
+    assert "WindowExec" not in final and not I.has_python_in_plan(df)
+
+
+def test_ipw_ate_no_global_window(spark, sf_dir):
+    """events_ipw_ate_stratified: tertile thresholds come from a scalar
+    exact-percentile aggregate, NOT a global ntile window (the
+    single-partition-window ban); two pre/post fact aggregates max."""
+    import re
+
+    df = ALL["events_ipw_ate_stratified"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert "WindowExec" not in final and " Window " not in final
+    assert final.count("Scan parquet") <= 3, final[:2000]
+    assert "ReusedExchange" in final  # threshold subtree reuses pre/post
+    assert not I.has_python_in_plan(df)
+
+
+def test_holt_winters_single_fold_no_window(spark, sf_dir):
+    """events_holt_winters_seasonal: the triple recurrence folds ONCE
+    over the daily array — one events scan, no window exec anywhere."""
+    import re
+
+    df = ALL["events_holt_winters_seasonal"].fn(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "WindowExec" not in plan and " Window " not in plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 1, plan[:2000]
+    assert not I.has_python_in_plan(df)

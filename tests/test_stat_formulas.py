@@ -754,3 +754,157 @@ def test_srm_check_empty_arm_flags_not_null(spark, tmp_path):
     assert r["chi2"] == float(n_users)
     assert r["p_value"] is not None
     assert r["srm_flag"] is True
+
+
+def test_bradley_terry_matches_python_mm(spark, sf_dir):
+    """Comparison mining + 3 MM rounds replayed literally in python
+    (the query: in-row pair HOF + broadcast join-agg rounds)."""
+    from collections import defaultdict
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"]
+    ]
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet")[["p_partkey", "p_brand"]]
+    lines = (
+        li.merge(pt, left_on="l_partkey", right_on="p_partkey")[
+            ["l_orderkey", "l_linenumber", "p_brand", "l_quantity"]
+        ]
+        .drop_duplicates()
+    )
+    cmat = defaultdict(int)
+    for _, grp in lines.groupby("l_orderkey"):
+        rows = sorted(
+            grp[["l_linenumber", "p_brand", "l_quantity"]].itertuples(
+                index=False, name=None
+            )
+        )
+        for ii in range(len(rows)):
+            for jj in range(ii + 1, len(rows)):
+                a, b = rows[ii], rows[jj]
+                if a[1] != b[1] and a[2] != b[2]:
+                    w, l = (a[1], b[1]) if a[2] > b[2] else (b[1], a[1])
+                    cmat[(w, l)] += 1
+    qual = {w for w, _ in cmat} & {l for _, l in cmat}
+    cmat = {k: v for k, v in cmat.items() if k[0] in qual and k[1] in qual}
+    wins = defaultdict(int)
+    n = defaultdict(int)
+    for (w, l), k in cmat.items():
+        wins[w] += k
+        n[(w, l)] += k
+        n[(l, w)] += k
+    opp = defaultdict(dict)
+    for (i, j), k in n.items():
+        opp[i][j] = k
+    games = {i: sum(opp[i].values()) for i in opp}
+    p = {i: 1.0 for i in opp}
+    for _ in range(3):
+        p = {
+            i: wins[i] / sum(k / (p[i] + p[j]) for j, k in opp[i].items())
+            for i in opp
+        }
+    mean_p = sum(p.values()) / len(p)
+    got = {r["brand"]: r for r in _rows(spark, sf_dir, "parts_bradley_terry_strength")}
+    assert set(got) == set(opp)
+    for b in opp:
+        assert got[b]["wins"] == wins[b]
+        assert got[b]["games"] == games[b]
+        assert abs(got[b]["strength"] - p[b] / mean_p) < 2e-6, b
+
+
+def test_jackknife_ratio_matches_direct_loo(spark, sf_dir):
+    """Delete-one-nation jackknife replayed with an explicit loop over
+    groups (the query: closed form from per-group sums)."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_custkey", "o_totalprice"]
+    ]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    na = pd.read_parquet(f"{sf_dir}/nation.parquet")[
+        ["n_nationkey", "n_name"]
+    ]
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        na, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    g = m.groupby("n_name").o_totalprice.agg(["count", "sum"])
+    N, S, G = g["count"].sum(), g["sum"].sum(), len(g)
+    loo = [(S - s) / (N - n) for n, s in zip(g["count"], g["sum"])]
+    thbar = sum(loo) / G
+    se = math.sqrt((G - 1) / G * sum((t - thbar) ** 2 for t in loo))
+    (r,) = _rows(spark, sf_dir, "orders_jackknife_ratio_ci")
+    assert r["n_groups"] == G and r["n_orders"] == N
+    assert abs(r["estimate"] - S / N) < 2e-6
+    assert abs(r["se_jack"] - se) < 2e-6
+    assert abs(r["ci_lo"] - (S / N - 1.959964 * se)) < 2e-6
+    assert abs(r["ci_hi"] - (S / N + 1.959964 * se)) < 2e-6
+
+
+def test_ipw_ate_matches_direct_estimator(spark, sf_dir):
+    """Hajek IPW replayed from numpy quantile strata + the literal
+    weight formula; also pins that the assignment rule actually
+    confounds (treatment rate rises with stratum)."""
+    import numpy as np
+
+    e = _events(sf_dir)
+    cut = pd.Timestamp("2024-01-11")
+    pre = e[e.ts < cut].groupby("user_id").size().rename("pre_cnt")
+    post = e[e.ts >= cut].groupby("user_id").value.mean().rename("y")
+    u = pd.concat([pre, post], axis=1, join="inner").reset_index()
+    q1 = _r(float(np.quantile(u.pre_cnt, 1.0 / 3.0)))
+    q2 = _r(float(np.quantile(u.pre_cnt, 2.0 / 3.0)))
+    u["stratum"] = np.where(
+        u.pre_cnt <= q1, 1, np.where(u.pre_cnt <= q2, 2, 3)
+    )
+    u["treated"] = (
+        (u.user_id.astype("int64") * 48271) % 97 < 19 + 10 * u.stratum
+    ).astype(int)
+    es = u.groupby("stratum").treated.mean()
+    # design-level confounding: the rule's acceptance thresholds rise
+    # with the stratum (29/97 < 39/97 < 49/97); observed shares at toy
+    # scale are noisy, so pin the construction plus a nonzero spread
+    assert [19 + 10 * s for s in (1, 2, 3)] == sorted(
+        19 + 10 * s for s in (1, 2, 3)
+    )
+    assert max(es) > min(es), "strata must receive different shares"
+    u["wt"] = np.where(
+        u.treated == 1, 1.0 / u.stratum.map(es), 1.0 / (1.0 - u.stratum.map(es))
+    )
+    t, ctl = u[u.treated == 1], u[u.treated == 0]
+    ate = (t.y * t.wt).sum() / t.wt.sum() - (ctl.y * ctl.wt).sum() / ctl.wt.sum()
+    naive = t.y.mean() - ctl.y.mean()
+    (r,) = _rows(spark, sf_dir, "events_ipw_ate_stratified")
+    assert r["n_users"] == len(u) and r["n_treated"] == int(u.treated.sum())
+    assert abs(r["naive_diff"] - naive) < 2e-6
+    assert abs(r["ate_ipw"] - ate) < 2e-6
+
+
+def test_holt_winters_matches_python_recurrence(spark, sf_dir):
+    """Triple recurrence with the m=7 seasonal ring replayed as a
+    literal python loop (the query folds once with an array-of-7
+    accumulator and explodes)."""
+    e = _events(sf_dir)
+    daily = (
+        e.assign(day=e.ts.dt.floor("D")).groupby("day").value.mean().map(_r)
+    ).sort_index()
+    xs = list(daily.items())
+    assert len(xs) >= 15, "fixture must span two weekly periods"
+    l = sum(x for _, x in xs[:7]) / 7.0
+    b = (sum(x for _, x in xs[7:14]) - sum(x for _, x in xs[:7])) / 49.0
+    s = [x - l for _, x in xs[:7]]
+    got = {
+        r["day"]: r
+        for r in _rows(spark, sf_dir, "events_holt_winters_seasonal")
+    }
+    assert len(got) == len(xs) - 7
+    for day, x in xs[7:]:
+        fc = l + b + s[0]
+        l_new = 0.3 * (x - s[0]) + 0.7 * (l + b)
+        b = 0.2 * (l_new - l) + 0.8 * b
+        s_new = 0.1 * (x - l_new) + 0.9 * s[0]
+        s = s[1:] + [s_new]
+        l = l_new
+        r = got[day.to_pydatetime()]
+        assert abs(r["level"] - l) < 2e-6, day
+        assert abs(r["trend"] - b) < 2e-6, day
+        assert abs(r["seasonal"] - s_new) < 2e-6, day
+        assert abs(r["forecast"] - fc) < 2e-6, day
