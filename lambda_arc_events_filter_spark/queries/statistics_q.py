@@ -4449,7 +4449,14 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
           < (b.l_linenumber, b.brand, b.l_quantity)
       WHERE a.brand <> b.brand AND a.l_quantity <> b.l_quantity
     ),
-    c AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c FROM comp GROUP BY 1, 2),
+    c AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: seven downstream CTEs reference
+      -- this (p3 -> p2 x2 -> p1 x2 ...); inlined, the fact-scale pair
+      -- join re-evaluates once per expansion path (196 s at sf0.1 vs
+      -- 1.2 s materialized) -- the oracle twin of the engine's
+      -- localCheckpoint on the same relation
+      SELECT w, l, CAST(count(*) AS BIGINT) AS c FROM comp GROUP BY 1, 2
+    ),
     qual AS (SELECT w AS brand FROM c INTERSECT SELECT l FROM c),
     c2 AS (
       SELECT c.w, c.l, c.c FROM c
