@@ -2050,3 +2050,152 @@ def labels_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_textrank_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    co AS (
+      SELECT least(ts[i], ts[i + 1]) AS a, greatest(ts[i], ts[i + 1]) AS b
+      FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+      WHERE ts[i] <> ts[i + 1]
+      UNION ALL
+      SELECT least(ts[i], ts[i + 2]) AS a, greatest(ts[i], ts[i + 2]) AS b
+      FROM tok, unnest(generate_series(1, len(ts) - 2)) AS t(i)
+      WHERE ts[i] <> ts[i + 2]
+    ),
+    edges AS MATERIALIZED (
+      -- MATERIALIZED: five downstream CTEs (nodes, n, outw, pr1, pr2)
+      -- reference this; inlined, the fact-scale pair extraction would
+      -- re-evaluate once per expansion path (the BT-oracle lesson)
+      SELECT a, b, CAST(count(*) AS BIGINT) AS w
+      FROM co GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT a AS src, b AS dst, w FROM edges
+            UNION ALL SELECT b, a, w FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    n AS (SELECT count(*) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM sym GROUP BY 1),
+    pr1 AS (
+      SELECT nd.node,
+             round(0.15 / n.n + 0.85 * sum((1.0 / n.n) * e.w / o.ow),
+                   9) AS pr
+      FROM nodes nd CROSS JOIN n
+      JOIN sym e ON e.dst = nd.node
+      JOIN outw o ON o.src = e.src
+      GROUP BY nd.node, n.n
+    ),
+    pr2 AS (
+      SELECT nd.node,
+             round(0.15 / n.n + 0.85 * sum(p.pr * e.w / o.ow), 9) AS pr
+      FROM nodes nd CROSS JOIN n
+      JOIN sym e ON e.dst = nd.node
+      JOIN pr1 p ON p.node = e.src
+      JOIN outw o ON o.src = e.src
+      GROUP BY nd.node, n.n
+    )
+    SELECT node AS word, round(pr, 6) AS textrank FROM pr2
+    ORDER BY textrank DESC, word LIMIT 50
+    """,
+    tags=("llm", "text", "iterative"),
+    plan_cache=False,  # checkpoints the co-occurrence edge relation
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    (damping 0.85, two synchronous rounds from uniform) over the word
+    co-occurrence graph — an undirected edge per word pair within a
+    2-token window, weighted by corpus co-occurrence count, pruned at
+    weight ≥ 2 (the paper's graph, corpus-level) — the unsupervised
+    keyword ranker that beats raw frequency by rewarding CENTRALITY.
+
+    Scale shape: pair extraction is the only fact-scale stage (in-row
+    transform HOFs over the token array — gap-1 and gap-2 pairs, no
+    self-join — then one canonical-pair count).  The edge relation is
+    Heaps-bounded (distinct co-occurring pairs, pruned); it
+    localCheckpoints because nodes/n/outw and both PR rounds re-read
+    it (the BT lesson: without the barrier the explode re-executes per
+    consumer).  Each PR round is a join-aggregate on EDGES with the
+    rank vector broadcast — rank mass never touches fact rows.  Ranks
+    round to 9 between rounds, 6 at the end; the top-50 order is
+    pinned on (rounded rank DESC, word) so both engines cut the same
+    list.  No dangling mass exists: symmetric edges give every node
+    out-weight.
+    """
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                """
+                if(size(tokens) < 2, array(),
+                   filter(transform(sequence(1, size(tokens) - 1),
+                     i -> IF(tokens[i-1] <> tokens[i],
+                             named_struct(
+                               'a', least(tokens[i-1], tokens[i]),
+                               'b', greatest(tokens[i-1], tokens[i])),
+                             CAST(NULL AS struct<a: string, b: string>))),
+                     x -> x IS NOT NULL))
+                ||
+                if(size(tokens) < 3, array(),
+                   filter(transform(sequence(1, size(tokens) - 2),
+                     i -> IF(tokens[i-1] <> tokens[i+1],
+                             named_struct(
+                               'a', least(tokens[i-1], tokens[i+1]),
+                               'b', greatest(tokens[i-1], tokens[i+1])),
+                             CAST(NULL AS struct<a: string, b: string>))),
+                     x -> x IS NOT NULL))
+                """
+            )
+        ).alias("p")
+    )
+    edges = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = sym.groupBy("src").agg(F.sum("w").alias("ow"))
+    # round 1 from the uniform vector 1/n (inlined, like the oracle)
+    pr = (
+        sym.join(F.broadcast(outw), "src")
+        .crossJoin(F.broadcast(n_row))
+        .groupBy(F.col("dst").alias("node"), F.col("n"))
+        .agg(
+            F.sum((1.0 / F.col("n")) * F.col("w") / F.col("ow")).alias("mass")
+        )
+        .select(
+            "node",
+            F.round(0.15 / F.col("n") + 0.85 * F.col("mass"), 9).alias("pr"),
+        )
+    )
+    # round 2 folds the round-1 vector back over the same edges
+    pr = (
+        sym.join(
+            F.broadcast(pr.select(F.col("node").alias("src"), "pr")), "src"
+        )
+        .join(F.broadcast(outw), "src")
+        .crossJoin(F.broadcast(n_row))
+        .groupBy(F.col("dst").alias("node"), F.col("n"))
+        .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("mass"))
+        .select(
+            "node",
+            F.round(0.15 / F.col("n") + 0.85 * F.col("mass"), 9).alias("pr"),
+        )
+    )
+    return (
+        pr.select(F.col("node").alias("word"), F.round("pr", 6).alias("textrank"))
+        .orderBy(F.col("textrank").desc(), "word")
+        .limit(50)
+    )

@@ -991,3 +991,76 @@ def features_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w") / F.col("nor"), 6).alias("loading"),
         F.round(F.col("nor"), 6).alias("eigenvalue_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value categorical encoding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "features_woe_iv",
+    oracle="""
+    WITH lab AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ),
+    g AS (
+      SELECT category,
+             CAST(sum(1 - bad) AS BIGINT) AS n_good,
+             CAST(sum(bad) AS BIGINT) AS n_bad
+      FROM lab GROUP BY 1
+    ),
+    t AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM g),
+    w AS (
+      SELECT g.category, g.n_good, g.n_bad,
+             ((g.n_good + 0.5) / (t.tg + 0.5)) AS pg,
+             ((g.n_bad + 0.5) / (t.tb + 0.5)) AS pb
+      FROM g, t
+    )
+    SELECT category, n_good, n_bad,
+           round(ln(pg / pb), 6) AS woe,
+           round((pg - pb) * ln(pg / pb), 6) AS iv_contrib
+    FROM w ORDER BY category
+    """,
+    tags=("features", "agg"),
+)
+def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding with per-category information-value
+    contributions (Siddiqi 2006, the credit-scorecard standard): for
+    each order priority, ``WOE = ln(%good / %bad)`` against the
+    order-failed label, with the +0.5 Laplace cell smoothing that keeps
+    empty cells finite; ``IV = Σ (%good − %bad)·WOE`` ranks the
+    feature's predictive power (the supervised counterpart to the
+    leave-one-out target encoder, D130, which produces per-ROW codes —
+    WOE produces per-CATEGORY codes with a power audit).
+
+    Scale shape: ONE map-side-combinable fact aggregate to the
+    |categories|-row table, then the totals ride a broadcast cross
+    join — the same two-step every encoder here uses.  Smoothed
+    proportions divide BEFORE the log in both engines (identical op
+    sequence), round-6.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    g = o.groupBy("category").agg(
+        F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+    )
+    t = g.agg(F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb"))
+    pg = (F.col("n_good") + 0.5) / (F.col("tg") + 0.5)
+    pb = (F.col("n_bad") + 0.5) / (F.col("tb") + 0.5)
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "category",
+            "n_good",
+            "n_bad",
+            F.round(F.log(pg / pb), 6).alias("woe"),
+            F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_contrib"),
+        )
+        .orderBy("category")
+    )

@@ -2808,3 +2808,92 @@ def batch_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot-score heuristics per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bot_score_heuristics",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+             CASE WHEN extract(hour FROM ts) < 6 THEN 1 ELSE 0 END AS night,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             stddev_samp(gap_us) / avg(gap_us) AS iat_cv,
+             avg(night) AS night_share,
+             avg(err) AS error_share
+      FROM seq GROUP BY 1 HAVING count(*) >= 5
+    )
+    SELECT user_id, n_events,
+           round(iat_cv, 6) AS iat_cv,
+           round(night_share, 6) AS night_share,
+           round(error_share, 6) AS error_share,
+           round(0.4 * exp(-iat_cv) + 0.3 * night_share
+                 + 0.3 * error_share, 6) AS bot_score,
+           (round(0.4 * exp(-iat_cv) + 0.3 * night_share
+                  + 0.3 * error_share, 6) > 0.35) AS is_bot
+    FROM g ORDER BY user_id
+    """,
+    tags=("events", "quality"),
+)
+def events_bot_score_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot screening — the heuristic trio every traffic-
+    quality pipeline computes per actor: inter-arrival-time REGULARITY
+    (a machine's timer gives a low coefficient of variation; humans are
+    bursty, cv ≳ 1), night-hours share, and error-rate share, combined
+    into ``0.4·e^(−cv) + 0.3·night + 0.3·error`` with a fixed 0.35 flag
+    threshold (lexicon-style dyadic-ish constants, the sentiment-scorer
+    discipline).  Users with < 5 events are excluded — no stable cv.
+
+    Scale shape: ONE user-keyed exchange serves both the lag window and
+    the per-user aggregate (same-key window→groupBy reuses the
+    partitioning); gaps are exact µs BIGINTs (unix_micros — no float
+    timestamp arithmetic), ties broken by event_id so the lag sequence
+    is deterministic, and the variance/mean ratio is computed from the
+    same sums in both engines.  Output is per-user (bounded by the
+    actor population, not events), round-6.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+        F.when(F.hour("ts") < 6, 1).otherwise(0).alias("night"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("err"),
+    )
+    g = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.stddev_samp("gap_us") / F.avg("gap_us")).alias("iat_cv"),
+            F.avg("night").alias("night_share"),
+            F.avg("err").alias("error_share"),
+        )
+        .filter(F.col("n_events") >= 5)
+    )
+    score = F.round(
+        0.4 * F.exp(-F.col("iat_cv"))
+        + 0.3 * F.col("night_share")
+        + 0.3 * F.col("error_share"),
+        6,
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round("iat_cv", 6).alias("iat_cv"),
+        F.round("night_share", 6).alias("night_share"),
+        F.round("error_share", 6).alias("error_share"),
+        score.alias("bot_score"),
+        (score > 0.35).alias("is_bot"),
+    ).orderBy("user_id")

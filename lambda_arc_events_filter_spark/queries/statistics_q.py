@@ -13,6 +13,8 @@ and the anomaly pass is the two-scan broadcast shape that holds at
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -4849,4 +4851,290 @@ def events_ipw_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.when(t0, y * wt)) / F.sum(F.when(t0, wt)),
             6,
         ).alias("ate_ipw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AIPW doubly-robust average treatment effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_aipw_doubly_robust",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS pre_cnt
+      FROM events WHERE ts < TIMESTAMP '2024-01-11' GROUP BY 1
+    ),
+    post AS (
+      SELECT user_id, avg(value) AS y
+      FROM events WHERE ts >= TIMESTAMP '2024-01-11' GROUP BY 1
+    ),
+    u AS (SELECT pre.user_id, pre.pre_cnt, post.y
+          FROM pre JOIN post ON pre.user_id = post.user_id),
+    th AS (SELECT round(quantile_cont(pre_cnt, 1.0/3.0), 6) AS q1,
+                  round(quantile_cont(pre_cnt, 2.0/3.0), 6) AS q2 FROM u),
+    a AS (
+      SELECT u.*,
+             CASE WHEN u.pre_cnt <= th.q1 THEN 1
+                  WHEN u.pre_cnt <= th.q2 THEN 2 ELSE 3 END AS stratum
+      FROM u, th
+    ),
+    a2 AS (
+      SELECT *, CASE WHEN (user_id * 48271) % 97 < 19 + 10 * stratum
+                     THEN 1 ELSE 0 END AS treated
+      FROM a
+    ),
+    sm AS (
+      SELECT stratum, avg(treated) AS e,
+             avg(CASE WHEN treated = 1 THEN y END) AS m1,
+             avg(CASE WHEN treated = 0 THEN y END) AS m0
+      FROM a2 GROUP BY 1
+    ),
+    psi AS (
+      SELECT sm.m1 - sm.m0
+             + a2.treated * (a2.y - sm.m1) / sm.e
+             - (1 - a2.treated) * (a2.y - sm.m0) / (1.0 - sm.e) AS psi
+      FROM a2 JOIN sm ON sm.stratum = a2.stratum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(psi), 6) AS ate_aipw,
+           round(stddev_samp(psi) / sqrt(count(*)), 6) AS se_if,
+           round(avg(psi) - 1.959964 * stddev_samp(psi) / sqrt(count(*)),
+                 6) AS ci_lo,
+           round(avg(psi) + 1.959964 * stddev_samp(psi) / sqrt(count(*)),
+                 6) AS ci_hi
+    FROM psi
+    """,
+    tags=("events", "stats"),
+)
+def events_aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented IPW (doubly-robust; Robins-Rotnitzky-Zhao 1994) ATE on
+    the SAME confounded construction as ``events_ipw_ate_stratified``:
+    stratum outcome means m₁/m₀ are the outcome model, the propensity
+    is the per-stratum treatment share, and each user contributes the
+    influence value ``ψ = m₁−m₀ + T(y−m₁)/e − (1−T)(y−m₀)/(1−e)``.
+    Consistent if EITHER model is right; the influence-function SE
+    (``sd(ψ)/√n``) gives the CI for free — the modern experimentation-
+    platform estimator for observational readouts.
+
+    Scale shape: identical to the IPW twin — two user-keyed fact
+    aggregates, one exact-percentile scalar, then the outcome/propensity
+    model is ONE 3-row aggregate joined back by broadcast; ψ and its
+    moments are a single global aggregate.  No window, no Python, no
+    fact rescan; every per-stratum quantity rides the same broadcast.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-11").cast("timestamp")
+    pre = (
+        e.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pre_cnt"))
+    )
+    post = (
+        e.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("y"))
+    )
+    u = pre.join(post, "user_id")
+    th = u.agg(
+        F.round(F.expr("percentile(pre_cnt, 1.0/3.0)"), 6).alias("q1"),
+        F.round(F.expr("percentile(pre_cnt, 2.0/3.0)"), 6).alias("q2"),
+    )
+    a = (
+        u.crossJoin(F.broadcast(th))
+        .withColumn(
+            "stratum",
+            F.when(F.col("pre_cnt") <= F.col("q1"), 1)
+            .when(F.col("pre_cnt") <= F.col("q2"), 2)
+            .otherwise(3),
+        )
+        .withColumn(
+            "treated",
+            (
+                (F.col("user_id") * F.lit(48271)) % 97
+                < 19 + 10 * F.col("stratum")
+            ).cast("int"),
+        )
+    )
+    sm = a.groupBy("stratum").agg(
+        F.avg("treated").alias("e"),
+        F.avg(F.when(F.col("treated") == 1, F.col("y"))).alias("m1"),
+        F.avg(F.when(F.col("treated") == 0, F.col("y"))).alias("m0"),
+    )
+    psi_col = (
+        F.col("m1")
+        - F.col("m0")
+        + F.col("treated") * (F.col("y") - F.col("m1")) / F.col("e")
+        - (1 - F.col("treated"))
+        * (F.col("y") - F.col("m0"))
+        / (1.0 - F.col("e"))
+    )
+    psi = a.join(F.broadcast(sm), "stratum").select(psi_col.alias("psi"))
+    se = F.stddev_samp("psi") / F.sqrt(F.count(F.lit(1)))
+    return psi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("psi"), 6).alias("ate_aipw"),
+        F.round(se, 6).alias("se_if"),
+        F.round(F.avg("psi") - 1.959964 * se, 6).alias("ci_lo"),
+        F.round(F.avg("psi") + 1.959964 * se, 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test across ordered dose groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cochran_armitage_trend",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS pre_cnt
+      FROM events WHERE ts < TIMESTAMP '2024-01-11' GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS purch
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-11' AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    uj AS (SELECT pre.user_id, pre.pre_cnt,
+                  coalesce(conv.purch, 0) AS purch
+           FROM pre LEFT JOIN conv ON conv.user_id = pre.user_id),
+    th AS (SELECT round(quantile_cont(pre_cnt, 1.0/3.0), 6) AS q1,
+                  round(quantile_cont(pre_cnt, 2.0/3.0), 6) AS q2,
+                  round(quantile_cont(purch, 0.5), 6) AS pmed FROM uj),
+    u AS (SELECT uj.user_id, uj.pre_cnt,
+                 CASE WHEN uj.purch > th.pmed THEN 1 ELSE 0 END AS resp
+          FROM uj, th),
+    d AS (
+      SELECT CASE WHEN u.pre_cnt <= th.q1 THEN 1
+                  WHEN u.pre_cnt <= th.q2 THEN 2 ELSE 3 END AS dose,
+             u.resp
+      FROM u, th
+    ),
+    g AS (SELECT dose, CAST(count(*) AS BIGINT) AS n_d,
+                 CAST(sum(resp) AS BIGINT) AS r_d
+          FROM d GROUP BY 1),
+    t AS (SELECT sum(n_d) AS n, sum(r_d) AS r,
+                 sum(n_d * dose) * 1.0 / sum(n_d) AS xbar FROM g),
+    s AS (
+      SELECT t.n, t.r,
+             sum(g.r_d * (g.dose - t.xbar)) AS num,
+             (t.r * 1.0 / t.n) * (1 - t.r * 1.0 / t.n)
+               * sum(g.n_d * (g.dose - t.xbar) * (g.dose - t.xbar)) AS den
+      FROM g, t GROUP BY t.n, t.r
+    ),
+    z AS (SELECT CAST(n AS BIGINT) AS n_users, CAST(r AS BIGINT) AS n_resp,
+                 num / sqrt(den) AS zv FROM s),
+    c AS (SELECT *, abs(zv) AS az, 1.0 / (1.0 + 0.2316419 * abs(zv)) AS t
+          FROM z)
+    SELECT n_users, n_resp, round(zv, 6) AS z_trend,
+           round(2 * (exp(-az * az / 2) / sqrt(2 * pi())
+                 * (0.319381530 * t - 0.356563782 * t * t
+                    + 1.781477937 * t * t * t
+                    - 1.821255978 * t * t * t * t
+                    + 1.330274429 * t * t * t * t * t)), 6) AS p_value
+    FROM c
+    """,
+    tags=("events", "stats"),
+)
+def events_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage (1954/1955) test for a LINEAR TREND in a binary
+    response across ordered dose groups — here: is a user's post-period
+    purchase count more likely to clear the cross-user median as the
+    pre-period activity tertile rises?  (An any-purchase flag is
+    degenerate on this corpus — every user buys — so the response is
+    the median-split purchase VOLUME, rate ~1/2 by construction.)  The chi-square independence test (D69) only detects ANY
+    association; CA weights the 2×k table by dose scores x_s ∈ {1,2,3}
+    and tests the single trend degree of freedom:
+    ``z = Σ r_s(x_s−x̄) / √( p̄(1−p̄) Σ n_s(x_s−x̄)² )`` with the
+    two-sided p via the house Abramowitz-Stegun 26.2.17 polynomial.
+
+    Scale shape: two user-keyed fact aggregates (pre-count, post
+    purchase count — non-buyers kept via LEFT JOIN + coalesce so the
+    denominator is the full exposed population), one exact-percentile
+    scalar for the tertile cuts and the response median, then the entire test is
+    arithmetic over the 3-row dose table.  Everything after the user
+    rollup is broadcast-sized; no window, no Python.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-11").cast("timestamp")
+    pre = (
+        e.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pre_cnt"))
+    )
+    conv = (
+        e.filter((F.col("ts") >= cut) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("purch"))
+    )
+    uj = pre.join(conv, "user_id", "left").select(
+        "user_id",
+        "pre_cnt",
+        F.coalesce(F.col("purch"), F.lit(0)).alias("purch"),
+    )
+    th = uj.agg(
+        F.round(F.expr("percentile(pre_cnt, 1.0/3.0)"), 6).alias("q1"),
+        F.round(F.expr("percentile(pre_cnt, 2.0/3.0)"), 6).alias("q2"),
+        F.round(F.expr("percentile(purch, 0.5)"), 6).alias("pmed"),
+    )
+    d = (
+        uj.crossJoin(F.broadcast(th))
+        .withColumn("resp", (F.col("purch") > F.col("pmed")).cast("int"))
+        .select(
+            F.when(F.col("pre_cnt") <= F.col("q1"), 1)
+            .when(F.col("pre_cnt") <= F.col("q2"), 2)
+            .otherwise(3)
+            .alias("dose"),
+            "resp",
+        )
+    )
+    g = d.groupBy("dose").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("resp").cast("bigint").alias("r_d"),
+    )
+    t = g.agg(
+        F.sum("n_d").alias("n"),
+        F.sum("r_d").alias("r"),
+        (F.sum(F.col("n_d") * F.col("dose")) * 1.0 / F.sum("n_d")).alias(
+            "xbar"
+        ),
+    )
+    s = g.crossJoin(F.broadcast(t)).groupBy("n", "r").agg(
+        F.sum(F.col("r_d") * (F.col("dose") - F.col("xbar"))).alias("num"),
+        (
+            (F.first("r") * 1.0 / F.first("n"))
+            * (1 - F.first("r") * 1.0 / F.first("n"))
+            * F.sum(
+                F.col("n_d")
+                * (F.col("dose") - F.col("xbar"))
+                * (F.col("dose") - F.col("xbar"))
+            )
+        ).alias("den"),
+    )
+    z = s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("r").cast("bigint").alias("n_resp"),
+        (F.col("num") / F.sqrt(F.col("den"))).alias("zv"),
+    )
+    az = F.abs(F.col("zv"))
+    tt = 1.0 / (1.0 + 0.2316419 * az)
+    poly = (
+        0.319381530 * tt
+        - 0.356563782 * tt * tt
+        + 1.781477937 * tt * tt * tt
+        - 1.821255978 * tt * tt * tt * tt
+        + 1.330274429 * tt * tt * tt * tt * tt
+    )
+    pdf = F.exp(-az * az / 2) / F.lit(math.sqrt(2 * math.pi))
+    return z.select(
+        "n_users",
+        "n_resp",
+        F.round("zv", 6).alias("z_trend"),
+        F.round(2 * pdf * poly, 6).alias("p_value"),
     )

@@ -519,3 +519,43 @@ def test_holt_winters_single_fold_no_window(spark, sf_dir):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_scans == 1, plan[:2000]
     assert not I.has_python_in_plan(df)
+
+
+def test_aipw_and_ca_trend_no_global_window(spark, sf_dir):
+    """events_aipw_doubly_robust / events_cochran_armitage_trend: same
+    posture as the IPW twin — user-keyed fact aggregates, percentile
+    scalar broadcast back, no window anywhere."""
+    for name in ("events_aipw_doubly_robust", "events_cochran_armitage_trend"):
+        df = ALL[name].fn(spark, sf_dir)
+        final = _final_executed(df)
+        assert "WindowExec" not in final, name
+        assert final.count("Scan parquet") <= 3, name
+        assert not I.has_python_in_plan(df), name
+
+
+def test_woe_iv_single_scan_one_exchange(spark, sf_dir):
+    """features_woe_iv: one orders scan into one category-keyed
+    aggregate; totals are a broadcast cross join."""
+    df = ALL["features_woe_iv"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert final.count("Scan parquet") == 1
+    assert "WindowExec" not in final
+    assert not I.has_python_in_plan(df)
+
+
+def test_textrank_broadcasts_rank_vector(spark, sf_dir):
+    """text_textrank_keywords: PR rounds join the broadcast rank vector
+    over the checkpointed edge relation; the top-k is a heap, not a
+    global sort; no Python anywhere."""
+    df = ALL["text_textrank_keywords"].fn(spark, sf_dir)
+    assert not I.has_python_in_plan(df)
+    assert I.uses_broadcast_join(df)
+    assert I.uses_take_ordered(df)
+
+
+def test_bot_score_single_user_exchange(spark, sf_dir):
+    """events_bot_score_heuristics: the lag window and the per-user
+    aggregate share ONE user-keyed hash exchange."""
+    df = ALL["events_bot_score_heuristics"].fn(spark, sf_dir)
+    assert I.executed_hash_exchanges(df) == 1
+    assert not I.has_python_in_plan(df)

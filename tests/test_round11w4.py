@@ -1,0 +1,194 @@
+"""Independent re-derivations for the round-11 fourth wave (AIPW,
+Cochran-Armitage, WOE/IV, TextRank, bot-score heuristics).
+
+Same discipline as test_stat_formulas.py: each statistic is recomputed
+from the raw parquet by a DIFFERENT route than the query takes
+(pandas/numpy loops, erfc instead of the Abramowitz-Stegun polynomial),
+within one-rounding-step tolerances.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pandas as pd
+
+from lambda_arc_events_filter_spark.registry import specs
+
+
+def _rows(spark, sf_dir, name):
+    return [r.asDict() for r in specs()[name].fn(spark, sf_dir).collect()]
+
+
+def _events(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _ipw_frame(sf_dir):
+    import numpy as np
+
+    e = _events(sf_dir)
+    cut = pd.Timestamp("2024-01-11")
+    pre = e[e.ts < cut].groupby("user_id").size().rename("pre_cnt")
+    post = e[e.ts >= cut].groupby("user_id").value.mean().rename("y")
+    u = pd.concat([pre, post], axis=1, join="inner").reset_index()
+    q1 = round(float(np.quantile(u.pre_cnt, 1.0 / 3.0)), 6)
+    q2 = round(float(np.quantile(u.pre_cnt, 2.0 / 3.0)), 6)
+    u["stratum"] = np.where(u.pre_cnt <= q1, 1, np.where(u.pre_cnt <= q2, 2, 3))
+    u["treated"] = (
+        (u.user_id.astype("int64") * 48271) % 97 < 19 + 10 * u.stratum
+    ).astype(int)
+    return u
+
+
+def test_aipw_matches_influence_function_route(spark, sf_dir):
+    """psi recomputed per user from stratum means; the ATE and its
+    influence-function SE from plain pandas moments."""
+    u = _ipw_frame(sf_dir)
+    sm = u.groupby("stratum").apply(
+        lambda g: pd.Series(
+            {
+                "e": g.treated.mean(),
+                "m1": g[g.treated == 1].y.mean(),
+                "m0": g[g.treated == 0].y.mean(),
+            }
+        ),
+        include_groups=False,
+    )
+    j = u.join(sm, on="stratum")
+    psi = (
+        j.m1
+        - j.m0
+        + j.treated * (j.y - j.m1) / j.e
+        - (1 - j.treated) * (j.y - j.m0) / (1.0 - j.e)
+    )
+    n = len(psi)
+    se = psi.std(ddof=1) / math.sqrt(n)
+    (r,) = _rows(spark, sf_dir, "events_aipw_doubly_robust")
+    assert r["n_users"] == n
+    assert abs(r["ate_aipw"] - psi.mean()) < 2e-6
+    assert abs(r["se_if"] - se) < 2e-6
+    assert abs(r["ci_lo"] - (psi.mean() - 1.959964 * se)) < 2e-6
+    assert abs(r["ci_hi"] - (psi.mean() + 1.959964 * se)) < 2e-6
+
+
+def test_cochran_armitage_matches_textbook_formula(spark, sf_dir):
+    """CA z from the literal 2xk-table formula; two-sided p via erfc
+    (vs the query's A-S polynomial, |err| < 7.5e-8)."""
+    import numpy as np
+
+    e = _events(sf_dir)
+    cut = pd.Timestamp("2024-01-11")
+    pre = e[e.ts < cut].groupby("user_id").size().rename("pre_cnt")
+    purch = (
+        e[(e.ts >= cut) & (e.event_type == "purchase")]
+        .groupby("user_id")
+        .size()
+        .rename("purch")
+    )
+    u = pre.to_frame().join(purch, how="left").fillna(0).reset_index()
+    q1 = round(float(np.quantile(u.pre_cnt, 1.0 / 3.0)), 6)
+    q2 = round(float(np.quantile(u.pre_cnt, 2.0 / 3.0)), 6)
+    pmed = round(float(np.quantile(u.purch, 0.5)), 6)
+    u["dose"] = np.where(u.pre_cnt <= q1, 1, np.where(u.pre_cnt <= q2, 2, 3))
+    u["resp"] = (u.purch > pmed).astype(int)
+    g = u.groupby("dose").resp.agg(["count", "sum"])
+    N, R = g["count"].sum(), g["sum"].sum()
+    xbar = (g.index * g["count"]).sum() / N
+    num = (g["sum"] * (g.index - xbar)).sum()
+    pbar = R / N
+    den = pbar * (1 - pbar) * (g["count"] * (g.index - xbar) ** 2).sum()
+    z = num / math.sqrt(den)
+    p = math.erfc(abs(z) / math.sqrt(2))
+    (r,) = _rows(spark, sf_dir, "events_cochran_armitage_trend")
+    assert r["n_users"] == N and r["n_resp"] == R
+    assert abs(r["z_trend"] - z) < 2e-6
+    assert abs(r["p_value"] - p) < 2e-6
+
+
+def test_woe_iv_matches_fraction_route(spark, sf_dir):
+    """WOE/IV from the smoothed-count definition, recomputed per
+    priority with plain python floats."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["bad"] = (o.o_orderstatus == "F").astype(int)
+    g = o.groupby("o_orderpriority").bad.agg(["count", "sum"])
+    tg = (g["count"] - g["sum"]).sum()
+    tb = g["sum"].sum()
+    got = {r["category"]: r for r in _rows(spark, sf_dir, "features_woe_iv")}
+    assert set(got) == set(g.index)
+    for cat, row in g.iterrows():
+        ngood, nbad = row["count"] - row["sum"], row["sum"]
+        pg = (ngood + 0.5) / (tg + 0.5)
+        pb = (nbad + 0.5) / (tb + 0.5)
+        woe = math.log(pg / pb)
+        r = got[cat]
+        assert r["n_good"] == ngood and r["n_bad"] == nbad
+        assert abs(r["woe"] - woe) < 2e-6
+        assert abs(r["iv_contrib"] - (pg - pb) * woe) < 2e-6
+
+
+def test_textrank_matches_python_pagerank(spark, sf_dir):
+    """Edge extraction + 2 PR rounds replayed literally; the query's
+    top-50 must agree on membership and rank values."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = defaultdict(int)
+    for text in docs.text:
+        ts = text.split(" ")
+        for i in range(len(ts) - 1):
+            if ts[i] != ts[i + 1]:
+                cnt[tuple(sorted((ts[i], ts[i + 1])))] += 1
+        for i in range(len(ts) - 2):
+            if ts[i] != ts[i + 2]:
+                cnt[tuple(sorted((ts[i], ts[i + 2])))] += 1
+    edges = {k: v for k, v in cnt.items() if v >= 2}
+    adj = defaultdict(dict)
+    for (a, b), w in edges.items():
+        adj[a][b] = adj[a].get(b, 0) + w
+        adj[b][a] = adj[b].get(a, 0) + w
+    nodes = sorted(adj)
+    n = len(nodes)
+    ow = {v: sum(adj[v].values()) for v in nodes}
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(2):
+        pr = {
+            v: round(
+                0.15 / n
+                + 0.85 * sum(pr[s] * w / ow[s] for s, w in adj[v].items()),
+                9,
+            )
+            for v in nodes
+        }
+    top = sorted(
+        ((round(pr[v], 6), v) for v in nodes), key=lambda t: (-t[0], t[1])
+    )[:50]
+    got = _rows(spark, sf_dir, "text_textrank_keywords")
+    assert len(got) == len(top) == min(50, n)
+    for r, (rank, word) in zip(got, top):
+        assert r["word"] == word, (r, word)
+        assert abs(r["textrank"] - rank) < 2e-6
+
+
+def test_bot_score_matches_pandas_route(spark, sf_dir):
+    """Per-user cv/night/error shares replayed with pandas group ops on
+    exact-microsecond gaps."""
+    e = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    # pandas datetime64[ns] → exact µs integers (the query's unix_micros)
+    e["us"] = e.ts.astype("int64") // 1000
+    got = {r["user_id"]: r for r in _rows(spark, sf_dir, "events_bot_score_heuristics")}
+    for uid, g in e.groupby("user_id"):
+        if len(g) < 5:
+            assert uid not in got
+            continue
+        gaps = g.us.diff().dropna()
+        cv = gaps.std(ddof=1) / gaps.mean()
+        night = (g.ts.dt.hour < 6).mean()
+        err = (g.event_type == "error").mean()
+        score = 0.4 * math.exp(-cv) + 0.3 * night + 0.3 * err
+        r = got[uid]
+        assert r["n_events"] == len(g)
+        assert abs(r["iat_cv"] - cv) < 2e-6
+        assert abs(r["night_share"] - night) < 2e-6
+        assert abs(r["error_share"] - err) < 2e-6
+        assert abs(r["bot_score"] - score) < 2e-6
+        assert r["is_bot"] == (round(score, 6) > 0.35)
