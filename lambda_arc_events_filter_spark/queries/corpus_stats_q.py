@@ -2199,3 +2199,81 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("textrank").desc(), "word")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unseen-vocabulary estimation (Chao1 / Good-Turing coverage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_unseen_vocab_estimate",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    f AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tc GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab, f1, f2,
+           round(vocab + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1_est,
+           round(1.0 - f1 * 1.0 / n_tokens, 6) AS gt_coverage
+    FROM f ORDER BY source
+    """,
+    tags=("llm", "text", "stats"),
+)
+def corpus_unseen_vocab_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Species-richness estimation per source: the bias-corrected Chao1
+    lower bound on TOTAL vocabulary ``V + f₁(f₁−1)/(2(f₂+1))`` and the
+    Good-Turing coverage estimate ``1 − f₁/N`` (the probability the
+    next token is already known) from the frequency-of-frequencies —
+    "how much vocabulary has this source NOT shown yet", the curation
+    answer to whether more crawl of a source buys new tokens or
+    repeats (complements Heaps' law D72, which fits growth ON the
+    observed prefix; Chao1 extrapolates past it).
+
+    Scale shape: token explode → (source, token) count → per-source
+    frequency-of-frequencies — two map-side-combinable aggregates; the
+    f-vector per source is at most max-count rows and the estimate is
+    row-local arithmetic.  The bias-corrected Chao1 form is defined
+    even when f₂=0; integers stay BIGINT until the final two divisions
+    (both engines divide in the same order), round-6.
+    """
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    f = tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return f.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab")
+            + F.col("f1") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1_est"),
+        F.round(1.0 - F.col("f1") * 1.0 / F.col("n_tokens"), 6).alias(
+            "gt_coverage"
+        ),
+    ).orderBy("source")

@@ -2897,3 +2897,100 @@ def events_bot_score_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("bot_score"),
         (score > 0.35).alias("is_bot"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event model: temporal hold-out accuracy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_holdout_accuracy",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_type AS cur,
+             CASE WHEN ts < TIMESTAMP '2024-01-21' THEN 0 ELSE 1 END AS era,
+             lag(event_type) OVER (
+               PARTITION BY user_id,
+                 CASE WHEN ts < TIMESTAMP '2024-01-21' THEN 0 ELSE 1 END
+               ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    train AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+      FROM lagged WHERE era = 0 AND prev IS NOT NULL GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT prev, cur AS predicted FROM (
+        SELECT prev, cur,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, cur) AS rk
+        FROM train) WHERE rk = 1
+    ),
+    test AS (
+      SELECT prev, cur FROM lagged WHERE era = 1 AND prev IS NOT NULL
+    )
+    SELECT t.prev, p.predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.cur = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(avg(CASE WHEN t.cur = p.predicted
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM test t JOIN pred p ON p.prev = t.prev
+    GROUP BY t.prev, p.predicted ORDER BY t.prev
+    """,
+    tags=("events", "quality", "evaluation"),
+)
+def events_markov_holdout_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal hold-out evaluation of the first-order Markov
+    next-event model: fit argmax transition predictions on days 1-20,
+    score top-1 accuracy on days 21-30 — the train/test discipline
+    behind every "does yesterday's behavior model predict tomorrow"
+    check (the stationary-distribution query C15 describes the chain;
+    this one MEASURES its forward skill, the evaluation-family pattern
+    of N2/F3 applied to sequences).
+
+    Transitions never cross the split boundary (lag partitions on
+    (user, era)), so train pairs are wholly pre-split and test pairs
+    wholly post-split.  Scale shape: ONE user/era-keyed exchange for
+    the lag window, a ≤k² transition aggregate, argmax via a
+    row_number window over the BOUNDED transition table (deterministic
+    tie: count DESC, type ASC), then the test pairs join the 5-row
+    prediction table by broadcast.  No fact-scale window beyond the
+    lag; no Python.
+    """
+    e = load(spark, sf_dir, "events")
+    era = F.when(
+        F.col("ts") < F.lit("2024-01-21").cast("timestamp"), 0
+    ).otherwise(1)
+    w = Window.partitionBy("user_id", "era").orderBy("ts", "event_id")
+    lagged = e.withColumn("era", era).select(
+        "era",
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    train = (
+        lagged.filter((F.col("era") == 0) & F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rk = Window.partitionBy("prev").orderBy(F.col("c").desc(), F.col("cur"))
+    pred = (
+        train.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("cur").alias("predicted"))
+    )
+    test = lagged.filter((F.col("era") == 1) & F.col("prev").isNotNull())
+    hit = F.when(F.col("cur") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(pred), "prev")
+        .groupBy("prev", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.avg(hit * 1.0), 6).alias("accuracy"),
+        )
+        .orderBy("prev")
+    )

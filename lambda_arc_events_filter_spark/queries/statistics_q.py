@@ -5138,3 +5138,85 @@ def events_cochran_armitage_trend(
         F.round("zv", 6).alias("z_trend"),
         F.round(2 * pdf * poly, 6).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes beta-binomial shrinkage of per-part return rates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_return_rate_shrinkage",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (
+      SELECT avg(r * 1.0 / n) AS xb, var_samp(r * 1.0 / n) AS s2 FROM g
+    ),
+    ab AS (
+      SELECT round(greatest(xb * (1 - xb) / s2 - 1, 1e-9), 9) AS ab0,
+             xb FROM m
+    ),
+    p AS (SELECT round(ab0 * xb, 9) AS alpha, ab0 FROM ab)
+    SELECT g.l_partkey, g.n, g.r,
+           round(g.r * 1.0 / g.n, 6) AS raw_rate,
+           round((g.r + p.alpha) / (g.n + p.ab0), 6) AS shrunk_rate
+    FROM g, p ORDER BY g.l_partkey
+    """,
+    tags=("stats", "agg"),
+)
+def parts_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates under a
+    beta-binomial prior fit by method of moments (Morris 1983 lineage;
+    the James-Stein idea applied to proportions): small-n parts get
+    pulled toward the corpus rate — ``shrunk = (r+α)/(n+α+β)`` with
+    ``α+β = x̄(1−x̄)/s² − 1`` from the across-part rate moments — the
+    standard fix for ranking noisy per-item rates (return-rate, CTR,
+    defect-rate leaderboards).
+
+    Scale shape: ONE part-keyed map-side-combinable fact aggregate,
+    then the prior is a 1-row moment aggregate over the PART relation
+    broadcast back — two aggregates total, no window, no rescan.  The
+    prior parameters round to 9 before the shrink (identical
+    trajectories in both engines); the MoM denominator is guarded
+    (``greatest(·,1e-9)``) identically on both sides for the
+    overdispersion-free degenerate corpus.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    g = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    rate = F.col("r") * 1.0 / F.col("n")
+    m = g.agg(
+        F.avg(rate).alias("xb"), F.var_samp(rate).alias("s2")
+    )
+    p = m.select(
+        F.round(
+            F.greatest(
+                F.col("xb") * (1 - F.col("xb")) / F.col("s2") - 1,
+                F.lit(1e-9),
+            ),
+            9,
+        ).alias("ab0"),
+        "xb",
+    ).select(F.round(F.col("ab0") * F.col("xb"), 9).alias("alpha"), "ab0")
+    return (
+        g.crossJoin(F.broadcast(p))
+        .select(
+            "l_partkey",
+            "n",
+            "r",
+            F.round(rate, 6).alias("raw_rate"),
+            F.round(
+                (F.col("r") + F.col("alpha")) / (F.col("n") + F.col("ab0")), 6
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("l_partkey")
+    )

@@ -559,3 +559,32 @@ def test_bot_score_single_user_exchange(spark, sf_dir):
     df = ALL["events_bot_score_heuristics"].fn(spark, sf_dir)
     assert I.executed_hash_exchanges(df) == 1
     assert not I.has_python_in_plan(df)
+
+
+def test_shrinkage_two_aggregates_no_window(spark, sf_dir):
+    """parts_return_rate_shrinkage: one part-keyed fact aggregate, the
+    1-row prior broadcast back — no window, single lineitem scan."""
+    df = ALL["parts_return_rate_shrinkage"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert final.count("Scan parquet") <= 2  # ReuseExchange may keep 1
+    assert "WindowExec" not in final
+    assert not I.has_python_in_plan(df)
+
+
+def test_markov_holdout_bounded_windows_only(spark, sf_dir):
+    """events_markov_holdout_accuracy: the only fact-scale window is
+    the (user, era)-keyed lag; argmax rides the bounded transition
+    table; predictions broadcast into the test join."""
+    df = ALL["events_markov_holdout_accuracy"].fn(spark, sf_dir)
+    assert I.uses_broadcast_join(df)
+    assert not I.has_python_in_plan(df)
+
+
+def test_unseen_vocab_two_aggregates(spark, sf_dir):
+    """corpus_unseen_vocab_estimate: explode → two map-side-combinable
+    aggregates, one documents scan, no window, no join."""
+    df = ALL["corpus_unseen_vocab_estimate"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert final.count("Scan parquet") == 1
+    assert "WindowExec" not in final
+    assert not I.has_python_in_plan(df)

@@ -192,3 +192,94 @@ def test_bot_score_matches_pandas_route(spark, sf_dir):
         assert abs(r["error_share"] - err) < 2e-6
         assert abs(r["bot_score"] - score) < 2e-6
         assert r["is_bot"] == (round(score, 6) > 0.35)
+
+
+def test_shrinkage_matches_fraction_route(spark, sf_dir):
+    """Beta-binomial MoM prior + shrink replayed with pandas moments."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_partkey", "l_returnflag"]
+    ]
+    li["ret"] = (li.l_returnflag == "R").astype(int)
+    g = li.groupby("l_partkey").ret.agg(["count", "sum"])
+    rates = g["sum"] / g["count"]
+    xb, s2 = rates.mean(), rates.var(ddof=1)
+    ab0 = round(max(xb * (1 - xb) / s2 - 1, 1e-9), 9)
+    alpha = round(ab0 * xb, 9)
+    got = {
+        r["l_partkey"]: r
+        for r in _rows(spark, sf_dir, "parts_return_rate_shrinkage")
+    }
+    assert set(got) == set(g.index)
+    for pk, row in g.iterrows():
+        r = got[pk]
+        assert r["n"] == row["count"] and r["r"] == row["sum"]
+        assert abs(r["raw_rate"] - row["sum"] / row["count"]) < 2e-6
+        shrunk = (row["sum"] + alpha) / (row["count"] + ab0)
+        assert abs(r["shrunk_rate"] - shrunk) < 2e-6, pk
+    # shrinkage must actually shrink: every posterior rate strictly
+    # between the raw rate and the prior mean (or equal at the fixpoint)
+    prior = alpha / ab0
+    for pk, row in g.iterrows():
+        raw = row["sum"] / row["count"]
+        s = got[pk]["shrunk_rate"]
+        lo, hi = sorted((raw, prior))
+        assert lo - 2e-6 <= s <= hi + 2e-6, pk
+
+
+def test_markov_holdout_matches_python_argmax(spark, sf_dir):
+    """Train-era argmax + test-era scoring replayed with dict loops."""
+    from collections import Counter, defaultdict
+
+    e = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    cut = pd.Timestamp("2024-01-21")
+    e["era"] = (e.ts >= cut).astype(int)
+    train = Counter()
+    test = []
+    for (_, era), g in e.groupby(["user_id", "era"]):
+        seq = list(g.event_type)
+        for a, b in zip(seq, seq[1:]):
+            if era == 0:
+                train[(a, b)] += 1
+            else:
+                test.append((a, b))
+    byprev = defaultdict(dict)
+    for (a, b), c in train.items():
+        byprev[a][b] = c
+    pred = {
+        a: min(((-c, b) for b, c in d.items()))[1] for a, d in byprev.items()
+    }
+    stats = defaultdict(lambda: [0, 0])
+    for a, b in test:
+        if a in pred:
+            stats[a][0] += 1
+            stats[a][1] += int(pred[a] == b)
+    got = {r["prev"]: r for r in _rows(spark, sf_dir, "events_markov_holdout_accuracy")}
+    assert set(got) == set(stats)
+    for a, (n, k) in stats.items():
+        r = got[a]
+        assert r["predicted"] == pred[a]
+        assert r["n_test"] == n and r["n_correct"] == k
+        assert abs(r["accuracy"] - k / n) < 2e-6
+
+
+def test_chao1_good_turing_matches_counter_route(spark, sf_dir):
+    """Frequency-of-frequencies + both estimators from a Counter."""
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["source"]: r
+        for r in _rows(spark, sf_dir, "corpus_unseen_vocab_estimate")
+    }
+    for src, g in docs.groupby("source"):
+        c = Counter(w for t in g.text for w in t.split(" "))
+        n = sum(c.values())
+        v = len(c)
+        f1 = sum(1 for k in c.values() if k == 1)
+        f2 = sum(1 for k in c.values() if k == 2)
+        r = got[src]
+        assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (n, v, f1, f2)
+        assert abs(r["chao1_est"] - (v + f1 * (f1 - 1) / (2.0 * (f2 + 1)))) < 2e-6
+        assert abs(r["gt_coverage"] - (1.0 - f1 / n)) < 2e-6
+        assert r["chao1_est"] >= v  # estimator is a lower bound ABOVE V
+    assert set(got) == set(docs.source.unique())
