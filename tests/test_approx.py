@@ -170,7 +170,16 @@ def test_kll_merge_fold_is_order_invariant(spark, sf_dir):
     seq_rev, q_rev = sorted_seq_and_quantiles(list(reversed(blobs)))
     # the fix's guarantee: the fold consumes an identical sorted sequence
     assert seq_fwd == seq_rev and len(seq_fwd) >= 2
-    # merge randomness bounded by the sketch guarantee (k=200 ~ 1.65%
-    # one-sided rank error; 5% value band is generous at this skew)
-    for a, b in zip(q_fwd, q_rev):
-        assert abs(a - b) <= 0.05 * max(abs(a), abs(b)), (q_fwd, q_rev)
+    # merge randomness is bounded by the sketch's RANK guarantee, not a
+    # value band (a 5% value band flaked: two independent merges of the
+    # same blobs can land on neighboring retained items whose VALUES
+    # differ >5% in a sparse tail).  k=200 → ~1.65% one-sided rank
+    # error; allow 2× for the merge of merges, on BOTH results.
+    import bisect
+
+    vals = sorted(r["value"] for r in e.select("value").collect())
+    n = len(vals)
+    for qs in (q_fwd, q_rev):
+        for p, got in zip((0.5, 0.9, 0.99), qs):
+            rank = bisect.bisect_right(vals, got) / n
+            assert abs(rank - p) <= 0.033 + 2.0 / n, (p, got, rank)
