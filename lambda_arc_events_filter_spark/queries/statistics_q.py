@@ -5220,3 +5220,270 @@ def parts_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation test via deterministic hash re-assignments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_permutation_test",
+    oracle="""
+    WITH y AS (
+      SELECT user_id, avg(value) AS y, user_id % 2 AS arm
+      FROM events WHERE ts >= TIMESTAMP '2024-01-11' GROUP BY 1
+    ),
+    obs AS (
+      SELECT avg(CASE WHEN arm = 1 THEN y END)
+             - avg(CASE WHEN arm = 0 THEN y END) AS d,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM y
+    ),
+    perms AS (
+      SELECT y.user_id, y.y, t.j,
+             ((y.user_id * 48271 + t.j * 2246822519) % 2147483647) % 2 AS parm
+      FROM y, unnest(generate_series(1, 199)) AS t(j)
+    ),
+    pd AS (
+      SELECT j, avg(CASE WHEN parm = 1 THEN y END)
+                - avg(CASE WHEN parm = 0 THEN y END) AS d
+      FROM perms GROUP BY 1
+    )
+    SELECT obs.n_users, CAST(199 AS BIGINT) AS n_perms,
+           round(obs.d, 6) AS obs_diff,
+           round((1.0 + sum(CASE WHEN abs(pd.d) >= abs(obs.d)
+                                 THEN 1 ELSE 0 END)) / 200.0, 6) AS p_value
+    FROM pd, obs GROUP BY obs.n_users, obs.d
+    """,
+    tags=("events", "stats"),
+)
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-style permutation test of the A/B mean difference with
+    199 DETERMINISTIC virtual re-assignments: permutation j labels each
+    user by the LCG hash ``((uid·48271 + j·2246822519) mod 2³¹−1) mod 2``
+    — exchangeable-under-the-null relabelings without any RNG state, so
+    both engines (and any two cluster runs) enumerate the identical
+    permutation set.  ``p = (1 + #{|d_j| ≥ |d_obs|}) / (1+J)``, the
+    add-one form that keeps p valid (Phipson & Smyth 2010).  This is
+    the distribution-free companion to the Welch z (D63): no normality
+    assumption, exact under exchangeability.
+
+    Scale shape: the outcome collapses to ONE row per user first
+    (map-side combinable); the 199-way fan-out explodes the USER
+    relation, not events (|users|×J rows feeding a (j, arm) partial
+    aggregate — embarrassingly parallel, no window, no shuffle beyond
+    the two keyed aggregates).  A degenerate permutation (single-arm)
+    yields a NULL diff that counts as non-exceeding in BOTH engines
+    (NULL comparison → CASE else).  Round-6 on the two reported stats.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-11").cast("timestamp")
+    y = (
+        e.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("y"))
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    obs = y.agg(
+        (
+            F.avg(F.when(F.col("arm") == 1, F.col("y")))
+            - F.avg(F.when(F.col("arm") == 0, F.col("y")))
+        ).alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    perms = y.select(
+        "user_id", "y", F.explode(F.expr("sequence(1, 199)")).alias("j")
+    ).withColumn(
+        "parm",
+        (
+            (F.col("user_id") * F.lit(48271) + F.col("j") * F.lit(2246822519))
+            % F.lit(2147483647)
+        )
+        % 2,
+    )
+    pd_ = perms.groupBy("j").agg(
+        (
+            F.avg(F.when(F.col("parm") == 1, F.col("y")))
+            - F.avg(F.when(F.col("parm") == 0, F.col("y")))
+        ).alias("d")
+    )
+    exceed = F.when(
+        F.abs(F.col("d")) >= F.abs(F.col("obs_d")), 1
+    ).otherwise(0)
+    return (
+        pd_.crossJoin(
+            F.broadcast(
+                obs.select(
+                    F.col("d").alias("obs_d"), "n_users"
+                )
+            )
+        )
+        .groupBy("n_users", "obs_d")
+        .agg(
+            F.round((1.0 + F.sum(exceed)) / 200.0, 6).alias("p_value")
+        )
+        .select(
+            "n_users",
+            F.lit(199).cast("bigint").alias("n_perms"),
+            F.round("obs_d", 6).alias("obs_diff"),
+            "p_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor covariate matching (with replacement) → ATT
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_psm_nn_att",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS pre_cnt
+      FROM events WHERE ts < TIMESTAMP '2024-01-11' GROUP BY 1
+    ),
+    post AS (
+      SELECT user_id, avg(value) AS y
+      FROM events WHERE ts >= TIMESTAMP '2024-01-11' GROUP BY 1
+    ),
+    u AS (SELECT pre.user_id, pre.pre_cnt, post.y
+          FROM pre JOIN post ON pre.user_id = post.user_id),
+    th AS (SELECT round(quantile_cont(pre_cnt, 1.0/3.0), 6) AS q1,
+                  round(quantile_cont(pre_cnt, 2.0/3.0), 6) AS q2 FROM u),
+    a AS (
+      SELECT u.*,
+             CASE WHEN u.pre_cnt <= th.q1 THEN 1
+                  WHEN u.pre_cnt <= th.q2 THEN 2 ELSE 3 END AS stratum,
+             CAST(floor(u.pre_cnt / 5) AS BIGINT) AS bucket
+      FROM u, th
+    ),
+    a2 AS (
+      SELECT *, CASE WHEN (user_id * 48271) % 97 < 19 + 10 * stratum
+                     THEN 1 ELSE 0 END AS treated
+      FROM a
+    ),
+    cand AS (
+      SELECT t.user_id AS t_id, t.y AS t_y,
+             c.user_id AS c_id, c.y AS c_y,
+             abs(t.pre_cnt - c.pre_cnt) AS dist
+      FROM a2 t
+      JOIN (SELECT *, bucket AS cb FROM a2 WHERE treated = 0) c
+        ON c.stratum = t.stratum
+       AND c.cb BETWEEN t.bucket - 1 AND t.bucket + 1
+      WHERE t.treated = 1 AND abs(t.pre_cnt - c.pre_cnt) <= 5
+    ),
+    best AS (
+      SELECT t_id, t_y, c_id, c_y FROM (
+        SELECT *, row_number() OVER (PARTITION BY t_id
+                                     ORDER BY dist, c_id) AS rk
+        FROM cand) WHERE rk = 1
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated
+           FROM a2 WHERE treated = 1)
+    SELECT nt.n_treated,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(count(DISTINCT c_id) AS BIGINT) AS n_controls_used,
+           round(avg(t_y - c_y), 6) AS att
+    FROM best, nt GROUP BY nt.n_treated
+    """,
+    tags=("events", "stats"),
+)
+def events_psm_nn_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor covariate matching WITH replacement (Rubin 1973
+    / Abadie-Imbens 2006) on the stratified confounded construction
+    shared with BA9/BA11 — the third leg of the causal suite: each
+    treated user is matched to the closest control on the pre-period
+    activity covariate within its stratum, caliper 5, and the ATT is
+    the mean matched difference.  With-replacement matching is chosen
+    deliberately: greedy without-replacement depends on match ORDER (a
+    nondeterministic sequential scan), while with-replacement 1-NN is a
+    pure per-treated argmin — deterministic, parallel, and lower-bias
+    (Abadie-Imbens §3).  Ties break on (distance, control id).
+
+    Scale shape: candidate generation is a BANDED equi-join — controls
+    join on (stratum, covariate bucket ∈ {b−1,b,b+1}) where the bucket
+    width equals the caliper, so the band provably contains every
+    within-caliper match and candidates scale with caliper density,
+    never |treated|×|control| (the dedup-band discipline applied to
+    matching).  The argmin is a row_number over per-treated candidate
+    groups; unmatched treated (empty caliper) drop out and are
+    accounted by n_treated − n_matched.  No Python, round-6.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-11").cast("timestamp")
+    pre = (
+        e.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pre_cnt"))
+    )
+    post = (
+        e.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("y"))
+    )
+    u = pre.join(post, "user_id")
+    th = u.agg(
+        F.round(F.expr("percentile(pre_cnt, 1.0/3.0)"), 6).alias("q1"),
+        F.round(F.expr("percentile(pre_cnt, 2.0/3.0)"), 6).alias("q2"),
+    )
+    a2 = (
+        u.crossJoin(F.broadcast(th))
+        .withColumn(
+            "stratum",
+            F.when(F.col("pre_cnt") <= F.col("q1"), 1)
+            .when(F.col("pre_cnt") <= F.col("q2"), 2)
+            .otherwise(3),
+        )
+        .withColumn("bucket", F.floor(F.col("pre_cnt") / 5).cast("bigint"))
+        .withColumn(
+            "treated",
+            (
+                (F.col("user_id") * F.lit(48271)) % 97
+                < 19 + 10 * F.col("stratum")
+            ).cast("int"),
+        )
+    )
+    t = a2.filter(F.col("treated") == 1).select(
+        F.col("user_id").alias("t_id"),
+        F.col("y").alias("t_y"),
+        F.col("pre_cnt").alias("t_pre"),
+        "stratum",
+        "bucket",
+    )
+    c = a2.filter(F.col("treated") == 0).select(
+        F.col("user_id").alias("c_id"),
+        F.col("y").alias("c_y"),
+        F.col("pre_cnt").alias("c_pre"),
+        "stratum",
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        t.join(c, ["stratum", "bucket"])
+        .withColumn("dist", F.abs(F.col("t_pre") - F.col("c_pre")))
+        .filter(F.col("dist") <= 5)
+    )
+    rk = Window.partitionBy("t_id").orderBy("dist", "c_id")
+    best = (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("t_id", "t_y", "c_id", "c_y")
+    )
+    nt = a2.filter(F.col("treated") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated")
+    )
+    return (
+        best.crossJoin(F.broadcast(nt))
+        .groupBy("n_treated")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.countDistinct("c_id").cast("bigint").alias("n_controls_used"),
+            F.round(F.avg(F.col("t_y") - F.col("c_y")), 6).alias("att"),
+        )
+        .select("n_treated", "n_matched", "n_controls_used", "att")
+    )

@@ -588,3 +588,24 @@ def test_unseen_vocab_two_aggregates(spark, sf_dir):
     assert final.count("Scan parquet") == 1
     assert "WindowExec" not in final
     assert not I.has_python_in_plan(df)
+
+
+def test_permutation_test_fans_out_users_not_events(spark, sf_dir):
+    """events_permutation_test: the 199-way explode rides the per-user
+    relation (one events scan feeding a user-keyed aggregate first);
+    no window anywhere."""
+    df = ALL["events_permutation_test"].fn(spark, sf_dir)
+    final = _final_executed(df)
+    assert "WindowExec" not in final
+    assert final.count("Scan parquet") <= 2
+    assert not I.has_python_in_plan(df)
+
+
+def test_psm_candidates_via_banded_equi_join(spark, sf_dir):
+    """events_psm_nn_att: the matching join must be a hash join on
+    (stratum, bucket) — never a nested loop over treated x control."""
+    df = ALL["events_psm_nn_att"].fn(spark, sf_dir)
+    assert not I.uses_nested_loop_join(df) or I.uses_broadcast_join(df)
+    final = _final_executed(df)
+    assert "BroadcastNestedLoopJoin Inner" not in final
+    assert not I.has_python_in_plan(df)

@@ -283,3 +283,53 @@ def test_chao1_good_turing_matches_counter_route(spark, sf_dir):
         assert abs(r["gt_coverage"] - (1.0 - f1 / n)) < 2e-6
         assert r["chao1_est"] >= v  # estimator is a lower bound ABOVE V
     assert set(got) == set(docs.source.unique())
+
+
+def test_permutation_test_matches_python_loop(spark, sf_dir):
+    """All 199 hash permutations replayed literally; p from the
+    add-one formula."""
+    e = _events(sf_dir)
+    cut = pd.Timestamp("2024-01-11")
+    y = e[e.ts >= cut].groupby("user_id").value.mean()
+    uids = y.index.astype("int64")
+    obs = y[uids % 2 == 1].mean() - y[uids % 2 == 0].mean()
+    exceed = 0
+    for j in range(1, 200):
+        parm = ((uids * 48271 + j * 2246822519) % 2147483647) % 2
+        d = y[parm == 1].mean() - y[parm == 0].mean()
+        if not math.isnan(d) and abs(d) >= abs(obs):
+            exceed += 1
+    p = (1.0 + exceed) / 200.0
+    (r,) = _rows(spark, sf_dir, "events_permutation_test")
+    assert r["n_users"] == len(y) and r["n_perms"] == 199
+    assert abs(r["obs_diff"] - obs) < 2e-6
+    assert abs(r["p_value"] - p) < 2e-6
+
+
+def test_psm_matches_python_argmin(spark, sf_dir):
+    """1-NN with-replacement matching replayed with explicit loops:
+    same caliper, same (distance, control-id) tie-break; also pins the
+    band-join completeness (bucket width == caliper → no candidate
+    outside the band can be within the caliper)."""
+    import numpy as np
+
+    u = _ipw_frame(sf_dir)
+    treated = u[u.treated == 1]
+    control = u[u.treated == 0]
+    matches = {}
+    for t in treated.itertuples():
+        cands = control[
+            (control.stratum == t.stratum)
+            & ((control.pre_cnt - t.pre_cnt).abs() <= 5)
+        ]
+        if len(cands):
+            c = cands.assign(dist=(cands.pre_cnt - t.pre_cnt).abs()).sort_values(
+                ["dist", "user_id"]
+            ).iloc[0]
+            matches[t.user_id] = (c.user_id, t.y - c.y)
+    (r,) = _rows(spark, sf_dir, "events_psm_nn_att")
+    assert r["n_treated"] == len(treated)
+    assert r["n_matched"] == len(matches)
+    assert r["n_controls_used"] == len({c for c, _ in matches.values()})
+    att = sum(d for _, d in matches.values()) / len(matches)
+    assert abs(r["att"] - att) < 2e-6
