@@ -45,17 +45,22 @@ from lambda_arc_events_filter_spark.registry import register
 def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family: concat/case/substring/trim/pad/split/replace/regex/pos.
 
-    Accepted ~2.2-2.5× vs DuckDB at sf0.1, decomposed (r10, noop-sink
-    staged timing, min-of-8 warm): full 0.130 s = compute→noop 0.087 +
-    3.4 MB/20 k-row × 15-column Arrow transfer 0.030 + toPandas floor
-    0.013.  Map-only single-stage plan (WholeStageCodegen end-to-end, no
-    shuffle); the compute term is dominated by the two java.util.regex
-    columns (a regex-only 2-column projection measures 0.046 s) vs
-    DuckDB's RE2 — an engine-library constant, not a plan defect.  The
-    prepared-plan cache upgrade to optimized plans (registry.py, r10)
-    took the per-call Catalyst re-derivation out (0.184 → 0.157 s
-    measured at the ofRows level).  At volume the regex cost scales with
-    bytes on both engines and the dispatch/transfer floor amortizes.
+    Accepted ~1.9-2.5× vs DuckDB at sf0.1, decomposed (refreshed r12,
+    solo probe session, min-of-8 warm; r10 resident-bench numbers in
+    parens): compute→noop(count) 0.087 s — IDENTICAL to r10's 0.087, the
+    compute term has not moved — of which a regex-only 2-column
+    projection is 0.076 s (r10 resident: 0.046), so the two
+    java.util.regex columns dominate compute vs DuckDB's RE2 — an
+    engine-library constant, not a plan defect.  Full toPandas 0.252 s
+    solo (r10 resident full-headline: 0.130; r11 driver bench: 0.181) —
+    the delta over compute is the 3.4 MB/20 k-row × 15-column Arrow
+    transfer + toPandas floor, whose absolute cost tracks session
+    residency, not the plan.  Map-only single-stage plan
+    (WholeStageCodegen end-to-end, no shuffle); the prepared-plan cache
+    upgrade to optimized plans (registry.py, r10) took the per-call
+    Catalyst re-derivation out (0.184 → 0.157 s measured at the ofRows
+    level).  At volume the regex cost scales with bytes on both engines
+    and the dispatch/transfer floor amortizes.
     """
     p = load(spark, sf_dir, "part")
     return p.select(

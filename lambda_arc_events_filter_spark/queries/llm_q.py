@@ -1183,7 +1183,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged timing, min-of-8 warm): documents scan→noop 0.044 s; + md5
     window dedup 0.101 s; full query 0.166 s under the resident
     full-headline bench (0.256 s in an isolated probe session — the
-    residency delta is JIT/shuffle-file warm state, not plan).  The
+    residency delta is JIT/shuffle-file warm state, not plan).
+    Re-measured r12 (solo probe, min-of-8): scan→noop 0.055 s, + dedup
+    window 0.125 s, full 0.303 s — every stage within the known
+    solo-vs-resident envelope of its r10 number; the stage split is
+    unchanged and no stage grew relative to the others.  The
     remaining ~0.06-0.15 s over the dedup stage is the in-row HOF
     tokenize/quality arithmetic plus the final (lang, source) aggregate
     — both map-side work that scales with bytes, not with stage count,

@@ -354,6 +354,25 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding BEFORE the argmin bounds the cross-engine float-tie surface,
     ADVICE r2) and the same round-to-6 centroid refresh, so both engines
     run the exact recurrence.
+
+    Accepted ~1.9× vs DuckDB at sf0.1, decomposed (r12 solo probe,
+    min-of-6/8 warm): per-call cost splits as DataFrame-from-cached-plan
+    ~0.002 s + physical planning ~0.05 s + fresh execution 0.71-1.0 s.
+    A same-Dataset re-collect measures only 0.20 s — but that path
+    silently REUSES the first execution's shuffle map outputs and
+    broadcast relations (same-DAG job reuse), i.e. the refresh
+    aggregates never re-run: exactly the round-8 result-caching leak
+    class, so the prepared-plan protocol deliberately re-plans per call
+    and the honest per-call number is the 0.71-1.0 s fresh execution.
+    That cost is the ~6-stage dispatch + codegen floor of the unrolled
+    2-round recurrence over a 2,000-row fixture, not data work — it
+    amortizes with corpus size while DuckDB's 0.24 s is the same
+    recurrence fused in-process.  Measured-and-rejected (r12): a
+    flat per-component centroid refresh (64 ``avg(embedding[i])``
+    aggregates, no posexplode, one shuffle instead of two) — identical
+    results, 0.95 vs 1.02 s per honest ofRows call, inside probe noise,
+    while costing a 64-expression analysis tree on every cache-miss
+    build (1.94 vs 0.94 s un-cached); the explode-based refresh stays.
     """
     from lambda_arc_events_filter_spark.operators.similarity import kmeans_lloyd
 
