@@ -2847,7 +2847,8 @@ def batch_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-             stddev_samp(gap_us) / avg(gap_us) AS iat_cv,
+             coalesce(stddev_samp(gap_us) / nullif(avg(gap_us), 0),
+                      0) AS iat_cv,
              avg(night) AS night_share,
              avg(err) AS error_share
       FROM seq GROUP BY 1 HAVING count(*) >= 5
@@ -2878,7 +2879,13 @@ def events_bot_score_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning); gaps are exact µs BIGINTs (unix_micros — no float
     timestamp arithmetic), ties broken by event_id so the lag sequence
     is deterministic, and the variance/mean ratio is computed from the
-    same sums in both engines.  Output is per-user (bounded by the
+    same sums in both engines.  The cv is 0/0 for a user whose ≥5
+    events share ONE timestamp (Spark NULL vs DuckDB float semantics —
+    ADVICE r11): both sides clamp it to cv = 0 via
+    ``coalesce(σ/nullif(µ,0), 0)`` — zero gap variation IS perfect
+    regularity, the maximally bot-like reading, so the e^−cv term
+    contributes its full 0.4 instead of a NULL score (constructed-case
+    pytest pins the parity).  Output is per-user (bounded by the
     actor population, not events), round-6.
     """
     e = load(spark, sf_dir, "events")
@@ -2895,7 +2902,11 @@ def events_bot_score_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            (F.stddev_samp("gap_us") / F.avg("gap_us")).alias("iat_cv"),
+            F.coalesce(
+                F.stddev_samp("gap_us")
+                / F.nullif(F.avg("gap_us"), F.lit(0)),
+                F.lit(0.0),
+            ).alias("iat_cv"),
             F.avg("night").alias("night_share"),
             F.avg("err").alias("error_share"),
         )

@@ -5158,7 +5158,8 @@ def events_cochran_armitage_trend(
       SELECT avg(r * 1.0 / n) AS xb, var_samp(r * 1.0 / n) AS s2 FROM g
     ),
     ab AS (
-      SELECT round(greatest(xb * (1 - xb) / s2 - 1, 1e-9), 9) AS ab0,
+      SELECT round(greatest(xb * (1 - xb) / greatest(s2, 1e-12) - 1,
+                            1e-9), 9) AS ab0,
              xb FROM m
     ),
     p AS (SELECT round(ab0 * xb, 9) AS alpha, ab0 FROM ab)
@@ -5182,9 +5183,15 @@ def parts_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the prior is a 1-row moment aggregate over the PART relation
     broadcast back — two aggregates total, no window, no rescan.  The
     prior parameters round to 9 before the shrink (identical
-    trajectories in both engines); the MoM denominator is guarded
-    (``greatest(·,1e-9)``) identically on both sides for the
-    overdispersion-free degenerate corpus.
+    trajectories in both engines).  BOTH degenerate directions are
+    guarded identically on both sides (ADVICE r11): the MoM DENOMINATOR
+    via ``greatest(s2, 1e-12)`` — a zero-variance corpus (s2 = 0) would
+    otherwise diverge, Spark x/0 → NULL (so the outer greatest silently
+    yields 1e-9) while DuckDB IEEE division → inf — and the resulting
+    prior strength via the outer ``greatest(·, 1e-9)`` floor.  With the
+    inner guard, s2 = 0 gives a HUGE finite ab0 on both engines — full
+    shrink to the corpus mean, the statistically right answer for an
+    overdispersion-free corpus (pinned by the constructed-case pytest).
     """
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
     g = li.groupBy("l_partkey").agg(
@@ -5200,7 +5207,9 @@ def parts_return_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = m.select(
         F.round(
             F.greatest(
-                F.col("xb") * (1 - F.col("xb")) / F.col("s2") - 1,
+                F.col("xb") * (1 - F.col("xb"))
+                / F.greatest(F.col("s2"), F.lit(1e-12))
+                - 1,
                 F.lit(1e-9),
             ),
             9,
