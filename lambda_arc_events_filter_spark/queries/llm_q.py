@@ -2693,3 +2693,160 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(5), 6
         ).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+#: RRF smoothing constant (Cormack/Clarke/Buettcher 2009's k=60) and the
+#: per-retriever list depth — part of the query definition.
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(len) AS avglen FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE w IN ('join', 'filter', 'scan') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT t.doc_id,
+             round(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * (t.tf * (1.2 + 1))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.len / s.avglen))), 6)
+               AS score
+      FROM tf t JOIN dfq d USING (w) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s GROUP BY t.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rn AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM bm) WHERE rn <= 50
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sem0 AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6)
+               AS score
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, rn AS sem_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM sem0) WHERE rn <= 50
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
+             round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                   + coalesce(1.0 / (60 + s.sem_rank), 0), 9) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    tags=("llm", "text", "similarity", "topk"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hybrid retrieval — the standard RAG serving
+    composition, assembled from operators this engine already ships:
+    a LEXICAL ranking (BM25 over the document corpus, the
+    ``text_bm25_search`` scorer against its fixed 3-term query) and a
+    DENSE ranking (exact cosine of embedding 0 against the corpus,
+    ``operators.similarity.brute_force_topk``) fused by Reciprocal Rank
+    Fusion: ``rrf(d) = Σ_lists 1/(k₀ + rank_d)`` with the
+    Cormack-Clarke-Buettcher k₀ = 60, each retriever contributing its
+    top-50.  RRF needs only RANKS — no score calibration between
+    retrievers — which is exactly why it is the production default for
+    fusing heterogeneous lists.
+
+    A doc missing from one list contributes only the other's term
+    (coalesce(·, 0)); ranks come from round-6 scores with doc_id
+    tie-break, so both engines enumerate identical lists; the fused
+    score sums the two divisions in the same order and rounds to 9
+    before the final (rrf DESC, doc_id) top-10.
+
+    Scale shape: each leg keeps its own 100 TB discipline — the BM25
+    leg prunes the token stream to query-term hits before its shuffle
+    and broadcasts df/corpus stats; the dense leg broadcasts the query
+    vector and never shuffles the corpus (WindowGroupLimit caps per
+    partition).  The fusion itself joins two ≤depth-row relations —
+    driver-scale work no matter the corpus size, the reason RRF
+    composes without a new heavy operator.
+    """
+    from lambda_arc_events_filter_spark.queries.round4_q import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("len").alias("avglen"))
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term = idf * (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("len") / F.col("avglen"))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 6).alias("score"))
+    )
+    # top-depth FIRST via TakeOrderedAndProject (scale-safe: no global
+    # window over the full hit list), then the rank is a row_number over
+    # the ≤depth-row result — the only unpartitioned window in the plan
+    # runs on at most 50 rows by construction.
+    wl = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        bm.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
+    )
+    e = load(spark, sf_dir, "embeddings")
+    sem = (
+        S.brute_force_topk(e.filter(F.col("vec_id") == 0), e, k=_RRF_DEPTH)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)

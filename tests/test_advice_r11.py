@@ -135,3 +135,59 @@ def test_holt_winters_exactly_14_days_emits_both_engines(spark, tmp_path):
                                 "events_holt_winters_seasonal")
     assert len(srows) == 7
     assert rowset(scols, srows) == rowset(dcols, drows)
+
+
+def test_hybrid_rrf_matches_python_replay(spark, sf_dir):
+    """retrieval_hybrid_rrf replayed with pandas/numpy by a different
+    route (python BM25 loop + numpy cosine, scipy-free): identical
+    top-10 ids, ranks, and round-9 fused scores."""
+    import math
+
+    import numpy as np
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.assign(toks=docs.text.str.split(" "))
+    n_docs = len(docs)
+    lens = {r.doc_id: len(r.toks) for r in toks.itertuples()}
+    avglen = sum(lens.values()) / n_docs
+    terms = ("join", "filter", "scan")
+    tf: dict[tuple[int, str], int] = {}
+    for r in toks.itertuples():
+        for w in r.toks:
+            if w in terms:
+                tf[(r.doc_id, w)] = tf.get((r.doc_id, w), 0) + 1
+    df = {w: sum(1 for (_, ww) in tf if ww == w) for w in terms}
+    bm: dict[int, float] = {}
+    for (did, w), f in tf.items():
+        idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1)
+        bm[did] = bm.get(did, 0.0) + idf * (f * 2.2) / (
+            f + 1.2 * (1 - 0.75 + 0.75 * lens[did] / avglen)
+        )
+    lex_sorted = sorted(bm.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))
+    lex_rank = {did: i + 1 for i, (did, _) in enumerate(lex_sorted[:50])}
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vs = np.stack(emb.embedding.map(np.asarray))
+    vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy()
+    q = vs[ids == 0][0]
+    cos = {int(i): round(float(vs[k] @ q), 6)
+           for k, i in enumerate(ids) if i != 0}
+    sem_sorted = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+    sem_rank = {did: i + 1 for i, (did, _) in enumerate(sem_sorted[:50])}
+
+    fused = {}
+    for did in set(lex_rank) | set(sem_rank):
+        s = (1.0 / (60 + lex_rank[did]) if did in lex_rank else 0.0) + (
+            1.0 / (60 + sem_rank[did]) if did in sem_rank else 0.0
+        )
+        fused[did] = round(s, 9)
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [r.asDict() for r in
+           specs()["retrieval_hybrid_rrf"].fn(spark, sf_dir).collect()]
+    assert [g["doc_id"] for g in got] == [d for d, _ in top]
+    for g in got:
+        assert g["rrf_score"] == fused[g["doc_id"]]
+        assert g["lex_rank"] == lex_rank.get(g["doc_id"])
+        assert g["sem_rank"] == sem_rank.get(g["doc_id"])
