@@ -609,3 +609,23 @@ def test_psm_candidates_via_banded_equi_join(spark, sf_dir):
     final = _final_executed(df)
     assert "BroadcastNestedLoopJoin Inner" not in final
     assert not I.has_python_in_plan(df)
+
+
+def test_hybrid_rrf_plan_shape(spark, sf_dir):
+    """retrieval_hybrid_rrf (BB1): the lexical leg's top-depth must be a
+    TakeOrderedAndProject (never a global sort of the hit list), the
+    query-vector and df/stats relations broadcast, no nested-loop join,
+    and the only unpartitioned window runs AFTER the depth cut (over
+    ≤50 rows) — asserted by the take-ordered node feeding it."""
+    df = ALL["retrieval_hybrid_rrf"].fn(spark, sf_dir)
+    assert I.uses_take_ordered(df), "lexical top-depth must TakeOrdered"
+    assert I.uses_broadcast_join(df)
+    # the only nested-loop joins allowed are the two deliberate 1-row
+    # broadcasts (corpus stats onto the BM25 hit list; the single query
+    # vector onto the embedding corpus — brute_force_topk's shape)
+    import re
+
+    plan = I.formatted_plan(df)
+    nlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nlj_nodes) <= 2, plan[:2000]
+    assert not I.has_python_in_plan(df)
