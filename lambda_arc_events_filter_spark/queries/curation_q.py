@@ -2331,3 +2331,136 @@ def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ke").cast("bigint").alias("keep_end"),
         (F.col("ke") - F.col("ks") + 1).cast("bigint").alias("seg_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact-substring dedup on corpus append (BB2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_substring_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+    g AS (SELECT doc_id, len(sp) AS n_tokens, i AS pos, i + {_ESS_K} - 1 AS e,
+                 md5(array_to_string(sp[i:i+{_ESS_K}-1], ' ')) AS gk
+          FROM t, LATERAL (SELECT unnest(range(1, len(sp) - {_ESS_K} + 2)) AS i)),
+    p AS (SELECT doc_id, n_tokens, pos, e,
+                 min(doc_id) OVER (PARTITION BY gk) AS d_min,
+                 max(doc_id) OVER (PARTITION BY gk) AS d_max
+          FROM g),
+    dup AS (SELECT doc_id, n_tokens, pos, e FROM p
+            WHERE d_min <> d_max AND doc_id % 5 = 0),
+    m AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+          FROM dup),
+    f AS (SELECT *, CASE WHEN prev_e IS NULL OR pos > prev_e + 1
+                         THEN 1 ELSE 0 END AS nf
+          FROM m),
+    isl AS (SELECT *, sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+            FROM f),
+    sp2 AS (SELECT doc_id, isle, min(n_tokens) AS n_tokens,
+                   min(pos) AS s, max(e) AS e2
+            FROM isl GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(min(n_tokens) AS BIGINT)       AS n_tokens,
+           CAST(count(*) AS BIGINT)            AS n_spans,
+           CAST(sum(e2 - s + 1) AS BIGINT)     AS dup_tokens,
+           CAST(max(e2 - s + 1) AS BIGINT)     AS max_span_len,
+           {{dup_frac}} AS dup_frac
+    FROM sp2 GROUP BY doc_id
+    """.format(
+        dup_frac=round_int_ratio_sql("sum(e2 - s + 1)", "min(n_tokens)", 6)
+    ),
+    tags=("llm", "curation", "dedup"),
+)
+def dedup_exact_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental exact-substring dedup on corpus APPEND — the third
+    member of the incremental trilogy (``dedup_minhash_incremental``,
+    ``ann_ivf_incremental_refresh``), applied to the Lee et al. 2022
+    family: 80% of the corpus plays the already-swept snapshot, whose
+    DISTINCT anchor-digest set is the persisted index artifact
+    (localCheckpointed stand-in); the doc_id % 5 == 0 docs arrive as the
+    new shard, and the query emits each DELTA doc's maximal cross-doc
+    duplicated spans — against snapshot AND delta alike — without ever
+    re-anchoring or re-windowing the snapshot.
+
+    The dup test factorizes exactly because snapshot and delta partition
+    the corpus: a delta anchor in doc d is cross-doc duplicated iff its
+    digest exists in the SNAPSHOT digest set (any snapshot holder is a
+    different doc by construction) OR two distinct DELTA docs share it
+    (delta-internal min ≠ max).  So the per-append plan is: delta
+    anchors (posexplode, |delta| work) → ONE digest-keyed window over
+    DELTA anchors only (min/max doc) → one equi-join probe of the
+    snapshot digest index on the fixed-width md5 key → the same
+    doc-keyed gaps-and-islands merge as ``dedup_exact_substring``.
+    Per-append cost is O(|delta anchors| + probe matches), independent
+    of snapshot size beyond the index equi-join (bucket-partitioned by
+    digest at scale, a co-located probe).  The oracle is the ONE-SHOT
+    full-corpus sweep restricted to delta docs — hash-equality proves
+    append-time spans ≡ a full re-run's spans for the new shard.
+    """
+    k = _ESS_K
+    d = D.with_tokens(load(spark, sf_dir, "documents"))
+    anchors = F.expr(
+        f"if(size(tokens) < {k}, array(),"
+        f" transform(sequence(1, size(tokens) - {k} + 1),"
+        f" i -> md5(array_join(slice(tokens, i, {k}), ' '))))"
+    )
+    snap = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    # persisted snapshot artifact: the distinct anchor-digest set
+    snap_idx = (
+        snap.select(F.explode(anchors).alias("gk"))
+        .distinct()
+        .localCheckpoint()
+    )
+    g = delta.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.posexplode(anchors).alias("p0", "gk"),
+    )
+    wg = Window.partitionBy("gk")
+    marked = (
+        g.withColumn("d_min", F.min("doc_id").over(wg))
+        .withColumn("d_max", F.max("doc_id").over(wg))
+        .join(
+            snap_idx.withColumn("snap_hit", F.lit(1)), "gk", "left"
+        )
+        .filter(
+            (F.col("d_min") != F.col("d_max")) | F.col("snap_hit").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("p0") + 1).alias("pos"),
+            (F.col("p0") + k).alias("e"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    isl = marked.withColumn(
+        "nf",
+        F.when(prev_e.isNull() | (F.col("pos") > prev_e + 1), 1).otherwise(0),
+    ).withColumn(
+        "isle",
+        F.sum("nf").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "isle").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("s"),
+        F.max("e").alias("e2"),
+    )
+    span_len = F.col("e2") - F.col("s") + 1
+    return spans.groupBy("doc_id").agg(
+        F.min("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(span_len).cast("bigint").alias("dup_tokens"),
+        F.max(span_len).cast("bigint").alias("max_span_len"),
+        round_int_ratio(F.sum(span_len), F.min("n_tokens"), 6).alias(
+            "dup_frac"
+        ),
+    )

@@ -191,3 +191,60 @@ def test_hybrid_rrf_matches_python_replay(spark, sf_dir):
         assert g["rrf_score"] == fused[g["doc_id"]]
         assert g["lex_rank"] == lex_rank.get(g["doc_id"])
         assert g["sem_rank"] == sem_rank.get(g["doc_id"])
+
+
+def test_exact_substring_incremental_completeness(spark, sf_dir):
+    """BB2 completeness (the BA3 discipline applied to exact-substring):
+    the append path's spans for the delta shard must equal the one-shot
+    full-corpus sweep restricted to delta docs — Spark-side, independent
+    of the DuckDB oracle."""
+    inc = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in specs()["dedup_exact_substring_incremental"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    full = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in specs()["dedup_exact_substring"].fn(spark, sf_dir).collect()
+        if r["doc_id"] % 5 == 0
+    }
+    assert inc == full
+
+
+def test_exact_substring_incremental_constructed(spark, tmp_path):
+    """Constructed append: delta doc 5 shares a 20-token run ONLY with
+    snapshot doc 1; delta docs 10/15 share a 20-token run only with each
+    other; delta doc 20 is unique (absent); snapshot-only dup pairs
+    (docs 1/2) must NOT appear."""
+    run_a = " ".join(f"a{i}" for i in range(20))
+    run_b = " ".join(f"b{i}" for i in range(20))
+    filler = lambda p, n: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 5, 10, 15, 20],
+            "text": [
+                run_a + " " + filler("x", 10),      # snapshot
+                filler("y", 8) + " " + run_a,       # snapshot (dups w/ 1)
+                filler("z", 5) + " " + run_a,       # delta: dup w/ snapshot
+                run_b + " " + filler("q", 6),       # delta: dup w/ delta 15
+                filler("r", 7) + " " + run_b,       # delta: dup w/ delta 10
+                filler("u", 30),                    # delta: unique
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [0] * 6,
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in specs()["dedup_exact_substring_incremental"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {5, 10, 15}
+    for did in (5, 10, 15):
+        assert out[did]["n_spans"] == 1
+        assert out[did]["dup_tokens"] == 20
+        assert out[did]["max_span_len"] == 20
