@@ -344,6 +344,11 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # bounded by the experiment's calendar span
     # (statistics_q.events_ab_sequential_sprt).
     "events_ab_sequential_sprt",
+    # lexical rank over the TakeOrderedAndProject top-depth cut: the
+    # window input is LIMIT 50 by construction at any corpus size
+    # (llm_q.retrieval_hybrid_rrf; test_hybrid_rrf_plan_shape pins the
+    # TakeOrdered feeding it).
+    "retrieval_hybrid_rrf",
 }
 
 
