@@ -13,7 +13,17 @@ runs, in order, each against the CURRENT tree:
    --out, which asserts one status line per registered query);
 2. full oracle sweep at sf0.1 (stress scale), appending its summary line
    to the same artifact (the r8 precedent format);
-3. exits non-zero if either sweep had failures.
+3. artifact-contract pytest (tests/test_bench_contract.py) against the
+   tree AS IT STANDS — i.e. including any bench/sweep records just
+   written.  The r12 defect was exactly this sequencing hole: pytest ran
+   BEFORE the closing bench artifact was committed, so a malformed
+   BENCH_r12_builder.json landed red.  Rule: any time a root BENCH_r*
+   or SWEEP_r* artifact is added/renamed, re-run this tool (or at least
+   step 3) AFTER staging it and before the final commit.  Builder-side
+   bench records that are not single-JSON contract documents belong in
+   records/ (e.g. records/BENCH_r12_builder.jsonl), never in the root
+   BENCH_r*.json driver namespace;
+4. exits non-zero if any step failed.
 
 bench.py and PLAN_AUDIT refresh stay separate commands (the bench must
 run on an otherwise-idle host, and the plan audit is cheap to run solo):
@@ -66,9 +76,17 @@ def main() -> int:
         fh.write((tail[-1] if tail else "MISSING SUMMARY") + "\n")
     rc2 = stress.returncode
 
+    # Artifact-contract guard AFTER the artifacts exist on disk (r12
+    # lesson: running pytest before the bench record lands lets a
+    # malformed root BENCH_r*.json slip through green).
+    rc3 = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_bench_contract.py", "-q"],
+        cwd=ROOT,
+    ).returncode
+
     print(f"\nround-close artifact written: {out}")
-    print(f"sf0.01 rc={rc1}  sf0.1 rc={rc2}")
-    return rc1 or rc2
+    print(f"sf0.01 rc={rc1}  sf0.1 rc={rc2}  artifact-contract rc={rc3}")
+    return rc1 or rc2 or rc3
 
 
 if __name__ == "__main__":
