@@ -639,9 +639,58 @@ def simhash_near_pairs(
     )
 
 
+# Default cosine threshold (integer percent) used by the registered
+# dedup_prefix_cosine_pairs query.  tools/scale_probe.py imports these
+# helpers instead of re-deriving the formulas (r12 ADVICE): the probe's
+# predicted-vs-measured comparison must track the operator definition,
+# not a copy of it.
+PREFIX_COSINE_DEFAULT_THRESHOLD_PCT = 80
+
+
+def prefix_p2(threshold_pct: int) -> int:
+    """t² in integer basis-10000 arithmetic: cos ≥ p/100 ⇔
+    100²·ov² ≥ p²·A·B, so every comparison uses p² against ×10000."""
+    return threshold_pct * threshold_pct
+
+
+def prefix_keep_rank(n: Column, p2: int) -> Column:
+    """Prefix-length cutoff |X| − ⌈t²|X|⌉ + 1 with an all-integer ceil
+    (⌈n·p2/10000⌉ = ⌊(n·p2 + 9999)/10000⌋)."""
+    m = F.floor((n * p2 + F.lit(9999)) / F.lit(10000)).cast("long")
+    return n - m + 1
+
+
+def posting_dfreq(post: DataFrame) -> DataFrame:
+    """Global document frequency per hashed shingle — the rarity order
+    that makes prefixes the least-joinable tokens."""
+    return post.groupBy("sk").agg(F.count(F.lit(1)).alias("_df"))
+
+
+def prefix_postings(
+    post: DataFrame, p2: int, dfreq: DataFrame | None = None
+) -> DataFrame:
+    """Rarest-df-first prefix of each posting list (ranks ≤
+    ``prefix_keep_rank``), as (_pid, sk, _pn)."""
+    if dfreq is None:
+        dfreq = posting_dfreq(post)
+    ranked = post.join(dfreq, "sk").withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "sk")),
+    )
+    return ranked.filter(
+        F.col("_r") <= prefix_keep_rank(F.col("_n"), p2)
+    ).select(F.col("_id").alias("_pid"), "sk", F.col("_n").alias("_pn"))
+
+
+def prefix_size_compatible(pn: Column, fn: Column, p2: int) -> Column:
+    """Per-pair size filter: both directions of ov ≥ t²·|X| are only
+    satisfiable when t²·|A| ≤ |B| and t²·|B| ≤ |A| (integer basis)."""
+    return (pn * p2 <= fn * 10000) & (fn * p2 <= pn * 10000)
+
+
 def prefix_cosine_pairs(
     postings: DataFrame,
-    threshold_pct: int = 80,
+    threshold_pct: int = PREFIX_COSINE_DEFAULT_THRESHOLD_PCT,
 ) -> DataFrame:
     """Set-similarity self-join at cosine ≥ t via PREFIX FILTERING
     (Bayardo/Chaudhuri AllPairs family, WWW'07 / ICDE'06 — public):
@@ -668,27 +717,15 @@ def prefix_cosine_pairs(
     cos ≥ p/100 ⇔ 100²·ov² ≥ p²·A·B.  Output: (id_a, id_b, cosine),
     cosine the one IEEE division of exact ints, rounded to 6.
     """
-    p2 = threshold_pct * threshold_pct
+    p2 = prefix_p2(threshold_pct)
     post = postings.select("_id", "sk", "_n")
-    dfreq = post.groupBy("sk").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = post.join(dfreq, "sk").withColumn(
-        "_r",
-        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "sk")),
-    )
-    # prefix length |X| − ⌈t²|X|⌉ + 1, all-integer ceil
-    m = F.floor((F.col("_n") * p2 + F.lit(9999)) / F.lit(10000)).cast("long")
-    prefix = ranked.filter(F.col("_r") <= F.col("_n") - m + 1).select(
-        F.col("_id").alias("_pid"), "sk", F.col("_n").alias("_pn")
-    )
+    prefix = prefix_postings(post, p2)
     full = post.select(F.col("_id").alias("_fid"), "sk", F.col("_n").alias("_fn"))
     cand = (
         prefix.join(full, "sk")
         .filter(F.col("_pid") != F.col("_fid"))
         # per-pair size filter: both directions of ov ≥ t²·|X|
-        .filter(
-            (F.col("_pn") * p2 <= F.col("_fn") * 10000)
-            & (F.col("_fn") * p2 <= F.col("_pn") * 10000)
-        )
+        .filter(prefix_size_compatible(F.col("_pn"), F.col("_fn"), p2))
         .select(
             F.least("_pid", "_fid").alias("id_a"),
             F.greatest("_pid", "_fid").alias("id_b"),

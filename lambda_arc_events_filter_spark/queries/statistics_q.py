@@ -4478,19 +4478,28 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.brand, round(coalesce(w.wins, 0) * 2.0 / g.games, 9) AS p
       FROM games g LEFT JOIN wins w ON w.brand = g.brand
     ),
+    -- LEFT JOIN wins + coalesce(wins,0) (r12 ADVICE): a qualified brand
+    -- whose only wins were against non-qualified brands has NO wins row
+    -- after the qual x qual filter; an inner join would drop it from the
+    -- p2/p3 updates and the report, diverging from the canonical MM
+    -- replay which carries it at p = 0.  Its MM denominator is always
+    -- positive: every opponent of a zero-win brand beat it, so that
+    -- opponent's rating is > 0 from round 1 on.
     p2 AS (
-      SELECT o.i AS brand, round(w.wins / sum(o.n / (pi.p + pj.p)), 9) AS p
+      SELECT o.i AS brand,
+             round(coalesce(w.wins, 0) / sum(o.n / (pi.p + pj.p)), 9) AS p
       FROM opp o JOIN p1 pi ON pi.brand = o.i JOIN p1 pj ON pj.brand = o.j
-      JOIN wins w ON w.brand = o.i GROUP BY o.i, w.wins
+      LEFT JOIN wins w ON w.brand = o.i GROUP BY o.i, w.wins
     ),
     p3 AS (
-      SELECT o.i AS brand, round(w.wins / sum(o.n / (pi.p + pj.p)), 9) AS p
+      SELECT o.i AS brand,
+             round(coalesce(w.wins, 0) / sum(o.n / (pi.p + pj.p)), 9) AS p
       FROM opp o JOIN p2 pi ON pi.brand = o.i JOIN p2 pj ON pj.brand = o.j
-      JOIN wins w ON w.brand = o.i GROUP BY o.i, w.wins
+      LEFT JOIN wins w ON w.brand = o.i GROUP BY o.i, w.wins
     )
-    SELECT p3.brand, w.wins, g.games,
+    SELECT p3.brand, CAST(coalesce(w.wins, 0) AS BIGINT) AS wins, g.games,
            round(p3.p / (SELECT avg(p) FROM p3), 6) AS strength
-    FROM p3 JOIN wins w ON w.brand = p3.brand
+    FROM p3 LEFT JOIN wins w ON w.brand = p3.brand
     JOIN games g ON g.brand = p3.brand
     ORDER BY p3.brand
     """,
@@ -4591,6 +4600,13 @@ def parts_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("wins"), F.lit(0)) * 2.0 / F.col("games"), 9
         ).alias("p"),
     )
+    # LEFT join wins + coalesce(wins, 0) in the MM rounds and the report
+    # (r12 ADVICE): a qualified brand whose only wins were against
+    # non-qualified brands has no `wins` row after the qual×qual filter;
+    # an inner join would silently drop it from p2/p3 and the output,
+    # while the canonical MM replay carries it at p = 0.  Its denominator
+    # is always positive — every opponent of a zero-win brand beat it, so
+    # that opponent's rating is > 0 from round 1 on.
     for _ in range(2):  # p1 computed above; two more MM rounds → p3
         pi = prev.select(F.col("brand").alias("i"), F.col("p").alias("pi"))
         pj = prev.select(F.col("brand").alias("j"), F.col("p").alias("pj"))
@@ -4599,20 +4615,22 @@ def parts_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(pj), "j")
             .groupBy("i")
             .agg(F.sum(F.col("n") / (F.col("pi") + F.col("pj"))).alias("den"))
-            .join(F.broadcast(wins.withColumnRenamed("brand", "i")), "i")
+            .join(F.broadcast(wins.withColumnRenamed("brand", "i")), "i", "left")
             .select(
                 F.col("i").alias("brand"),
-                F.round(F.col("wins") / F.col("den"), 9).alias("p"),
+                F.round(
+                    F.coalesce(F.col("wins"), F.lit(0)) / F.col("den"), 9
+                ).alias("p"),
             )
         )
     mean_p = prev.agg(F.avg("p").alias("mp"))
     return (
-        prev.join(F.broadcast(wins), "brand")
+        prev.join(F.broadcast(wins), "brand", "left")
         .join(F.broadcast(games), "brand")
         .crossJoin(F.broadcast(mean_p))
         .select(
             "brand",
-            "wins",
+            F.coalesce(F.col("wins"), F.lit(0)).cast("bigint").alias("wins"),
             "games",
             F.round(F.col("p") / F.col("mp"), 6).alias("strength"),
         )

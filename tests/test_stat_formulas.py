@@ -786,17 +786,11 @@ def test_bradley_terry_matches_python_mm(spark, sf_dir):
                     cmat[(w, l)] += 1
     qual = {w for w, _ in cmat} & {l for _, l in cmat}
     cmat = {k: v for k, v in cmat.items() if k[0] in qual and k[1] in qual}
-    # ADVICE r11: the query's inner join on wins DROPS a zero-win
-    # qualified brand from the p2/p3 denominators, while this replay
-    # would carry it at p = 0 — the two routes only coincide when no
-    # such brand exists after the qual×qual filter.  Assert that
-    # precondition explicitly so a fixture regeneration that creates
-    # one fails HERE with a named brand, not as an opaque strength
-    # mismatch downstream.
-    post_filter_winners = {w for (w, _l) in cmat}
-    assert qual <= post_filter_winners, (
-        f"zero-win qualified brands: {sorted(qual - post_filter_winners)}"
-    )
+    # Zero-win qualified brands (wins only against non-qualified
+    # brands) are carried at p = 0 by both the query (left-join wins +
+    # coalesce 0, r12 ADVICE) and this replay (defaultdict) — the
+    # constructed-case pin lives in
+    # tests/test_advice_r12.py::test_bradley_terry_zero_win_brand_parity.
     wins = defaultdict(int)
     n = defaultdict(int)
     for (w, l), k in cmat.items():

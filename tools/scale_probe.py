@@ -172,15 +172,12 @@ def probe_prefix_cosine(spark: SparkSession, sf_dir: str) -> dict:
     post = D.shingle_postings(
         D.with_tokens(load(spark, sf_dir, "documents")), "doc_id", with_sizes=True
     ).localCheckpoint()
-    p2 = 80 * 80
-    dfreq = post.groupBy("sk").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = post.join(dfreq, "sk").withColumn(
-        "_r", F.row_number().over(Window.partitionBy("_id").orderBy("_df", "sk"))
-    )
-    m = F.floor((F.col("_n") * p2 + F.lit(9999)) / F.lit(10000)).cast("long")
-    prefix = ranked.filter(F.col("_r") <= F.col("_n") - m + 1).select(
-        F.col("_id").alias("_pid"), "sk", F.col("_n").alias("_pn")
-    )
+    # imported from the operator (r12 ADVICE): the prediction must track
+    # dedup.prefix_cosine_pairs's actual threshold/prefix definition, not
+    # an inline copy that could go stale.
+    p2 = D.prefix_p2(D.PREFIX_COSINE_DEFAULT_THRESHOLD_PCT)
+    dfreq = D.posting_dfreq(post)
+    prefix = D.prefix_postings(post, p2, dfreq=dfreq)
     # histogram prediction (no pair join)
     pred = (
         prefix.groupBy("sk")
@@ -197,16 +194,15 @@ def probe_prefix_cosine(spark: SparkSession, sf_dir: str) -> dict:
     with Phase(spark) as ph_join:
         measured_join_rows = raw.count()
     cand = (
-        raw.filter(
-            (F.col("_pn") * p2 <= F.col("_fn") * 10000)
-            & (F.col("_fn") * p2 <= F.col("_pn") * 10000)
-        )
+        raw.filter(D.prefix_size_compatible(F.col("_pn"), F.col("_fn"), p2))
         .select(F.least("_pid", "_fid").alias("id_a"), F.greatest("_pid", "_fid").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     measured_distinct = cand.count()
     with Phase(spark) as ph_full:
-        n_pairs = D.prefix_cosine_pairs(post, threshold_pct=80).count()
+        n_pairs = D.prefix_cosine_pairs(
+            post, threshold_pct=D.PREFIX_COSINE_DEFAULT_THRESHOLD_PCT
+        ).count()
     return {
         "n_postings": post.count(),
         "n_prefix_postings": prefix.count(),

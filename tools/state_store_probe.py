@@ -114,9 +114,14 @@ def run_one(spark: SparkSession, data_dir: str, provider: str) -> dict:
                 "batch": p.get("batchId"),
                 "rows_total": so.get("numRowsTotal"),
                 "rows_updated": so.get("numRowsUpdated"),
-                "commit_ms": (so.get("customMetrics") or {}).get(
-                    "rocksdbCommitLatency"
-                ),
+                # Provider-agnostic commit latency (r12 ADVICE): the
+                # StateOperatorProgress field `commitTimeMs` exists for
+                # both HDFS and RocksDB providers; the previously-read
+                # customMetrics key 'rocksdbCommitLatency' does not exist
+                # (real RocksDB metrics are rocksdbCommitFlushLatency /
+                # rocksdbCommitCompactLatency / ...), so commit_ms was
+                # silently null for every run.
+                "commit_ms": so.get("commitTimeMs"),
                 "duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
             }
         )
