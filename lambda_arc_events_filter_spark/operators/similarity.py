@@ -420,6 +420,219 @@ def ivf_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF-PQ: PQ-coded residuals probed per IVF cell with ADC scoring, exact
+# re-rank of the shortlist — the composition FAISS-style billion-scale ANN
+# serving uses (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public).
+# --------------------------------------------------------------------------
+
+_IVFPQ_SUBS = 4  # subspaces (embeddings are 64-wide → 4 × 16)
+_IVFPQ_SUBDIM = 16
+_IVFPQ_CODES = 16  # codes per subspace (deterministic fixture codebook)
+_IVFPQ_SCALE = 1_000_000  # 6-decimal fixed point for ADC distance terms
+
+_IVFPQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _sq_sub(vec: str, s: int) -> str:
+    """SQL slice of subspace ``s`` from double-array ``vec``."""
+    return f"slice({vec}, {s * _IVFPQ_SUBDIM + 1}, {_IVFPQ_SUBDIM})"
+
+
+def _scaled_sqdist(a: str, b: str) -> str:
+    """‖a−b‖² rounded to 6 decimals THEN scaled to an exact bigint — ADC
+    sums integers so the 4-term addition is order-free on both engines
+    (a double sum of rounded terms can differ in the last bit between
+    engines and flip a shortlist tie)."""
+    return (
+        f"cast(round(round(aggregate(zip_with({a}, {b},"
+        " (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e), 6)"
+        f" * {_IVFPQ_SCALE}, 0) as bigint)"
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    cache_key: tuple | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Build the IVF-PQ index ONCE: (centroids, unit corpus, PQ residual
+    codebook row, PQ-coded corpus partitioned by cell).
+
+    Residuals (vector − own-cell centroid) are what PQ encodes — the
+    residual distribution is far tighter than the raw vectors, which is
+    why IVF-PQ composes instead of PQ alone.  The codebook is the
+    deterministic fixture convention (residual slices of the first
+    ``_IVFPQ_CODES`` ids, as ``embedding_pq_assign``/k-means seeding);
+    it broadcasts as ONE row of per-subspace (code, slice) arrays sorted
+    by code so probes can index LUTs positionally.  The coded corpus
+    carries only (cell, id, 4 int codes) — the 32×-compressed form that
+    is the entire point at 100 TB: the probe never touches full vectors
+    until the exact re-rank of the shortlist."""
+    if cache_key is not None:
+        hit = _IVFPQ_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    cents = (
+        label_centroids(corpus, label_col, vec_col).coalesce(1).localCheckpoint()
+    )
+    units = corpus_units(corpus, id_col, vec_col, label_col).localCheckpoint()
+    resid = (
+        corpus.select(
+            F.col(id_col).alias("_rid"),
+            F.col(label_col).alias("cell"),
+            F.col(vec_col).alias("_v"),
+        )
+        .join(F.broadcast(cents), "cell")
+        .withColumn(
+            "_r",
+            F.expr(
+                "zip_with(transform(_v, x -> cast(x as double)), centroid,"
+                " (x, c) -> x - c)"
+            ),
+        )
+    )
+    cb = (
+        resid.filter(F.col("_rid") < _IVFPQ_CODES)
+        .select(
+            F.col("_rid").cast("int").alias("code"),
+            *[F.expr(_sq_sub("_r", s)).alias(f"s{s}") for s in range(_IVFPQ_SUBS)],
+        )
+        .agg(
+            *[
+                F.expr(f"array_sort(collect_list(struct(code, s{s})))").alias(
+                    f"cb{s}"
+                )
+                for s in range(_IVFPQ_SUBS)
+            ]
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    code_cols = [
+        F.expr(
+            f"array_min(transform(cb{s}, c -> named_struct("
+            f"'d', {_scaled_sqdist(_sq_sub('_r', s), f'c.s{s}')},"
+            " 'code', c.code))).code"
+        ).alias(f"code{s}")
+        for s in range(_IVFPQ_SUBS)
+    ]
+    coded = (
+        resid.crossJoin(F.broadcast(cb))
+        .select(F.col("_rid").alias("neighbor_id"), "cell", *code_cols)
+        .repartition("cell")
+        .localCheckpoint()
+    )
+    idx = (cents, units, cb, coded)
+    if cache_key is not None:
+        from lambda_arc_events_filter_spark.cache import (
+            bless_resident,
+            bounded_put,
+            release_plans_for,
+        )
+
+        for df in idx:
+            bless_resident(df)
+        bounded_put(
+            _IVFPQ_CACHE, cache_key, idx, _IVF_CACHE_MAX,
+            on_evict=release_plans_for,
+        )
+    return idx
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe with ADC scoring and exact re-rank.
+
+    Per query: pick the ``nprobe`` nearest cells by centroid cosine,
+    compute the query residual against EACH probed cell's centroid, and
+    build a per-subspace lookup table of scaled-integer squared
+    distances to the 16 codebook entries (4×16 bigints per (query,
+    cell) — under a kilobyte).  The probed cells' CODED rows then score with
+    4 positional array lookups + integer adds in codegen — no vector
+    math on the corpus side at all (that is ADC).  The ``shortlist``
+    best ADC candidates per query re-rank by exact cosine against the
+    unit corpus, and the top ``k`` emit.
+
+    Scale shape: probes (queries × nprobe × LUTs) broadcast; the coded
+    corpus is cell-partitioned so the probe join is a broadcast-hash
+    join touching only probed partitions; the only window ranks the
+    per-query candidate stream; the exact re-rank joins a broadcast
+    shortlist (queries × shortlist rows) against the unit corpus on
+    (cell, neighbor_id).  No corpus shuffle anywhere in the probe path."""
+    cents, units, cb, coded = index
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        unit_vector_expr(vec_col).alias("q_unit"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").desc(), F.col("cell")
+    )
+    lut_cols = [
+        F.expr(
+            f"transform(cb{s}, c -> {_scaled_sqdist(_sq_sub('_qr', s), f'c.s{s}')})"
+        ).alias(f"lut{s}")
+        for s in range(_IVFPQ_SUBS)
+    ]
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", F.round(cosine_expr("q_vec", "centroid"), 6))
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= nprobe)
+        .withColumn(
+            "_qr",
+            F.expr(
+                "zip_with(transform(q_vec, x -> cast(x as double)), centroid,"
+                " (x, c) -> x - c)"
+            ),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select("query_id", "q_unit", "cell", *lut_cols)
+    )
+    adc_int = sum(
+        F.element_at(f"lut{s}", F.col(f"code{s}") + 1)
+        for s in range(_IVFPQ_SUBS)
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("adc_int").asc(), F.col("neighbor_id")
+    )
+    short = (
+        coded.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_int", adc_int)
+        .withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "q_unit", "cell", "neighbor_id", "adc_int")
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        units.join(F.broadcast(short), ["cell", "neighbor_id"])
+        .withColumn("score", F.round(dot_expr("q_unit", "c_unit"), 6))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("adc_int") / _IVFPQ_SCALE, 6).alias("adc_dist"),
+            "score",
+            "rank",
+        )
+    )
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     id_col: str,

