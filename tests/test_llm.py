@@ -573,3 +573,61 @@ def test_ivfpq_recall_and_adc_consistency(spark, sf_dir):
     )
     assert recall >= 0.6, recall
     assert set(got) == set(iv)
+
+
+# ---------------------------------------------------------------------------
+# Real BMP/WAV decode (struct-level, no codec library)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_payload_readable_by_stdlib_wave(spark, sf_dir):
+    """The synthesized WAV payloads must be REAL files: python's stdlib
+    `wave` reader (an independent third-party decoder w.r.t. our
+    operator) must open them and agree on rate / channels / width /
+    frame count and the raw PCM bytes' sample sum."""
+    import io
+    import struct
+    import wave
+
+    from lambda_arc_events_filter_spark.catalog import load
+    from lambda_arc_events_filter_spark.operators.multimodal import (
+        synthesize_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    for r in synthesize_wav(d).collect():
+        with wave.open(io.BytesIO(bytes(r["payload"]))) as w:
+            did = r["doc_id"]
+            assert w.getframerate() == 8000 + (did % 4) * 4000
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            n = 16 + did % 32
+            assert w.getnframes() == n
+            pcm = w.readframes(n)
+            got = sum(struct.unpack(f"<{n}h", pcm))
+            want = sum(((did * 7 + i * 3) % 65536) - 32768 for i in range(n))
+            assert got == want
+
+
+def test_bmp_decode_known_bytes_and_real_gate(spark):
+    """Hand-check one BMP end-to-end (doc_id=5: 6x6, stride 20, file
+    54+120 bytes) and pin that decode='real' stays an explicit
+    NotImplementedError gate while 'bmp'/'wav' are live."""
+    import pytest
+
+    from lambda_arc_events_filter_spark.operators.multimodal import (
+        extract_features,
+        synthesize_bmp,
+    )
+
+    d = spark.createDataFrame([(5,)], "doc_id long")
+    media = synthesize_bmp(d)
+    payload = bytes(media.collect()[0]["payload"])
+    assert payload[:2] == b"BM"
+    row = extract_features(media, decode="bmp").collect()[0]
+    assert (row["width"], row["height"], row["bpp"]) == (6, 6, 24)
+    assert row["file_size"] == 54 + 20 * 6 == len(payload)
+    assert row["pixel_sum"] == 3 * sum((5 + i) % 256 for i in range(36))
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode="real")
+    with pytest.raises(ValueError):
+        extract_features(media, decode="gif")
