@@ -14,6 +14,28 @@ multi-second windows, and back-to-back reps all land inside one window,
 poisoning even the median (seen: 0.25 s query → 5.4 s "median" — every
 rep slow).  A query's rescue rep runs ~10 s of other work later, outside
 the window, so the minimum reflects the engine, not the neighbor.
+
+Canary protocol / how to READ a recording (r10-r12 rules, consolidated
+here so a fresh round does not rediscover them):
+
+- Run on an otherwise-quiet host, NEVER with another Spark/DuckDB
+  process alive (a concurrent probe triples medians; seen 1.4 -> 10.5 s).
+- Two DISJOINT DuckDB canary sets run same-session and each yields a
+  host normalizer vs BASELINE_NUMBERS.json.  ``canary_split_pct`` is
+  their disagreement; ``disturbed: true`` (split > 10%) means the host
+  was disturbed DURING recording and the normalized reading is a band,
+  not a point — re-record rather than interpret.  Four r12 attempts
+  were auto-rejected at splits 360-462% (host throttling of
+  multi-threaded DuckDB); the valid one agreed at 5.2%.
+- ``value`` (raw wall) is the headline number; ``normalized_total``
+  rescales it to the baseline-recording host; ``compute_only_total``
+  and the per-query compute-only maps subtract the measured local-mode
+  dispatch/collect floor.  Per-query WEAK-LINE classification reads
+  compute-only ratios against a SAME-SESSION DuckDB re-measure
+  (tools/weakline.py; BASELINE.md round-13 note), not the frozen
+  recording — sub-100 ms recorded denominators carry enough protocol
+  noise to flap a borderline query across the 2x line with zero code
+  change (seen r11->r12 on four queries).
 """
 
 from __future__ import annotations
@@ -320,18 +342,33 @@ def main() -> None:
         "arrow_results": sorted(_ARROW_RESULTS & set(names)),
     }
     print(json.dumps(detail, separators=(",", ":")))
-    print(contract_line(timings, total, compute_only, sf, canary, canary_b))
+    print(
+        contract_line(
+            timings, total, compute_only, sf, canary, canary_b,
+            floors=floors, arrow=_ARROW_RESULTS & set(names),
+        )
+    )
 
 
 def contract_line(
-    timings, total, compute_only, sf, canary=None, canary_b=None
+    timings, total, compute_only, sf, canary=None, canary_b=None,
+    floors=None, arrow=None,
 ) -> str:
-    """The driver-contract JSON line: guaranteed ≤1800 chars.  Precision
-    degrades 3 → 2 decimals if the headline set grows the line past the
-    budget; the terminal fallback drops the per-query map entirely
-    (keeping metric/value/unit/sf/compute_only_total) so the line can
-    NEVER overflow the driver's ~2000-char tail window — the detail line
-    above always carries the full 4-decimal per-query seconds."""
+    """The driver-contract JSON line: guaranteed ≤1800 chars.
+
+    Compute-only is FIRST-CLASS (r12 verdict ask #7: the gate and the
+    weak line read floor-subtracted ratios, BASELINE.md r13 note) in two
+    forms: ``compute_only_total`` plus the inputs that make the
+    per-query map exactly derivable at any headline size — ``floor``
+    (the two per-path dispatch/collect constants) and ``arrow`` (which
+    queries take the toPandas path): compute_only[q] = max(0, queries[q]
+    − floor[path(q)]).  The explicit ``queries_compute_only`` map is
+    also emitted when it fits (filtered/local runs); at the full
+    39-query headline two maps exceed the budget, so the ladder drops
+    it first, then wall precision, then all maps (keeping
+    metric/value/unit/sf/compute_only_total/floor) — the line can NEVER
+    overflow the driver's ~2000-char tail window, and the detail line
+    above always carries the full 4-decimal versions of both maps."""
     base = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -342,6 +379,13 @@ def contract_line(
         # the honest wall total.
         "compute_only_total": round(sum(compute_only.values()), 4),
     }
+    if floors is not None:
+        # per-path dispatch/collect floors + the toPandas-path query
+        # list: with these, compute_only[q] = max(0, queries[q] −
+        # floor[path]) is exactly derivable even when the explicit
+        # compute-only map degrades out of the budget below
+        base["floor"] = floors
+        base["arrow"] = sorted(arrow or ())
     if canary is not None:
         # Same-session host calibration (see _CANARY): normalized_total is
         # "value" rescaled to the BASELINE_NUMBERS-recording host's speed.
@@ -368,14 +412,23 @@ def contract_line(
         split = round(abs(a - b) / min(a, b) * 100, 1)
         base["canary_split_pct"] = split
         base["disturbed"] = split > 10.0
-    for queries in (
-        {n: round(t, 3) for n, t in timings.items()},
-        {n: round(t, 2) for n, t in timings.items()},
-        None,
+    wall3 = {n: round(t, 3) for n, t in timings.items()}
+    wall2 = {n: round(t, 2) for n, t in timings.items()}
+    co3 = {n: round(t, 3) for n, t in compute_only.items()}
+    co2 = {n: round(t, 2) for n, t in compute_only.items()}
+    for queries, queries_co in (
+        (wall3, co3),
+        (wall3, co2),
+        (wall2, co2),
+        (wall3, None),
+        (wall2, None),
+        (None, None),
     ):
         payload = dict(base)
         if queries is not None:
             payload["queries"] = queries
+        if queries_co is not None:
+            payload["queries_compute_only"] = queries_co
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= 1800:
             return line

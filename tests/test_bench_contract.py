@@ -39,6 +39,25 @@ for n in (39, 200, 2000):
     assert "host_normalizer" not in obj and "normalized_total" not in obj
     print(n, len(line), "queries" in obj)
 
+# compute-only derivability (r12 ask #7): floor + arrow in the contract
+# line make the floor-subtracted per-query map reconstructible even when
+# the explicit map degrades out of the budget
+timings = {{"q_small": 0.5, "q_big_arrow": 2.0}}
+compute = {{"q_small": 0.48, "q_big_arrow": 1.95}}
+line = bench.contract_line(timings, 2.5, compute, "0.1",
+                           floors={{"collect": 0.02, "toPandas": 0.05}},
+                           arrow=["q_big_arrow"])
+obj = json.loads(line)
+assert obj["floor"] == {{"collect": 0.02, "toPandas": 0.05}}
+assert obj["arrow"] == ["q_big_arrow"]
+# small filtered run: the explicit compute-only map also fits
+assert obj["queries_compute_only"] == {{"q_small": 0.48, "q_big_arrow": 1.95}}
+for q in timings:
+    fl = obj["floor"]["toPandas" if q in obj["arrow"] else "collect"]
+    derived = max(0.0, obj["queries"][q] - fl)
+    assert abs(derived - compute[q]) < 0.051  # wall-floor ~= measured
+print("floor_arrow", len(line), True)
+
 # same-session host calibration (VERDICT r8 ask #1): with a canary the
 # contract line carries host_normalizer and value-rescaled normalized_total
 timings = {{"q01": 1.0, "q02": 2.0}}
@@ -104,7 +123,7 @@ def test_contract_line_parses_and_never_overflows():
     by_n = {
         int(n): (int(length), has_q)
         for n, length, has_q in lines
-        if n not in ("canary", "canary_b", "canary_split")
+        if n not in ("canary", "canary_b", "canary_split", "floor_arrow")
     }
     assert by_n[39][1] == "True"
     assert by_n[2000][1] == "False"
