@@ -103,3 +103,50 @@ def test_bradley_terry_zero_win_brand_parity(spark, tmp_path):
         assert d["wins"] == wins[brand] and d["games"] == games[brand]
         assert abs(d["strength"] - round(p[brand] / mean_p, 6)) < 2e-6, brand
     assert rowset(scols, srows) == rowset(dcols, drows)
+
+
+def test_stream_dedup_exact_substring_arrival_order(spark, tmp_path):
+    """Arrival-order pin for the streaming exact-substring dedup (BB5):
+    doc 0 (batch 0) and doc 5 (batch 1) share a 20-token run found
+    nowhere else — streaming emits ONCE, append-only, so doc 0 (nothing
+    earlier holds the run) has no spans while doc 5 (the index absorbed
+    doc 0's digests) is marked; doc 10 (batch 2) is marked against a
+    SNAPSHOT doc's run; docs 15 and 30 (both batch 0) share a run and
+    mark each other within-batch.  Dual-engine: the DuckDB oracle's
+    RANGE-window arrival encoding must reproduce the identical rows."""
+    import pandas as pd
+
+    run1 = " ".join(f"r{i}" for i in range(20))
+    run2 = " ".join(f"s{i}" for i in range(15))
+    run3 = " ".join(f"t{i}" for i in range(15))
+
+    def doc(did, shared):
+        filler = " ".join(f"u{did}x{j}" for j in range(16))
+        return (did, f"{filler} {shared}" if shared else filler)
+
+    rows = [
+        doc(0, run1),   # delta batch 0: first holder of run1
+        doc(5, run1),   # delta batch 1: run1 now in the index
+        doc(1, run2),   # snapshot holder of run2
+        doc(10, run2),  # delta batch 2: marked vs snapshot
+        doc(15, run3),  # delta batch 0 ─┐ same batch: window marks
+        doc(30, run3),  # delta batch 0 ─┘ both symmetric
+        doc(20, None),  # delta batch 1: clean, no spans
+        doc(2, None),   # snapshot, clean
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs["lang"], docs["source"] = "en", "s"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+
+    name = "stream_dedup_exact_substring"
+    scols, srows = _spark_rows(spark, tmp_path, name)
+    by_doc = {dict(zip(scols, r))["doc_id"]: dict(zip(scols, r))
+              for r in srows}
+    assert set(by_doc) == {5, 10, 15, 30}  # doc 0 NOT re-marked
+    assert by_doc[5]["n_spans"] == 1 and by_doc[5]["max_span_len"] == 20
+    for did in (10, 15, 30):
+        assert by_doc[did]["n_spans"] == 1
+        assert by_doc[did]["max_span_len"] == 15
+    dcols, drows = _oracle_rows(tmp_path, ["documents"], name)
+    assert rowset(scols, srows) == rowset(dcols, drows)
