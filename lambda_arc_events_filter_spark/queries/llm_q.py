@@ -3026,3 +3026,210 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+@register(
+    "retrieval_rerank_pipeline",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(len) AS avglen FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE w IN ('join', 'filter', 'scan') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT t.doc_id,
+             round(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * (t.tf * (1.2 + 1))
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.len / s.avglen))), 6)
+               AS score
+      FROM tf t JOIN dfq d USING (w) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s GROUP BY t.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rn AS lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM bm) WHERE rn <= 50
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sem0 AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6)
+               AS score
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, rn AS sem_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM sem0) WHERE rn <= 50
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                   + coalesce(1.0 / (60 + s.sem_rank), 0), 9) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ),
+    top10 AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf_score
+      FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    ),
+    -- per-pair feature scoring over the shortlist only: full token
+    -- array + embedding re-read for <=10 docs
+    feat AS (
+      SELECT t.doc_id, t.rrf_score,
+             string_split(d.text, ' ') AS sp,
+             len(string_split(d.text, ' ')) AS dlen
+      FROM top10 t JOIN documents d USING (doc_id)
+    ),
+    tfeat AS (
+      SELECT doc_id, rrf_score,
+             (CASE WHEN list_contains(sp, 'join') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(sp, 'filter') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(sp, 'scan') THEN 1 ELSE 0 END)
+               AS cov,
+             coalesce(least(nullif(list_position(sp, 'join'), 0),
+                            nullif(list_position(sp, 'filter'), 0),
+                            nullif(list_position(sp, 'scan'), 0)),
+                      dlen + 1) AS fpos
+      FROM feat
+    ),
+    withcos AS (
+      SELECT f.doc_id, f.rrf_score, f.cov, f.fpos,
+             coalesce(round(list_cosine_similarity(
+                 q.qv, e.embedding::DOUBLE[]), 6), 0) AS cosine
+      FROM tfeat f
+      LEFT JOIN embeddings e ON e.vec_id = f.doc_id
+      CROSS JOIN q
+    ),
+    -- blend in EXACT integer space (see the Spark docstring): c6 is the
+    -- 6-dec cosine as a scaled int, shifted +1 so the numerator stays
+    -- non-negative for negative cosines; the +0.5 shift cancels after
+    -- the integer half-up round
+    scored AS (
+      SELECT doc_id, rrf_score, cosine,
+             CAST(cov AS BIGINT) AS cov_terms,
+             CAST(fpos AS BIGINT) AS first_pos,
+             {rerank} - 0.5 AS rerank_score
+      FROM (SELECT *,
+                   CAST(round(cosine * 1000000) AS BIGINT) AS c6
+            FROM withcos)
+    )
+    SELECT doc_id, rrf_score, cosine, cov_terms, first_pos, rerank_score,
+           CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id)
+                AS BIGINT) AS final_rank
+    FROM scored
+    QUALIFY final_rank <= 5
+    """.format(
+        rerank=round_int_ratio_sql(
+            "(15 * (c6 + 1000000) + 2000000 * cov) * (10 + fpos) + 90000000",
+            "30000000 * (10 + fpos)",
+            6,
+        )
+    ),
+    tags=("llm", "text", "similarity", "topk"),
+)
+def retrieval_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes BB1's retrieval pipeline with the missing fourth stage —
+    lexical → dense → fuse → RERANK (r12 verdict ask #8, option b): the
+    fused RRF top-10 is re-scored by a cross-encoder-STYLE per-pair
+    scorer that, unlike the rank-only fusion, reads the FULL content of
+    each (query, candidate) pair — exact query-embedding cosine, query-
+    term coverage, and earliest-term-position over the candidate's whole
+    token array — blended as 0.5·cos + 0.2·cov/3 + 0.3/(1 + fpos/10),
+    and the top-5 emit with their feature breakdown.  (A production
+    system swaps the blend for a transformer forward pass per pair; the
+    dataflow — cheap retrievers over the corpus, expensive scorer over a
+    broadcast shortlist — is identical, which is the design point.)
+
+    Scale shape: the shortlist (≤10 rows) BROADCASTS into a hash join
+    against documents and embeddings, so full-content feature extraction
+    touches ~shortlist rows regardless of corpus size; features are
+    in-row HOFs (list_contains/array_position — no explode, no shuffle);
+    the final rank is a window over ≤10 rows.  The two corpus-scale legs
+    keep BB1's discipline (term-pruned BM25 shuffle, never-shuffled
+    dense leg).  The blend is computed in EXACT integer arithmetic
+    (round_int_ratio over a common denominator — see the inline
+    derivation; a float blend hit a .5 rounding boundary between
+    DuckDB's DECIMAL literals and Spark's doubles); absent-term
+    positions coalesce to len+1 (both engines' position functions map
+    0/NULL-for-absent through nullif, and both least() skip NULLs)."""
+    from lambda_arc_events_filter_spark.queries.round4_q import _BM25_TERMS
+
+    fused = retrieval_hybrid_rrf(spark, sf_dir).select("doc_id", "rrf_score")
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("split(text, ' ')")
+    cov = sum(
+        F.when(F.array_contains(toks, t), 1).otherwise(0)
+        for t in _BM25_TERMS
+    )
+    fpos = F.coalesce(
+        F.least(
+            *[
+                F.nullif(F.array_position(toks, F.lit(t)), F.lit(0))
+                for t in _BM25_TERMS
+            ]
+        ),
+        F.size(toks).cast("long") + 1,
+    )
+    feat = d.join(F.broadcast(fused), "doc_id").select(
+        "doc_id", "rrf_score", cov.alias("cov"), fpos.alias("fpos")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.expr(
+            "transform(embedding, x -> cast(x as double))"
+        ).alias("qv")
+    )
+    withcos = (
+        feat.join(
+            e.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+            "left",
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "rrf_score",
+            "cov",
+            "fpos",
+            F.coalesce(
+                F.round(S.cosine_expr("qv", "embedding"), 6), F.lit(0.0)
+            ).alias("cosine"),
+        )
+    )
+    # exact-integer blend: 0.5·cos + 0.2·cov/3 + 0.3/(1+fpos/10) =
+    # N/D with c6 = round(cos·1e6), D = 3e7·(10+fpos),
+    # N = (15·(c6+1e6) + 2e6·cov)·(10+fpos) + 9e7 — the +1e6 shift keeps
+    # N non-negative for negative cosines (adds exactly 0.5, an integral
+    # multiple of 1e-6, so it cannot move a rounding boundary and
+    # subtracts back out after the half-up round).  A float blend hit a
+    # .5 boundary at sf0.001 (0.5743325 → 0.574333 vs 0.574332: DuckDB
+    # parses 0.2/0.3 literals as DECIMAL, Spark as double).
+    c6 = F.round(F.col("cosine") * 1000000).cast("long")
+    num = (15 * (c6 + 1000000) + 2000000 * F.col("cov")) * (
+        10 + F.col("fpos")
+    ) + 90000000
+    den = 30000000 * (10 + F.col("fpos"))
+    scored = withcos.select(
+        "doc_id",
+        "rrf_score",
+        "cosine",
+        F.col("cov").cast("bigint").alias("cov_terms"),
+        F.col("fpos").cast("bigint").alias("first_pos"),
+        (round_int_ratio(num, den, 6) - 0.5).alias("rerank_score"),
+    )
+    w = Window.orderBy(F.col("rerank_score").desc(), "doc_id")
+    return (
+        scored.withColumn(
+            "final_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("final_rank") <= 5)
+    )
