@@ -543,6 +543,52 @@ def ivfpq_build_index(
     return idx
 
 
+def ivfpq_probes(
+    queries: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The probe relation of :func:`ivfpq_topk`: per (query, probed
+    cell), the query's unit vector plus the per-subspace ADC lookup
+    tables (scaled-integer squared distances of the query RESIDUAL
+    against each codebook entry).  Exposed separately so
+    tools/scale_probe.py measures the operator's own candidate
+    derivation instead of re-implementing it (the r12 ADVICE
+    non-circularity discipline)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        unit_vector_expr(vec_col).alias("q_unit"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").desc(), F.col("cell")
+    )
+    lut_cols = [
+        F.expr(
+            f"transform(cb{s}, c -> {_scaled_sqdist(_sq_sub('_qr', s), f'c.s{s}')})"
+        ).alias(f"lut{s}")
+        for s in range(_IVFPQ_SUBS)
+    ]
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", F.round(cosine_expr("q_vec", "centroid"), 6))
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= nprobe)
+        .withColumn(
+            "_qr",
+            F.expr(
+                "zip_with(transform(q_vec, x -> cast(x as double)), centroid,"
+                " (x, c) -> x - c)"
+            ),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select("query_id", "q_unit", "cell", *lut_cols)
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     index: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
@@ -571,35 +617,7 @@ def ivfpq_topk(
     shortlist (queries × shortlist rows) against the unit corpus on
     (cell, neighbor_id).  No corpus shuffle anywhere in the probe path."""
     cents, units, cb, coded = index
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        unit_vector_expr(vec_col).alias("q_unit"),
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").desc(), F.col("cell")
-    )
-    lut_cols = [
-        F.expr(
-            f"transform(cb{s}, c -> {_scaled_sqdist(_sq_sub('_qr', s), f'c.s{s}')})"
-        ).alias(f"lut{s}")
-        for s in range(_IVFPQ_SUBS)
-    ]
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("cdist", F.round(cosine_expr("q_vec", "centroid"), 6))
-        .withColumn("prank", F.row_number().over(probe_w))
-        .filter(F.col("prank") <= nprobe)
-        .withColumn(
-            "_qr",
-            F.expr(
-                "zip_with(transform(q_vec, x -> cast(x as double)), centroid,"
-                " (x, c) -> x - c)"
-            ),
-        )
-        .crossJoin(F.broadcast(cb))
-        .select("query_id", "q_unit", "cell", *lut_cols)
-    )
+    probes = ivfpq_probes(queries, cents, cb, nprobe, id_col, vec_col)
     adc_int = sum(
         F.element_at(f"lut{s}", F.col(f"code{s}") + 1)
         for s in range(_IVFPQ_SUBS)

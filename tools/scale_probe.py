@@ -292,6 +292,53 @@ def probe_ivf_refresh(spark: SparkSession, sf_dir: str, fixed_delta: int = 400) 
     }
 
 
+def probe_ivfpq(spark: SparkSession, sf_dir: str, n_queries: int = 20) -> dict:
+    """ann_ivfpq_topk's ADC candidate stage, predicted vs measured.
+
+    Prediction (cell-histogram arithmetic, no join): ADC-scored rows =
+    sum over (query, probed cell) of |cell| minus the self-hits (a query
+    whose own cell is probed excludes its own coded row) — probe mass
+    tracks nprobe/ncells of the corpus, never all of it; the exact
+    re-rank is capped at queries x shortlist rows REGARDLESS of corpus
+    size.  The probe relation and coded corpus come from the operator's
+    own builders (ivfpq_probes / ivfpq_build_index) per the r12 ADVICE
+    non-circularity discipline."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < n_queries)
+    cents, units, cb, coded = S.ivfpq_build_index(e)
+    probes = S.ivfpq_probes(q, cents, cb, nprobe=2).localCheckpoint()
+    hist = coded.groupBy("cell").agg(F.count(F.lit(1)).alias("csize"))
+    own_cell = coded.select(
+        F.col("neighbor_id").alias("query_id"), "cell"
+    ).join(probes.select("query_id", "cell"), ["query_id", "cell"])
+    pred = (
+        probes.select("query_id", "cell")
+        .join(hist, "cell")
+        .agg(F.sum("csize").alias("rows"))
+        .collect()[0]["rows"]
+        - own_cell.count()
+    )
+    adc = coded.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    with Phase(spark) as ph_adc:
+        measured_adc = adc.count()
+    with Phase(spark) as ph_full:
+        n_out = S.ivfpq_topk(q, (cents, units, cb, coded), k=5, nprobe=2,
+                             shortlist=50).count()
+    return {
+        "n_corpus": int(e.count()),
+        "n_queries": int(n_queries),
+        "predicted_adc_rows": int(pred),
+        "measured_adc_rows": int(measured_adc),
+        "rerank_rows_cap": int(n_queries * 50),
+        "topk_rows": int(n_out),
+        "adc_phase_wall_s": ph_adc.wall,
+        "full_phase_wall_s": ph_full.wall,
+        "full_phase_shuffle_write": ph_full.shuffle_write,
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe.json"
     from tools.scale_fixtures import generate
@@ -312,6 +359,7 @@ def main() -> None:
             "prefix_cosine": probe_prefix_cosine(spark, sf_dir),
             "exact_substring": probe_exact_substring(spark, sf_dir),
             "ivf_refresh": probe_ivf_refresh(spark, sf_dir),
+            "ivfpq": probe_ivfpq(spark, sf_dir),
         }
         print(label, json.dumps(results[label], indent=1))
     with open(out_path, "w") as f:
