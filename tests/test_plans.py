@@ -349,6 +349,11 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # (llm_q.retrieval_hybrid_rrf; test_hybrid_rrf_plan_shape pins the
     # TakeOrdered feeding it).
     "retrieval_hybrid_rrf",
+    # rerank stage over BB1's fused top-k: inherits the hybrid_rrf cut
+    # (its windows run on the ≤50-row lex leg and the ≤10-row fused
+    # shortlist — both LIMIT-bounded by construction; the final rank
+    # windows ≤10 rows post-TakeOrdered) (llm_q.retrieval_rerank_pipeline).
+    "retrieval_rerank_pipeline",
 }
 
 
