@@ -3233,3 +3233,132 @@ def retrieval_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("final_rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: graded-relevance nDCG@10 (BB7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+    q AS (SELECT vec_id qid, label lq, v qv FROM e WHERE vec_id < 10),
+    top10 AS (SELECT qid, lq, nl, rk FROM (
+        SELECT q.qid, q.lq, e.label nl,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                          e.vec_id) AS rk
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.qid) WHERE rk <= 10),
+    dcg AS (SELECT qid,
+               sum((pow(2, greatest(0, 3 - abs(lq - nl))) - 1)
+                   / log2(rk + 1)) AS dcg_raw
+            FROM top10 GROUP BY 1),
+    hist AS (SELECT label, CAST(count(*) AS BIGINT) cnt FROM e GROUP BY 1),
+    pools AS (
+      SELECT q.qid,
+             h0.cnt - 1 AS p3,
+             coalesce(hm1.cnt, 0) + coalesce(hp1.cnt, 0) AS p2,
+             coalesce(hm2.cnt, 0) + coalesce(hp2.cnt, 0) AS p1
+      FROM q
+      JOIN hist h0 ON h0.label = q.lq
+      LEFT JOIN hist hm1 ON hm1.label = q.lq - 1
+      LEFT JOIN hist hp1 ON hp1.label = q.lq + 1
+      LEFT JOIN hist hm2 ON hm2.label = q.lq - 2
+      LEFT JOIN hist hp2 ON hp2.label = q.lq + 2),
+    ideal AS (SELECT qid,
+                sum((pow(2, CASE WHEN r <= p3 THEN 3
+                                 WHEN r <= p3 + p2 THEN 2
+                                 WHEN r <= p3 + p2 + p1 THEN 1
+                                 ELSE 0 END) - 1) / log2(r + 1)) AS idcg_raw
+              FROM pools CROSS JOIN generate_series(1, 10) AS gs(r)
+              GROUP BY 1)
+    SELECT CAST(d.qid AS BIGINT) AS query_id,
+           round(d.dcg_raw, 6) AS dcg_at_10,
+           round(i.idcg_raw, 6) AS idcg_at_10,
+           round(d.dcg_raw / i.idcg_raw, 6) AS ndcg_at_10
+    FROM dcg d JOIN ideal i USING (qid)
+    """,
+    tags=("llm", "similarity", "evaluation"),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance nDCG@10 of the exact dense retriever — completes
+    the retrieval-evaluation pair (binary recall@5 in ``ann_recall_at_k``
+    → graded-position-discounted nDCG here), the metric IR evaluations
+    standardize on when relevance is not binary (Järvelin & Kekäläinen
+    TOIS 2002).  Relevance grade of candidate c for query q is derived
+    deterministically from the fixtures' cluster labels:
+    rel = max(0, 3 − |label_q − label_c|) ∈ {0..3}; gain = 2^rel − 1;
+    DCG@10 = Σ gain_r / log2(r+1) over the retrieved ranking.
+
+    The scale trick is the IDEAL side: ideal DCG needs the corpus sorted
+    by relevance PER QUERY — a second full corpus pass at 100 TB.  But
+    rel depends only on (label_q, label_c), so the ideal grade sequence
+    is derivable from the corpus LABEL HISTOGRAM (10 rows): the rel-3
+    pool is cnt[label_q]−1 (self excluded), rel-2 is cnt[label_q±1],
+    rel-1 is cnt[label_q±2], and rank r's ideal grade is a running-total
+    threshold over those pools.  The retrieved leg reuses
+    ``brute_force_topk``'s discipline (corpus never shuffles, queries
+    broadcast, WindowGroupLimit per-partition cap); the histogram and
+    the ≤100-row top-k relation broadcast into every later join, and the
+    rank spine is a 10-row ``spark.range`` cross join — nothing past the
+    scorer touches corpus-scale data.  nDCG = DCG/IDCG rounded at 6 only
+    after the division (float sums of 10 log-discounted terms agree
+    cross-engine well inside 1e-6, the engine-wide float discipline)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    top = S.brute_force_topk(q, e, k=10)
+    qlab = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("lq")
+    )
+    nlab = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    graded = nlab.join(
+        F.broadcast(top.join(F.broadcast(qlab), "query_id")), "neighbor_id"
+    )
+    rel = F.greatest(F.lit(0), 3 - F.abs(F.col("lq") - F.col("nl")))
+    dcg = graded.groupBy("query_id").agg(
+        F.sum(
+            (F.pow(F.lit(2.0), rel) - 1) / F.log2(F.col("rank") + 1)
+        ).alias("dcg_raw")
+    )
+    hist = e.groupBy("label").agg(F.count("*").cast("bigint").alias("cnt"))
+    pools = qlab
+    for name, delta in (("h0", 0), ("hm1", -1), ("hp1", 1),
+                        ("hm2", -2), ("hp2", 2)):
+        h = hist.select(
+            F.col("label").alias(f"{name}_l"), F.col("cnt").alias(name)
+        )
+        pools = pools.join(
+            F.broadcast(h),
+            F.col(f"{name}_l") == F.col("lq") + delta,
+            "inner" if delta == 0 else "left",
+        )
+    pools = pools.select(
+        "query_id",
+        (F.col("h0") - 1).alias("p3"),
+        (F.coalesce(F.col("hm1"), F.lit(0))
+         + F.coalesce(F.col("hp1"), F.lit(0))).alias("p2"),
+        (F.coalesce(F.col("hm2"), F.lit(0))
+         + F.coalesce(F.col("hp2"), F.lit(0))).alias("p1"),
+    )
+    ranks = spark.range(1, 11).select(F.col("id").alias("r"))
+    irel = (
+        F.when(F.col("r") <= F.col("p3"), 3)
+        .when(F.col("r") <= F.col("p3") + F.col("p2"), 2)
+        .when(F.col("r") <= F.col("p3") + F.col("p2") + F.col("p1"), 1)
+        .otherwise(0)
+    )
+    ideal = pools.crossJoin(F.broadcast(ranks)).groupBy("query_id").agg(
+        F.sum(
+            (F.pow(F.lit(2.0), irel) - 1) / F.log2(F.col("r") + 1)
+        ).alias("idcg_raw")
+    )
+    return dcg.join(ideal, "query_id").select(
+        F.col("query_id").cast("bigint"),
+        F.round("dcg_raw", 6).alias("dcg_at_10"),
+        F.round("idcg_raw", 6).alias("idcg_at_10"),
+        F.round(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg_at_10"),
+    )

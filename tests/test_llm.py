@@ -631,3 +631,39 @@ def test_bmp_decode_known_bytes_and_real_gate(spark):
         extract_features(media, decode="real")
     with pytest.raises(ValueError):
         extract_features(media, decode="gif")
+
+
+def test_ndcg_histogram_idcg_equals_corpus_sort(spark, sf_dir):
+    """retrieval_ndcg_eval derives ideal DCG from the label HISTOGRAM
+    (so the ideal ordering never sorts the corpus — the scale trick).
+    Pin: it must equal the naive per-query ideal (sort ALL candidates by
+    grade desc, take 10) computed directly; and basic nDCG invariants
+    hold (0 <= dcg <= idcg, 0 < ndcg <= 1)."""
+    import math
+
+    from lambda_arc_events_filter_spark.registry import specs
+
+    rows = specs()["retrieval_ndcg_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    for r in rows:
+        assert 0.0 <= r["dcg_at_10"] <= r["idcg_at_10"] + 1e-9
+        assert 0.0 < r["ndcg_at_10"] <= 1.0 + 1e-9
+        lq = labels[r["query_id"]]
+        grades = sorted(
+            (
+                max(0, 3 - abs(lq - lc))
+                for vid, lc in labels.items()
+                if vid != r["query_id"]
+            ),
+            reverse=True,
+        )[:10]
+        idcg = sum(
+            (2 ** g - 1) / math.log2(i + 2) for i, g in enumerate(grades)
+        )
+        assert abs(round(idcg, 6) - r["idcg_at_10"]) <= 1e-6, (
+            r["query_id"],
+            idcg,
+            r["idcg_at_10"],
+        )
