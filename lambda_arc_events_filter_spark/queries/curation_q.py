@@ -2657,3 +2657,123 @@ def stream_dedup_exact_substring(
         " dup_tokens bigint, max_span_len bigint, dup_frac double"
     )
     return spark.read.schema(out_schema).parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sinkhorn/IPF optimal-transport mixture rebalancing (BB8)
+# ---------------------------------------------------------------------------
+
+#: Length-bucket boundaries (chars) and the TARGET bucket mixture the
+#: curated corpus should hit — part of the query definition.  Three
+#: buckets: short [0,200), medium [200,400), long [400,∞); fixtures
+#: occupy every (source, bucket) cell at every SF.
+_IPF_TARGET_BUCKET = (0.25, 0.35, 0.40)
+_IPF_ITERS = 3
+
+
+@register(
+    "corpus_sinkhorn_rebalance",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CASE WHEN n_chars < 200 THEN 0
+                  WHEN n_chars < 400 THEN 1 ELSE 2 END AS bucket,
+             CAST(sum(n_chars) AS BIGINT) AS mass
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(mass) AS DOUBLE) t FROM m),
+    p0 AS (SELECT source, bucket, mass, CAST(mass AS DOUBLE) AS p FROM m),
+    r1 AS (SELECT source, sum(p) rsum FROM p0 GROUP BY 1),
+    q1 AS (SELECT source, bucket, mass, p / rsum * 5e-2 AS p
+           FROM p0 JOIN r1 USING (source)),
+    c1 AS (SELECT bucket, sum(p) csum FROM q1 GROUP BY 1),
+    p1 AS (SELECT source, bucket, mass,
+                  p / csum * (CASE bucket WHEN 0 THEN 25e-2
+                              WHEN 1 THEN 35e-2 ELSE 40e-2 END) AS p
+           FROM q1 JOIN c1 USING (bucket)),
+    r2 AS (SELECT source, sum(p) rsum FROM p1 GROUP BY 1),
+    q2 AS (SELECT source, bucket, mass, p / rsum * 5e-2 AS p
+           FROM p1 JOIN r2 USING (source)),
+    c2 AS (SELECT bucket, sum(p) csum FROM q2 GROUP BY 1),
+    p2 AS (SELECT source, bucket, mass,
+                  p / csum * (CASE bucket WHEN 0 THEN 25e-2
+                              WHEN 1 THEN 35e-2 ELSE 40e-2 END) AS p
+           FROM q2 JOIN c2 USING (bucket)),
+    r3 AS (SELECT source, sum(p) rsum FROM p2 GROUP BY 1),
+    q3 AS (SELECT source, bucket, mass, p / rsum * 5e-2 AS p
+           FROM p2 JOIN r3 USING (source)),
+    c3 AS (SELECT bucket, sum(p) csum FROM q3 GROUP BY 1),
+    p3 AS (SELECT source, bucket, mass,
+                  p / csum * (CASE bucket WHEN 0 THEN 25e-2
+                              WHEN 1 THEN 35e-2 ELSE 40e-2 END) AS p
+           FROM q3 JOIN c3 USING (bucket))
+    SELECT source, CAST(bucket AS INT) AS bucket,
+           round(CAST(mass AS DOUBLE) / t, 6) AS observed_share,
+           round(p, 6) AS plan_share,
+           round(p / (CAST(mass AS DOUBLE) / t), 6) AS resample_weight
+    FROM p3 CROSS JOIN tot
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_sinkhorn_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal-transport mixture rebalancing by Sinkhorn/IPF projection —
+    the distribution-matching step of mixture design: given the OBSERVED
+    joint char-mass M[source, length-bucket] and independent TARGET
+    marginals (uniform 1/20 over sources × the fixed bucket mixture
+    0.25/0.35/0.40), find the transport plan P = diag(u)·M·diag(v)
+    closest to M in KL subject to both marginals.  Iterative proportional
+    fitting (Deming & Stephan 1940) IS Sinkhorn's algorithm with the
+    observed joint as the kernel (Benamou et al. 2015, iterative Bregman
+    projections) — 3 fixed alternating row/column scalings, unrolled so
+    the plan is deterministic and oracle-replayable.  Output per cell:
+    observed share, fitted plan share, and the per-doc resample weight
+    plan/observed a sampler downstream would apply.
+
+    Scale shape: ONE fact scan aggregates the corpus to the K×B cell
+    relation (20×3 rows at any corpus size — the 100 TB invariant); all
+    six scaling passes are groupBy/join over those 60 rows, so the
+    iteration cost is independent of data volume.  The grand total for
+    observed shares is the allowlisted 1-row crossJoin broadcast.  All
+    scalings stay in double with the literal targets bound as doubles in
+    BOTH engines (e-notation in the oracle — DuckDB parses plain decimal
+    literals as DECIMAL, which rounds differently from Spark's double
+    path); rounding to 6dp happens only at emission."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+    )
+    m = d.groupBy(F.col("source"), bucket.alias("bucket")).agg(
+        F.sum("n_chars").cast("bigint").alias("mass")
+    )
+    tot = m.agg(F.sum("mass").cast("double").alias("t"))
+    ctarget = (
+        F.when(F.col("bucket") == 0, F.lit(0.25))
+        .when(F.col("bucket") == 1, F.lit(0.35))
+        .otherwise(F.lit(0.40))
+    )
+    p = m.withColumn("p", F.col("mass").cast("double"))
+    for _ in range(_IPF_ITERS):
+        rs = p.groupBy("source").agg(F.sum("p").alias("rsum"))
+        p = (
+            p.join(F.broadcast(rs), "source")
+            .withColumn("p", F.col("p") / F.col("rsum") * F.lit(0.05))
+            .drop("rsum")
+        )
+        cs = p.groupBy("bucket").agg(F.sum("p").alias("csum"))
+        p = (
+            p.join(F.broadcast(cs), "bucket")
+            .withColumn("p", F.col("p") / F.col("csum") * ctarget)
+            .drop("csum")
+        )
+    return p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round(F.col("mass").cast("double") / F.col("t"), 6).alias(
+            "observed_share"
+        ),
+        F.round("p", 6).alias("plan_share"),
+        F.round(
+            F.col("p") / (F.col("mass").cast("double") / F.col("t")), 6
+        ).alias("resample_weight"),
+    )

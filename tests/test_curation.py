@@ -343,3 +343,20 @@ def test_bigram_queries_survive_single_token_docs(spark, tmp_path):
     lp = text_bigram_logprob(spark, sf).toPandas()
     id_col = "doc_id" if "doc_id" in lp.columns else lp.columns[0]
     assert 1 not in set(lp[id_col]) and 2 not in set(lp[id_col])
+
+
+def test_sinkhorn_rebalance_marginals_converge(spark, sf_dir):
+    """IPF/Sinkhorn invariants: the plan is a probability distribution;
+    the COLUMN marginals hit the target bucket mixture exactly (the last
+    scaling is a column projection); the ROW marginals converge toward
+    uniform 1/20 (each within 20% after 3 iterations); and every resample
+    weight is positive and finite."""
+    df = specs()["corpus_sinkhorn_rebalance"].fn(spark, sf_dir).toPandas()
+    assert len(df) == 60  # 20 sources x 3 buckets, every cell occupied
+    assert abs(df["plan_share"].sum() - 1.0) < 1e-4
+    col = df.groupby("bucket")["plan_share"].sum()
+    for b, target in ((0, 0.25), (1, 0.35), (2, 0.40)):
+        assert abs(col[b] - target) < 1e-5, (b, col[b])
+    row = df.groupby("source")["plan_share"].sum()
+    assert ((row - 0.05).abs() < 0.01).all(), row
+    assert (df["resample_weight"] > 0).all()
