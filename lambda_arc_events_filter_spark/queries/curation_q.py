@@ -2777,3 +2777,122 @@ def corpus_sinkhorn_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p") / (F.col("mass").cast("double") / F.col("t")), 6
         ).alias("resample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT conversation assembly + loss-mask accounting (BB9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sft_conversation_assembly",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+             CAST(props->>'$.k' AS INT) % 4 + 1 AS km,
+             event_type IN ('view', 'click') AS is_user
+      FROM events),
+    turns AS (
+      SELECT user_id, day, ts, event_id,
+             (CASE WHEN is_user THEN '<|user|>' ELSE '<|assistant|>' END)
+               || ' ' || event_type || repeat(' x', km) || ' <|eot|>'
+               AS turn,
+             km + 3 AS tt,
+             CASE WHEN is_user THEN 0 ELSE km + 2 END AS lt,
+             CASE WHEN is_user THEN 0 ELSE 1 END AS is_asst
+      FROM ev),
+    agg AS (
+      SELECT user_id, day,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(is_asst) AS BIGINT) AS n_assistant_turns,
+             CAST(sum(tt) AS BIGINT) AS total_tokens,
+             CAST(sum(lt) AS BIGINT) AS loss_tokens,
+             string_agg(turn, ' ' ORDER BY ts, event_id) AS conversation
+      FROM turns GROUP BY 1, 2)
+    SELECT user_id, day, n_turns, n_assistant_turns, total_tokens,
+           loss_tokens,
+           {mask} AS mask_fraction,
+           (total_tokens + 63) // 64 AS packed_seqs,
+           conversation
+    FROM agg
+    """.format(mask=round_int_ratio_sql("loss_tokens", "total_tokens", 6)),
+    tags=("llm", "curation", "text"),
+)
+def sft_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT data prep — assemble per-(user, day) event streams into chat-
+    template conversations and account for the loss mask: the step that
+    turns raw interaction logs into supervised fine-tuning examples.
+    Role mapping is deterministic (view/click → user turn, everything
+    else → assistant); each turn renders as
+    ``<role> <event_type> x…x <|eot|>`` with the content width driven by
+    the event's payload (k mod 4 + 1 filler tokens), so token counts
+    vary per turn.  Loss-mask accounting follows the standard SFT recipe:
+    only assistant CONTENT + its end-of-turn token train (role headers
+    and user turns are masked); ``mask_fraction`` is the trained-token
+    share, ``packed_seqs`` the 64-token-budget sequence count after
+    greedy concat-and-chunk packing.
+
+    Scale shape: one fact scan; the only shuffle is the groupBy on the
+    conversation key (user_id, day) — the natural partitioning for this
+    workload at any scale.  The template string is assembled INSIDE the
+    aggregate (sort_array over collected per-turn structs, the
+    agg_listagg_ordered discipline — input-order independence is what
+    makes the assembly reproducible run-to-run); per-conversation arrays
+    are O(turns per user-day), never O(rows).  Token accounting is pure
+    integer arithmetic and the mask fraction rounds through
+    round_int_ratio, so every value is engine-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("int") % 4 + 1).alias("km"),
+        F.col("event_type").isin("view", "click").alias("is_user"),
+    )
+    turns = ev.select(
+        "user_id",
+        "day",
+        "ts",
+        "event_id",
+        F.concat(
+            F.when(F.col("is_user"), F.lit("<|user|>")).otherwise(
+                F.lit("<|assistant|>")
+            ),
+            F.lit(" "),
+            F.col("event_type"),
+            F.expr("repeat(' x', km)"),
+            F.lit(" <|eot|>"),
+        ).alias("turn"),
+        (F.col("km") + 3).alias("tt"),
+        F.when(F.col("is_user"), 0).otherwise(F.col("km") + 2).alias("lt"),
+        F.when(F.col("is_user"), 0).otherwise(1).alias("is_asst"),
+    )
+    agg = turns.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum("is_asst").cast("bigint").alias("n_assistant_turns"),
+        F.sum("tt").cast("bigint").alias("total_tokens"),
+        F.sum("lt").cast("bigint").alias("loss_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "turn"))
+                ),
+                lambda s: s["turn"],
+            ),
+            " ",
+        ).alias("conversation"),
+    )
+    return agg.select(
+        "user_id",
+        "day",
+        "n_turns",
+        "n_assistant_turns",
+        "total_tokens",
+        "loss_tokens",
+        round_int_ratio(
+            F.col("loss_tokens"), F.col("total_tokens"), 6
+        ).alias("mask_fraction"),
+        F.expr("(total_tokens + 63) DIV 64").alias("packed_seqs"),
+        "conversation",
+    )

@@ -360,3 +360,28 @@ def test_sinkhorn_rebalance_marginals_converge(spark, sf_dir):
     row = df.groupby("source")["plan_share"].sum()
     assert ((row - 0.05).abs() < 0.01).all(), row
     assert (df["resample_weight"] > 0).all()
+
+
+def test_sft_assembly_accounting_matches_rendered_string(spark, sf_dir):
+    """The token accounting must describe the ASSEMBLED artifact: for
+    every conversation, whitespace-splitting the rendered template yields
+    exactly total_tokens tokens, the turn count equals the <|eot|>
+    marker count, loss <= total, and re-deriving the loss side from the
+    rendered assistant segments reproduces loss_tokens."""
+    rows = specs()["sft_conversation_assembly"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        toks = r["conversation"].split(" ")
+        assert len(toks) == r["total_tokens"], r
+        assert toks.count("<|eot|>") == r["n_turns"]
+        assert 0 <= r["loss_tokens"] <= r["total_tokens"]
+        # re-derive loss: per assistant segment, content tokens + eot
+        loss = 0
+        i = 0
+        while i < len(toks):
+            assert toks[i] in ("<|user|>", "<|assistant|>"), toks[i]
+            j = toks.index("<|eot|>", i)
+            if toks[i] == "<|assistant|>":
+                loss += (j - i - 1) + 1  # content + eot, role header masked
+            i = j + 1
+        assert loss == r["loss_tokens"], r
