@@ -2896,3 +2896,184 @@ def sft_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(total_tokens + 63) DIV 64").alias("packed_seqs"),
         "conversation",
     )
+
+
+# ---------------------------------------------------------------------------
+# DPO preference-pair construction (BB10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_preference_pairs",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_id, event_type, value,
+             event_type IN ('view', 'click') AS is_user
+      FROM events),
+    p AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_prompt_turns
+          FROM ev WHERE is_user GROUP BY 1, 2),
+    a AS (SELECT user_id, day, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id, day
+                                    ORDER BY value DESC, event_id DESC) AS rd,
+                 row_number() OVER (PARTITION BY user_id, day
+                                    ORDER BY value ASC, event_id ASC) AS ra,
+                 count(*) OVER (PARTITION BY user_id, day) AS nc
+          FROM ev WHERE NOT is_user),
+    ch AS (SELECT user_id, day, nc, event_id AS ceid, event_type AS cet,
+                  value AS cv
+           FROM a WHERE rd = 1),
+    rj AS (SELECT user_id, day, event_id AS reid, event_type AS ret,
+                  value AS rv
+           FROM a WHERE ra = 1)
+    SELECT ch.user_id, ch.day, p.n_prompt_turns,
+           CAST(ch.nc AS BIGINT) AS n_candidates,
+           ceid AS chosen_event_id, cet AS chosen_type, cv AS chosen_value,
+           reid AS rejected_event_id, ret AS rejected_type,
+           rv AS rejected_value,
+           round(cv - rv, 6) AS margin
+    FROM ch
+    JOIN rj ON ch.user_id = rj.user_id AND ch.day = rj.day
+    JOIN p  ON p.user_id = ch.user_id AND p.day = ch.day
+    WHERE ch.nc >= 2
+    """,
+    tags=("llm", "curation"),
+)
+def events_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction — the step that turns raw
+    interaction logs into (prompt, chosen, rejected) training pairs
+    (Rafailov et al. 2023 direct preference optimization; the pairing
+    recipe every preference-tuning pipeline runs upstream).  Role mapping
+    matches the SFT assembly (BB9): view/click are the user/prompt side,
+    everything else is an assistant-side candidate response.  Per
+    (user_id, day) prompt context with at least one prompt turn and >= 2
+    candidates: chosen = the candidate maximal by (value, event_id),
+    rejected = minimal by the same key (the event_id tiebreak makes the
+    pair deterministic under value ties), margin = chosen - rejected
+    value, with candidate-count accounting for pair-quality filtering
+    downstream.
+
+    Scale shape: ONE fact scan, one shuffle on the natural pair key
+    (user_id, day); chosen/rejected are struct min/max INSIDE the
+    aggregate (no window over the fact table, no self-join), so state per
+    key is O(1) and map-side partial aggregation applies.  The oracle
+    takes the independent window-function route (two row_numbers + a
+    count) so the two engines cross-check different plans for the same
+    semantics.  Margin arithmetic is double-exact (same IEEE subtract in
+    both engines) rounded at emission only."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        "event_type",
+        "value",
+        F.col("event_type").isin("view", "click").alias("is_user"),
+    )
+    cand = F.when(
+        ~F.col("is_user"),
+        F.struct(
+            F.col("value").alias("v"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ),
+    )
+    agg = (
+        ev.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.when(F.col("is_user"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_prompt_turns"),
+            F.sum(F.when(~F.col("is_user"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.max(cand).alias("ch"),
+            F.min(cand).alias("rj"),
+        )
+        .filter(
+            (F.col("n_prompt_turns") >= 1) & (F.col("n_candidates") >= 2)
+        )
+    )
+    return agg.select(
+        "user_id",
+        "day",
+        "n_prompt_turns",
+        "n_candidates",
+        F.col("ch.eid").alias("chosen_event_id"),
+        F.col("ch.et").alias("chosen_type"),
+        F.col("ch.v").alias("chosen_value"),
+        F.col("rj.eid").alias("rejected_event_id"),
+        F.col("rj.et").alias("rejected_type"),
+        F.col("rj.v").alias("rejected_value"),
+        F.round(F.col("ch.v") - F.col("rj.v"), 6).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-shard length-curriculum interleave (BB11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_curriculum_interleave",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    b AS (SELECT doc_id, shard, n_tokens,
+                 ntile(3) OVER (PARTITION BY shard
+                                ORDER BY n_tokens, doc_id) AS bucket
+          FROM d),
+    r AS (SELECT doc_id, shard, n_tokens, bucket,
+                 row_number() OVER (PARTITION BY shard, bucket
+                                    ORDER BY n_tokens, doc_id) AS rib
+          FROM b)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(bucket AS INT) AS curriculum_bucket,
+           CAST(rib AS BIGINT) AS round_in_shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY rib, bucket) AS BIGINT)
+               AS shard_pos,
+           n_tokens
+    FROM r
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum data scheduling with difficulty-stratified
+    round-robin interleave — the data-ordering step of curriculum
+    training (Bengio et al. 2009): documents are bucketed easy/medium/
+    hard by token count (ntile terciles, doc_id tiebreak), then emitted
+    round-robin across buckets so every training window sees the full
+    difficulty mix while earlier rounds still skew shorter (position =
+    (round, bucket) rank).  Output per doc: shard, bucket, round index,
+    and the interleaved in-shard position a loader would seek to.
+
+    Scale shape: the global order is deliberately factorized per SHARD
+    (doc_id mod 8 here; shard count scales with the cluster) — a true
+    global round-robin needs a global sort, while the per-shard form is
+    embarrassingly parallel and is what a multi-host loader consumes
+    anyway.  Every window is PARTITIONED BY shard (or shard, bucket):
+    no single-partition window, one shuffle on shard, per-shard state
+    bounded by shard size.  ntile's uneven-remainder semantics (earlier
+    buckets get the extra row) are identical in both engines and the
+    full (n_tokens, doc_id) ordering makes every rank deterministic."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w_shard = Window.partitionBy("shard").orderBy("n_tokens", "doc_id")
+    b = d.withColumn("bucket", F.ntile(3).over(w_shard))
+    w_bucket = Window.partitionBy("shard", "bucket").orderBy(
+        "n_tokens", "doc_id"
+    )
+    r = b.withColumn("rib", F.row_number().over(w_bucket))
+    w_pos = Window.partitionBy("shard").orderBy("rib", "bucket")
+    return r.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("bucket").cast("int").alias("curriculum_bucket"),
+        F.col("rib").cast("bigint").alias("round_in_shard"),
+        F.row_number().over(w_pos).cast("bigint").alias("shard_pos"),
+        "n_tokens",
+    )

@@ -385,3 +385,46 @@ def test_sft_assembly_accounting_matches_rendered_string(spark, sf_dir):
                 loss += (j - i - 1) + 1  # content + eot, role header masked
             i = j + 1
         assert loss == r["loss_tokens"], r
+
+
+def test_preference_pairs_invariants(spark, sf_dir):
+    """DPO pair invariants: chosen dominates rejected by (value, id) with
+    distinct event ids, neither side is a prompt-type event, margin is the
+    rounded value gap, and every pair had >= 2 candidates and a prompt."""
+    rows = specs()["events_preference_pairs"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_candidates"] >= 2 and r["n_prompt_turns"] >= 1
+        assert r["chosen_event_id"] != r["rejected_event_id"]
+        assert (r["chosen_value"], r["chosen_event_id"]) > (
+            r["rejected_value"],
+            r["rejected_event_id"],
+        )
+        assert r["chosen_type"] not in ("view", "click")
+        assert r["rejected_type"] not in ("view", "click")
+        assert abs(
+            r["margin"] - round(r["chosen_value"] - r["rejected_value"], 6)
+        ) < 1e-12
+
+
+def test_curriculum_interleave_round_robin(spark, sf_dir):
+    """Per shard: shard_pos is the permutation 1..n; walking it in order
+    the (round, bucket) key strictly increases lexicographically (the
+    round-robin invariant: a full cycle over buckets before the round
+    advances); bucket sizes differ by at most 1 (ntile); and within a
+    (shard, bucket) the round index follows the length ordering."""
+    df = (
+        specs()["corpus_curriculum_interleave"].fn(spark, sf_dir).toPandas()
+    )
+    assert len(df) > 0
+    for shard, g in df.groupby("shard"):
+        g = g.sort_values("shard_pos")
+        assert list(g["shard_pos"]) == list(range(1, len(g) + 1))
+        keys = list(zip(g["round_in_shard"], g["curriculum_bucket"]))
+        assert keys == sorted(keys) and len(set(keys)) == len(keys)
+        sizes = g["curriculum_bucket"].value_counts()
+        assert sizes.max() - sizes.min() <= 1, (shard, dict(sizes))
+        for _, gb in g.groupby("curriculum_bucket"):
+            gb = gb.sort_values("round_in_shard")
+            tok = list(zip(gb["n_tokens"], gb["doc_id"]))
+            assert tok == sorted(tok)
