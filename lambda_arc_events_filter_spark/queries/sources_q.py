@@ -1188,3 +1188,93 @@ def pandas_api_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE BFS over the trade graph (BB13)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_BFS_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS cnt
+      FROM {lineitem} l
+      JOIN {orders} o   ON l.l_orderkey = o.o_orderkey
+      JOIN {customer} c ON o.o_custkey = c.c_custkey
+      JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+      JOIN {nation} sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN {nation} cn  ON c.c_nationkey = cn.n_nationkey
+      WHERE sn.n_nationkey <> cn.n_nationkey
+      GROUP BY sn.n_name, cn.n_name
+    ),
+    strong AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, cnt,
+               avg(cnt) OVER (PARTITION BY src) AS src_avg
+        FROM edges
+      ) e
+      WHERE cnt >= src_avg
+    ),
+    seed AS (
+      SELECT src AS nation
+      FROM (SELECT src, sum(cnt) AS tot FROM edges GROUP BY src) t
+      ORDER BY tot DESC, src LIMIT 1
+    ),
+    bfs AS (
+      SELECT nation, 0 AS hops FROM seed
+      UNION ALL
+      SELECT st.dst AS nation, b.hops + 1 AS hops
+      FROM bfs b JOIN strong st ON st.src = b.nation
+      WHERE b.hops < 3
+    )
+    SELECT nation, CAST(min(hops) AS INT) AS hops,
+           CAST(count(*) AS BIGINT) AS n_walks
+    FROM bfs
+    GROUP BY nation
+"""
+
+
+@register(
+    "sql_recursive_bfs",
+    oracle=_RECURSIVE_BFS_SQL.format(
+        lineitem="lineitem",
+        orders="orders",
+        customer="customer",
+        supplier="supplier",
+        nation="nation",
+    ),
+    tags=("sql", "graph"),
+    plan_cache=False,  # resolves temp views by name
+)
+def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``) breadth-first search
+    over the strong-trade graph: edges are supplier-nation → customer-
+    nation pairs aggregated from the fact join, sparsified to each
+    source's ABOVE-AVERAGE partners (a per-source relative bar, so every
+    node keeps ≥1 out-edge at any scale factor and the recursion always
+    has a frontier); the seed is data-derived (the nation with the
+    largest total out-trade, name tiebreak — a fixed-name seed went
+    edgeless at sf0.001); from the seed nation the recursion
+    expands ≤3-hop frontiers and the final aggregate folds walks into
+    min-hop distance + walk count per reached nation.  SQL text is
+    IDENTICAL in both engines (only table binding differs), so the
+    oracle cross-checks Spark's recursive-union executor — new surface
+    in Spark 4 — against DuckDB's, not just this query's arithmetic.
+
+    Scale shape: the FACT scan happens exactly once, in the edge
+    aggregation (one shuffle on the nation pair, partial aggs apply);
+    the recursion then iterates over the DIMENSION-sized edge relation
+    (≤ |nations|² rows at any corpus scale), so each recursive step is
+    broadcast-scale work and the unbounded part of the plan never
+    re-touches the fact table.  Depth is capped (hops < 3) and the walk
+    count is finite by construction; min-hop is order-insensitive, so
+    the result is deterministic whatever order the executor expands
+    frontiers in."""
+    suffix = uuid.uuid4().hex[:6]
+    names = {}
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        names[t] = f"{t}_{suffix}"
+        load(spark, sf_dir, t).createOrReplaceTempView(names[t])
+    out = spark.sql(_RECURSIVE_BFS_SQL.format(**names))
+    for v in names.values():
+        spark.catalog.dropTempView(v)
+    return out

@@ -1310,3 +1310,71 @@ def stream_python_source_windowed(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(
         agg, "pysrcwin", mode="append", state_partitions=2, drain=True
     ).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# State-store introspection: read a stateful query's state back (BB12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_state_store_audit",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "state"),
+)
+def stream_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store introspection — the operational surface for
+    debugging a stateful pipeline at scale: run a checkpointed per-key
+    streaming aggregation, then read its STATE back through Spark's
+    State Data Source (``spark.read.format("statestore")``, Spark 4) and
+    reconcile it against the batch truth.  The returned rows ARE the
+    state-store contents (per-user event count + cent-exact value sum),
+    so the oracle hash-match proves state ≡ batch aggregate — the
+    invariant an on-call engineer checks when a streaming job's numbers
+    drift, without replaying the stream.
+
+    Scale shape: the aggregation shuffles once on the state key; the
+    state read is partition-parallel over the store's own layout (one
+    task per state partition, no shuffle) and never touches the source
+    topic — at 100 TB the audit costs O(state), not O(stream history).
+    Sums are kept as BIGINT cents inside the state so the streamed
+    accumulation order cannot perturb a float total; count + sum are the
+    associative-merge state any provider (HDFS-backed or RocksDB)
+    maintains identically."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "total_value_cents"
+        ),
+    )
+    ck = readers.scratch_dir("ss_audit_ck")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ck)
+    # The state VALUE schema carries the aggregation-buffer field names
+    # (`count`, `sum`), not the output aliases — the reader exposes the
+    # physical store layout, which is the point of the audit.
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").alias("total_value_cents"),
+    )

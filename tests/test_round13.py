@@ -1,0 +1,46 @@
+"""Round-13 session-2 additions: DPO pairs / curriculum (pinned in
+test_curation.py), state-store introspection, recursive-CTE BFS."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.registry import specs
+
+
+def test_state_store_audit_conserves_event_mass(spark, sf_dir):
+    """The state rows must account for every source event exactly once:
+    sum of per-user counts == table row count, key set == distinct users,
+    and the cent-sums are positive BIGINTs (the order-free accumulation
+    the query promises).  Two back-to-back runs must agree — each run
+    checkpoints into a fresh scratch dir, so state never leaks between
+    calls."""
+    fn = specs()["stream_state_store_audit"].fn
+    df = fn(spark, sf_dir).toPandas()
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert df["n_events"].sum() == n_events
+    assert len(df) == n_users and df["user_id"].is_unique
+    assert (df["n_events"] > 0).all() and (df["total_value_cents"] > 0).all()
+    again = fn(spark, sf_dir).toPandas()
+    merged = df.set_index("user_id").sort_index()
+    assert merged.equals(again.set_index("user_id").sort_index())
+
+
+def test_recursive_bfs_hop_structure(spark, sf_dir):
+    """BFS invariants: the seed is present at hops 0 with >= 1 walk; all
+    hop values lie in [0, 3]; the frontier actually expanded (> 1 nation
+    reached — the degenerate seed-only result this query shipped with
+    during development is pinned out); one row per reached nation; and
+    every reached non-seed nation has >= 1 walk."""
+    rows = specs()["sql_recursive_bfs"].fn(spark, sf_dir).collect()
+    by_nation = {r["nation"]: r for r in rows}
+    assert len(by_nation) == len(rows) > 1
+    # exactly one nation at min-hop 0 (the seed); its walk count may
+    # exceed 1 — cyclic walks legitimately return to the seed
+    seeds = [r for r in rows if r["hops"] == 0]
+    assert len(seeds) == 1 and seeds[0]["n_walks"] >= 1
+    for r in rows:
+        assert 0 <= r["hops"] <= 3 and r["n_walks"] >= 1
