@@ -531,3 +531,122 @@ def score_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("std_auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F6 / BB14: isotonic score calibration via the PAV minimax closed form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_isotonic_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_SCORE_SQL} AS k, {_LABEL_SQL} AS y FROM events
+    ),
+    bins AS (
+      SELECT CAST(k // 50 AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM s GROUP BY 1
+    ),
+    pre AS (
+      SELECT a.bin, a.n, a.pos,
+             CAST(sum(b.n) AS BIGINT) AS cn,
+             CAST(sum(b.pos) AS BIGINT) AS cp
+      FROM bins a JOIN bins b ON b.bin <= a.bin
+      GROUP BY a.bin, a.n, a.pos
+    ),
+    iv AS (
+      SELECT lo.bin AS j, hi.bin AS kk,
+             CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+               / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS m
+      FROM pre lo JOIN pre hi ON hi.bin >= lo.bin
+    ),
+    inner_min AS (
+      SELECT iv.j, b.bin, min(iv.m) AS mn
+      FROM iv JOIN bins b ON iv.j <= b.bin AND iv.kk >= b.bin
+      GROUP BY iv.j, b.bin
+    ),
+    fit AS (
+      SELECT bin, max(mn) AS fitted FROM inner_min GROUP BY bin
+    )
+    SELECT bins.bin, bins.n, bins.pos,
+           CAST(bins.pos AS DOUBLE) / CAST(bins.n AS DOUBLE) AS raw_rate,
+           fit.fitted AS isotonic_rate,
+           fit.fitted <> CAST(bins.pos AS DOUBLE) / CAST(bins.n AS DOUBLE)
+               AS pooled
+    FROM bins JOIN fit ON bins.bin = fit.bin
+    """,
+    tags=("ml", "stats"),
+)
+def score_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) score calibration — the PAV fit every
+    calibration library (sklearn IsotonicRegression, Zadrozny & Elkan
+    2002) runs, computed NOT by the sequential pool-adjacent-violators
+    loop but by its minimax closed form (Robertson, Wright & Dykstra
+    1988): fitted(i) = max_{{j<=i}} min_{{k>=i}} mean(y over bins j..k).
+    The sequential algorithm is order-dependent and unexpressible
+    declaratively; the closed form is pure joins/aggregates and provably
+    the same least-squares monotone fit.  Output per score bin: raw
+    positive rate, isotonic rate (non-decreasing in the bin), and
+    whether PAV pooled the bin with neighbors.
+
+    Scale shape: ONE fact scan reduces the corpus to the 20-bin
+    relation (map-side combinable groupBy); every minimax pass
+    (prefix sums, the 210-interval relation, the min-then-max folds)
+    is a triangular join over <= 20x20x20 broadcast-scale rows — no
+    window at all, so no single-partition operator anywhere and the
+    calibration cost is independent of corpus size.  Interval means are
+    BIGINT/BIGINT IEEE divisions (identical doubles in both engines);
+    min/max select among those exact doubles, and the result is emitted
+    UNROUNDED so the hash compares the doubles bit-for-bit."""
+    s = _scored(spark, sf_dir)
+    bins = s.groupBy(
+        (F.col("k") / 50).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    a, b = bins.alias("a"), bins.alias("b")
+    pre = (
+        a.join(F.broadcast(b), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(
+            F.col("a.bin").alias("bin"),
+            F.col("a.n").alias("n"),
+            F.col("a.pos").alias("pos"),
+        )
+        .agg(
+            F.sum("b.n").cast("long").alias("cn"),
+            F.sum("b.pos").cast("long").alias("cp"),
+        )
+    )
+    lo, hi = pre.alias("lo"), pre.alias("hi")
+    iv = lo.join(F.broadcast(hi), F.col("hi.bin") >= F.col("lo.bin")).select(
+        F.col("lo.bin").alias("j"),
+        F.col("hi.bin").alias("kk"),
+        (
+            (F.col("hi.cp") - F.col("lo.cp") + F.col("lo.pos")).cast("double")
+            / (F.col("hi.cn") - F.col("lo.cn") + F.col("lo.n")).cast("double")
+        ).alias("m"),
+    )
+    inner_min = (
+        iv.join(
+            F.broadcast(bins.select(F.col("bin").alias("i"))),
+            (F.col("j") <= F.col("i")) & (F.col("kk") >= F.col("i")),
+        )
+        .groupBy("j", "i")
+        .agg(F.min("m").alias("mn"))
+    )
+    fit = inner_min.groupBy(F.col("i").alias("bin")).agg(
+        F.max("mn").alias("fitted")
+    )
+    raw = F.col("pos").cast("double") / F.col("n").cast("double")
+    return bins.join(F.broadcast(fit), "bin").select(
+        "bin",
+        "n",
+        "pos",
+        raw.alias("raw_rate"),
+        F.col("fitted").alias("isotonic_rate"),
+        (F.col("fitted") != raw).alias("pooled"),
+    )

@@ -44,3 +44,23 @@ def test_recursive_bfs_hop_structure(spark, sf_dir):
     assert len(seeds) == 1 and seeds[0]["n_walks"] >= 1
     for r in rows:
         assert 0 <= r["hops"] <= 3 and r["n_walks"] >= 1
+
+
+def test_isotonic_calibration_is_valid_pav_fit(spark, sf_dir):
+    """The minimax closed form must produce a genuine PAV solution:
+    fitted rates are non-decreasing in the bin, bounded by [0, 1], and
+    conserve label mass (sum n_i * fitted_i == sum pos_i — PAV averages
+    within pooled blocks, so the total is preserved exactly)."""
+    df = (
+        specs()["score_isotonic_calibration"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("bin")
+    )
+    iso = list(df["isotonic_rate"])
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    assert ((df["isotonic_rate"] >= 0) & (df["isotonic_rate"] <= 1)).all()
+    assert abs((df["n"] * df["isotonic_rate"]).sum() - df["pos"].sum()) < 1e-6
+    # at least one violator pooled, else the fixture were perfectly
+    # monotone and the query degenerates to identity
+    assert df["pooled"].any()
