@@ -2277,3 +2277,143 @@ def corpus_unseen_vocab_estimate(
             "gt_coverage"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Confident-learning label-noise screen (BB15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "labels_confident_learning",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+    ex AS (SELECT label, unnest(v) val, generate_subscripts(v, 1) pos FROM e),
+    cent AS (SELECT label AS clabel, pos, avg(val) AS cv FROM ex GROUP BY 1, 2),
+    ev AS (SELECT vec_id, label, unnest(v) AS val,
+                  generate_subscripts(v, 1) AS pos
+           FROM e),
+    dist AS (
+      SELECT ev.vec_id, ev.label, c.clabel,
+             CAST(round(round(sum((ev.val - c.cv) * (ev.val - c.cv)), 6)
+                        * 1000000) AS BIGINT) AS d2e6
+      FROM ev JOIN cent c ON c.pos = ev.pos
+      GROUP BY ev.vec_id, ev.label, c.clabel
+    ),
+    thr AS (
+      SELECT label AS tlabel, CAST(count(*) AS BIGINT) AS nj,
+             CAST(sum(d2e6) AS BIGINT) AS sumj
+      FROM dist WHERE clabel = label GROUP BY 1
+    ),
+    conf AS (
+      SELECT d.vec_id, d.label, d.clabel, d.d2e6
+      FROM dist d JOIN thr t ON t.tlabel = d.clabel
+      WHERE d.d2e6 * t.nj <= t.sumj
+    ),
+    best AS (
+      SELECT vec_id, clabel,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2e6, clabel) AS rk
+      FROM conf
+    ),
+    pred AS (
+      SELECT i.vec_id, i.label,
+             CAST(coalesce(b.clabel, -1) AS INT) AS predicted
+      FROM (SELECT DISTINCT vec_id, label FROM dist) i
+      LEFT JOIN (SELECT vec_id, clabel FROM best WHERE rk = 1) b
+        ON b.vec_id = i.vec_id
+    )
+    SELECT label, predicted, CAST(count(*) AS BIGINT) AS n,
+           predicted <> label AND predicted <> -1 AS suspected_error
+    FROM pred GROUP BY 1, 2
+    """,
+    tags=("llm", "similarity", "curation"),
+)
+def labels_confident_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen by confident learning (Northcutt, Jiang & Chuang
+    JAIR 2021, the cleanlab recipe): class j's confidence threshold is the
+    class's AVERAGE self-score; an item is confidently a member of every
+    class whose centroid it beats that class's threshold for, its
+    predicted class is the best such candidate, and the off-diagonal
+    (given, predicted) cells of the resulting confident-joint matrix are
+    the suspected label errors (predicted = -1 → below every threshold,
+    abstain).  Scores are nearest-centroid squared-L2 (the
+    embedding_centroid_eval probe), so the screen needs no trained model.
+
+    Scale shape: centroids and per-class thresholds reduce to k and k
+    rows (k=10) and BROADCAST; both corpus passes (self-score, then
+    candidate/argmin) are in-row array folds over the broadcast structs
+    — the corpus is scanned twice, never shuffled, and the only shuffled
+    relations are the k-row threshold aggregate and the ≤(k+1)² output
+    matrix.  Exactness: d2 rounds to 6dp (the kmeans near-tie lesson)
+    then scales to BIGINT micro-units, so every threshold comparison is
+    the integer cross-multiplication d2e6·n_j <= Σ_j — no division
+    anywhere in the decision path, and the argmin breaks ties on the
+    label."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = dims.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("cv")
+    )
+    packed = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.expr("transform(pc, s -> s.cv)").alias("cvec"),
+        )
+    )
+    cents = packed.agg(
+        F.array_sort(F.collect_list(F.struct("clabel", "cvec"))).alias("cs")
+    )
+    darr_expr = (
+        "transform(cs, c -> struct("
+        " c.clabel as clabel,"
+        " cast(round(round(aggregate(zip_with(embedding, c.cvec,"
+        "   (x, y) -> (cast(x as double) - y)"
+        "           * (cast(x as double) - y)),"
+        "   0D, (a, b) -> a + b), 6) * 1000000) as bigint) as d2e6))"
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "label", F.expr(darr_expr).alias("darr")
+    )
+    thr = (
+        scored.select(
+            "label",
+            F.expr("filter(darr, c -> c.clabel = label)[0].d2e6").alias("sd"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nj"),
+            F.sum("sd").cast("long").alias("sumj"),
+        )
+    )
+    thr_row = thr.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("label").alias("tlabel"), "nj", "sumj")
+            )
+        ).alias("thr")
+    )
+    pred = scored.join(F.broadcast(thr_row)).select(
+        "label",
+        F.coalesce(
+            F.expr(
+                "array_min(transform("
+                " filter(darr, c -> c.d2e6 *"
+                "   filter(thr, t -> t.tlabel = c.clabel)[0].nj <="
+                "   filter(thr, t -> t.tlabel = c.clabel)[0].sumj),"
+                " c -> struct(c.d2e6 as d2e6, c.clabel as clabel))).clabel"
+            ),
+            F.lit(-1),
+        )
+        .cast("int")
+        .alias("predicted"),
+    )
+    return pred.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            (F.col("predicted") != F.col("label"))
+            & (F.col("predicted") != -1)
+        ).alias("suspected_error"),
+    )

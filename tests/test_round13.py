@@ -64,3 +64,23 @@ def test_isotonic_calibration_is_valid_pav_fit(spark, sf_dir):
     # at least one violator pooled, else the fixture were perfectly
     # monotone and the query degenerates to identity
     assert df["pooled"].any()
+
+
+def test_confident_learning_matrix_accounts_all_items(spark, sf_dir):
+    """The confident joint must partition the corpus: cell counts sum to
+    the embeddings row count; suspected_error is exactly 'off-diagonal
+    and not abstain'; and the screen is non-degenerate both ways (some
+    confident diagonal mass AND at least one non-diagonal or abstain
+    cell — a threshold bug collapsing everything to its own class, or
+    rejecting everything, would pass a weaker pin)."""
+    from lambda_arc_events_filter_spark.catalog import load
+
+    rows = specs()["labels_confident_learning"].fn(spark, sf_dir).collect()
+    n_emb = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_emb
+    for r in rows:
+        assert r["suspected_error"] == (
+            r["predicted"] != r["label"] and r["predicted"] != -1
+        )
+    assert any(r["label"] == r["predicted"] for r in rows)
+    assert any(r["label"] != r["predicted"] for r in rows)
