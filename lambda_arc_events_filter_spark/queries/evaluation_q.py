@@ -650,3 +650,138 @@ def score_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fitted").alias("isotonic_rate"),
         (F.col("fitted") != raw).alias("pooled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F7 / BB16: Brier score + Murphy decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_brier_decomposition",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_SCORE_SQL} AS k, {_LABEL_SQL} AS y FROM events
+    ),
+    g AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM s GROUP BY k
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(pos) AS BIGINT) AS ppos,
+             CAST(sum(n * k * k - 2000 * k * pos + 1000000 * pos) AS BIGINT)
+                 AS bnum
+      FROM g
+    ),
+    terms AS (
+      SELECT g.k,
+             CAST(g.k * g.n - 1000 * g.pos AS DOUBLE)
+               * CAST(g.k * g.n - 1000 * g.pos AS DOUBLE)
+               / (1000000.0 * CAST(g.n AS DOUBLE)) AS rel_t,
+             CAST(g.pos * t.nn - g.n * t.ppos AS DOUBLE)
+               * CAST(g.pos * t.nn - g.n * t.ppos AS DOUBLE)
+               / (CAST(g.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                  * CAST(t.nn AS DOUBLE)) AS res_t
+      FROM g, tot t
+    ),
+    f AS (
+      SELECT list(rel_t ORDER BY k) AS rl, list(res_t ORDER BY k) AS sl
+      FROM terms
+    )
+    SELECT t.nn AS n, t.ppos AS n_pos,
+           CAST(t.bnum AS DOUBLE) / (1000000.0 * CAST(t.nn AS DOUBLE))
+               AS brier,
+           list_reduce(f.rl, (a, b) -> a + b) / CAST(t.nn AS DOUBLE)
+               AS reliability,
+           list_reduce(f.sl, (a, b) -> a + b) / CAST(t.nn AS DOUBLE)
+               AS resolution,
+           CAST(t.ppos * (t.nn - t.ppos) AS DOUBLE)
+               / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))
+               AS uncertainty
+    FROM f, tot t
+    """,
+    tags=("ml", "stats"),
+)
+def score_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the standard
+    probabilistic-forecast audit: BS = REL − RES + UNC, where
+    reliability is the calibration gap Σ n_k(p_k−ȳ_k)²/N over score
+    groups, resolution the discrimination Σ n_k(ȳ_k−ȳ)²/N, and
+    uncertainty the label variance ȳ(1−ȳ).  The hash score k/1000 is
+    read as the predicted probability (same pseudo-model as the rest of
+    the F-wave), so the engines see an identical forecaster.
+
+    Exactness strategy, three tiers: the raw Brier numerator
+    Σ(k²n − 2000·k·pos + 10⁶·pos) is pure BIGINT (order-free); the
+    REL/RES terms are integer-numerator divisions (deterministic IEEE
+    doubles) summed by an ORDERED left-to-right fold over the ≤1000-row
+    grouped relation (the events_ewma_daily discipline — identical
+    float sequence in both engines, immune to aggregation order); the
+    single division by N happens after the fold.  Scale shape: ONE
+    map-combinable fact scan to ≤1000 groups; everything after is
+    broadcast-scale; output is one row."""
+    s = _scored(spark, sf_dir)
+    g = s.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("pos").cast("long").alias("ppos"),
+        F.sum(
+            F.col("n") * F.col("k") * F.col("k")
+            - 2000 * F.col("k") * F.col("pos")
+            + 1000000 * F.col("pos")
+        )
+        .cast("long")
+        .alias("bnum"),
+    )
+    reln = (F.col("k") * F.col("n") - 1000 * F.col("pos")).cast("double")
+    resn = (F.col("pos") * F.col("nn") - F.col("n") * F.col("ppos")).cast(
+        "double"
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "k",
+        (reln * reln / (F.lit(1000000.0) * F.col("n").cast("double"))).alias(
+            "rel_t"
+        ),
+        (
+            resn
+            * resn
+            / (
+                F.col("n").cast("double")
+                * F.col("nn").cast("double")
+                * F.col("nn").cast("double")
+            )
+        ).alias("res_t"),
+    )
+    f = terms.agg(
+        F.array_sort(
+            F.collect_list(F.struct("k", "rel_t", "res_t"))
+        ).alias("arr")
+    )
+    nn_d = F.col("nn").cast("double")
+    return f.crossJoin(F.broadcast(tot)).select(
+        F.col("nn").alias("n"),
+        F.col("ppos").alias("n_pos"),
+        (F.col("bnum").cast("double") / (F.lit(1000000.0) * nn_d)).alias(
+            "brier"
+        ),
+        (
+            F.expr(
+                "aggregate(transform(arr, s -> s.rel_t), 0D, (a, b) -> a + b)"
+            )
+            / nn_d
+        ).alias("reliability"),
+        (
+            F.expr(
+                "aggregate(transform(arr, s -> s.res_t), 0D, (a, b) -> a + b)"
+            )
+            / nn_d
+        ).alias("resolution"),
+        (
+            (F.col("ppos") * (F.col("nn") - F.col("ppos"))).cast("double")
+            / (nn_d * nn_d)
+        ).alias("uncertainty"),
+    )

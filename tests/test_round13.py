@@ -84,3 +84,19 @@ def test_confident_learning_matrix_accounts_all_items(spark, sf_dir):
         )
     assert any(r["label"] == r["predicted"] for r in rows)
     assert any(r["label"] != r["predicted"] for r in rows)
+
+
+def test_brier_murphy_identity(spark, sf_dir):
+    """Murphy's identity BS = REL - RES + UNC must hold to float
+    precision, every component is non-negative, resolution cannot exceed
+    uncertainty, and the Brier score itself lies in [0, 1]."""
+    r = specs()["score_brier_decomposition"].fn(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert abs(
+        r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"])
+    ) < 1e-9
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert 0 <= r["uncertainty"] <= 0.25 + 1e-12
+    assert r["resolution"] <= r["uncertainty"] + 1e-12
+    assert 0 <= r["brier"] <= 1
