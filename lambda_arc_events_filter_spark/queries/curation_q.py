@@ -3077,3 +3077,162 @@ def corpus_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_pos).cast("bigint").alias("shard_pos"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage coreset selection (BB17)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_greedy_coverage_pick",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             s[i] || ' ' || s[i + 1] || ' ' || s[i + 2] AS w
+      FROM sp, unnest(generate_series(1, len(s) - 2)) AS u(i)
+      WHERE len(s) >= 3),
+    tot AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS u FROM tok),
+    c1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM tok GROUP BY 1),
+    w1 AS (SELECT doc_id, g FROM c1 ORDER BY g DESC, doc_id LIMIT 1),
+    cov1 AS (SELECT DISTINCT t.w FROM tok t JOIN w1 ON t.doc_id = w1.doc_id),
+    r2 AS (SELECT t.doc_id, t.w FROM tok t
+           WHERE t.doc_id NOT IN (SELECT doc_id FROM w1)
+             AND NOT EXISTS (SELECT 1 FROM cov1 WHERE cov1.w = t.w)),
+    c2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM r2 GROUP BY 1),
+    w2 AS (SELECT doc_id, g FROM c2 ORDER BY g DESC, doc_id LIMIT 1),
+    cov2 AS (SELECT w FROM cov1 UNION
+             SELECT DISTINCT t.w FROM tok t JOIN w2 ON t.doc_id = w2.doc_id),
+    r3 AS (SELECT t.doc_id, t.w FROM tok t
+           WHERE t.doc_id NOT IN (SELECT doc_id FROM w1
+                                  UNION SELECT doc_id FROM w2)
+             AND NOT EXISTS (SELECT 1 FROM cov2 WHERE cov2.w = t.w)),
+    c3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM r3 GROUP BY 1),
+    w3 AS (SELECT doc_id, g FROM c3 ORDER BY g DESC, doc_id LIMIT 1),
+    picks AS (
+      SELECT 1 AS round, w1.doc_id, w1.g AS marginal_gain,
+             w1.g AS cum_coverage FROM w1
+      UNION ALL
+      SELECT 2, w2.doc_id, w2.g, w1.g + w2.g FROM w2, w1
+      UNION ALL
+      SELECT 3, w3.doc_id, w3.g, w1.g + w2.g + w3.g FROM w3, w2, w1)
+    SELECT CAST(round AS INT) AS round, doc_id, marginal_gain, cum_coverage,
+           ((2 * cum_coverage * 1000000 + u) // (2 * u)) / 1000000.0
+               AS coverage_frac
+    FROM picks, tot
+    """,
+    tags=("llm", "curation"),
+)
+def corpus_greedy_coverage_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage coreset selection — the classic (1−1/e)
+    submodular-greedy step (Nemhauser/Wolsey/Fisher 1978) that diversity-
+    oriented data selection runs: pick the document covering the most
+    vocabulary, remove its tokens from the universe, repeat.  Three
+    unrolled rounds (the kmeans/Sinkhorn fixed-unroll discipline), each
+    reporting the winner, its marginal gain, and cumulative coverage of
+    the corpus vocabulary — the curve a curation pipeline reads to size
+    its coreset.
+
+    Scale shape: the (doc, distinct-token) relation is built once
+    (per-doc array_distinct before the explode, so no corpus-wide
+    distinct shuffle); each round is a map-combinable count + a 1-row
+    global argmax (struct max — no sort), and the covered-token set is
+    the tokens of ≤r picked docs, BROADCAST into the anti-join — so the
+    per-round cost is one pass over the shrinking postings relation and
+    the driver never sees data.  Tiebreaks on doc_id make the greedy
+    path deterministic; all gains/coverages are integers, the final
+    fraction is a round_int_ratio."""
+    d = load(spark, sf_dir, "documents")
+    # word TRIGRAMS as the coverage universe: the fixture's unigram
+    # vocabulary is 31 words and one doc covers it all, so word-level
+    # greedy saturates in one round; trigrams give a ~16k universe with
+    # genuine multi-round competition.  sequence() is guarded by the
+    # size filter — Spark's sequence(1, 0) is DESCENDING, not empty.
+    tok = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("s"))
+        .filter(F.size("s") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 2),"
+                        " i -> concat_ws(' ', slice(s, i, 3)))"
+                    )
+                )
+            ).alias("w"),
+        )
+    )
+    tot = tok.agg(F.countDistinct("w").cast("long").alias("u"))
+
+    def pick(rel: DataFrame) -> DataFrame:
+        cnt = rel.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("g")
+        )
+        return cnt.agg(
+            F.max(
+                F.struct(
+                    F.col("g"),
+                    (-F.col("doc_id")).alias("nd"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("b")
+        ).select(
+            F.col("b.doc_id").alias("doc_id"), F.col("b.g").alias("g")
+        )
+
+    w1 = pick(tok)
+    cov1 = tok.join(F.broadcast(w1), "doc_id").select("w").distinct()
+    r2 = tok.join(
+        F.broadcast(w1.select("doc_id")), "doc_id", "left_anti"
+    ).join(F.broadcast(cov1), "w", "left_anti")
+    w2 = pick(r2)
+    cov2 = cov1.union(
+        tok.join(F.broadcast(w2), "doc_id").select("w")
+    ).distinct()
+    picked12 = w1.select("doc_id").union(w2.select("doc_id"))
+    r3 = tok.join(F.broadcast(picked12), "doc_id", "left_anti").join(
+        F.broadcast(cov2), "w", "left_anti"
+    )
+    w3 = pick(r3)
+    g1 = w1.select(F.col("g").alias("g1"))
+    g2 = w2.select(F.col("g").alias("g2"))
+    picks = (
+        w1.select(
+            F.lit(1).alias("round"),
+            "doc_id",
+            F.col("g").alias("marginal_gain"),
+            F.col("g").alias("cum_coverage"),
+        )
+        .union(
+            w2.crossJoin(F.broadcast(g1)).select(
+                F.lit(2).alias("round"),
+                "doc_id",
+                F.col("g").alias("marginal_gain"),
+                (F.col("g1") + F.col("g")).alias("cum_coverage"),
+            )
+        )
+        .union(
+            w3.crossJoin(F.broadcast(g1))
+            .crossJoin(F.broadcast(g2))
+            .select(
+                F.lit(3).alias("round"),
+                "doc_id",
+                F.col("g").alias("marginal_gain"),
+                (F.col("g1") + F.col("g2") + F.col("g")).alias(
+                    "cum_coverage"
+                ),
+            )
+        )
+    )
+    return picks.crossJoin(F.broadcast(tot)).select(
+        "round",
+        "doc_id",
+        "marginal_gain",
+        "cum_coverage",
+        round_int_ratio(F.col("cum_coverage"), F.col("u"), 6).alias(
+            "coverage_frac"
+        ),
+    )

@@ -100,3 +100,25 @@ def test_brier_murphy_identity(spark, sf_dir):
     assert 0 <= r["uncertainty"] <= 0.25 + 1e-12
     assert r["resolution"] <= r["uncertainty"] + 1e-12
     assert 0 <= r["brier"] <= 1
+
+
+def test_greedy_coverage_picks_are_distinct_and_diminishing(spark, sf_dir):
+    """Submodular-greedy invariants: three distinct docs picked, marginal
+    gains non-increasing (diminishing returns for greedy max-coverage),
+    cumulative coverage is the running gain sum, and the fraction is
+    monotone in the round but never exceeds 1."""
+    rows = sorted(
+        specs()["corpus_greedy_coverage_pick"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    assert len({r["doc_id"] for r in rows}) == 3
+    gains = [r["marginal_gain"] for r in rows]
+    assert gains[0] >= gains[1] >= gains[2] >= 0
+    cum = 0
+    for r in rows:
+        cum += r["marginal_gain"]
+        assert r["cum_coverage"] == cum
+        assert 0 < r["coverage_frac"] <= 1
+    fr = [r["coverage_frac"] for r in rows]
+    assert fr[0] <= fr[1] <= fr[2]
