@@ -3362,3 +3362,91 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg_raw", 6).alias("idcg_at_10"),
         F.round(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction MaxSim retrieval (BB18)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_maxsim_late_interaction",
+    oracle="""
+    WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id nid, embedding::DOUBLE[] cv FROM embeddings),
+    pairs AS (SELECT qid, nid, qv, cv FROM q JOIN c ON nid <> qid),
+    sub AS (
+      SELECT qid, nid, qi.i AS i,
+             max(CAST(round(round(list_reduce(
+                   list_transform(generate_series(1, 8),
+                                  t -> qv[qi.i * 8 + t] * cv[dj.j * 8 + t]),
+                   (a, b) -> a + b), 6) * 1000000) AS BIGINT)) AS m
+      FROM pairs,
+           unnest(generate_series(0, 7)) AS qi(i),
+           unnest(generate_series(0, 7)) AS dj(j)
+      GROUP BY qid, nid, qi.i
+    ),
+    sc AS (SELECT qid AS query_id, nid AS neighbor_id,
+                  CAST(sum(m) AS BIGINT) AS maxsim_e6
+           FROM sub GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY maxsim_e6 DESC, neighbor_id)
+                     AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, maxsim_e6, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def retrieval_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-interaction MaxSim retrieval (the ColBERT scoring rule,
+    Khattab & Zaharia SIGIR 2020): query and candidate are MULTI-vector
+    representations — here the 64-dim embedding decomposed into 8×8-dim
+    sub-vectors standing in for per-token vectors — and the score is
+    Σ over query sub-vectors of the MAX dot product against any
+    candidate sub-vector.  MaxSim rewards the best local match per
+    query facet instead of one pooled similarity, which is why
+    late-interaction retrievers out-rank single-vector bi-encoders; the
+    operator shape (sum-of-max over vector sets, then top-k) is exactly
+    what a ColBERT serving stack runs per query.
+
+    Scale shape: the 5-query side BROADCASTS into the corpus scan
+    (corpus never shuffles); all 64 sub-vector dot products, the
+    per-facet max, and the sum run IN-ROW as nested HOF folds inside
+    whole-stage codegen — no explode, so the pair relation stays
+    |corpus|×|queries| with one bigint score column; the only window is
+    the per-query top-5 rank (WindowGroupLimit-capped).  Exactness:
+    each dot rounds to 6dp then scales to BIGINT micro-units BEFORE
+    max/sum, so facet maxima and their sum are order-free integer
+    arithmetic in both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+    score = F.expr(
+        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc + array_max("
+        " transform(sequence(0, 7), j ->"
+        "  cast(round(round(aggregate(sequence(1, 8), 0D, (a, t) ->"
+        "    a + cast(element_at(qv, i * 8 + t) as double)"
+        "      * cast(element_at(cv, j * 8 + t) as double)), 6)"
+        "   * 1000000) as bigint))))"
+    )
+    sc = pairs.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        score.alias("maxsim_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )

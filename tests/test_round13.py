@@ -122,3 +122,55 @@ def test_greedy_coverage_picks_are_distinct_and_diminishing(spark, sf_dir):
         assert 0 < r["coverage_frac"] <= 1
     fr = [r["coverage_frac"] for r in rows]
     assert fr[0] <= fr[1] <= fr[2]
+
+
+def test_maxsim_dominates_pooled_dot_and_ranks_are_dense(spark, sf_dir):
+    """MaxSim invariants: each query returns exactly 5 ranked neighbors
+    (dense ranks 1..5, descending score, neighbor-id tiebreak), no self
+    matches, and for a spot-checked pair MaxSim >= the pooled full-vector
+    dot product in micro-units (max-per-facet can only beat summing the
+    aligned diagonal facets)."""
+    rows = (
+        specs()["retrieval_maxsim_late_interaction"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        for a, b in zip(rs, rs[1:]):
+            assert (a["maxsim_e6"], -a["neighbor_id"]) >= (
+                b["maxsim_e6"],
+                -b["neighbor_id"],
+            )
+    # spot-check the dominance bound on one pair
+    from lambda_arc_events_filter_spark.catalog import load
+
+    first_q0 = min(
+        (r for r in rows if r["query_id"] == 0), key=lambda r: r["rank"]
+    )
+    e = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin([0, first_q0["neighbor_id"]]))
+        .collect()
+    }
+    qv, cv = e[0], e[first_q0["neighbor_id"]]
+    pooled = sum(
+        round(
+            round(
+                sum(
+                    float(qv[i * 8 + t]) * float(cv[i * 8 + t])
+                    for t in range(8)
+                ),
+                6,
+            )
+            * 1_000_000
+        )
+        for i in range(8)
+    )
+    assert first_q0["maxsim_e6"] >= pooled
