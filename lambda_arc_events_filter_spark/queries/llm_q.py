@@ -3450,3 +3450,191 @@ def retrieval_maxsim_late_interaction(
         sc.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between two rankings (BB19)
+# ---------------------------------------------------------------------------
+
+#: (1-p)·p^(d-1) for p = 0.9, d = 1..10, bound as e-notation double
+#: literals in BOTH engines (DuckDB parses plain decimals as DECIMAL,
+#: which rounds differently from the double path).
+_RBO_W = [
+    "1e-1", "9e-2", "8.1e-2", "7.29e-2", "6.561e-2",
+    "5.9049e-2", "5.31441e-2", "4.782969e-2", "4.3046721e-2",
+    "3.87420489e-2",
+]
+
+
+@register(
+    "retrieval_rank_rbo",
+    oracle=f"""
+    WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id nid, embedding::DOUBLE[] cv FROM embeddings),
+    pairs AS (SELECT qid, nid, qv, cv FROM q JOIN c ON nid <> qid),
+    coss AS (
+      SELECT qid, nid,
+             CAST(round(round(list_reduce(list_transform(
+                    generate_series(1, 64), t -> qv[t] * cv[t]),
+                    (a, b) -> a + b)
+                  / sqrt(list_reduce(list_transform(qv, x -> x * x),
+                         (a, b) -> a + b))
+                  / sqrt(list_reduce(list_transform(cv, x -> x * x),
+                         (a, b) -> a + b)), 6) * 1000000) AS BIGINT)
+                 AS cos_e6
+      FROM pairs),
+    fac AS (
+      SELECT qid, nid, qi.i AS i,
+             max(CAST(round(round(list_reduce(
+                   list_transform(generate_series(1, 8),
+                                  t -> qv[qi.i * 8 + t] * cv[dj.j * 8 + t]),
+                   (a, b) -> a + b), 6) * 1000000) AS BIGINT)) AS mx
+      FROM pairs,
+           unnest(generate_series(0, 7)) AS qi(i),
+           unnest(generate_series(0, 7)) AS dj(j)
+      GROUP BY qid, nid, qi.i),
+    ms AS (SELECT qid, nid, CAST(sum(mx) AS BIGINT) AS maxsim_e6
+           FROM fac GROUP BY 1, 2),
+    s AS (
+      SELECT coss.qid, coss.nid, coss.cos_e6, ms.maxsim_e6
+      FROM coss JOIN ms ON coss.qid = ms.qid AND coss.nid = ms.nid),
+    r AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_e6 DESC, nid) AS ra,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY maxsim_e6 DESC, nid) AS rb
+      FROM s),
+    both10 AS (
+      SELECT qid, nid, greatest(ra, rb) AS mr
+      FROM r WHERE ra <= 10 AND rb <= 10),
+    grid AS (
+      SELECT DISTINCT q.qid, d.d
+      FROM q, unnest(generate_series(1, 10)) AS d(d)),
+    ov AS (
+      SELECT g.qid, g.d,
+             CAST(count(b.nid) AS BIGINT) AS overlap_d
+      FROM grid g LEFT JOIN both10 b
+        ON b.qid = g.qid AND b.mr <= g.d
+      GROUP BY g.qid, g.d),
+    terms AS (
+      SELECT qid, d, overlap_d,
+             [{', '.join(_RBO_W)}][d]
+               * CAST(overlap_d AS DOUBLE) / CAST(d AS DOUBLE) AS t
+      FROM ov),
+    f AS (
+      SELECT qid, list(t ORDER BY d) AS ts,
+             max(CASE WHEN d = 10 THEN overlap_d END) AS overlap_at_10
+      FROM terms GROUP BY qid)
+    SELECT qid AS query_id, CAST(overlap_at_10 AS BIGINT) AS overlap_at_10,
+           list_reduce(ts, (a, b) -> a + b) AS rbo_trunc10
+    FROM f
+    """,
+    tags=("llm", "similarity"),
+)
+def retrieval_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel TOIS 2010) between two
+    retrieval runs over the same corpus — the top-weighted agreement
+    metric an eval harness reports when comparing rankers (here: pooled
+    exact cosine vs the BB18 late-interaction MaxSim, the comparison a
+    retrieval engineer actually runs when deciding whether multi-vector
+    scoring is worth serving; the fixture's embeddings are normalized,
+    so cosine-vs-L2 would agree perfectly and was rejected as the run
+    pair).  RBO@10 with persistence p=0.9: Σ_d (1−p)p^(d−1)·
+    overlap(d)/d over prefix depths d=1..10, truncated (the standard
+    reported form); overlap(d) counts items in BOTH prefixes, i.e. items
+    whose max(rank_A, rank_B) ≤ d.
+
+    Scale shape: queries broadcast, corpus never shuffles; both rankings
+    come from the same pair relation with two integer-rounded score
+    columns (cos and d2 in BIGINT micro-units — ties break on id, so
+    both permutations are deterministic); only the per-query top-10
+    windows rank anything, everything downstream (overlap grid, weights,
+    fold) is ≤10 rows per query.  The geometric weights are e-notation
+    double LITERALS in both engines (never pow() — libm may differ in
+    the last ulp), overlap counts are integers, and the 10-term RBO sum
+    is an ORDERED fold, so the emitted double is bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    dot = (
+        "aggregate(sequence(1, 64), 0D, (a, t) ->"
+        " a + cast(element_at(qv, t) as double)"
+        "   * cast(element_at(cv, t) as double))"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({v}, x -> cast(x as double) *"
+        " cast(x as double)), 0D, (a, b) -> a + b))"
+    )
+    maxsim = (
+        "aggregate(sequence(0, 7), 0L, (acc, i) -> acc + array_max("
+        " transform(sequence(0, 7), j ->"
+        "  cast(round(round(aggregate(sequence(1, 8), 0D, (a, t) ->"
+        "    a + cast(element_at(qv, i * 8 + t) as double)"
+        "      * cast(element_at(cv, j * 8 + t) as double)), 6)"
+        "   * 1000000) as bigint))))"
+    )
+    s = c.join(F.broadcast(q), F.col("nid") != F.col("qid")).select(
+        "qid",
+        "nid",
+        F.expr(
+            f"cast(round(round({dot} / {nrm.format(v='qv')}"
+            f" / {nrm.format(v='cv')}, 6) * 1000000) as bigint)"
+        ).alias("cos_e6"),
+        F.expr(maxsim).alias("maxsim_e6"),
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("cos_e6").desc(), "nid")
+    wb = Window.partitionBy("qid").orderBy(F.col("maxsim_e6").desc(), "nid")
+    r = s.select(
+        "qid",
+        "nid",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    both10 = r.filter((F.col("ra") <= 10) & (F.col("rb") <= 10)).select(
+        "qid", "nid", F.greatest("ra", "rb").alias("mr")
+    )
+    grid = q.select("qid").crossJoin(
+        F.broadcast(
+            q.sparkSession.range(1, 11).select(
+                F.col("id").cast("int").alias("d")
+            )
+        )
+    )
+    ov = (
+        grid.join(
+            both10,
+            (grid["qid"] == both10["qid"]) & (both10["mr"] <= grid["d"]),
+            "left",
+        )
+        .groupBy(grid["qid"].alias("qid"), "d")
+        .agg(F.count(both10["nid"]).cast("long").alias("overlap_d"))
+    )
+    warr = "array({})".format(", ".join(w + "D" for w in _RBO_W))
+    terms = ov.select(
+        "qid",
+        "d",
+        "overlap_d",
+        F.expr(
+            f"element_at({warr}, d)"
+            " * cast(overlap_d as double) / cast(d as double)"
+        ).alias("t"),
+    )
+    f = terms.groupBy("qid").agg(
+        F.array_sort(F.collect_list(F.struct("d", "t"))).alias("arr"),
+        F.max(F.when(F.col("d") == 10, F.col("overlap_d"))).alias(
+            "overlap_at_10"
+        ),
+    )
+    return f.select(
+        F.col("qid").alias("query_id"),
+        F.col("overlap_at_10").cast("long").alias("overlap_at_10"),
+        F.expr(
+            "aggregate(transform(arr, s -> s.t), 0D, (a, b) -> a + b)"
+        ).alias("rbo_trunc10"),
+    )

@@ -174,3 +174,19 @@ def test_maxsim_dominates_pooled_dot_and_ranks_are_dense(spark, sf_dir):
         for i in range(8)
     )
     assert first_q0["maxsim_e6"] >= pooled
+
+
+def test_rbo_bounds_and_constructed_extremes(spark, sf_dir):
+    """RBO invariants on the live run: one row per query, overlap_at_10
+    in [0, 10], and 0 <= rbo <= 0.6513215599 + eps (the truncated-sum
+    ceiling 1 - 0.9^10, attained only by identical prefixes).  A
+    constructed sanity: RBO must be strictly below the ceiling for at
+    least one query (cosine vs MaxSim genuinely disagree on this
+    fixture)."""
+    rows = specs()["retrieval_rank_rbo"].fn(spark, sf_dir).collect()
+    ceiling = 1 - 0.9 ** 10
+    assert len(rows) == len({r["query_id"] for r in rows}) == 5
+    for r in rows:
+        assert 0 <= r["overlap_at_10"] <= 10
+        assert -1e-12 <= r["rbo_trunc10"] <= ceiling + 1e-12
+    assert any(r["rbo_trunc10"] < ceiling - 1e-9 for r in rows)
