@@ -3024,3 +3024,179 @@ def events_markov_holdout_accuracy(
         )
         .orderBy("prev")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextTiling-style topic segmentation (BB20)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_topic_segmentation",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, (generate_subscripts(s, 1) - 1) // 10 AS block,
+             unnest(s) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d),
+    tf AS (SELECT doc_id, block, w, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2, 3),
+    nrm AS (SELECT doc_id, block, CAST(sum(tf * tf) AS BIGINT) AS q
+            FROM tf GROUP BY 1, 2),
+    nb AS (SELECT doc_id, CAST(max(block) + 1 AS BIGINT) AS n_blocks
+           FROM tf GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id, a.block AS g, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tf a JOIN tf b
+        ON a.doc_id = b.doc_id AND b.block = a.block + 1 AND a.w = b.w
+      GROUP BY 1, 2),
+    gaps AS (
+      SELECT n1.doc_id, n1.block AS g,
+             CAST(round(round(
+               CAST(coalesce(d.dot, 0) AS DOUBLE)
+                 / sqrt(CAST(n1.q AS DOUBLE)) / sqrt(CAST(n2.q AS DOUBLE)),
+               6) * 1000000) AS BIGINT) AS sim_e6
+      FROM nrm n1
+      JOIN nrm n2 ON n2.doc_id = n1.doc_id AND n2.block = n1.block + 1
+      LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.g = n1.block),
+    st AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(sim_e6) AS BIGINT) AS s1,
+             CAST(sum(sim_e6 * sim_e6) AS BIGINT) AS s2
+      FROM gaps GROUP BY 1 HAVING count(*) >= 2),
+    marked AS (
+      SELECT g.doc_id, g.g, st.n_gaps,
+             CAST(g.sim_e6 AS DOUBLE) * st.n_gaps
+               < CAST(st.s1 AS DOUBLE)
+                 - sqrt(CAST(st.n_gaps * st.s2 - st.s1 * st.s1 AS DOUBLE))
+               AS is_boundary
+      FROM gaps g JOIN st ON st.doc_id = g.doc_id)
+    SELECT m.doc_id, nb.n_blocks, m.n_gaps,
+           CAST(sum(CASE WHEN m.is_boundary THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundaries,
+           CAST(coalesce(min(CASE WHEN m.is_boundary THEN m.g END), -1)
+                AS BIGINT) AS first_boundary
+    FROM marked m JOIN nb ON nb.doc_id = m.doc_id
+    GROUP BY m.doc_id, nb.n_blocks, m.n_gaps
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_topic_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst CL 1997) — the
+    content-AWARE chunking step of a RAG ingestion pipeline (the fixed-
+    stride twin is doc_chunk_token_windows): documents are cut into
+    10-token blocks, lexical cohesion at each gap is the cosine of the
+    adjacent blocks' term-frequency vectors, and a gap is a topic
+    boundary when its cohesion dips below mean − stddev of that
+    document's gap series (the depth-score criterion reduced to its
+    z-threshold core).  Output per document (≥2 gaps): block count, gap
+    count, boundary count, and the first boundary offset (−1 = none).
+
+    Scale shape: every relation is keyed by (doc, block[, term]) — tf,
+    norms, and the adjacent-gap dot are groupBys/joins on those natural
+    keys (the b↔b+1 join is co-partitioned on (doc, term)), the final
+    stats are a per-doc aggregate, and NOTHING is windowed or global, so
+    the operator partitions perfectly by document at any corpus size.
+    Gaps whose blocks share no term are kept at cosine 0 via the
+    norms-spine LEFT JOIN (an inner join on terms would silently drop
+    exactly the strongest boundaries).  Exactness: tf dots and norms are
+    pure BIGINTs; each cosine rounds to 6dp into BIGINT micro-units; the
+    boundary test compares sim·n < S₁ − √(n·S₂ − S₁²) — integers
+    everywhere except one deterministic sqrt."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).select(
+        "doc_id", (F.col("pos") / 10).cast("long").alias("block"), "w"
+    )
+    tf = tok.groupBy("doc_id", "block", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    nrm = tf.groupBy("doc_id", "block").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("q")
+    )
+    nb = tf.groupBy("doc_id").agg(
+        (F.max("block") + 1).cast("long").alias("n_blocks")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.block") == F.col("a.block") + 1)
+            & (F.col("a.w") == F.col("b.w")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"), F.col("a.block").alias("g")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dot"))
+    )
+    n1, n2 = nrm.alias("n1"), nrm.alias("n2")
+    gaps = (
+        n1.join(
+            n2,
+            (F.col("n2.doc_id") == F.col("n1.doc_id"))
+            & (F.col("n2.block") == F.col("n1.block") + 1),
+        )
+        .join(
+            dots,
+            (dots["doc_id"] == F.col("n1.doc_id"))
+            & (dots["g"] == F.col("n1.block")),
+            "left",
+        )
+        .select(
+            F.col("n1.doc_id").alias("doc_id"),
+            F.col("n1.block").alias("g"),
+            F.expr(
+                "cast(round(round(cast(coalesce(dot, 0) as double)"
+                " / sqrt(cast(n1.q as double)) / sqrt(cast(n2.q as double)),"
+                " 6) * 1000000) as bigint)"
+            ).alias("sim_e6"),
+        )
+    )
+    st = (
+        gaps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("sim_e6").cast("long").alias("s1"),
+            F.sum(F.col("sim_e6") * F.col("sim_e6"))
+            .cast("long")
+            .alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    marked = gaps.join(st, "doc_id").select(
+        "doc_id",
+        "g",
+        "n_gaps",
+        (
+            F.col("sim_e6").cast("double") * F.col("n_gaps")
+            < F.col("s1").cast("double")
+            - F.sqrt(
+                (
+                    F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")
+                ).cast("double")
+            )
+        ).alias("is_boundary"),
+    )
+    return (
+        marked.groupBy("doc_id", "n_gaps")
+        .agg(
+            F.sum(F.when(F.col("is_boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boundaries"),
+            F.coalesce(
+                F.min(F.when(F.col("is_boundary"), F.col("g"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("first_boundary"),
+        )
+        .join(nb, "doc_id")
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_gaps",
+            "n_boundaries",
+            "first_boundary",
+        )
+    )

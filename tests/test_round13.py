@@ -190,3 +190,55 @@ def test_rbo_bounds_and_constructed_extremes(spark, sf_dir):
         assert 0 <= r["overlap_at_10"] <= 10
         assert -1e-12 <= r["rbo_trunc10"] <= ceiling + 1e-12
     assert any(r["rbo_trunc10"] < ceiling - 1e-9 for r in rows)
+
+
+def test_topic_segmentation_matches_pure_python_rederivation(spark, sf_dir):
+    """Re-derive the TextTiling pipeline in plain Python for every doc the
+    query reports and compare counts exactly: 10-token blocks, tf-cosine
+    per gap (round 6 -> micro-units), boundary iff sim*n < S1 -
+    sqrt(n*S2 - S1^2).  Also sanity: n_gaps == n_blocks - 1 and
+    first_boundary is a valid gap index or -1."""
+    import math
+    from collections import Counter
+
+    out = {
+        r["doc_id"]: r
+        for r in specs()["text_topic_segmentation"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    assert out
+    checked = 0
+    for doc_id, r in out.items():
+        assert r["n_gaps"] == r["n_blocks"] - 1 >= 2
+        assert r["first_boundary"] == -1 or 0 <= r["first_boundary"] < r[
+            "n_gaps"
+        ]
+        if checked >= 25:
+            continue
+        toks = docs[doc_id].split(" ")
+        blocks = [
+            Counter(toks[i * 10 : (i + 1) * 10])
+            for i in range((len(toks) + 9) // 10)
+        ]
+        assert len(blocks) == r["n_blocks"]
+        sims = []
+        for g in range(len(blocks) - 1):
+            a, b = blocks[g], blocks[g + 1]
+            dot = sum(a[w] * b[w] for w in a)
+            na = math.sqrt(sum(v * v for v in a.values()))
+            nbm = math.sqrt(sum(v * v for v in b.values()))
+            sims.append(round(round(dot / na / nbm, 6) * 1_000_000))
+        n, s1 = len(sims), sum(sims)
+        s2 = sum(s * s for s in sims)
+        bounds = [
+            g
+            for g, s in enumerate(sims)
+            if s * n < s1 - math.sqrt(n * s2 - s1 * s1)
+        ]
+        assert r["n_boundaries"] == len(bounds), (doc_id, bounds)
+        assert r["first_boundary"] == (bounds[0] if bounds else -1)
+        checked += 1
+    assert checked == 25
