@@ -5514,3 +5514,196 @@ def events_psm_nn_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_treated", "n_matched", "n_controls_used", "att")
     )
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram construction (BB21)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_v_optimal",
+    oracle="""
+    WITH f0 AS (
+      SELECT least(CAST(floor(value / 25) AS INT) + 1, 20) AS d,
+             count(*) AS c
+      FROM events GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(1, 20)) AS d),
+    f AS (SELECT spine.d, CAST(coalesce(f0.c, 0) AS BIGINT) AS c
+          FROM spine LEFT JOIN f0 ON f0.d = spine.d),
+    pre AS (SELECT a.d, CAST(sum(b.c) AS BIGINT) AS p,
+                   CAST(sum(b.c * b.c) AS BIGINT) AS q
+            FROM f a JOIN f b ON b.d <= a.d GROUP BY a.d),
+    pre0 AS (SELECT d, p, q FROM pre
+             UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+    iv AS (SELECT lo.d + 1 AS i, hi.d AS j,
+                  CAST(hi.q - lo.q AS DOUBLE)
+                  - CAST(hi.p - lo.p AS DOUBLE)
+                    * CAST(hi.p - lo.p AS DOUBLE) / (hi.d - lo.d) AS sse
+           FROM pre0 lo JOIN pre0 hi ON hi.d > lo.d),
+    e1 AS (SELECT j AS d, sse AS v FROM iv WHERE i = 1),
+    e2 AS (SELECT d, v, s FROM (
+             SELECT iv.j AS d, e1.v + iv.sse AS v, e1.d AS s,
+                    row_number() OVER (PARTITION BY iv.j
+                                       ORDER BY e1.v + iv.sse, e1.d) AS rk
+             FROM e1 JOIN iv ON iv.i = e1.d + 1) t WHERE rk = 1),
+    e3 AS (SELECT d, v, s FROM (
+             SELECT iv.j AS d, e2.v + iv.sse AS v, e2.d AS s,
+                    row_number() OVER (PARTITION BY iv.j
+                                       ORDER BY e2.v + iv.sse, e2.d) AS rk
+             FROM e2 JOIN iv ON iv.i = e2.d + 1) t WHERE rk = 1),
+    e4 AS (SELECT d, v, s FROM (
+             SELECT iv.j AS d, e3.v + iv.sse AS v, e3.d AS s,
+                    row_number() OVER (PARTITION BY iv.j
+                                       ORDER BY e3.v + iv.sse, e3.d) AS rk
+             FROM e3 JOIN iv ON iv.i = e3.d + 1) t WHERE rk = 1),
+    b4 AS (SELECT s AS s4 FROM e4 WHERE d = 20),
+    b3 AS (SELECT e3.s AS s3, b4.s4 FROM e3 JOIN b4 ON e3.d = b4.s4),
+    b2 AS (SELECT e2.s AS s2, b3.s3, b3.s4 FROM e2 JOIN b3 ON e2.d = b3.s3),
+    bins AS (
+      SELECT 1 AS bin, 1 AS lo, s2 AS hi FROM b2
+      UNION ALL SELECT 2, s2 + 1, s3 FROM b2
+      UNION ALL SELECT 3, s3 + 1, s4 FROM b2
+      UNION ALL SELECT 4, s4 + 1, 20 FROM b2)
+    SELECT CAST(bins.bin AS INT) AS bin, CAST(bins.lo AS INT) AS lo,
+           CAST(bins.hi AS INT) AS hi,
+           CAST(ph.p - pl.p AS BIGINT) AS n_rows,
+           iv.sse AS bin_sse
+    FROM bins
+    JOIN pre0 pl ON pl.d = bins.lo - 1
+    JOIN pre0 ph ON ph.d = bins.hi
+    JOIN iv ON iv.i = bins.lo AND iv.j = bins.hi
+    """,
+    tags=("stats", "engine"),
+)
+def histogram_v_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram construction (Jagadish et al. VLDB 1998) — the
+    optimizer-statistics structure a query engine builds over a column:
+    partition the 20-bucket frequency vector of ``events.value`` into 4
+    variance-minimal bins (global minimum of Σ within-bin SSE, the
+    v-optimal criterion that dominates equi-width/equi-depth for
+    selectivity estimation).  Exact dynamic program E_k[d] =
+    min_s E_{k−1}[s] + SSE(s+1..d), k unrolled to 4, then the split
+    backtrack — not a heuristic: the pytest brute-forces all C(19,3)
+    splittings and confirms global optimality.
+
+    Scale shape: ONE map-combinable fact scan reduces the corpus to the
+    20-bucket frequency vector; prefix sums, the 210-interval SSE
+    relation, all four DP rounds, and the backtrack are joins over
+    ≤20²-row broadcast-scale relations, so histogram construction cost
+    is independent of corpus size (what an ANALYZE command needs).
+    Exactness: frequencies/prefixes are BIGINT; SSE = (Q-span) −
+    (P-span)²/len is one IEEE division; DP value chains add identical
+    doubles in both engines and every argmin tiebreaks on the split
+    index."""
+    e = load(spark, sf_dir, "events")
+    f0 = e.groupBy(
+        F.least((F.floor(F.col("value") / 25) + 1).cast("int"), F.lit(20))
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    spine = spark.range(1, 21).select(F.col("id").cast("int").alias("d"))
+    f = spine.join(F.broadcast(f0), "d", "left").select(
+        "d", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    fa, fb = f.alias("fa"), f.alias("fb")
+    pre = (
+        fa.join(F.broadcast(fb), F.col("fb.d") <= F.col("fa.d"))
+        .groupBy(F.col("fa.d").alias("d"))
+        .agg(
+            F.sum("fb.c").cast("long").alias("p"),
+            F.sum(F.col("fb.c") * F.col("fb.c")).cast("long").alias("q"),
+        )
+    )
+    pre0 = pre.union(
+        spark.range(1).select(
+            F.lit(0).cast("int").alias("d"),
+            F.lit(0).cast("long").alias("p"),
+            F.lit(0).cast("long").alias("q"),
+        )
+    )
+    lo, hi = pre0.alias("lo"), pre0.alias("hi")
+    iv = lo.join(F.broadcast(hi), F.col("hi.d") > F.col("lo.d")).select(
+        (F.col("lo.d") + 1).alias("i"),
+        F.col("hi.d").alias("j"),
+        (
+            (F.col("hi.q") - F.col("lo.q")).cast("double")
+            - (F.col("hi.p") - F.col("lo.p")).cast("double")
+            * (F.col("hi.p") - F.col("lo.p")).cast("double")
+            / (F.col("hi.d") - F.col("lo.d"))
+        ).alias("sse"),
+    )
+    e_k = iv.filter(F.col("i") == 1).select(
+        F.col("j").alias("d"), F.col("sse").alias("v")
+    )
+    # fresh column names per DP round: e_k derives FROM iv, so an
+    # un-renamed self-join would trip the ambiguous-self-join analyzer
+    ivr = iv.select(
+        F.col("i").alias("ii"), F.col("j").alias("jj"),
+        F.col("sse").alias("ss"),
+    )
+    rounds = [e_k]
+    for _ in range(3):
+        prev = rounds[-1].select(
+            F.col("d").alias("pd"), F.col("v").alias("pv")
+        )
+        nxt = (
+            prev.join(F.broadcast(ivr), F.col("ii") == F.col("pd") + 1)
+            .groupBy(F.col("jj").alias("d"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("pv") + F.col("ss")).alias("v"),
+                        F.col("pd").alias("s"),
+                    )
+                ).alias("b")
+            )
+            .select("d", F.col("b.v").alias("v"), F.col("b.s").alias("s"))
+        )
+        rounds.append(nxt)
+    e2, e3, e4 = rounds[1], rounds[2], rounds[3]
+    b4 = e4.filter(F.col("d") == 20).select(F.col("s").alias("s4"))
+    b3 = e3.join(F.broadcast(b4), e3["d"] == b4["s4"]).select(
+        F.col("s").alias("s3"), "s4"
+    )
+    b2 = e2.join(F.broadcast(b3), e2["d"] == b3["s3"]).select(
+        F.col("s").alias("s2"), "s3", "s4"
+    )
+    bins = (
+        b2.select(
+            F.lit(1).alias("bin"), F.lit(1).alias("lo"),
+            F.col("s2").alias("hi"),
+        )
+        .union(
+            b2.select(
+                F.lit(2), (F.col("s2") + 1).alias("lo"),
+                F.col("s3").alias("hi"),
+            )
+        )
+        .union(
+            b2.select(
+                F.lit(3), (F.col("s3") + 1).alias("lo"),
+                F.col("s4").alias("hi"),
+            )
+        )
+        .union(
+            b2.select(
+                F.lit(4), (F.col("s4") + 1).alias("lo"), F.lit(20).alias("hi")
+            )
+        )
+    )
+    pl, ph = pre0.alias("pl"), pre0.alias("ph")
+    return (
+        bins.join(F.broadcast(pl), F.col("pl.d") == F.col("lo") - 1)
+        .join(F.broadcast(ph), F.col("ph.d") == F.col("hi"))
+        .join(
+            F.broadcast(iv.alias("bi")),
+            (F.col("bi.i") == F.col("lo")) & (F.col("bi.j") == F.col("hi")),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("lo").cast("int").alias("lo"),
+            F.col("hi").cast("int").alias("hi"),
+            (F.col("ph.p") - F.col("pl.p")).cast("long").alias("n_rows"),
+            F.col("bi.sse").alias("bin_sse"),
+        )
+    )

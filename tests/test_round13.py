@@ -242,3 +242,41 @@ def test_topic_segmentation_matches_pure_python_rederivation(spark, sf_dir):
         assert r["first_boundary"] == (bounds[0] if bounds else -1)
         checked += 1
     assert checked == 25
+
+
+def test_v_optimal_histogram_is_globally_optimal(spark, sf_dir):
+    """Brute-force ALL C(19,3) = 969 4-bin splittings of the 20-bucket
+    frequency vector in Python and confirm the DP's partition attains the
+    global SSE minimum (and that its reported bins tile 1..20 with the
+    reported per-bin SSE)."""
+    from itertools import combinations
+
+    rows = sorted(
+        specs()["histogram_v_optimal"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["lo"] == 1 and rows[3]["hi"] == 20
+    for a, b in zip(rows, rows[1:]):
+        assert b["lo"] == a["hi"] + 1
+
+    ev = load(spark, sf_dir, "events").select("value").collect()
+    f = [0] * 21
+    for r in ev:
+        d = min(int(r["value"] // 25) + 1, 20)
+        f[d] += 1
+
+    def sse(i, j):
+        seg = f[i : j + 1]
+        s = sum(seg)
+        return sum(x * x for x in seg) - s * s / len(seg)
+
+    reported = sum(r["bin_sse"] for r in rows)
+    best = min(
+        sse(1, a) + sse(a + 1, b) + sse(b + 1, c) + sse(c + 1, 20)
+        for a, b, c in combinations(range(1, 20), 3)
+    )
+    assert abs(reported - best) < 1e-6 * max(1.0, abs(best))
+    for r in rows:
+        assert abs(r["bin_sse"] - sse(r["lo"], r["hi"])) < 1e-6
+    assert sum(r["n_rows"] for r in rows) == len(ev)
