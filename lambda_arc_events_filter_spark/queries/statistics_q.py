@@ -5707,3 +5707,164 @@ def histogram_v_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bi.sse").alias("bin_sse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet synopsis (BB22)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_wavelet_synopsis",
+    oracle="""
+    WITH f0 AS (
+      SELECT least(CAST(floor(value / 31) AS INT) + 1, 16) AS d, count(*) AS c
+      FROM events GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(1, 16)) AS d),
+    s0 AS (SELECT spine.d - 1 AS i, CAST(coalesce(f0.c, 0) AS DOUBLE) AS s
+           FROM spine LEFT JOIN f0 ON f0.d = spine.d),
+    s1 AS (SELECT i // 2 AS i, sum(s) / 2 AS s,
+                  sum(s * (1 - 2 * (i % 2))) / 2 AS dd
+           FROM s0 GROUP BY i // 2),
+    s2 AS (SELECT i // 2 AS i, sum(s) / 2 AS s,
+                  sum(s * (1 - 2 * (i % 2))) / 2 AS dd
+           FROM s1 GROUP BY i // 2),
+    s3 AS (SELECT i // 2 AS i, sum(s) / 2 AS s,
+                  sum(s * (1 - 2 * (i % 2))) / 2 AS dd
+           FROM s2 GROUP BY i // 2),
+    s4 AS (SELECT i // 2 AS i, sum(s) / 2 AS s,
+                  sum(s * (1 - 2 * (i % 2))) / 2 AS dd
+           FROM s3 GROUP BY i // 2),
+    coeffs AS (
+      SELECT 1 AS lvl, i AS j, dd AS v FROM s1
+      UNION ALL SELECT 2, i, dd FROM s2
+      UNION ALL SELECT 3, i, dd FROM s3
+      UNION ALL SELECT 4, i, dd FROM s4),
+    ranked AS (
+      SELECT a.lvl, a.j, a.v,
+             (SELECT count(*) FROM coeffs b
+              WHERE (abs(b.v), -b.lvl, -b.j) > (abs(a.v), -a.lvl, -a.j))
+                 + 1 AS rk
+      FROM coeffs a),
+    kept AS (SELECT lvl, j, v FROM ranked WHERE rk <= 3),
+    recon AS (
+      SELECT s0.i,
+             (SELECT s FROM s4) +
+             coalesce(sum(k.v * CASE WHEN (s0.i // CAST(2 ** (k.lvl - 1)
+                                           AS INT)) % 2 = 0
+                                     THEN 1 ELSE -1 END), 0) AS fh
+      FROM s0 LEFT JOIN kept k
+        ON s0.i // CAST(2 ** k.lvl AS INT) = k.j
+      GROUP BY s0.i)
+    SELECT CAST(s0.i + 1 AS INT) AS bucket, CAST(s0.s AS BIGINT) AS f,
+           recon.fh AS f_hat, abs(s0.s - recon.fh) AS abs_err
+    FROM s0 JOIN recon ON recon.i = s0.i
+    """,
+    tags=("stats", "engine"),
+)
+def histogram_wavelet_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet synopsis of the value histogram (Matias, Vitter &
+    Wang SIGMOD 1998) — the other classical selectivity-estimation
+    synopsis next to the v-optimal histogram (BB21): the 16-bucket
+    frequency vector is Haar-decomposed (4 unrolled averaging/difference
+    levels), the 3 largest-magnitude detail coefficients plus the
+    overall average are RETAINED, and the lossy reconstruction with its
+    per-bucket absolute error is reported — exactly the accuracy/space
+    trade an optimizer makes when it stores B coefficients instead of
+    the full histogram.
+
+    Scale shape: ONE map-combinable fact scan reduces the corpus to the
+    16-bucket vector (zero-filled spine); every transform level is a
+    groupBy over a relation that HALVES per level (16→8→4→2→1 rows),
+    coefficient ranking is a triangular count over ≤15² rows, and the
+    reconstruction joins each bucket to the ≤3 kept coefficients by
+    dyadic support arithmetic (i>>lvl = j, sign by the half of the
+    support) — all broadcast-scale.  Exactness: the averaging Haar
+    convention keeps every value a dyadic rational (integer / 2^k),
+    which doubles represent EXACTLY, so transform, ranking, and
+    reconstruction are bit-identical in both engines with zero rounding
+    anywhere."""
+    e = load(spark, sf_dir, "events")
+    f0 = e.groupBy(
+        F.least((F.floor(F.col("value") / 31) + 1).cast("int"), F.lit(16))
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    spine = spark.range(1, 17).select(F.col("id").cast("int").alias("d"))
+    s0 = spine.join(F.broadcast(f0), "d", "left").select(
+        (F.col("d") - 1).alias("i"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("s"),
+    )
+    levels = [s0]
+    for _ in range(4):
+        prev = levels[-1]
+        nxt = prev.groupBy(
+            (F.col("i") / 2).cast("int").alias("i")
+        ).agg(
+            (F.sum("s") / 2).alias("s"),
+            (F.sum(F.col("s") * (1 - 2 * (F.col("i") % 2))) / 2).alias("dd"),
+        )
+        levels.append(nxt)
+    coeffs = None
+    for lvl, rel in enumerate(levels[1:], start=1):
+        part = rel.select(
+            F.lit(lvl).alias("lvl"), F.col("i").alias("j"),
+            F.col("dd").alias("v"),
+        )
+        coeffs = part if coeffs is None else coeffs.union(part)
+    ca, cb = coeffs.alias("ca"), coeffs.alias("cb")
+    ranked = (
+        ca.join(
+            F.broadcast(cb),
+            F.struct(
+                F.abs(F.col("cb.v")).alias("a"),
+                (-F.col("cb.lvl")).alias("nl"),
+                (-F.col("cb.j")).alias("nj"),
+            )
+            > F.struct(
+                F.abs(F.col("ca.v")).alias("a"),
+                (-F.col("ca.lvl")).alias("nl"),
+                (-F.col("ca.j")).alias("nj"),
+            ),
+            "left",
+        )
+        .groupBy(
+            F.col("ca.lvl").alias("lvl"),
+            F.col("ca.j").alias("j"),
+            F.col("ca.v").alias("v"),
+        )
+        .agg((F.count(F.col("cb.v")) + 1).alias("rk"))
+    )
+    kept = ranked.filter(F.col("rk") <= 3).select("lvl", "j", "v")
+    avg_row = levels[-1].select(F.col("s").alias("c0"))
+    recon = (
+        s0.join(
+            F.broadcast(kept),
+            F.expr("i div cast(pow(2, lvl) as int) = j"),
+            "left",
+        )
+        .groupBy(F.col("i"), F.col("s"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("v")
+                    * F.when(
+                        F.expr(
+                            "(i div cast(pow(2, lvl - 1) as int)) % 2 = 0"
+                        ),
+                        1,
+                    ).otherwise(-1)
+                ),
+                F.lit(0.0),
+            ).alias("detail")
+        )
+        .crossJoin(F.broadcast(avg_row))
+        .select(
+            "i", "s", (F.col("c0") + F.col("detail")).alias("fh")
+        )
+    )
+    return recon.select(
+        (F.col("i") + 1).cast("int").alias("bucket"),
+        F.col("s").cast("long").alias("f"),
+        F.col("fh").alias("f_hat"),
+        F.abs(F.col("s") - F.col("fh")).alias("abs_err"),
+    )

@@ -280,3 +280,43 @@ def test_v_optimal_histogram_is_globally_optimal(spark, sf_dir):
     for r in rows:
         assert abs(r["bin_sse"] - sse(r["lo"], r["hi"])) < 1e-6
     assert sum(r["n_rows"] for r in rows) == len(ev)
+
+
+def test_wavelet_synopsis_matches_numpy_haar(spark, sf_dir):
+    """Re-derive the whole synopsis in Python: 16-bucket histogram ->
+    4-level averaging Haar -> keep top-3 details (+ average) -> inverse;
+    every f_hat must match EXACTLY (dyadic rationals are exact doubles),
+    and dropping all coefficients' reconstruction error must be >= the
+    kept-3 error (retention helps)."""
+    rows = {
+        r["bucket"]: r
+        for r in specs()["histogram_wavelet_synopsis"].fn(spark, sf_dir)
+        .collect()
+    }
+    ev = load(spark, sf_dir, "events").select("value").collect()
+    f = [0.0] * 16
+    for r in ev:
+        f[min(int(r["value"] // 31), 15)] += 1
+    s = list(f)
+    details = []  # (lvl, j, v)
+    for lvl in range(1, 5):
+        nxt, dd = [], []
+        for j in range(len(s) // 2):
+            nxt.append((s[2 * j] + s[2 * j + 1]) / 2)
+            dd.append((s[2 * j] - s[2 * j + 1]) / 2)
+        details += [(lvl, j, v) for j, v in enumerate(dd)]
+        s = nxt
+    avg = s[0]
+    kept = sorted(details, key=lambda t: (-abs(t[2]), t[0], t[1]))[:3]
+    for i in range(16):
+        fh = avg
+        for lvl, j, v in kept:
+            if i // (2 ** lvl) == j:
+                fh += v if (i // (2 ** (lvl - 1))) % 2 == 0 else -v
+        r = rows[i + 1]
+        assert r["f"] == f[i]
+        assert r["f_hat"] == fh, (i, fh, r["f_hat"])  # exact: dyadic
+        assert r["abs_err"] == abs(f[i] - fh)
+    err_kept = sum(rows[i + 1]["abs_err"] ** 2 for i in range(16))
+    err_none = sum((f[i] - avg) ** 2 for i in range(16))
+    assert err_kept <= err_none + 1e-9
