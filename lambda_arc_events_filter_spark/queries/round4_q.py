@@ -1902,3 +1902,179 @@ def users_geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c_core", "c_border").alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag of Little Bootstraps CI (BB23)
+# ---------------------------------------------------------------------------
+
+#: Poisson(8) CDF in parts-per-million, k = 0..15 (16+ falls through) —
+#: math.exp-derived once and BAKED as integer literals so both engines
+#: run the identical CASE ladder (never exp() in-plan: libm may differ).
+_POIS8_PPM = [
+    335, 3019, 13754, 42380, 99632, 191236, 313374, 452961,
+    592547, 716624, 815886, 888076, 936203, 965819, 982743, 991769,
+]
+
+
+def _pois8_case_sql(h: str) -> str:
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS8_PPM)
+    )
+    return f"CASE {branches} ELSE 16 END"
+
+
+@register(
+    "events_blb_bootstrap_ci",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, value, (event_id * 40503) % 8 AS sub
+      FROM events WHERE event_type = 'purchase'),
+    reps AS (SELECT unnest(generate_series(0, 7)) AS r),
+    draws AS (
+      SELECT s.sub, rp.r, s.value,
+             {_pois8_case_sql(
+                 "(s.event_id * 2654435761 + rp.r * 97911) % 1000000"
+             )} AS w
+      FROM s CROSS JOIN reps rp),
+    rep_means AS (
+      SELECT sub, r,
+             CAST(round(round(sum(w * value) / sum(w), 6) * 1000000)
+                  AS BIGINT) AS m_e6
+      FROM draws GROUP BY sub, r HAVING sum(w) > 0),
+    sub_ci AS (
+      SELECT sub, count(*) AS nr,
+             CAST(sum(m_e6) AS BIGINT) AS s1,
+             CAST(sum(m_e6 * m_e6) AS BIGINT) AS s2
+      FROM rep_means GROUP BY sub),
+    bounds AS (
+      SELECT sub,
+             (CAST(s1 AS DOUBLE)
+              - 1.96 * sqrt(CAST(nr * s2 - s1 * s1 AS DOUBLE) / nr))
+               / (nr * 1000000.0) AS lo,
+             (CAST(s1 AS DOUBLE)
+              + 1.96 * sqrt(CAST(nr * s2 - s1 * s1 AS DOUBLE) / nr))
+               / (nr * 1000000.0) AS hi
+      FROM sub_ci),
+    folded AS (
+      SELECT list(lo ORDER BY sub) AS los, list(hi ORDER BY sub) AS his,
+             count(*) AS ns
+      FROM bounds)
+    SELECT (SELECT round(avg(value), 6) FROM s) AS point_mean,
+           CAST(ns AS BIGINT) AS n_subsets,
+           round(list_reduce(los, (a, b) -> a + b) / ns, 6) AS ci_lo,
+           round(list_reduce(his, (a, b) -> a + b) / ns, 6) AS ci_hi
+    FROM folded
+    """,
+    tags=("stats", "agg", "scale"),
+)
+def events_blb_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag of Little Bootstraps CI for the mean purchase value (Kleiner,
+    Talwalkar, Sarkar & Jordan 2012) — THE bootstrap designed for
+    clusters: split the data into b hash-disjoint subsets, bootstrap
+    each subset INDEPENDENTLY with n-sized resamples (so every subset's
+    replicas see full-data-scale variance), form a CI per subset, and
+    AVERAGE the bounds.  Each subset's work touches only its own
+    partition — the method's reason to exist is exactly this engine's
+    scale posture (the sibling `events_poisson_bootstrap_ci` covers the
+    single-pass Poisson variant; BLB adds the subset layer that bounds
+    per-task memory and lets replicas parallelize per subset).
+
+    Determinism: resample weights are Poisson(b=8) draws via a pure
+    integer hash of (event_id, replica) thresholded on the BAKED
+    Poisson(8) CDF ppm ladder (never exp() in-plan); replica means
+    round to 6dp then scale to BIGINT micro-units so per-subset
+    mean/variance are integer-exact; the final cross-subset averages
+    are ORDERED 8-element folds.  Scale shape: one fact scan explodes
+    ×8 replicas, ONE map-combinable aggregate on (subset, replica),
+    then everything is ≤64 broadcast-scale rows."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "value",
+            ((F.col("event_id") * 40503) % 8).alias("sub"),
+        )
+    )
+    draws = s.select(
+        "sub",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r"),
+        "event_id",
+    ).withColumn(
+        "w",
+        F.expr(
+            _pois8_case_sql("(event_id * 2654435761 + r * 97911) % 1000000")
+        ),
+    )
+    rep_means = (
+        draws.groupBy("sub", "r")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("raw"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "sub",
+            (F.round(F.round("raw", 6) * 1000000))
+            .cast("long")
+            .alias("m_e6"),
+        )
+    )
+    sub_ci = rep_means.groupBy("sub").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum("m_e6").cast("long").alias("s1"),
+        F.sum(F.col("m_e6") * F.col("m_e6")).cast("long").alias("s2"),
+    )
+    bounds = sub_ci.select(
+        "sub",
+        (
+            (
+                F.col("s1").cast("double")
+                - 1.96
+                * F.sqrt(
+                    (F.col("nr") * F.col("s2") - F.col("s1") * F.col("s1"))
+                    .cast("double")
+                    / F.col("nr")
+                )
+            )
+            / (F.col("nr") * 1000000.0)
+        ).alias("lo"),
+        (
+            (
+                F.col("s1").cast("double")
+                + 1.96
+                * F.sqrt(
+                    (F.col("nr") * F.col("s2") - F.col("s1") * F.col("s1"))
+                    .cast("double")
+                    / F.col("nr")
+                )
+            )
+            / (F.col("nr") * 1000000.0)
+        ).alias("hi"),
+    )
+    folded = bounds.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "lo", "hi"))).alias(
+            "arr"
+        ),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    point = s.agg(F.round(F.avg("value"), 6).alias("point_mean"))
+    return folded.crossJoin(F.broadcast(point)).select(
+        "point_mean",
+        F.col("ns").cast("long").alias("n_subsets"),
+        F.round(
+            F.expr(
+                "aggregate(transform(arr, x -> x.lo), 0D, (a, b) -> a + b)"
+            )
+            / F.col("ns"),
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            F.expr(
+                "aggregate(transform(arr, x -> x.hi), 0D, (a, b) -> a + b)"
+            )
+            / F.col("ns"),
+            6,
+        ).alias("ci_hi"),
+    )

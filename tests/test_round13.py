@@ -320,3 +320,17 @@ def test_wavelet_synopsis_matches_numpy_haar(spark, sf_dir):
     err_kept = sum(rows[i + 1]["abs_err"] ** 2 for i in range(16))
     err_none = sum((f[i] - avg) ** 2 for i in range(16))
     assert err_kept <= err_none + 1e-9
+
+
+def test_blb_ci_brackets_point_and_shrinks_with_scale(spark, sf_dir):
+    """BLB sanity: 8 subsets participated, the averaged CI brackets the
+    point estimate, the band is non-degenerate (positive width), and its
+    width is plausibly sized (under 20% of the point mean for a 2000-row
+    purchase stratum)."""
+    r = specs()["events_blb_bootstrap_ci"].fn(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["n_subsets"] == 8
+    assert r["ci_lo"] < r["point_mean"] < r["ci_hi"]
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 0 < width < 0.2 * r["point_mean"]
