@@ -5868,3 +5868,121 @@ def histogram_wavelet_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fh").alias("f_hat"),
         F.abs(F.col("s") - F.col("fh")).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis multivariate outlier screen (BB24)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_mahalanobis_outliers",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM u),
+    c AS (
+      SELECT n, sx, sy,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS cyy,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy
+      FROM t),
+    d AS (
+      SELECT u.user_id, u.x, u.y,
+             (c.cyy * (CAST(c.n AS DOUBLE) * u.x - c.sx)
+                    * (CAST(c.n AS DOUBLE) * u.x - c.sx)
+              - 2 * c.cxy * (CAST(c.n AS DOUBLE) * u.x - c.sx)
+                          * (CAST(c.n AS DOUBLE) * u.y - c.sy)
+              + c.cxx * (CAST(c.n AS DOUBLE) * u.y - c.sy)
+                      * (CAST(c.n AS DOUBLE) * u.y - c.sy))
+             / (c.cxx * c.cyy - c.cxy * c.cxy) AS d2
+      FROM u, c)
+    SELECT user_id, x AS n_events, y AS total_cents,
+           round(d2, 6) AS mahalanobis_d2
+    FROM d WHERE d2 > 7.377759e0
+    """,
+    tags=("stats",),
+)
+def users_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier screen by Mahalanobis distance — the 2-D
+    upgrade of the univariate z-score/MAD screens (events_anomaly_zscore,
+    events_mad_outlier): per-user activity profile (event count, total
+    cent-exact spend), sample mean vector and 2×2 covariance, and each
+    user's squared Mahalanobis distance d² = δᵀΣ⁻¹δ via the closed-form
+    2×2 inverse; users beyond the χ²₂ 97.5% quantile (7.378, a baked
+    literal) are flagged — catching users whose count/spend COMBINATION
+    is anomalous even when each margin alone is not.
+
+    Exactness: both features are BIGINTs, so the five moment sums are
+    integer-exact; with C·· = N·S·· − S·S and D = N·v − S (all
+    integer-valued), d² reduces to the pure ratio
+    (Cyy·Dx² − 2Cxy·DxDy + Cxx·Dy²)/(CxxCyy − Cxy²) — every operand is
+    an integer-valued double, so both engines follow the identical IEEE
+    chain.  Scale shape: one shuffle to the per-user profile, ONE global
+    moment row broadcast back, per-user d² in-row, no window; the flag
+    threshold prunes the output to the tail."""
+    u = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    t = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    c = t.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        ).alias("cxx"),
+        (
+            F.col("n").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        ).alias("cyy"),
+        (
+            F.col("n").cast("double") * F.col("sxy")
+            - F.col("sx").cast("double") * F.col("sy")
+        ).alias("cxy"),
+    )
+    dx = F.col("n").cast("double") * F.col("x") - F.col("sx")
+    dy = F.col("n").cast("double") * F.col("y") - F.col("sy")
+    d2 = (
+        F.col("cyy") * dx * dx
+        - 2 * F.col("cxy") * dx * dy
+        + F.col("cxx") * dy * dy
+    ) / (
+        F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    )
+    return (
+        u.crossJoin(F.broadcast(c))
+        .select(
+            "user_id",
+            F.col("x").alias("n_events"),
+            F.col("y").alias("total_cents"),
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2") > 7.377759)
+        .select(
+            "user_id",
+            "n_events",
+            "total_cents",
+            F.round("d2", 6).alias("mahalanobis_d2"),
+        )
+    )

