@@ -907,3 +907,137 @@ def events_holt_winters_seasonal(
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly-seasonality strength via a single-frequency harmonic fit (BB25)
+# ---------------------------------------------------------------------------
+
+#: cos/sin(2π·k/7), k = 0..6, rounded to 10dp and BAKED as literals so
+#: both engines read identical doubles (never cos()/sin() in-plan —
+#: libm trig may differ in the last ulp across engines).
+_COS7 = [
+    "1e0", "6.234898019e-1", "-2.22520934e-1", "-9.009688679e-1",
+    "-9.009688679e-1", "-2.22520934e-1", "6.234898019e-1",
+]
+_SIN7 = [
+    "0e0", "7.818314825e-1", "9.749279122e-1", "4.338837391e-1",
+    "-4.338837391e-1", "-9.749279122e-1", "-7.818314825e-1",
+]
+
+
+@register(
+    "daily_weekly_seasonality_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    t0 AS (SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s
+           FROM daily),
+    seq AS (
+      SELECT date_diff('day', t0.d0, daily.day) AS t,
+             CAST(t0.n AS DOUBLE) * daily.x - t0.s AS u,
+             [{', '.join(_COS7)}][CAST(date_diff('day', t0.d0, daily.day)
+                                       % 7 AS INT) + 1] AS c,
+             [{', '.join(_SIN7)}][CAST(date_diff('day', t0.d0, daily.day)
+                                       % 7 AS INT) + 1] AS sn
+      FROM daily, t0),
+    arr AS (
+      SELECT list(u * c ORDER BY t) AS uc, list(u * sn ORDER BY t) AS us,
+             list(c * c ORDER BY t) AS cc, list(c * sn ORDER BY t) AS cs,
+             list(sn * sn ORDER BY t) AS ss, list(u * u ORDER BY t) AS uu
+      FROM seq),
+    m AS (
+      SELECT list_reduce(uc, (a, b) -> a + b) AS bc,
+             list_reduce(us, (a, b) -> a + b) AS bs,
+             list_reduce(cc, (a, b) -> a + b) AS gcc,
+             list_reduce(cs, (a, b) -> a + b) AS gcs,
+             list_reduce(ss, (a, b) -> a + b) AS gss,
+             list_reduce(uu, (a, b) -> a + b) AS sst
+      FROM arr)
+    SELECT t0.n AS n_days,
+           round(CAST(t0.s AS DOUBLE) / t0.n, 6) AS mean_daily,
+           round(m.bc / t0.n, 6) AS cos_coeff_raw,
+           round(m.bs / t0.n, 6) AS sin_coeff_raw,
+           round((m.gss * m.bc * m.bc - 2 * m.gcs * m.bc * m.bs
+                  + m.gcc * m.bs * m.bs)
+                 / (m.gcc * m.gss - m.gcs * m.gcs) / m.sst, 6)
+               AS seasonal_r2
+    FROM m, t0
+    """,
+    tags=("stats", "timeseries"),
+)
+def daily_weekly_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly-seasonality strength of the daily event series by a
+    single-frequency harmonic fit — the frequency-domain sibling of the
+    moving-average decomposition (events_seasonal_adjust) and
+    Holt-Winters smoothing: project the centered series onto the period-7
+    cosine/sine pair and report the R² of the zero-intercept
+    least-squares fit (solved exactly through the 2×2 normal equations —
+    the basis is NOT orthogonal on a 30-day window, so the naive
+    periodogram power would over/under-state the fit).  This is the
+    statistic a monitoring system thresholds to decide whether a metric
+    needs weekday-aware baselines.
+
+    Exactness: the trig basis is BAKED 10-dp literals (never libm trig
+    in-plan); centered values u = N·x − S are integer-valued doubles;
+    all six quadratic sums are ORDERED folds over the ≤N-day series, and
+    the R² quadratic form mirrors the Mahalanobis closed-form shape —
+    identical IEEE chains in both engines.  Scale shape: ONE
+    map-combinable fact scan to the daily rollup; everything after is a
+    bounded-series fold (days, not rows), one output row."""
+    daily = load(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    t0 = daily.agg(
+        F.min("day").alias("d0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    cos_arr = "array({})".format(", ".join(w + "D" for w in _COS7))
+    sin_arr = "array({})".format(", ".join(w + "D" for w in _SIN7))
+    seq = daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff("day", "d0").alias("t"),
+        (F.col("n").cast("double") * F.col("x") - F.col("s")).alias("u"),
+        F.expr(f"element_at({cos_arr}, int(datediff(day, d0) % 7) + 1)")
+        .alias("c"),
+        F.expr(f"element_at({sin_arr}, int(datediff(day, d0) % 7) + 1)")
+        .alias("sn"),
+    )
+    arr = seq.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "u", "c", "sn"))
+        ).alias("a")
+    )
+    fold = (
+        "aggregate(transform(a, e -> {term}), 0D, (x, y) -> x + y)"
+    )
+    m = arr.select(
+        F.expr(fold.format(term="e.u * e.c")).alias("bc"),
+        F.expr(fold.format(term="e.u * e.sn")).alias("bs"),
+        F.expr(fold.format(term="e.c * e.c")).alias("gcc"),
+        F.expr(fold.format(term="e.c * e.sn")).alias("gcs"),
+        F.expr(fold.format(term="e.sn * e.sn")).alias("gss"),
+        F.expr(fold.format(term="e.u * e.u")).alias("sst"),
+    )
+    return m.crossJoin(F.broadcast(t0)).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(F.col("bc") / F.col("n"), 6).alias("cos_coeff_raw"),
+        F.round(F.col("bs") / F.col("n"), 6).alias("sin_coeff_raw"),
+        F.round(
+            (
+                F.col("gss") * F.col("bc") * F.col("bc")
+                - 2 * F.col("gcs") * F.col("bc") * F.col("bs")
+                + F.col("gcc") * F.col("bs") * F.col("bs")
+            )
+            / (F.col("gcc") * F.col("gss") - F.col("gcs") * F.col("gcs"))
+            / F.col("sst"),
+            6,
+        ).alias("seasonal_r2"),
+    )

@@ -368,3 +368,35 @@ def test_mahalanobis_screen_matches_numpy(spark, sf_dir):
     for i, v in zip(ids, d2):
         if i in flagged:
             assert abs(flagged[i]["mahalanobis_d2"] - v) < 1e-4
+
+
+def test_seasonality_r2_matches_numpy_lstsq(spark, sf_dir):
+    """Cross-check against numpy least squares: regress the centered
+    daily series on [cos, sin] (zero intercept) and compare R² to 1e-6;
+    also 0 <= r2 <= 1."""
+    import math
+
+    import numpy as np
+
+    r = specs()["daily_weekly_seasonality_strength"].fn(
+        spark, sf_dir
+    ).collect()[0]
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    x = np.array([row["x"] for row in daily], dtype=float)
+    t = np.arange(len(x))
+    u = x - x.mean()
+    A = np.column_stack(
+        [np.cos(2 * math.pi * (t % 7) / 7), np.sin(2 * math.pi * (t % 7) / 7)]
+    )
+    beta, *_ = np.linalg.lstsq(A, u, rcond=None)
+    resid = u - A @ beta
+    r2 = 1 - (resid ** 2).sum() / (u ** 2).sum()
+    assert 0 <= r["seasonal_r2"] <= 1
+    assert abs(r["seasonal_r2"] - r2) < 1e-5, (r["seasonal_r2"], r2)
+    assert r["n_days"] == len(x)
