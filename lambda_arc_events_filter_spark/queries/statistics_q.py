@@ -5986,3 +5986,113 @@ def users_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d2", 6).alias("mahalanobis_d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-D Wasserstein (earth-mover) drift distance (BB26)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_wasserstein_drift",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN event_type = 'signup'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM events
+      WHERE event_type IN ('purchase', 'signup')
+      GROUP BY 1),
+    r AS (
+      SELECT cents, na, nb,
+             CAST(sum(na) OVER (ORDER BY cents) AS BIGINT) AS ca,
+             CAST(sum(nb) OVER (ORDER BY cents) AS BIGINT) AS cb,
+             lead(cents) OVER (ORDER BY cents) AS nxt
+      FROM v),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                   CAST(sum(nb) AS BIGINT) AS tb
+            FROM v),
+    seg AS (
+      SELECT abs(r.ca * t.tb - r.cb * t.ta) * (r.nxt - r.cents) AS piece
+      FROM r, tot t WHERE r.nxt IS NOT NULL)
+    SELECT t.ta AS n_purchase, t.tb AS n_signup,
+           ((2 * CAST(sum(s.piece) AS BIGINT) * 1000000
+             + t.ta * t.tb * 100)
+            // (2 * t.ta * t.tb * 100)) / 1000000.0 AS w1_dollars
+    FROM seg s, tot t
+    GROUP BY t.ta, t.tb
+    """,
+    tags=("stats", "scale"),
+)
+def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    purchase and signup value distributions — the INTEGRAL companion of
+    the existing sup-norm (KS) and binned (PSI/KL/JS) drift metrics:
+    W₁ = ∫|F_A − F_B| dv, the minimum cost of morphing one distribution
+    into the other, sensitive to WHERE the mass moved, not just whether
+    it did.  Computed exactly on the merged support: for each adjacent
+    pair of observed values, |cumA·N_B − cumB·N_A|·Δv accumulates in
+    BIGINT, and the single division N_A·N_B·100 happens once at
+    emission through the integer-rounding helper — no approximation, no
+    binning, no float accumulation anywhere.
+
+    Scale shape: one fact scan groups to the distinct-cents support
+    (map-combinable); the cumulative CDFs ride the range-partitioned
+    global-order machinery (``functions/rank.py`` — integer running
+    sums are EXACT there, no single-partition window over the support),
+    the adjacent-value join is a self-join on rank r = r+1, and the
+    final reduction is one integer sum."""
+    from lambda_arc_events_filter_spark.functions.rank import (
+        global_order_stats,
+    )
+
+    v = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy(
+            F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("na"),
+            F.sum(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("nb"),
+        )
+    )
+    r = global_order_stats(
+        v,
+        ["cents"],
+        rank="r",
+        running={"ca": ("na", "sum"), "cb": ("nb", "sum")},
+        totals={"ta": ("na", "sum"), "tb": ("nb", "sum")},
+    )
+    cur = r.select("r", "cents", "ca", "cb", "ta", "tb")
+    nxt = r.select(
+        (F.col("r") - 1).alias("r"), F.col("cents").alias("nxt_cents")
+    )
+    seg = cur.join(nxt, "r").select(
+        "ta",
+        "tb",
+        (
+            F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+            * (F.col("nxt_cents") - F.col("cents"))
+        ).alias("piece"),
+    )
+    agg = seg.groupBy("ta", "tb").agg(
+        F.sum("piece").cast("long").alias("t")
+    )
+    return agg.select(
+        F.col("ta").alias("n_purchase"),
+        F.col("tb").alias("n_signup"),
+        round_int_ratio(
+            F.col("t"), F.col("ta") * F.col("tb") * 100, 6
+        ).alias("w1_dollars"),
+    )

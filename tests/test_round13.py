@@ -400,3 +400,35 @@ def test_seasonality_r2_matches_numpy_lstsq(spark, sf_dir):
     assert 0 <= r["seasonal_r2"] <= 1
     assert abs(r["seasonal_r2"] - r2) < 1e-5, (r["seasonal_r2"], r2)
     assert r["n_days"] == len(x)
+
+
+def test_wasserstein_matches_scipy_style_rederivation(spark, sf_dir):
+    """Re-derive W1 in Python with the sorted-sample formula
+    (mean |F_A - F_B| integral over the merged support) and compare to
+    1e-6; also W1 >= |mean_A - mean_B| is NOT generally true, but
+    W1 >= 0 and W1 <= max support width always are."""
+    rows = specs()["events_wasserstein_drift"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(round(x["value"] * 100) for x in ev
+               if x["event_type"] == "purchase")
+    b = sorted(round(x["value"] * 100) for x in ev
+               if x["event_type"] == "signup")
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    w1 = 0
+    for lo, hi in zip(support, support[1:]):
+        ca = bisect.bisect_right(a, lo)
+        cb = bisect.bisect_right(b, lo)
+        w1 += abs(ca * len(b) - cb * len(a)) * (hi - lo)
+    w1_dollars = w1 / (len(a) * len(b) * 100)
+    assert r["n_purchase"] == len(a) and r["n_signup"] == len(b)
+    assert abs(r["w1_dollars"] - w1_dollars) < 1e-6
+    assert 0 <= r["w1_dollars"] <= (support[-1] - support[0]) / 100
