@@ -3236,3 +3236,84 @@ def corpus_greedy_coverage_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Best-of-N reward scaling curve (BB27)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_best_of_n_curve",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS nc
+      FROM events WHERE event_type NOT IN ('view', 'click')),
+    ns AS (SELECT unnest([1, 2, 4, 8]) AS n),
+    best AS (
+      SELECT ns.n, a.user_id, a.day, max(a.vc) AS best_vc
+      FROM a JOIN ns ON a.rn <= ns.n AND a.nc >= ns.n
+      GROUP BY ns.n, a.user_id, a.day)
+    SELECT CAST(n AS INT) AS n,
+           CAST(count(*) AS BIGINT) AS n_prompts,
+           ((2 * CAST(sum(best_vc) AS BIGINT) * 1000000 + count(*) * 100)
+            // (2 * count(*) * 100)) / 1000000.0 AS mean_best_reward
+    FROM best GROUP BY n
+    """,
+    tags=("llm", "curation"),
+)
+def events_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-N reward scaling curve — the inference-scaling readout
+    every RLHF/verifier paper plots (how much does reward improve as N
+    samples are drawn per prompt?): per (user, day) prompt context
+    (BB10's pairing domain), candidates in deterministic arrival order
+    (event_id), and for N ∈ {1,2,4,8} the mean over prompts of the best
+    reward among the FIRST N candidates, restricted to prompts with ≥ N
+    candidates so each point averages a fair population.  Read with
+    BB10: the N=1 vs N=8 gap is the headroom preference optimization
+    can extract.
+
+    Scale shape: one fact scan; rank/count windows partition on the
+    natural (user, day) prompt key; the ×4 N-explosion joins a 4-row
+    broadcast; best-of and the curve are two map-combinable aggregates.
+    Rewards are cent-exact BIGINTs end-to-end and each curve point is
+    one integer-ratio rounding — no float accumulation."""
+    a = (
+        load(spark, sf_dir, "events")
+        .filter(~F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id", "day")
+    a = a.select(
+        "user_id",
+        "day",
+        "vc",
+        F.row_number().over(w.orderBy("event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("nc"),
+    )
+    ns = a.sparkSession.createDataFrame([(1,), (2,), (4,), (8,)], ["n"])
+    best = (
+        a.join(
+            F.broadcast(ns),
+            (F.col("rn") <= F.col("n")) & (F.col("nc") >= F.col("n")),
+        )
+        .groupBy("n", "user_id", "day")
+        .agg(F.max("vc").alias("best_vc"))
+    )
+    return best.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prompts"),
+        round_int_ratio(
+            F.sum("best_vc"), F.count(F.lit(1)) * 100, 6
+        ).alias("mean_best_reward"),
+    ).select(
+        F.col("n").cast("int").alias("n"), "n_prompts", "mean_best_reward"
+    )

