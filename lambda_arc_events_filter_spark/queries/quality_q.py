@@ -3200,3 +3200,134 @@ def text_topic_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_boundary",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution (BB28)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_position",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             event_type = 'purchase' AS is_conv,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_p
+      FROM events),
+    touches AS (
+      SELECT user_id, event_type, cum_p AS episode,
+             row_number() OVER (PARTITION BY user_id, cum_p
+                                ORDER BY ts, event_id) AS pos,
+             count(*) OVER (PARTITION BY user_id, cum_p) AS k
+      FROM seq WHERE NOT is_conv),
+    convs AS (
+      SELECT DISTINCT user_id, cum_p - 1 AS episode
+      FROM seq WHERE is_conv),
+    credited AS (
+      SELECT t.event_type,
+             CASE
+               WHEN t.k = 1 THEN 1000000
+               WHEN t.k = 2 THEN 500000
+               WHEN t.pos = 1 THEN 400000
+               WHEN t.pos = t.k THEN 400000 + 200000 % (t.k - 2)
+               ELSE 200000 // (t.k - 2)
+             END AS credit_e6
+      FROM touches t JOIN convs c
+        ON c.user_id = t.user_id AND c.episode = t.episode),
+    per AS (
+      SELECT event_type,
+             CAST(sum(credit_e6) AS BIGINT) AS credit_e6,
+             CAST(count(*) AS BIGINT) AS n_credited_touches
+      FROM credited GROUP BY 1),
+    tot AS (SELECT CAST(sum(credit_e6) AS BIGINT) AS t FROM per)
+    SELECT event_type, credit_e6, n_credited_touches,
+           ((2 * credit_e6 * 1000000 + t) // (2 * t)) / 1000000.0
+               AS credit_share
+    FROM per, tot
+    """,
+    tags=("stats", "window"),
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) conversion attribution — the fourth
+    standard model next to the engine's first/last-touch
+    (events_attribution_touch), Markov removal-effect, and Shapley
+    models: each purchase's preceding touch path earns 40% for the
+    acquiring first touch, 40% for the converting last touch, and 20%
+    split across the middle (k=1 → 100%, k=2 → 50/50).  Credit is
+    integer MICRO-UNITS with the middle-split remainder assigned to the
+    last touch, so every conversion distributes exactly 1,000,000 units
+    — conservation is an integer identity, not a float hope, and the
+    pytest pins Σcredit = 10⁶ × conversions-with-touches.
+
+    Scale shape: episodes (the stream segments between purchases) come
+    from ONE running-count window on the natural user key; position/k
+    are windows on (user, episode); the episode→conversion match is an
+    equi-join on that same key (no interval join, no per-conversion
+    explode).  Everything shuffles at most twice on user-rooted keys,
+    and the output is the channel-level rollup."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.col("event_type") == "purchase").alias("is_conv"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .alias("cum_p"),
+    )
+    we = Window.partitionBy("user_id", "episode")
+    touches = seq.filter(~F.col("is_conv")).select(
+        "user_id",
+        "event_type",
+        F.col("cum_p").alias("episode"),
+        "ts",
+        "event_id",
+    )
+    touches = touches.select(
+        "user_id",
+        "event_type",
+        "episode",
+        F.row_number().over(we.orderBy("ts", "event_id")).alias("pos"),
+        F.count(F.lit(1)).over(we).alias("k"),
+    )
+    convs = (
+        seq.filter(F.col("is_conv"))
+        .select("user_id", (F.col("cum_p") - 1).alias("episode"))
+        .distinct()
+    )
+    credit = (
+        F.when(F.col("k") == 1, 1000000)
+        .when(F.col("k") == 2, 500000)
+        .when(F.col("pos") == 1, 400000)
+        .when(
+            F.col("pos") == F.col("k"),
+            400000 + 200000 % (F.col("k") - 2),
+        )
+        .otherwise(F.expr("200000 div (k - 2)"))
+    )
+    credited = touches.join(convs, ["user_id", "episode"]).select(
+        "event_type", credit.alias("credit_e6")
+    )
+    per = credited.groupBy("event_type").agg(
+        F.sum("credit_e6").cast("long").alias("credit_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
+    )
+    tot = per.agg(F.sum("credit_e6").cast("long").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "credit_e6",
+        "n_credited_touches",
+        round_int_ratio(F.col("credit_e6"), F.col("t"), 6).alias(
+            "credit_share"
+        ),
+    )

@@ -452,3 +452,32 @@ def test_best_of_n_curve_is_monotone(spark, sf_dir):
     assert 1 in ns
     pops = [r["n_prompts"] for r in rows]
     assert all(a >= b for a, b in zip(pops, pops[1:])) and pops[-1] > 0
+
+
+def test_position_attribution_conserves_credit(spark, sf_dir):
+    """Integer conservation: total credited micro-units == 1e6 x the
+    number of conversions whose episode contains >= 1 touch (re-derived
+    independently below); shares sum to ~1; every channel is a
+    non-purchase type."""
+    rows = specs()["events_attribution_position"].fn(spark, sf_dir).collect()
+    total = sum(r["credit_e6"] for r in rows)
+    ev = sorted(
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    n_credited_convs = 0
+    touches_in_episode = {}
+    for r in ev:
+        key = r["user_id"]
+        if r["event_type"] == "purchase":
+            if touches_in_episode.get(key, 0) > 0:
+                n_credited_convs += 1
+            touches_in_episode[key] = 0
+        else:
+            touches_in_episode[key] = touches_in_episode.get(key, 0) + 1
+    assert total == 1_000_000 * n_credited_convs, (total, n_credited_convs)
+    assert abs(sum(r["credit_share"] for r in rows) - 1) < 1e-4
+    for r in rows:
+        assert r["event_type"] != "purchase"
