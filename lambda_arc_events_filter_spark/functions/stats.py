@@ -95,11 +95,10 @@ def group_percentile_cont(
     parallel aggregation pass.  NULL values in ``value_col`` are excluded
     (matching both the builtin percentile and DuckDB quantile_cont).
 
-    ``extra_aggs`` cost note: under the fused GROUPING SETS plan each
-    extra aggregate is ALSO evaluated for the (keys, band) grouping set
-    and discarded — free for sum/count-style partials, but a heavy extra
-    (e.g. ``countDistinct``) pays that per-band cost invisibly; pass such
-    aggregates through a separate ``groupBy(keys)`` instead.
+    ``extra_aggs`` run in their own plain ``groupBy(keys)`` pass over the
+    non-null rows (r13; previously they rode a GROUPING SETS fusion that
+    also evaluated-and-discarded them per band — see the in-body History
+    note for why that fusion never actually shared work at runtime).
 
     ``strategy`` (default from ``SPARK_GRAFT_PERCENTILE_STRATEGY``, else
     ``group``) picks between two exact plans with identical output —
@@ -119,16 +118,16 @@ def group_percentile_cont(
       scan sizing); ``group`` remains selectable for tiny-relation
       callers via the env var.
 
-    ``materialize`` (range strategy only): localCheckpoint the fused
-    |groups|·(|bands|+1)-row aggregate, collapsing its three physically
-    duplicated consumer subtrees (column pruning specializes each copy,
-    so ReuseExchange dedupes only one) to a single fact pass + probe.
-    This is the CLUSTER lever: at real volumes three redundant passes
-    over the fact dominate everything.  It stays off by default because
-    at fixture scale the duplicates run CONCURRENTLY inside one job and
-    the checkpoint barrier serializes them — measured same-session at
-    sf0.1 (agg_stats shape): 1.06 s materialized vs 0.57 s diamond, the
-    same asymmetry ts_user_similarity documents.  Callers that enable it
+    ``materialize`` (range strategy only): localCheckpoint the
+    |groups|·|bands|-row ``sizes`` aggregate, so its consumers (the
+    offsets/targets window branches) read an executor-local relation
+    instead of re-reducing the shared shuffle output.  Since the r13 restructure the
+    fact pass behind ``sizes`` is shuffled once and REUSED even without
+    it (plain aggregate — nothing for filter pushdown to specialize), so
+    the lever only trims the small reduce-side re-aggregations; it stays
+    off by default (the checkpoint barrier serializes stages that
+    otherwise run concurrently, and an embedded checkpoint disqualifies
+    the caller from the prepared-plan cache).  Callers that enable it
     must register with ``plan_cache=False`` (the cached logical plan
     would pin the checkpointed RDD — result caching, not benchmarking).
     """
@@ -257,47 +256,57 @@ def group_percentile_cont(
         .drop("_vd")
     )
 
-    # ONE fused aggregation pass over the fact for BOTH granularities —
-    # per-group totals + extra aggregates AND per-(band, group) counts —
-    # via GROUPING SETS ((keys), (keys, band)).  Expand doubles the rows
-    # entering the partial aggregate, but both granularities combine
-    # map-side to ~|groups|·(|bands|+1) rows before the (single) shuffle,
-    # where the naive plan scans the fact twice and shuffles twice
-    # (measured at sf0.1: 0.52 s for the two passes vs 0.35 s fused).
-    # ``grouping(_band)`` disambiguates the two sets (a data NULL band
-    # cannot occur: the CASE chain always produces a band id).
-    fused = bd.groupingSets(
-        [keys, [*keys, "_band"]], *keys, "_band"
-    ).agg(F.count(F.lit(1)).alias("_cnt"), *extra_aggs, F.grouping("_band").alias("_gid"))
+    # ONE plain per-(group, band) count aggregate over the fact; the
+    # per-group total ``_n`` rides the SAME tiny relation as one more
+    # window expression (full-frame sum over the group — same partition
+    # and order spec as the offsets window, so no extra pass), and
+    # ``extra_aggs`` run in their own plain ``groupBy(keys)`` pass — no
+    # GROUPING SETS, no Expand, no ``_gid``.
+    #
+    # History (r13): rounds 4-12 fused both granularities through
+    # GROUPING SETS ((keys), (keys, band)) on the theory that one Expand
+    # pass feeds every consumer.  The executed plan disproves it: Catalyst
+    # pushes each consumer's ``_gid`` filter BELOW the aggregate's
+    # exchange (a grouping-key filter prunes Expand projections), so the
+    # "shared" fused aggregate specialized into 2-3 SEPARATE fact passes —
+    # each with Expand's 2× row fanout — and ReuseExchange matched none of
+    # them (read off agg_stats' executedPlan, plans/r13).  The plain
+    # shape has nothing to specialize: every consumer of ``sizes`` needs
+    # the identical (keys, band, count) subtree, so the fact pass is
+    # shuffled once and REUSED (pinned by tests/test_plans.py), the
+    # extras pass carries no discarded per-band copies of its (heavier)
+    # stat buffers, and with no extras the whole query is ONE fact
+    # aggregation + the hit-band rank pass.  Fact aggregation passes:
+    # 3 → 2 with extras, 2 → 1 without — at ANY scale; the 100 TB win is
+    # a full input pass.  A first r13 cut derived ``_n`` as a second
+    # aggregate OVER ``sizes`` instead: same pass count, but it put one
+    # extra reduce stage on the critical path that gates the hit-band
+    # fact sort (targets → hit_bands → bd_hit) and measured ~15% SLOWER
+    # at sf0.1 — the window form adds no stage.
+    sizes = bd.groupBy(*keys, "_band").agg(F.count(F.lit(1)).alias("_cnt"))
     if materialize:
-        fused = fused.localCheckpoint(eager=True)
-    extra_names = [
-        c for c in fused.columns if c not in (*keys, "_band", "_cnt", "_gid")
-    ]
-    if len(extra_names) != len(extra_aggs):
-        # unreachable after the upfront alias validation — pure invariant
-        # guard against a future drift between the two name lists
-        raise AssertionError(
-            "group_percentile_cont: internal extra_aggs name accounting "
-            "drifted from the upfront alias validation"
-        )
-    base = fused.filter(F.col("_gid") == 1).select(
-        *keys, F.col("_cnt").alias("_n"), *extra_names
-    )
-    # per-(band, group) counts → running offset per group.  This relation
-    # is |bands|·|groups| rows — small, but it grows with group
-    # cardinality, so its joins carry no forced broadcast hint (below).
-    sizes = fused.filter(F.col("_gid") == 0).select("_band", *keys, "_cnt")
+        sizes = sizes.localCheckpoint(eager=True)
     w_off = (
         Window.partitionBy(*keys)
         .orderBy("_band")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offsets = sizes.withColumn(
-        "_off", F.sum("_cnt").over(w_off) - F.col("_cnt")
-    ).select("_band", *keys, "_cnt", "_off")
+    w_grp = (
+        Window.partitionBy(*keys)
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = (
+        sizes.withColumn("_off", F.sum("_cnt").over(w_off) - F.col("_cnt"))
+        .withColumn("_n", F.sum("_cnt").over(w_grp))
+        .select("_band", *keys, "_cnt", "_off", "_n")
+    )
 
-    # per-group straddling target ranks for every quantile, from counts
+    # per-(band, quantile) straddling target ranks, computed INLINE on
+    # the offsets rows (every band row of a group carries _n, so lo/hi/
+    # frac need no join back to a per-group relation — the r12 shape
+    # joined a separate targets relation into offsets here, one more
+    # stage on the same critical path).
     target_cols = []
     for alias, q in quantiles.items():
         p = F.lit(1.0) + (F.col("_n") - F.lit(1)) * F.lit(q)
@@ -309,9 +318,15 @@ def group_percentile_cont(
                 (p - F.floor(p)).alias("_frac"),
             )
         )
-    targets = base.select(
-        *keys, F.explode(F.array(*target_cols)).alias("t")
-    ).select(*keys, "t.q_alias", "t._lo", "t._hi", "t._frac")
+    tq = offsets.select(
+        *keys, "_band", "_cnt", "_off",
+        F.explode(F.array(*target_cols)).alias("t"),
+    ).select(*keys, "_band", "_cnt", "_off", "t.*")
+    # one row per (group, quantile): lo/hi/frac are identical on every
+    # band row of a group (computed from the same _n), so any row stands
+    targets = tq.select(*keys, "q_alias", "_lo", "_hi", "_frac").dropDuplicates(
+        [*keys, "q_alias"]
+    )
 
     # TARGETED SELECTION: only bands that CONTAIN a straddling rank ever
     # get sorted.  The band holding global rank t per group is read off
@@ -324,20 +339,17 @@ def group_percentile_cont(
     in_band = lambda t: (F.col(t) > F.col("_off")) & (  # noqa: E731
         F.col(t) <= F.col("_off") + F.col("_cnt")
     )
-    # The two offsets joins carry NO broadcast hint (ADVICE r7): offsets
-    # is |bands|·|groups| rows and grows with group cardinality, and a
-    # forced F.broadcast builds regardless of size.  The static planner's
-    # size estimate (or AQE's runtime conversion on a cluster) picks
-    # broadcast while the relation is genuinely small and falls back to a
-    # shuffle join when it is not — measured at sf0.1 the planner
-    # auto-broadcasts and the plan is within noise of the forced hint
-    # (0.68 vs 0.72 s prepared), so the hint bought nothing but the OOM
-    # risk.  An alternative shape that threads _off through hit_bands to
-    # skip the second offsets join entirely was measured and LOSES
-    # (1.34 vs 1.02 s prepared, round 8).
+    # The remaining offsets join (ranked, below) carries NO broadcast
+    # hint (ADVICE r7): offsets is |bands|·|groups| rows and grows with
+    # group cardinality, and a forced F.broadcast builds regardless of
+    # size.  The static planner's size estimate (or AQE's runtime
+    # conversion on a cluster) picks broadcast while the relation is
+    # genuinely small and falls back to a shuffle join when it is not.
+    # An alternative shape that threads _off through hit_bands to skip
+    # that join entirely was measured and LOSES (1.34 vs 1.02 s
+    # prepared, round 8).
     hit_bands = (
-        _join_null_safe(targets, offsets, keys)
-        .filter(in_band("_lo") | in_band("_hi"))
+        tq.filter(in_band("_lo") | in_band("_hi"))
         .select("_band", *keys)
         .dropDuplicates(["_band", *keys])
     )
@@ -367,7 +379,25 @@ def group_percentile_cont(
         .pivot("q_alias", aliases)
         .agg((v_lo + F.max("_frac") * (v_hi - v_lo)).alias("_v"))
     )
-    # ``wide`` is |groups|·|quantiles| cells; like the offsets joins it is
+    # ``wide`` is |groups|·|quantiles| cells; like the offsets join it is
     # left unhinted — the planner's size estimate picks broadcast while
     # the group count is small and a shuffle join when it is not.
-    return _join_null_safe(base, wide, keys).drop("_n")
+    #
+    # Without extras, ``wide`` IS the result: its group set is exactly
+    # the groups with ≥1 non-null value (every such group's quantile
+    # ranks land in some band), so the old base⋈wide join — whose base
+    # side cost its own fact aggregation — carried no information.
+    if not extra_aggs:
+        return wide
+    extras = nn.groupBy(*keys).agg(*extra_aggs)
+    extra_names = [c for c in extras.columns if c not in keys]
+    if len(extra_names) != len(extra_aggs):
+        # unreachable after the upfront alias validation — pure invariant
+        # guard against a future drift between the two name lists
+        raise AssertionError(
+            "group_percentile_cont: internal extra_aggs name accounting "
+            "drifted from the upfront alias validation"
+        )
+    return _join_null_safe(
+        extras.select(*keys, *extra_names), wide, keys
+    )

@@ -199,16 +199,17 @@ def test_range_percentile_broadcasts_targets(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:1500]
 
 
-def test_range_percentile_fused_grouping_sets_single_expand(spark, sf_dir):
-    """The GROUPING SETS fusion (functions/stats.py): per-group totals and
-    per-(band, group) counts come from ONE Expand over ONE fact pass — a
-    second DISTINCT Expand (or a revert to two separate fact aggregations)
-    would re-double the scan+shuffle volume the fusion removed.  The
-    formatted plan prints the shared subtree once per consumer, so the
-    assertion is on distinct expr-id-normalized Expand signatures; runtime
-    single-execution is pinned by ReusedExchange in the executed plan."""
-    import re
-
+def test_range_percentile_counts_pass_shared_no_expand(spark, sf_dir):
+    """The r13 restructure of the range strategy (functions/stats.py):
+    per-(group, band) counts come from ONE plain aggregate (no GROUPING
+    SETS — the old fused plan's per-consumer ``_gid`` filters were pushed
+    below the exchange, specializing it into 2-3 separate Expand fact
+    passes that ReuseExchange could not match), the per-group total ``_n``
+    is the band-sum of that tiny relation, and extras run in their own
+    plain pass.  Pins: (a) NO Expand anywhere in the plan; (b) the counts
+    aggregate's fact exchange is REUSED across its consumers at runtime —
+    a regression to per-consumer specialization would re-add a full fact
+    pass per consumer."""
     from lambda_arc_events_filter_spark.functions.stats import (
         group_percentile_cont,
     )
@@ -222,12 +223,7 @@ def test_range_percentile_fused_grouping_sets_single_expand(spark, sf_dir):
         strategy="range",
     )
     plan = I.formatted_plan(df)
-    sigs = set()
-    for block in re.split(r"\n\(\d+\) ", plan):
-        if block.startswith("Expand"):
-            m = re.search(r"Arguments: (.*)", block)
-            sigs.add(re.sub(r"#\d+L?", "", m.group(1)) if m else block[:200])
-    assert len(sigs) == 1, sigs
+    assert "Expand" not in plan, plan[:2000]
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed[:2000]
