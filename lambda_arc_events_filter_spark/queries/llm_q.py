@@ -1937,11 +1937,20 @@ def _bpe_decide(t: DataFrame) -> tuple[DataFrame, DataFrame]:
     # clustering) but forced TWO extra fact-scale SortExecs per pass
     # (into island order and back to pos order for the lag); streak
     # parity deletes both.  Correct over non-consecutive positions.
+    # Use a precomputed ``nxt`` column when the caller supplies one
+    # (r13): bpe_merge_round computes lead(tok) ONCE on the raw stream
+    # and feeds both the pair-count branch and this decision pass, so
+    # the two branches canonicalize to the SAME doc_id exchange and
+    # ReuseExchange dedupes the token explode+shuffle (before, the
+    # broadcast top-pair join sat BELOW this pass's copy of the
+    # exchange, splitting it from the pair-count branch's — two full
+    # explode+shuffle passes per training round, read off the r12
+    # executed plan, plans/r13/tokens_bpe_merge_rounds_before.txt).
+    nxt = F.col("nxt") if "nxt" in t.columns else F.lead("tok").over(w)
     flag = t.withColumn(
         "m",
         F.when(
-            (F.col("tok") == F.col("a"))
-            & (F.lead("tok").over(w) == F.col("b")),
+            (F.col("tok") == F.col("a")) & (nxt == F.col("b")),
             1,
         ).otherwise(0),
     ).withColumn("cum1", F.sum("m").over(wr))
@@ -1979,39 +1988,49 @@ def bpe_merge_round(t: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
     leftmost, ties by (count desc, a, b); positions need only be ordered
     per doc, not dense.  Module-level so the property test
     (tests/test_properties.py) drives the exact shipped logic against a
-    pure-Python greedy reference on generated corpora."""
+    pure-Python greedy reference on generated corpora.
+
+    ``lead(tok)`` is computed ONCE on the raw stream and shared by the
+    pair-count branch and the decision pass (r13): both branches then
+    canonicalize to the same doc_id exchange, so the round's input
+    stream is exploded and shuffled ONCE (before, the broadcast
+    top-pair join planted itself below the decision pass's copy of the
+    exchange, splitting it from the pair-count branch's — two full
+    explode+shuffle passes per training round; with the split healed
+    the whole 2-round query reads the corpus exactly once, pinned by
+    tests/test_round13.py).  A repartition of the re-segmented stream
+    between rounds (to also share the decide-chain re-execution across
+    round 2's two consumers) was tried and is ELIDED by the optimizer —
+    the stream is already hash-partitioned on doc_id, so
+    RepartitionByExpression(doc_id) plans to nothing and the consumers
+    keep their own copies of the chain above the shared exchange."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = t.withColumn("nxt", F.lead("tok").over(w)).filter(
-        F.col("nxt").isNotNull()
-    )
+    base = t.withColumn("nxt", F.lead("tok").over(w))
+    pairs = base.filter(F.col("nxt").isNotNull())
     top = (
         pairs.groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), "a", "b")
         .limit(1)
     )
-    dec, nxt_toks = _bpe_decide(t.crossJoin(F.broadcast(top)))
+    dec, nxt_toks = _bpe_decide(base.crossJoin(F.broadcast(top)))
     # merge-delta identity: every selected merge removes exactly one
     # token (non-overlapping by construction), so the post-round
     # count is derivable from the decision relation — no second
     # evaluation of the re-segmented stream just to count it.
-    summary = (
-        top.crossJoin(
-            F.broadcast(
-                dec.agg(
-                    (
-                        F.count(F.lit(1))
-                        - F.sum(F.col("merged").cast("long"))
-                    ).alias("tokens_after")
-                )
+    summary = top.crossJoin(
+        F.broadcast(
+            dec.agg(
+                (
+                    F.count(F.lit(1)) - F.sum(F.col("merged").cast("long"))
+                ).alias("tokens_after")
             )
         )
-        .select(
-            F.lit(rnd).alias("round"),
-            F.concat_ws(" ", "a", "b").alias("merged_pair"),
-            F.col("c").alias("pair_count"),
-            "tokens_after",
-        )
+    ).select(
+        F.lit(rnd).alias("round"),
+        F.concat_ws(" ", "a", "b").alias("merged_pair"),
+        F.col("c").alias("pair_count"),
+        "tokens_after",
     )
     return nxt_toks, summary
 

@@ -454,6 +454,32 @@ def test_best_of_n_curve_is_monotone(spark, sf_dir):
     assert all(a >= b for a, b in zip(pops, pops[1:])) and pops[-1] > 0
 
 
+def test_bpe_training_reads_corpus_once(spark, sf_dir):
+    """r13 optimization pin: bpe_merge_round computes lead(tok) once per
+    round and shares it between the pair-count branch and the decision
+    pass, so both canonicalize to ONE doc_id exchange — the executed
+    2-round plan must scan the documents parquet exactly once, with
+    every other branch riding ReusedExchange (the r12 plan carried two
+    separate explode+shuffle subtrees per round because the broadcast
+    top-pair join planted itself below the decision pass's copy).
+    Pinned under the bench session shape (AQE off; with AQE on the
+    static plan hides runtime stage reuse); conf restored
+    unconditionally."""
+    from lambda_arc_events_filter_spark.queries.llm_q import (
+        tokens_bpe_merge_rounds,
+    )
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = tokens_bpe_merge_rounds(spark, sf_dir)
+        ex = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert ex.count("FileScan parquet") == 1, ex[:3000]
+    assert ex.count("ReusedExchange") >= 4
+
+
 def test_position_attribution_conserves_credit(spark, sf_dir):
     """Integer conservation: total credited micro-units == 1e6 x the
     number of conversions whose episode contains >= 1 touch (re-derived
