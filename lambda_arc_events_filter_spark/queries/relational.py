@@ -667,30 +667,30 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     which buffers every group value in one aggregation buffer — 5× slower
     at sf0.1 and an OOM risk at 100 TB.
 
-    Accepted-asymmetry decomposition of the ~0.5 s sf0.1 wall (round-8
-    measurement, ts_user_similarity precedent — every alternative below
-    was MEASURED and loses):
+    Decomposition of the sf0.1 wall (r13 re-measurement after the
+    percentile restructure — see functions/stats.py History note and
+    OPTIMIZATION_r13.md):
 
-    - ~0.11 s: Catalyst re-plan per execution (``Dataset.ofRows`` over
+    - ~0.1 s: Catalyst re-plan per execution (``Dataset.ofRows`` over
       the cached plan re-runs physical planning — the honest
       prepared-statement protocol; skipping it would reuse shuffle
       outputs and fake the number: same-DataFrame re-collect measures
-      0.05 s).  The r10 optimized-plan cache trimmed this term by
-      ~35-40 ms (ofRows-level A/B: 1.068 → 1.030 s).
-    - ~0.35-0.45 s: one job whose dominant work is the fused
-      grouping-sets aggregate executing 3× / the lineitem scan 4×
-      CONCURRENTLY — column pruning specializes each consumer's copy of
-      the build subtree, so ReuseExchange dedupes only one.  Collapsing
-      the diamond with ``materialize=True`` (localCheckpoint of the
-      51-row build side) serializes those concurrent stages behind a
-      barrier: measured same-session 1.06 s vs 0.57 s.  At cluster scale
-      the polarity flips (three redundant 100 TB passes dominate), which
-      is exactly the ``materialize`` lever on group_percentile_cont.
-    - remainder: two tiny-relation windows + broadcast pivot/joins.
+      0.05 s).
+    - the rest: exactly TWO plain lineitem aggregation passes (the
+      stddev/var/corr extras pass and the per-(flag, band) counts pass,
+      whose exchange every consumer reuses) plus the hit-band rank pass
+      over the ~2 straddling bands per flag.  The r4-r12 grouping-sets
+      fusion that this replaced actually executed THREE specialized
+      Expand passes — Catalyst pushed each consumer's grouping-id filter
+      below the fused exchange, so the "shared" pass never shared
+      (plans/r13/agg_stats_before.txt); the plain shape measured −23%
+      min / −17% median on the same-session interleaved A/B and removes
+      a full input pass at any scale.
 
     DuckDB's 0.06 s single-process fused scan has no replan, no
-    scheduler, and no second pass — the gap is local-mode floor plus the
-    deliberate scale-shaped plan, not an unpushed filter or a skew.
+    scheduler, and no second pass — the remaining gap is local-mode
+    floor plus the deliberate scale-shaped plan, not an unpushed filter
+    or a skew.
     """
     from lambda_arc_events_filter_spark.functions.stats import group_percentile_cont
 
