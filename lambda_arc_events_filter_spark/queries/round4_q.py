@@ -1383,19 +1383,13 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically.  Word scores are a broadcast-sized relation (|vocab|);
     the final top-15 is TakeOrderedAndProject on the rounded score.
 
-    Accepted-asymmetry decomposition of the ~0.65 s sf0.1 wall
-    (round-9 same-session measurement, analyzed-plan protocol):
-
-    - ~0.29 s × 2 CONCURRENT: the token pipeline (explode 271 k tokens
-      → doc-keyed run window → 21 k-phrase rollup) measured alone at
-      0.29-0.37 s/pass; it feeds two consumers (word scores over ALL
-      phrases; candidate frequencies over plen 2-4) whose aggregates
-      differ, so ReuseExchange cannot unify them.  Shaved from THREE
-      consumers this round: the distinct-phrase word join now derives
-      from the already-phrase-distinct pfreq relation instead of
-      re-running the pipeline (measured 0.689 → 0.655 s same-session).
-    - remainder: broadcast word-score join + phrase-level joins +
-      top-15, all on ≤21 k-row relations, plus ~0.03 s re-plan.
+    r14 shape: the token pipeline (explode 271 k tokens → doc-keyed run
+    window → 21 k-phrase rollup) runs ONCE below a phrase-level
+    aggregate (pcount) whose exchange every consumer reuses — see the
+    inline comment for why the old shape ran it three times and the
+    measured 12/12-pair win (median 0.964 → 0.695 s at sf0.1).
+    Remaining cost: one pipeline pass + broadcast word-score join +
+    phrase-level aggregates + top-15 on ≤21 k-row relations.
 
     Collapsing the two passes with a localCheckpoint disqualifies the
     prepared plan (registry guard) and measured 0.70 s; in-row
@@ -1435,47 +1429,62 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("plen"),
         )
     )
-    # The phrase relation (a per-run rollup, far smaller than the token
-    # explosion that builds it) feeds THREE consumers — word scores,
-    # candidate frequencies, and the distinct-phrase word join.  It runs
-    # as a concurrent plan diamond: a localCheckpoint here would
-    # disqualify the query from the prepared-plan cache (registry guard),
-    # and the honest accounting favors the diamond — measured at sf0.1:
-    # 0.70 s checkpoint-rebuilt-per-rep vs the diamond's prepared reps
-    # (the pre-guard 0.56→0.27 comparison credited the checkpoint with
-    # cross-rep reuse the protocol does not allow).  Also measured and
-    # REJECTED (round 8): in-row segmentation via boundary-pair HOFs
-    # (filter/transform/element_at over the token array, no explode or
-    # window) — exact-parity output but 3.5 s vs 0.6 s at sf0.1: the
-    # nested interpreted lambdas evaluate per token position, losing by
-    # 6× to this codegen'd explode + doc-keyed window even though the
-    # window costs a shuffle.
-    words = phrases.select(
-        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    # r14: the per-occurrence phrase relation rolls up ONCE into a
+    # phrase-level aggregate (pcount) with its own exchange on phrase,
+    # and BOTH remaining consumers derive from pcount.  Why this heals
+    # the old 3-copy diamond (the percentile-core lesson, guide §2.3/
+    # §2.4): the expensive token pipeline (explode → doc-keyed run
+    # window → per-run rollup) now sits BELOW pcount's exchange, and
+    # nothing can specialize the copies — ``plen`` rides as an AGGREGATE
+    # output (max of the per-occurrence constant: equal phrase strings
+    # always have equal word counts), so the candidate plen filter is a
+    # HAVING that cannot push below pcount, and every consumer needs the
+    # same three columns, so pruning cannot fork the subtrees either.
+    # The r13 plan (plans/r13 + plans/r14/*_before) showed the old shape
+    # ran the window+rollup THREE times: the pw branch pruned count(*)
+    # out of its pfreq copy, which de-canonicalized the phrase
+    # aggregates and defeated ReuseExchange above the (shared) token
+    # exchange.  Carrying n_occurrences through pw also deletes the old
+    # pscore⋈pfreq re-join (phrase determines n_occurrences, so
+    # grouping by both is the same partition).  Measured (interleaved
+    # prepared-plan A/B, sf0.1, 12 pairs): new wins 12/12, median
+    # 0.964 → 0.695 s, min 0.829 → 0.624 s; executed plan: window+rollup
+    # copies 3 → 1, one join removed (plans/r14/text_rake_keyphrases_*).
+    # History — a localCheckpoint here would disqualify the query from
+    # the prepared-plan cache (registry guard); in-row segmentation via
+    # boundary-pair HOFs measured 3.5 s vs 0.6 s (round 8); the r9 shave
+    # (pw from pfreq) cut the copies 4 → 3 but left the pruning fork.
+    pcount = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("plen").alias("plen"),
     )
-    wscore = words.groupBy("w").agg(
-        round_int_ratio(F.sum("plen"), F.count(F.lit(1)), 6).alias("score")
+    # word scores over ALL phrase occurrences, reweighted by occurrence
+    # count: sum(plen·n)/sum(n) over distinct phrases ≡ sum(plen)/count
+    # over occurrences — identical integers into the exact half-up ratio.
+    wscore = pcount.select(
+        F.explode(F.split("phrase", " ")).alias("w"),
+        "plen",
+        "n_occurrences",
+    ).groupBy("w").agg(
+        round_int_ratio(
+            F.sum(F.col("plen") * F.col("n_occurrences")),
+            F.sum("n_occurrences"),
+            6,
+        ).alias("score")
     )
-    cand = phrases.filter(F.col("plen").between(2, 4))
-    pfreq = cand.groupBy("phrase").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
-    )
-    # distinct candidate phrases = pfreq's key set: deriving the word
-    # join from pfreq (instead of a third cand.distinct() consumer)
-    # leaves the token pipeline with two consumers, and pfreq's two uses
-    # share one identical subtree for ReuseExchange (r9 shave, measured
-    # in the docstring)
-    pw = pfreq.select(
-        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    cand = pcount.filter(F.col("plen").between(2, 4))
+    pw = cand.select(
+        "phrase",
+        "n_occurrences",
+        F.explode(F.split("phrase", " ")).alias("w"),
     )
     pscore = (
         pw.join(F.broadcast(wscore), "w")
-        .groupBy("phrase")
+        .groupBy("phrase", "n_occurrences")
         .agg(F.round(F.sum("score"), 6).alias("score"))
     )
     return (
-        pscore.join(pfreq, "phrase")
-        .select("phrase", "n_occurrences", "score")
+        pscore.select("phrase", "n_occurrences", "score")
         .orderBy(F.col("score").desc(), "phrase")
         .limit(15)
     )
