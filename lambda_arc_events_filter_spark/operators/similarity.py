@@ -712,24 +712,45 @@ def kmeans_lloyd(
         " (s, e) -> s + e), 6),"
         " 'cluster', c.cluster)))"
     ).format(v=vec_col)
-    cents = emb.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("cluster"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("cent"),
+    cs_row = (
+        emb.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("cluster"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias(
+                "cent"
+            ),
+        )
+        .agg(F.collect_list(F.struct("cluster", "cent")).alias("cs"))
     )
-
-    def cent_row(c: DataFrame) -> DataFrame:
-        return c.agg(F.collect_list(F.struct("cluster", "cent")).alias("cs"))
-
+    # Refresh reshape (r14, guide §2 — one stage fewer in the serial
+    # ladder): the per-(cluster, i) means collect straight into ONE
+    # global row and the k×dim → k×struct regrouping happens in-row,
+    # fusing the old groupBy(cluster).collect_list step (its own
+    # exchange + two ObjectHashAggregates) into the final-assembly
+    # aggregate that followed it.  The refresh chain is the serial
+    # gate between rounds, so each exchange removed is a whole stage
+    # barrier off the critical path; the reshape runs on k×dim values
+    # (scale-independent).  array_sort on struct(cluster, i, cv) orders
+    # lexicographically, so each cluster's cv list comes out in i
+    # order; filter() preserves that order.  Measured (interleaved
+    # prepared-plan A/B, sf0.1, 14 pairs): new wins 11/14, median
+    # 0.786 → 0.758 s, identical assignments; exchanges 4 → 3
+    # (plans/r14/embedding_kmeans_assign_*).
+    reshape = (
+        "transform(array_sort(array_distinct(transform(flat,"
+        " x -> x.cluster))), c -> named_struct('cluster', c, 'cent',"
+        " transform(filter(srt, p -> p.cluster = c), p -> p.cv)))"
+    )
     for _ in range(iters - 1):
         assigned = (
-            emb.crossJoin(F.broadcast(cent_row(cents)))
+            emb.crossJoin(F.broadcast(cs_row))
             .withColumn("best", F.expr(argmin))
         )
         # centroid refresh: explode the assigned rows (cluster carried
         # in-row — no join back to a |corpus|×dim relation, which
         # shuffled ~dim× the corpus bytes per round and was the measured
         # r3 bench regression on this operator)
-        cents = (
+        cs_row = (
             assigned.select(
                 F.col("best.cluster").alias("cluster"),
                 F.posexplode(
@@ -738,16 +759,14 @@ def kmeans_lloyd(
             )
             .groupBy("cluster", "i")
             .agg(F.round(F.avg("v"), 6).alias("cv"))
-            .groupBy("cluster")
             .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(i, cv))),"
-                    " p -> p.cv)"
-                ).alias("cent")
+                F.collect_list(F.struct("cluster", "i", "cv")).alias("flat")
             )
+            .select(F.expr("array_sort(flat)").alias("srt"), F.col("flat"))
+            .select(F.expr(reshape).alias("cs"))
         )
     return (
-        emb.crossJoin(F.broadcast(cent_row(cents)))
+        emb.crossJoin(F.broadcast(cs_row))
         .withColumn("best", F.expr(argmin))
         .select(
             id_col,

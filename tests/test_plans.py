@@ -164,11 +164,12 @@ def test_kmeans_broadcasts_centroids_corpus_never_shuffles(spark, sf_dir):
     df = ALL["embedding_kmeans_assign"].fn(spark, sf_dir)
     plan = I.formatted_plan(df)
     assert "BroadcastExchange" in plan
-    # the only hash exchanges allowed are aggregate-side ((id) argmin,
-    # (cluster, dim) means, centroid assembly) — 2 rounds bound them; a
+    # the only hash exchanges allowed are aggregate-side: seed assembly,
+    # (cluster, dim) means, and the fused refresh reshape (r14 — the old
+    # separate groupBy(cluster).collect_list step cost a 4th); a
     # corpus-wide distance-row shuffle would add O(rounds) more
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
-    assert n_exchanges <= 4, f"{n_exchanges} exchanges — corpus likely shuffling"
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges — corpus likely shuffling"
 
 
 def test_unigram_logprob_lm_side_broadcasts(spark, sf_dir):
