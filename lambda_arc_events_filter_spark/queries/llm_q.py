@@ -1229,17 +1229,32 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     through LSH (see dedup_minhash_lsh).  Profile values round to 6 first
     so both engines rank identical numbers.
 
-    Plan-shape notes (round-7 re-measurement, all at sf0.1):
+    Plan-shape notes:
 
-    - The a/b diamond is NOT two full passes: the a side's ``user_id <
-      50`` filter pushes below the window (its partition key) INTO the
-      events scan, so the broadcast-build job aggregates only the query
-      set's events; exactly one full-population pass remains (the b
-      side), and it is semantically irreducible — norms span ALL of a
-      user's hours, so no pre-aggregate pruning is sound.
+    - r14 (guide §2.4, the percentile-core lesson): the query-set side
+      selects its 50 users with a broadcast join against a 50-row
+      ``spark.range`` relation instead of a ``user_id < 50`` filter.
+      The filter pushed below the window and aggregate into its own
+      events scan (user_id is the partition/grouping key), so the a
+      side paid a SECOND full pass over events — predicate pushdown
+      reads every row group at fixture scale, and at 100 TB still
+      re-scans the fact.  A join cannot be pushed below the profile
+      aggregate, so both sides now canonicalize to the SAME profile
+      subtree and ReuseExchange shares it: events scanned ONCE
+      (executed plan: FileScan 2 → 1, ReusedExchange 0 → 1,
+      plans/r14/ts_user_similarity_*).  Value-identical because
+      user_id is non-negative in every fixture (range(50) ≡ < 50;
+      oracle parity re-proven at sf0.01/sf0.1).  Measured interleaved
+      prepared-plan A/B (sf0.1, 14 pairs): new wins 14/14, median
+      0.415 → 0.336 s.  The duplicated work left above the shared
+      exchange is the profile window over |users|×24 rows — scale-thin
+      vs the fact pass it replaces.
+    - The remaining full-population pass is semantically irreducible —
+      norms span ALL of a user's hours, so no pre-aggregate pruning is
+      sound.
     - Hour-pruning the b side after the profile aggregate is already
       performed by the broadcast-hash join on h itself; an explicit
-      semi-join duplicates the join's own filter (measured: no gain).
+      semi-join duplicates the join's own filter (measured r7: no gain).
     - Materializing the profile once (localCheckpoint) to share it
       across the sides LOSES: the eager barrier serializes what the
       diamond runs as concurrent stages of one job (0.65 → 0.80 s), and
@@ -1252,9 +1267,10 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user norm rides each profile row via a window over the profile
     # aggregate (one exchange on user_id) instead of a separate norms
     # aggregate + two post-join lookups — that diamond re-ran the events
-    # scan+groupBy three times; this shape runs it once full (b side) and
-    # once scan-pruned to the 50-user query set (a side, filter pushed
-    # below the window on its partition key and into the scan)
+    # scan+groupBy three times; this shape runs it ONCE, shared by both
+    # sides (r14: the query-set side joins a 50-row range relation
+    # instead of filtering, so nothing pushes below the profile subtree
+    # and ReuseExchange dedupes it — see docstring)
     p = (
         e.groupBy("user_id", F.hour("ts").alias("h"))
         .agg(F.round(F.avg("value"), 6).alias("v"))
@@ -1267,8 +1283,9 @@ def ts_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    qset = spark.range(50).select(F.col("id").alias("user_id"))
     a = F.broadcast(
-        p.filter(F.col("user_id") < 50).select(
+        p.join(F.broadcast(qset), "user_id").select(
             F.col("user_id").alias("ua"),
             "h",
             F.col("v").alias("va"),
