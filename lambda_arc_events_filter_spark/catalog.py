@@ -251,3 +251,43 @@ def _load_uncached(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def values_relation(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny literal dimension as a SQL ``VALUES`` LocalRelation.
+
+    ``spark.createDataFrame(local_rows)`` parallelizes the rows into
+    ``defaultParallelism`` RDD slices, so every broadcast build of such a
+    dim runs a full-width job (32 near-empty tasks at local[32], measured
+    ~0.3 s of pure dispatch per execution of ``partitioned_sink_dpp``
+    before r14), and the embedded ``LogicalRDD`` excludes the calling
+    query from the prepared-plan cache (unblessed RDD scan — see
+    ``registry.register``).  A ``VALUES`` relation analyzes to a
+    ``LocalRelation`` instead: the broadcast is built driver-side with no
+    job at all, and the plan is cacheable.  The relation IS configuration
+    (literals baked into the plan), exactly like ``_ring_points``.
+
+    ``rows`` are tuples of Python literals (str/int/float/bool/None);
+    ``schema`` is a ``"name type, ..."`` DDL string.  Every literal is
+    CAST to its declared type so the result schema matches
+    ``createDataFrame(rows, schema)`` exactly (modulo nullability, which
+    ``VALUES`` derives from the literals).
+    """
+    fields = [f.strip().split(None, 1) for f in schema.split(",")]
+
+    def lit(v, typ: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if isinstance(v, bool):
+            return f"CAST({'TRUE' if v else 'FALSE'} AS {typ})"
+        if isinstance(v, str):
+            esc = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"CAST('{esc}' AS {typ})"
+        return f"CAST({v!r} AS {typ})"
+
+    tuples = ", ".join(
+        "(" + ", ".join(lit(v, f[1]) for v, f in zip(row, fields)) + ")"
+        for row in rows
+    )
+    cols = ", ".join(f[0] for f in fields)
+    return spark.sql(f"SELECT * FROM VALUES {tuples} AS t({cols})")

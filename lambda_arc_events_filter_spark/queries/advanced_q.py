@@ -8,7 +8,7 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.catalog import load, values_relation
 from lambda_arc_events_filter_spark.operators.asof import asof_join
 from lambda_arc_events_filter_spark.operators.skew import salted_join
 from lambda_arc_events_filter_spark.registry import register
@@ -378,7 +378,11 @@ def events_rule_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     as integer ten-thousandths so the engines agree bit-for-bit.
     """
     e = load(spark, sf_dir, "events")
-    rules = spark.createDataFrame(
+    # VALUES LocalRelation (r14): no 32-slice RDD job per broadcast
+    # build, and the query becomes prepared-plan cacheable (the old
+    # createDataFrame's LogicalRDD was an unblessed scan)
+    rules = values_relation(
+        spark,
         _ROUTING_RULES,
         "subscriber string, want_type string, min_value double,"
         " max_value double",

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.catalog import load, values_relation
 from lambda_arc_events_filter_spark.functions.exact import (
     round_int_ratio,
     round_int_ratio_sql,
@@ -3300,7 +3300,7 @@ def events_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w.orderBy("event_id")).alias("rn"),
         F.count(F.lit(1)).over(w).alias("nc"),
     )
-    ns = a.sparkSession.createDataFrame([(1,), (2,), (4,), (8,)], ["n"])
+    ns = values_relation(a.sparkSession, [(1,), (2,), (4,), (8,)], "n bigint")
     best = (
         a.join(
             F.broadcast(ns),

@@ -15,7 +15,7 @@ from lambda_arc_events_filter_spark.cache import (
     bounded_put,
     release_plans_for,
 )
-from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.catalog import load, values_relation
 from lambda_arc_events_filter_spark.functions.exact import (
     round_int_ratio,
     round_int_ratio_sql,
@@ -1011,7 +1011,8 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-exact across engines — 0.2-style weights would drift by an ulp
     and trip the rounding boundary (observed on doc 363 at sf0.01)."""
     lex = F.broadcast(
-        spark.createDataFrame(
+        values_relation(
+            spark,
             [("fast", 1.0), ("slow", -1.0), ("big", 0.5), ("small", -0.5),
              ("merge", 0.25)],
             "word string, weight double",

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.catalog import load, values_relation
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import global_order_neighbors
 from lambda_arc_events_filter_spark.queries.text_index import (
@@ -2229,8 +2229,8 @@ def events_attribution_markov_removal(
         F.col("conv_rn").isNull() & (F.col("rn") == F.col("last_rn"))
     ).select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
     base_edges = inner.unionAll(terminal)
-    scen = spark.createDataFrame(
-        [("full",)] + [(c,) for c in _MARKOV_CHANNELS], "scenario string"
+    scen = values_relation(
+        spark, [("full",)] + [(c,) for c in _MARKOV_CHANNELS], "scenario string"
     )
     mod = (
         base_edges.crossJoin(F.broadcast(scen))
@@ -2458,7 +2458,8 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
     )
-    ch = spark.createDataFrame(
+    ch = values_relation(
+        spark,
         [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
         "channel string, bit int",
     )

@@ -18,7 +18,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from lambda_arc_events_filter_spark.catalog import load
+from lambda_arc_events_filter_spark.catalog import load, values_relation
 from lambda_arc_events_filter_spark.functions.exact import round_int_ratio
 from lambda_arc_events_filter_spark.functions.rank import (
     global_order_neighbors,
@@ -2608,8 +2608,8 @@ def users_geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (((F.col("user_id") * 40503) % 36000) / 100.0 - 180.0).alias("lon"),
     )
-    hubs = pts.sparkSession.createDataFrame(
-        _HUBS, "hub string, hlat double, hlon double"
+    hubs = values_relation(
+        pts.sparkSession, _HUBS, "hub string, hlat double, hlon double"
     )
     # clamp the haversine argument at 1.0: near-antipodal pairs can float-
     # round fractionally above 1, turning asin(sqrt(x)) into NaN in both
