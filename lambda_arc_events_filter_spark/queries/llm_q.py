@@ -1936,13 +1936,18 @@ def tokens_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.unionByName(s2)
 
 
-def _bpe_decide(t: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _bpe_decide(
+    t: DataFrame, precomputed_nxt: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Greedy-leftmost merge decision + re-segmentation for a
     ``(doc_id, pos, tok, a, b)`` stream (``a``/``b`` = the pair to merge,
     attached either as a broadcast 1-row join — training — or as
     literals — applying a fixed merge table).  Returns ``(dec,
     next_tokens)``: the per-row decision relation (column ``merged``) and
-    the re-segmented stream."""
+    the re-segmented stream.  ``precomputed_nxt=True`` says the caller
+    already carries ``lead(tok)`` as column ``nxt`` (an explicit contract
+    — ADVICE r13: sniffing ``'nxt' in t.columns`` would silently trust an
+    unrelated column on a caller-supplied stream)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # Greedy-leftmost selection by STREAK PARITY, one window spec for
@@ -1955,16 +1960,16 @@ def _bpe_decide(t: DataFrame) -> tuple[DataFrame, DataFrame]:
     # clustering) but forced TWO extra fact-scale SortExecs per pass
     # (into island order and back to pos order for the lag); streak
     # parity deletes both.  Correct over non-consecutive positions.
-    # Use a precomputed ``nxt`` column when the caller supplies one
-    # (r13): bpe_merge_round computes lead(tok) ONCE on the raw stream
-    # and feeds both the pair-count branch and this decision pass, so
-    # the two branches canonicalize to the SAME doc_id exchange and
+    # Use the caller's precomputed ``nxt`` column when declared (r13):
+    # bpe_merge_round computes lead(tok) ONCE on the raw stream and
+    # feeds both the pair-count branch and this decision pass, so the
+    # two branches canonicalize to the SAME doc_id exchange and
     # ReuseExchange dedupes the token explode+shuffle (before, the
     # broadcast top-pair join sat BELOW this pass's copy of the
     # exchange, splitting it from the pair-count branch's — two full
     # explode+shuffle passes per training round, read off the r12
     # executed plan, plans/r13/tokens_bpe_merge_rounds_before.txt).
-    nxt = F.col("nxt") if "nxt" in t.columns else F.lead("tok").over(w)
+    nxt = F.col("nxt") if precomputed_nxt else F.lead("tok").over(w)
     flag = t.withColumn(
         "m",
         F.when(
@@ -2031,7 +2036,9 @@ def bpe_merge_round(t: DataFrame, rnd: int) -> tuple[DataFrame, DataFrame]:
         .orderBy(F.col("c").desc(), "a", "b")
         .limit(1)
     )
-    dec, nxt_toks = _bpe_decide(base.crossJoin(F.broadcast(top)))
+    dec, nxt_toks = _bpe_decide(
+        base.crossJoin(F.broadcast(top)), precomputed_nxt=True
+    )
     # merge-delta identity: every selected merge removes exactly one
     # token (non-overlapping by construction), so the post-round
     # count is derivable from the decision relation — no second
