@@ -507,24 +507,37 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse engines compile exact distinct into.  The oracle is plain
     COUNT(DISTINCT): value equality proves the bitmap rewrite exact, not
     approximate.
+
+    r14 (guide §2.3/§2.4): both id columns ride ONE scan via an in-row
+    ``stack`` fanout tagged by column index, sharing a single two-level
+    bitmap aggregate chain; the per-column results pivot back as
+    conditional sums (sum ignores the other tag's NULLs; every row has
+    both ids, so neither column can lose a group).  The old shape ran a
+    full scan + bucket-sort + two-level aggregate PER COLUMN and joined
+    the results: fact scans 2 → 1, exchanges 4 → 2, join removed.
+    Measured interleaved prepared-plan A/B (sf0.1, 12 pairs): new wins
+    12/12, median 0.683 → 0.381 s, results identical.
     """
     e = load(spark, sf_dir, "events")
-
-    def bitmap_distinct(col: str, out: str):
-        return (
-            e.selectExpr(
-                "event_type",
-                f"bitmap_bucket_number({col}) AS _bkt",
-                f"bitmap_bit_position({col}) AS _pos",
-            )
-            .groupBy("event_type", "_bkt")
-            .agg(F.expr("bitmap_construct_agg(_pos)").alias("_bm"))
-            .groupBy("event_type")
-            .agg(F.expr("sum(bitmap_count(_bm))").alias(out))
+    fan = e.selectExpr(
+        "event_type",
+        "stack(2,"
+        " 0, bitmap_bucket_number(user_id), bitmap_bit_position(user_id),"
+        " 1, bitmap_bucket_number(event_id), bitmap_bit_position(event_id)"
+        ") AS (_c, _bkt, _pos)",
+    )
+    return (
+        fan.groupBy("event_type", "_c", "_bkt")
+        .agg(F.expr("bitmap_construct_agg(_pos)").alias("_bm"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("sum(CASE WHEN _c = 0 THEN bitmap_count(_bm) END)").alias(
+                "n_users"
+            ),
+            F.expr("sum(CASE WHEN _c = 1 THEN bitmap_count(_bm) END)").alias(
+                "n_events"
+            ),
         )
-
-    return bitmap_distinct("user_id", "n_users").join(
-        bitmap_distinct("event_id", "n_events"), "event_type"
     )
 
 
